@@ -1,0 +1,99 @@
+"""Cross-engine determinism helpers (Spark <-> DuckDB oracle).
+
+The driver hash-compares every ``queries()[k]`` result against DuckDB
+running ``oracle_sql()[k]`` — row count + schema + order-insensitive
+value hash. Floating-point aggregation order differs between engines,
+so naive ``SUM(double)`` is a silent hash-mismatch. The rules here
+(SURVEY.md §5.3) make results bit-deterministic:
+
+- **Money/value sums**: cast each input double to DECIMAL first, sum
+  exactly, cast the exact total back to double. Both engines round the
+  *same* input doubles to the *same* decimals, sum without error, and
+  produce the identical double. ``dec_sum`` / ``o_dec_sum``.
+- **Averages**: exact decimal sum cast to double, divided by count —
+  one deterministic double division instead of engine-specific AVG
+  accumulation. ``dec_avg`` / ``o_dec_avg``.
+- **Order-sensitive statistics** (stddev, corr, ...): round to a digit
+  budget far above engine noise but far below value magnitude.
+- **Integer sums**: DuckDB SUM(BIGINT) returns HUGEINT (int128); cast
+  to BIGINT on the oracle side to match Spark's LongType.
+- **Window/rank outputs**: Spark row_number is int, DuckDB's is BIGINT
+  — cast Spark side to long.
+
+Every operator module uses these helpers on BOTH sides so the pair
+cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+
+# Wide enough for sf0.1 money sums (~3e10) with headroom to 100 TB-ish
+# partial aggregates; scale 2 matches cents semantics.
+MONEY_PREC, MONEY_SCALE = 28, 2
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# ---------- Spark side ----------
+
+
+def dec_sum(col: str | Column, alias: str, scale: int = MONEY_SCALE) -> Column:
+    """Exact sum of doubles via decimal; result is a deterministic double."""
+    return (
+        F.sum(_c(col).cast(DecimalType(MONEY_PREC, scale)))
+        .cast("double")
+        .alias(alias)
+    )
+
+
+def dec_avg(col: str | Column, alias: str, scale: int = MONEY_SCALE) -> Column:
+    """Deterministic average: exact decimal sum -> double, / count."""
+    c = _c(col)
+    return (
+        F.sum(c.cast(DecimalType(MONEY_PREC, scale))).cast("double")
+        / F.count(c)
+    ).alias(alias)
+
+
+def long_sum(col: str | Column, alias: str) -> Column:
+    return F.sum(_c(col)).cast("long").alias(alias)
+
+
+def rnd(col: Column, alias: str, digits: int = 2) -> Column:
+    """Round an order-sensitive float aggregate on both sides."""
+    return F.round(col, digits).alias(alias)
+
+
+def as_long(col: Column, alias: str) -> Column:
+    """Match DuckDB's BIGINT outputs for rank-family window functions."""
+    return col.cast("long").alias(alias)
+
+
+# ---------- DuckDB oracle side (SQL string builders) ----------
+
+
+def o_dec_sum(expr: str, alias: str, scale: int = MONEY_SCALE) -> str:
+    return (
+        f"CAST(SUM(CAST({expr} AS DECIMAL({MONEY_PREC},{scale}))) AS DOUBLE)"
+        f" AS {alias}"
+    )
+
+
+def o_dec_avg(expr: str, alias: str, scale: int = MONEY_SCALE) -> str:
+    return (
+        f"CAST(SUM(CAST({expr} AS DECIMAL({MONEY_PREC},{scale}))) AS DOUBLE)"
+        f" / COUNT({expr}) AS {alias}"
+    )
+
+
+def o_long_sum(expr: str, alias: str) -> str:
+    return f"CAST(SUM({expr}) AS BIGINT) AS {alias}"
+
+
+def o_rnd(expr: str, alias: str, digits: int = 2) -> str:
+    return f"ROUND({expr}, {digits}) AS {alias}"

@@ -1,0 +1,316 @@
+"""Aggregation operators (SURVEY.md §2.4).
+
+Spark-first notes: every groupBy/agg below compiles to Spark's
+HashAggregate with automatic partial (map-side) aggregation before the
+shuffle — at 100 TB the shuffle carries only per-group partials, not
+rows. Money aggregates use the decimal-exact pattern from norms.py so
+the DuckDB oracle hash-matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import Tables
+from ..norms import (
+    dec_avg,
+    dec_sum,
+    o_dec_avg,
+    o_dec_sum,
+)
+from ..regutil import registrar
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+op = registrar(QUERIES, ORACLE)
+
+
+# ---------------------------------------------------------------- flagship
+@op(
+    "agg_groupby",
+    sql=f"""
+    SELECT l_returnflag, l_linestatus,
+           {o_dec_sum('l_quantity', 'sum_qty')},
+           {o_dec_sum('l_extendedprice', 'sum_base_price')},
+           {o_dec_sum('l_extendedprice * (1 - l_discount)', 'sum_disc_price', 4)},
+           {o_dec_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge', 6)},
+           {o_dec_avg('l_quantity', 'avg_qty')},
+           {o_dec_avg('l_extendedprice', 'avg_price')},
+           {o_dec_avg('l_discount', 'avg_disc', 4)},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_groupby(spark, sf_dir):
+    """TPC-H-Q1-shaped pricing summary: the flagship scan→filter→agg."""
+    t = Tables(spark, sf_dir)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        t.lineitem.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity", "sum_qty"),
+            dec_sum("l_extendedprice", "sum_base_price"),
+            dec_sum(disc_price, "sum_disc_price", 4),
+            dec_sum(charge, "sum_charge", 6),
+            dec_avg("l_quantity", "avg_qty"),
+            dec_avg("l_extendedprice", "avg_price"),
+            dec_avg("l_discount", "avg_disc", 4),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@op(
+    "agg_global",
+    sql=f"""
+    SELECT COUNT(*) AS n_rows,
+           {o_dec_sum('l_quantity', 'sum_qty')},
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price,
+           {o_dec_avg('l_discount', 'avg_disc', 4)}
+    FROM lineitem
+    """,
+)
+def agg_global(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return t.lineitem.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dec_sum("l_quantity", "sum_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        dec_avg("l_discount", "avg_disc", 4),
+    )
+
+
+@op(
+    "agg_count_distinct",
+    sql="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_supp,
+           COUNT(DISTINCT l_partkey) AS n_part
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_count_distinct(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+    )
+
+
+@op("agg_approx_count_distinct")  # estimate != exact oracle -> rows-only
+def agg_approx_count_distinct(spark, sf_dir):
+    """HLL++ distinct-user estimate per event type (SURVEY §2.4).
+
+    At 100 TB this replaces exact COUNT DISTINCT's full shuffle with a
+    fixed-size sketch merge; accuracy asserted vs exact in tests.
+    """
+    t = Tables(spark, sf_dir)
+    return t.events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users")
+    )
+
+
+@op(
+    "agg_having",
+    sql=f"""
+    SELECT o_custkey,
+           {o_dec_sum('o_totalprice', 'total_spend')},
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING SUM(CAST(o_totalprice AS DECIMAL(28,2))) > 500000 AND COUNT(*) >= 2
+    """,
+)
+def agg_having(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.groupBy("o_custkey")
+        .agg(
+            dec_sum("o_totalprice", "total_spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .filter((F.col("total_spend") > 500000) & (F.col("n_orders") >= 2))
+    )
+
+
+@op(
+    "agg_grouping_sets",
+    sql=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+           {o_dec_sum('l_quantity', 'sum_qty')},
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return t.lineitem.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.grouping("l_returnflag").cast("long").alias("g_rf"),
+        F.grouping("l_linestatus").cast("long").alias("g_ls"),
+        dec_sum("l_quantity", "sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@op(
+    "agg_rollup",
+    sql=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           {o_dec_sum('o_totalprice', 'sum_price')},
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return t.orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        dec_sum("o_totalprice", "sum_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@op(
+    "agg_cube",
+    sql=f"""
+    SELECT event_type, user_id,
+           {o_dec_sum('value', 'sum_value', 4)},
+           COUNT(*) AS n
+    FROM events
+    GROUP BY CUBE (event_type, user_id)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return t.events.cube("event_type", "user_id").agg(
+        dec_sum("value", "sum_value", 4),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@op(
+    "agg_stats",
+    sql="""
+    SELECT l_returnflag,
+           ROUND(STDDEV_SAMP(l_quantity), 6) AS sd_qty,
+           ROUND(VAR_SAMP(l_quantity), 6) AS var_qty,
+           ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(COVAR_SAMP(l_quantity, l_discount), 6) AS covar_qty_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("covar_qty_disc"),
+    )
+
+
+@op(
+    "agg_percentile",
+    sql="""
+    SELECT l_returnflag,
+           ROUND(QUANTILE_CONT(l_quantity, 0.5), 6) AS p50_qty,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 6) AS p90_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentile(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("p90_price"),
+    )
+
+
+@op(
+    "agg_collect",
+    sql="""
+    SELECT l_returnflag,
+           LIST_SORT(LIST(DISTINCT l_linestatus)) AS statuses,
+           CAST(LEN(LIST(DISTINCT l_linestatus)) AS INT) AS n_statuses
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_collect(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.array_sort(F.collect_set("l_linestatus")).alias("statuses"),
+        F.size(F.collect_set("l_linestatus")).alias("n_statuses"),
+    )
+
+
+@op(
+    "agg_conditional",
+    sql=f"""
+    SELECT user_id,
+           {o_dec_sum("CASE WHEN event_type = 'purchase' THEN value END", 'purchase_value', 4)},
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def agg_conditional(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return t.events.groupBy("user_id").agg(
+        dec_sum(
+            F.when(F.col("event_type") == "purchase", F.col("value")),
+            "purchase_value",
+            4,
+        ),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@op(
+    "agg_pivot",
+    sql="SELECT user_id, "
+    + ", ".join(
+        o_dec_sum(f"CASE WHEN event_type = '{et}' THEN value END", et, 4)
+        for et in _EVENT_TYPES
+    )
+    + " FROM events GROUP BY user_id",
+)
+def agg_pivot(spark, sf_dir):
+    """Wide per-user table by event type; explicit value list so Spark
+    skips the extra distinct-values job (matters at scale)."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(dec_sum("value", "v", 4))
+    )
+
+
+@op(
+    "dedup_exact",
+    sql="SELECT DISTINCT user_id, event_type FROM events",
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup on a projected key set (deterministic: surviving rows
+    are full projections, so *which* duplicate survives is moot)."""
+    t = Tables(spark, sf_dir)
+    return t.events.select("user_id", "event_type").dropDuplicates()
