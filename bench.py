@@ -1,0 +1,80 @@
+"""Benchmark runner — the driver executes this per-round.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Per-query time is the best of BENCH_RUNS runs of a full collect()
+(after one session-wide warmup query to absorb JVM/codegen startup),
+so the number reflects steady-state plan execution, not JVM boot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_webhooks_spark import registry  # noqa: E402
+from data_webhooks_spark.session import get_spark  # noqa: E402
+
+# Headline set: the flagship plus the heaviest representative per family.
+# Keys not yet implemented are skipped so bench never breaks mid-build.
+HEADLINE = [
+    "agg_groupby",        # scan→filter→hash agg (TPC-H Q1 shape)
+    "join_multiway",      # 5-table star join
+    "join_asof",          # union + window as-of join
+    "win_ranking",        # window functions over events
+    "topn_per_group",     # rank + filter
+    "agg_cube",           # multi-grouping aggregation
+    "dedup_minhash",      # MinHash LSH near-dup join
+    "sim_cosine_brute",   # brute-force cosine top-k
+    "text_tfidf",         # explode + join tf-idf
+    "stream_tumbling_agg",  # availableNow streaming replay
+]
+
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark("dws-bench")
+    qs = registry.queries()
+    keys = [k for k in HEADLINE if k in qs]
+
+    # Warmup: absorb JVM + codegen + parquet footer reads.
+    qs[keys[0]](spark, sf_dir).collect()
+
+    per_query: dict[str, float] = {}
+    for k in keys:
+        best = float("inf")
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            qs[k](spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        per_query[k] = round(best, 4)
+
+    total = round(sum(per_query.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,130 @@
+"""Projection / filter / predicate operators (SURVEY.md §2.2).
+
+All of these stay entirely inside whole-stage codegen and push their
+predicates into the parquet scan (PushedFilters) — at 100 TB the
+filters here mean row-group skipping, not post-scan filtering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import Tables
+from ..regutil import registrar
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+op = registrar(QUERIES, ORACLE)
+
+
+@op(
+    "project",
+    sql="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue,
+           l_quantity * 2.0 AS double_qty
+    FROM lineitem
+    """,
+)
+def project(spark, sf_dir):
+    """Column subset + computed columns (per-row IEEE arithmetic is
+    deterministic, so no rounding needed)."""
+    t = Tables(spark, sf_dir)
+    return t.lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        (F.col("l_quantity") * 2.0).alias("double_qty"),
+    )
+
+
+@op(
+    "filter_simple",
+    sql="SELECT event_id, user_id, value FROM events WHERE value > 90",
+)
+def filter_simple(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return t.events.filter(F.col("value") > 90).select("event_id", "user_id", "value")
+
+
+@op(
+    "filter_compound",
+    sql="""
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus, l_discount
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.02 AND 0.05
+      AND l_returnflag IN ('A', 'R')
+      AND NOT (l_linestatus = 'F')
+      AND l_tax IS NOT NULL
+    """,
+)
+def filter_compound(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return t.lineitem.filter(
+        F.col("l_discount").between(0.02, 0.05)
+        & F.col("l_returnflag").isin("A", "R")
+        & ~(F.col("l_linestatus") == "F")
+        & F.col("l_tax").isNotNull()
+    ).select("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_discount")
+
+
+@op(
+    "filter_like",
+    sql="""
+    SELECT p_partkey, p_name, p_type, p_brand
+    FROM part
+    WHERE p_type LIKE 'PROMO%' AND p_name LIKE '%a%' AND p_brand NOT LIKE '%#4%'
+    """,
+)
+def filter_like(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return t.part.filter(
+        F.col("p_type").like("PROMO%")
+        & F.col("p_name").like("%a%")
+        & ~F.col("p_brand").like("%#4%")
+    ).select("p_partkey", "p_name", "p_type", "p_brand")
+
+
+@op(
+    "case_when",
+    sql="""
+    SELECT CASE WHEN value < 10 THEN 'low'
+                WHEN value < 50 THEN 'mid'
+                ELSE 'high' END AS bucket,
+           event_type,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def case_when(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    bucket = (
+        F.when(F.col("value") < 10, "low")
+        .when(F.col("value") < 50, "mid")
+        .otherwise("high")
+        .alias("bucket")
+    )
+    return t.events.groupBy(bucket, "event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@op(
+    "filter_null_safe_eq",
+    sql="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem
+    WHERE NULLIF(l_returnflag, 'N') IS NOT DISTINCT FROM NULLIF(l_linestatus, 'O')
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def filter_null_safe_eq(spark, sf_dir):
+    """Null-safe equality (<=>); NULLIF manufactures NULLs since the
+    fixtures have none."""
+    t = Tables(spark, sf_dir)
+    lhs = F.nullif(F.col("l_returnflag"), F.lit("N"))
+    rhs = F.nullif(F.col("l_linestatus"), F.lit("O"))
+    return (
+        t.lineitem.filter(lhs.eqNullSafe(rhs))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -14,6 +14,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 _MODULES = [
     "data_webhooks_spark.operators.aggregates",
+    "data_webhooks_spark.operators.relational",
+    "data_webhooks_spark.operators.sorts_sets",
+    "data_webhooks_spark.operators.scalars",
 ]
 
 
