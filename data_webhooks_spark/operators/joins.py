@@ -1,0 +1,313 @@
+"""Join operators (SURVEY.md §2.3).
+
+Strategy notes (100 TB):
+- Dimension sides (region/nation/supplier/customer-at-small-SF) are
+  explicitly ``F.broadcast()`` — no shuffle of the fact table.
+- Fact-fact joins (lineitem⋈orders) shuffle on the join key; AQE
+  handles skew splitting at runtime.
+- The as-of join is the union+ordered-window formulation: O(n log n)
+  with a single shuffle by key, instead of the O(n·m) conditional-join
+  blowup — this is the pattern that survives 100 TB.
+- The theta/band join keeps the small side broadcast (BroadcastNestedLoop);
+  at scale you'd band-bucket both sides first (equi-prejoin on bucket)
+  — join_interval demonstrates exactly that equi+residual shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..io import Tables
+from ..norms import dec_sum, o_dec_sum
+from ..regutil import registrar
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+op = registrar(QUERIES, ORACLE)
+
+
+@op(
+    "join_inner_equi",
+    sql="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderstatus = 'F'
+    """,
+)
+def join_inner_equi(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.filter(F.col("o_orderstatus") == "F")
+        .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+    )
+
+
+@op(
+    "join_left_outer",
+    sql="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_orderstatus = 'P'
+    """,
+)
+def join_left_outer(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    o = t.orders.filter(F.col("o_orderstatus") == "P")
+    return t.customer.join(
+        o, F.col("c_custkey") == F.col("o_custkey"), "left"
+    ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@op(
+    "join_right_outer",
+    sql="""
+    SELECT o.o_orderkey, c.c_custkey, c.c_name
+    FROM (SELECT * FROM orders WHERE o_totalprice > 400000) o
+    RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_right_outer(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    o = t.orders.filter(F.col("o_totalprice") > 400000)
+    return o.join(
+        t.customer, F.col("o_custkey") == F.col("c_custkey"), "right"
+    ).select("o_orderkey", "c_custkey", "c_name")
+
+
+@op(
+    "join_full_outer",
+    sql="""
+    SELECT e.user_id, e.n_events, c.c_custkey, c.c_name
+    FROM (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id) e
+    FULL JOIN (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 300) c
+      ON e.user_id = c.c_custkey
+    """,
+)
+def join_full_outer(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    e = t.events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    c = t.customer.filter(F.col("c_custkey") <= 300).select("c_custkey", "c_name")
+    return e.join(c, F.col("user_id") == F.col("c_custkey"), "full").select(
+        "user_id", "n_events", "c_custkey", "c_name"
+    )
+
+
+@op(
+    "join_left_semi",
+    sql="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    """,
+)
+def join_left_semi(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    o = t.orders.filter(F.col("o_orderstatus") == "P")
+    return t.customer.join(
+        o, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@op(
+    "join_left_anti",
+    sql="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_left_anti(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return t.customer.join(
+        t.orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@op(
+    "join_cross",
+    sql="""
+    SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+    """,
+)
+def join_cross(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return t.region.crossJoin(t.nation).select("r_name", "n_name")
+
+
+@op(
+    "join_theta_range",
+    sql="""
+    SELECT s.s_suppkey, COUNT(c.c_custkey) AS n_band_customers
+    FROM supplier s LEFT JOIN customer c
+      ON c.c_acctbal BETWEEN s.s_acctbal - 10 AND s.s_acctbal + 10
+    GROUP BY s.s_suppkey
+    """,
+)
+def join_theta_range(spark, sf_dir):
+    """Non-equi band join; supplier side broadcast so the big side
+    never shuffles (BroadcastNestedLoopJoin)."""
+    t = Tables(spark, sf_dir)
+    s, c = t.supplier, t.customer
+    cond = F.col("c_acctbal").between(
+        F.col("s_acctbal") - 10, F.col("s_acctbal") + 10
+    )
+    return (
+        F.broadcast(s)
+        .join(c, cond, "left")
+        .groupBy("s_suppkey")
+        .agg(F.count(F.col("c_custkey")).alias("n_band_customers"))
+    )
+
+
+@op(
+    "join_interval",
+    sql=f"""
+    SELECT o.o_orderstatus,
+           COUNT(*) AS n_shipped_30d,
+           {o_dec_sum('l.l_extendedprice', 'sum_price')}
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= o.o_orderdate
+      AND l.l_shipdate < date_add(o.o_orderdate, INTERVAL 30 DAY)
+    GROUP BY o.o_orderstatus
+    """,
+)
+def join_interval(spark, sf_dir):
+    """Point-in-interval join as equi-join + range residual — the
+    scalable shape (shuffle on the equi key, residual filtered in the
+    join, no cartesian)."""
+    t = Tables(spark, sf_dir)
+    j = t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    j = j.filter(
+        (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+    )
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_shipped_30d"),
+        dec_sum("l_extendedprice", "sum_price"),
+    )
+
+
+@op(
+    "join_asof",
+    sql="""
+    SELECT p.event_id, p.user_id, p.ts AS p_ts,
+           c.ts AS click_ts, c.value AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof(spark, sf_dir):
+    """As-of join: for each purchase, the latest click at-or-before it
+    per user. Spark has no native as-of, so: union both sides tagged,
+    one window pass per key ordered by (t, side), last(ignorenulls)
+    carries the most recent click forward. One shuffle, O(n log n) —
+    survives 100 TB, unlike a conditional-join + max reduction.
+    (user_id, ts) is unique in the fixture, so results are fully
+    deterministic; ties would need an extra tiebreak column.
+    """
+    t = Tables(spark, sf_dir)
+    ev = t.events
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(0).alias("side"),  # clicks sort before purchases at equal t (>= is inclusive)
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast(ev.schema["ts"].dataType).alias("c_ts"),
+        F.lit(None).cast("double").alias("c_value"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("click_ts", F.last("c_ts", ignorenulls=True).over(w))
+        .withColumn("click_value", F.last("c_value", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("t").alias("p_ts"),
+            "click_ts",
+            "click_value",
+        )
+    )
+
+
+@op(
+    "join_self",
+    sql="""
+    SELECT o1.o_custkey, COUNT(*) AS n_order_pairs
+    FROM orders o1 JOIN orders o2
+      ON o1.o_custkey = o2.o_custkey AND o1.o_orderdate < o2.o_orderdate
+    GROUP BY o1.o_custkey
+    """,
+)
+def join_self(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    o1 = t.orders.alias("o1")
+    o2 = t.orders.alias("o2")
+    return (
+        o1.join(
+            o2,
+            (F.col("o1.o_custkey") == F.col("o2.o_custkey"))
+            & (F.col("o1.o_orderdate") < F.col("o2.o_orderdate")),
+        )
+        .groupBy(F.col("o1.o_custkey").alias("o_custkey"))
+        .agg(F.count(F.lit(1)).alias("n_order_pairs"))
+    )
+
+
+@op(
+    "join_multiway",
+    sql=f"""
+    SELECT n.n_name,
+           {o_dec_sum('l.l_extendedprice * (1 - l.l_discount)', 'revenue', 4)},
+           COUNT(*) AS n_items
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def join_multiway(spark, sf_dir):
+    """TPC-H-Q5-shaped 6-table star join. Dims broadcast; the only
+    shuffles are lineitem⋈orders (fact-fact) and the final agg."""
+    t = Tables(spark, sf_dir)
+    o = t.orders.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    j = (
+        t.lineitem.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t.supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.groupBy("n_name").agg(
+        dec_sum(revenue, "revenue", 4),
+        F.count(F.lit(1)).alias("n_items"),
+    )

@@ -1,0 +1,224 @@
+"""Window function operators (SURVEY.md §2.5).
+
+Determinism discipline (SURVEY §5.3): every ordering that feeds
+row_number/ntile/lag/lead/frames ends in the unique event_id/order key,
+so tie placement can't differ between engines. Running/sliding sums go
+through the decimal cast — window aggregate implementations (Spark's
+sequential frames vs DuckDB's segment trees) may add doubles in
+different orders, decimal is exact under any order.
+
+Rank-family outputs are cast to BIGINT on the Spark side to match
+DuckDB's BIGINT window returns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+
+from ..io import Tables
+from ..regutil import registrar
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+op = registrar(QUERIES, ORACLE)
+
+_DEC = DecimalType(28, 4)
+
+
+@op(
+    "win_ranking",
+    sql="""
+    SELECT event_id, event_type, user_id,
+           rank()       OVER (PARTITION BY event_type ORDER BY user_id) AS rnk,
+           dense_rank() OVER (PARTITION BY event_type ORDER BY user_id) AS drnk,
+           row_number() OVER (PARTITION BY event_type ORDER BY user_id, event_id) AS rn,
+           ntile(4)     OVER (PARTITION BY event_type ORDER BY user_id, event_id) AS quartile,
+           round(percent_rank() OVER (PARTITION BY event_type ORDER BY user_id), 9) AS prnk
+    FROM events
+    """,
+)
+def win_ranking(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    w_ties = Window.partitionBy("event_type").orderBy("user_id")
+    w_uniq = Window.partitionBy("event_type").orderBy("user_id", "event_id")
+    return t.events.select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.rank().over(w_ties).cast("long").alias("rnk"),
+        F.dense_rank().over(w_ties).cast("long").alias("drnk"),
+        F.row_number().over(w_uniq).cast("long").alias("rn"),
+        F.ntile(4).over(w_uniq).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w_ties), 9).alias("prnk"),
+    )
+
+
+@op(
+    "win_lag_lead",
+    sql="""
+    SELECT event_id, user_id, ts, value,
+           lag(value)  OVER w AS prev_value,
+           lead(event_type) OVER w AS next_type,
+           CAST(floor(extract(epoch FROM ts)) AS BIGINT)
+             - CAST(floor(extract(epoch FROM lag(ts) OVER w)) AS BIGINT) AS secs_since_prev
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_lag_lead(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    prev_epoch = F.unix_timestamp(F.lag("ts").over(w).cast("timestamp"))
+    return t.events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("event_type").over(w).alias("next_type"),
+        (epoch - prev_epoch).alias("secs_since_prev"),
+    )
+
+
+@op(
+    "win_running",
+    sql="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(28,4))) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+           COUNT(*) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_so_far
+    FROM events
+    """,
+)
+def win_running(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t.events.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast(_DEC)).over(w).cast("double").alias("running_value"),
+        F.count(F.lit(1)).over(w).alias("n_so_far"),
+    )
+
+
+@op(
+    "win_sliding_rows",
+    sql="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(28,4))) OVER w AS DOUBLE)
+             / COUNT(*) OVER w AS moving_avg_5
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_sliding_rows(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return t.events.select(
+        "event_id",
+        "user_id",
+        (
+            F.sum(F.col("value").cast(_DEC)).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("moving_avg_5"),
+    )
+
+
+@op(
+    "win_range_time",
+    sql="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(28,4))) OVER w AS DOUBLE) AS trailing_1h_value,
+           COUNT(*) OVER w AS trailing_1h_n
+    FROM (SELECT *, CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS epoch_s FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_range_time(spark, sf_dir):
+    """Time-range frame: all of the user's events in the trailing hour.
+    RANGE frames are value-bounded, so equal-second ties land in the
+    same frame deterministically in both engines."""
+    t = Tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("epoch_s"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return (
+        t.events.withColumn(
+            "epoch_s", F.unix_timestamp(F.col("ts").cast("timestamp"))
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.sum(F.col("value").cast(_DEC)).over(w).cast("double").alias("trailing_1h_value"),
+            F.count(F.lit(1)).over(w).alias("trailing_1h_n"),
+        )
+    )
+
+
+@op(
+    "win_first_last",
+    sql="""
+    SELECT event_id, user_id,
+           first_value(value) OVER w AS first_value_all,
+           last_value(value)  OVER w AS last_value_all,
+           first_value(event_type) OVER w AS first_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_first_last(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return t.events.select(
+        "event_id",
+        "user_id",
+        F.first("value").over(w).alias("first_value_all"),
+        F.last("value").over(w).alias("last_value_all"),
+        F.first("event_type").over(w).alias("first_type"),
+    )
+
+
+@op(
+    "topn_per_group",
+    sql="""
+    SELECT user_id, event_id, value FROM (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY value DESC, event_id) AS rn
+        FROM events
+    ) WHERE rn <= 3
+    """,
+)
+def topn_per_group(spark, sf_dir):
+    """Top-3 events per user by value; unique event_id tiebreak keeps
+    the selected set deterministic."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        t.events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "value")
+    )

@@ -17,6 +17,8 @@ _MODULES = [
     "data_webhooks_spark.operators.relational",
     "data_webhooks_spark.operators.sorts_sets",
     "data_webhooks_spark.operators.scalars",
+    "data_webhooks_spark.operators.joins",
+    "data_webhooks_spark.operators.windows",
 ]
 
 
