@@ -1,0 +1,76 @@
+"""Batch scan operators (SURVEY.md §2.1, non-streaming rows).
+
+scan_parquet reads a fixture directly; scan_json / scan_csv read
+byte-identical JSONL/CSV derivations of the fixtures (sources/derived,
+generated from the driver's parquet — no synthetic data). Explicit
+schemas everywhere: schema inference is a correctness risk under the
+driver's schema comparison and a full extra pass over the data at
+100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import Tables
+from ..regutil import registrar
+from ..sources.derived import (
+    CUSTOMER_CSV_COLUMNS,
+    CUSTOMER_CSV_SPARK_SCHEMA,
+    EVENTS_JSON_COLUMNS,
+    EVENTS_JSON_SPARK_SCHEMA,
+    ORACLE_CUSTOMER_CSV,
+    ORACLE_EVENTS_JSONL,
+    derived_path,
+)
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+op = registrar(QUERIES, ORACLE)
+
+
+@op(
+    "scan_parquet",
+    sql="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_parquet(spark, sf_dir):
+    """Full parquet scan, all columns."""
+    t = Tables(spark, sf_dir)
+    return t.nation.select("n_nationkey", "n_name", "n_regionkey")
+
+
+@op(
+    "scan_json",
+    sql=f"""
+    SELECT event_id, make_timestamp(ts_us) AS ts, user_id, event_type, value, props
+    FROM read_json('{ORACLE_EVENTS_JSONL}', format='newline_delimited',
+                   columns={EVENTS_JSON_COLUMNS})
+    """,
+)
+def scan_json(spark, sf_dir):
+    """JSON-lines scan with explicit schema (webhook payload replay
+    shape); timestamps carried as epoch-µs and re-materialized."""
+    path = derived_path(sf_dir, "events.jsonl")
+    raw = spark.read.schema(EVENTS_JSON_SPARK_SCHEMA).json(path)
+    return raw.select(
+        "event_id",
+        F.expr("CAST(timestamp_micros(ts_us) AS TIMESTAMP_NTZ)").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+@op(
+    "scan_csv",
+    sql=f"""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM read_csv('{ORACLE_CUSTOMER_CSV}', header=true,
+                  columns={CUSTOMER_CSV_COLUMNS})
+    """,
+)
+def scan_csv(spark, sf_dir):
+    """CSV scan with header + explicit schema."""
+    path = derived_path(sf_dir, "customer.csv")
+    return spark.read.csv(path, header=True, schema=CUSTOMER_CSV_SPARK_SCHEMA)

@@ -1,0 +1,169 @@
+"""Array / map / JSON operators (SURVEY.md §2.8).
+
+The array ops run over embeddings (array<float>, dim 64); JSON ops over
+events.props (JSON-in-string webhook payloads). Everything here is
+built-in higher-order functions — JVM expressions, no Python UDFs —
+which is what keeps semi-structured work whole-stage-codegen'd at
+100 TB. Float-list arithmetic is promoted to double on BOTH engines
+before any reduction, then rounded, since reduction order inside a
+single list is identical (sequential) but engine float kernels differ.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import Tables
+from ..regutil import registrar
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+op = registrar(QUERIES, ORACLE)
+
+
+@op(
+    "arr_basic",
+    sql="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           embedding[1] AS first_dim,
+           list_slice(embedding, 1, 4) AS head4,
+           round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_dim,
+           round(CAST(list_min(embedding) AS DOUBLE), 6) AS min_dim
+    FROM embeddings
+    """,
+)
+def arr_basic(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    e = F.col("embedding")
+    return t.embeddings.select(
+        "vec_id",
+        F.size(e).alias("dim"),
+        F.element_at(e, 1).alias("first_dim"),
+        F.slice(e, 1, 4).alias("head4"),
+        F.round(F.array_max(e).cast("double"), 6).alias("max_dim"),
+        F.round(F.array_min(e).cast("double"), 6).alias("min_dim"),
+    )
+
+
+@op(
+    "arr_explode",
+    sql="""
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS word,
+           CAST(generate_subscripts(string_split(text, ' '), 1) AS INT) AS pos
+    FROM documents
+    """,
+)
+def arr_explode(spark, sf_dir):
+    """Lateral un-nesting with position (posexplode); DuckDB zips
+    unnest + generate_subscripts in lockstep. Spark posexplode is
+    0-based -> +1."""
+    t = Tables(spark, sf_dir)
+    return t.documents.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "word")
+    ).select("doc_id", "word", (F.col("pos0") + 1).cast("int").alias("pos"))
+
+
+@op(
+    "arr_higher_order",
+    sql="""
+    SELECT vec_id,
+           round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)), 6) AS sum_sq,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive,
+           list_transform(list_slice(embedding, 1, 3), x -> CAST(x AS DOUBLE) * 2) AS head3_doubled
+    FROM embeddings
+    """,
+)
+def arr_higher_order(spark, sf_dir):
+    """Per-element lambdas: transform / filter / aggregate (fold)."""
+    t = Tables(spark, sf_dir)
+    e = F.col("embedding")
+    sum_sq = F.aggregate(
+        e,
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return t.embeddings.select(
+        "vec_id",
+        F.round(sum_sq, 6).alias("sum_sq"),
+        F.size(F.filter(e, lambda x: x > 0)).alias("n_positive"),
+        F.transform(F.slice(e, 1, 3), lambda x: x.cast("double") * 2).alias(
+            "head3_doubled"
+        ),
+    )
+
+
+@op("map_funcs")  # DuckDB MAP comparison via pandas is unstable -> rows-only
+def map_funcs(spark, sf_dir):
+    """Build/inspect MapType: per-user map of event_type -> decimal-exact
+    total value, then inspect keys/values."""
+    t = Tables(spark, sf_dir)
+    from ..norms import dec_sum
+
+    per_type = t.events.groupBy("user_id", "event_type").agg(
+        dec_sum("value", "total", 4)
+    )
+    m = (
+        per_type.groupBy("user_id")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("event_type"), F.col("total")))
+                )
+            ).alias("type_totals")
+        )
+    )
+    return m.select(
+        "user_id",
+        F.map_keys(F.col("type_totals")).alias("types"),
+        F.element_at(F.col("type_totals"), "purchase").alias("purchase_total"),
+        F.size(F.col("type_totals")).alias("n_types"),
+    )
+
+
+@op(
+    "json_get",
+    sql="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_int
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50
+    """,
+)
+def json_get(spark, sf_dir):
+    """JSON path extraction from the webhook payload column."""
+    t = Tables(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k")
+    return (
+        t.events.select(
+            "event_id",
+            k.alias("k_str"),
+            k.cast("int").alias("k_int"),
+        )
+        .filter(F.col("k_int") > 50)
+    )
+
+
+@op(
+    "json_parse",
+    sql="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT) AS k,
+           CAST(json_valid(props) AS BOOLEAN) AS is_valid,
+           CAST(len(json_keys(props)) AS INT) AS n_keys
+    FROM events
+    """,
+)
+def json_parse(spark, sf_dir):
+    """Full parse to struct with schema (permissive mode); DuckDB twin
+    uses its JSON inspection functions."""
+    t = Tables(spark, sf_dir)
+    parsed = F.from_json(F.col("props"), "k INT")
+    return t.events.select(
+        "event_id",
+        parsed.getField("k").alias("k"),
+        parsed.isNotNull().alias("is_valid"),
+        F.size(F.from_json(F.col("props"), "map<string,string>")).alias("n_keys"),
+    )

@@ -1,0 +1,154 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.11).
+
+Escape hatches, in descending preference at 100 TB:
+ 1. built-in expressions (everything else in operators/ — zero Python)
+ 2. Arrow-vectorized pandas UDFs / applyInPandas (batched columnar
+    transfer, one Python roundtrip per batch)
+ 3. row-at-a-time Python UDF (udf_python below exists to cover the
+    operator key; never use it in a hot path — ~10-100x slower)
+
+SQL-oracle'd entries re-express the Python semantics in ANSI SQL
+(geomean == exp(avg(ln)), z-score == (x-mean)/stddev) and round to
+absorb numpy-vs-DuckDB accumulation-order noise.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..io import Tables
+from ..regutil import registrar
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+op = registrar(QUERIES, ORACLE)
+
+
+@op("udf_python")
+def udf_python(spark, sf_dir):
+    """Row-at-a-time Python UDF (the discouraged escape hatch)."""
+    t = Tables(spark, sf_dir)
+
+    @F.udf("string")
+    def grade(v: float) -> str:
+        if v is None:
+            return "none"
+        return "high" if v >= 50 else "low"
+
+    return t.events.select("event_id", "value", grade("value").alias("grade"))
+
+
+@op("udf_pandas_scalar")
+def udf_pandas_scalar(spark, sf_dir):
+    """Arrow-vectorized scalar UDF: whole-column pandas arithmetic."""
+    t = Tables(spark, sf_dir)
+
+    @pandas_udf("double")
+    def clip01(v: pd.Series) -> pd.Series:
+        return (v / 100.0).clip(0.0, 1.0)
+
+    return t.events.select("event_id", "value", clip01("value").alias("value01"))
+
+
+@op(
+    "udaf_pandas",
+    sql="""
+    SELECT l_returnflag,
+           round(exp(avg(ln(l_quantity))), 6) AS geomean_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def udaf_pandas(spark, sf_dir):
+    """Custom aggregate (geometric mean) as a GROUPED_AGG pandas UDF;
+    oracle re-expresses it as exp(avg(ln(x)))."""
+    import numpy as np
+
+    t = Tables(spark, sf_dir)
+
+    @pandas_udf("double")
+    def geomean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.round(geomean("l_quantity"), 6).alias("geomean_qty")
+    )
+
+
+@op(
+    "grouped_map",
+    sql="""
+    SELECT event_id, user_id,
+           round((value - avg(value) OVER (PARTITION BY user_id))
+                 / stddev_samp(value) OVER (PARTITION BY user_id), 6) AS z
+    FROM events
+    """,
+)
+def grouped_map(spark, sf_dir):
+    """Per-group pandas transform (z-score normalize each user's values
+    with applyInPandas); oracle is the window-function re-expression.
+    pandas std(ddof=1) == stddev_samp."""
+    t = Tables(spark, sf_dir)
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        z = (v - v.mean()) / v.std(ddof=1)
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "z": z.round(6)}
+        )
+
+    return (
+        t.events.select("event_id", "user_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(zscore, "event_id long, user_id long, z double")
+    )
+
+
+@op("udtf_python")
+def udtf_python(spark, sf_dir):
+    """Python UDTF: one row in -> many out (expand the props JSON object
+    into key/value rows)."""
+    import json as _json
+
+    from pyspark.sql.functions import udtf
+
+    t = Tables(spark, sf_dir)
+
+    @udtf(returnType="event_id bigint, key string, val string")
+    class ExpandProps:
+        def eval(self, event_id: int, props: str):
+            try:
+                obj = _json.loads(props)
+            except (TypeError, ValueError):
+                return
+            for k in sorted(obj):
+                yield event_id, k, str(obj[k])
+
+    t.events.select("event_id", "props").createOrReplaceTempView("_udtf_events")
+    spark.udtf.register("expand_props", ExpandProps)
+    return spark.sql(
+        "SELECT p.* FROM _udtf_events e, "
+        "LATERAL expand_props(e.event_id, e.props) p"
+    )
+
+
+@op("map_in_pandas")
+def map_in_pandas(spark, sf_dir):
+    """Partition-wise pandas iterator transform: per-batch feature calc
+    (value percentile rank within the Arrow batch plus batch size)."""
+    t = Tables(spark, sf_dir)
+
+    def add_batch_stats(batches):
+        for pdf in batches:
+            out = pdf[["event_id", "value"]].copy()
+            out["batch_rank"] = pdf["value"].rank(method="first").astype("int64")
+            out["batch_rows"] = len(pdf)
+            yield out
+
+    return t.events.mapInPandas(
+        add_batch_stats,
+        "event_id long, value double, batch_rank long, batch_rows long",
+    )

@@ -19,6 +19,9 @@ _MODULES = [
     "data_webhooks_spark.operators.scalars",
     "data_webhooks_spark.operators.joins",
     "data_webhooks_spark.operators.windows",
+    "data_webhooks_spark.operators.scans",
+    "data_webhooks_spark.operators.semistructured",
+    "data_webhooks_spark.operators.udfs",
 ]
 
 

@@ -1,0 +1,84 @@
+"""Deterministic JSON/CSV derivations of the parquet fixtures.
+
+The fixture set is parquet-only; the scan_json / scan_csv operators
+need JSON-lines and CSV inputs. We derive them 1:1 from the driver's
+own parquet (no synthetic data) with DuckDB COPY — deterministic
+(ORDER BY key) and idempotent (marker file). Timestamps are exported
+as epoch microseconds (BIGINT) so both engines re-materialize the
+exact same µs timestamp without string-format parsing hazards.
+
+Files land under /root/repo/.runtime/derived/<sfname>/ (gitignored);
+ORACLE SQL references the sf0.01 paths, which are generated eagerly at
+import time so the driver can run the oracle before or after the Spark
+query.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+
+RUNTIME_DIR = "/root/repo/.runtime"
+DERIVED_DIR = f"{RUNTIME_DIR}/derived"
+
+_EVENTS_SELECT = (
+    "SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props "
+    "FROM read_parquet('{sf_dir}/events.parquet') ORDER BY event_id"
+)
+_CUSTOMER_SELECT = (
+    "SELECT * FROM read_parquet('{sf_dir}/customer.parquet') ORDER BY c_custkey"
+)
+
+EVENTS_JSON_COLUMNS = (
+    "{'event_id': 'BIGINT', 'ts_us': 'BIGINT', 'user_id': 'BIGINT', "
+    "'event_type': 'VARCHAR', 'value': 'DOUBLE', 'props': 'VARCHAR'}"
+)
+CUSTOMER_CSV_COLUMNS = (
+    "{'c_custkey': 'BIGINT', 'c_name': 'VARCHAR', 'c_nationkey': 'INTEGER', "
+    "'c_acctbal': 'DOUBLE', 'c_mktsegment': 'VARCHAR'}"
+)
+
+EVENTS_JSON_SPARK_SCHEMA = (
+    "event_id LONG, ts_us LONG, user_id LONG, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+CUSTOMER_CSV_SPARK_SCHEMA = (
+    "c_custkey LONG, c_name STRING, c_nationkey INT, "
+    "c_acctbal DOUBLE, c_mktsegment STRING"
+)
+
+
+def ensure_derived(sf_dir: str) -> str:
+    """Create JSONL/CSV twins of the fixtures for one scale factor."""
+    sfname = os.path.basename(sf_dir.rstrip("/"))
+    out = f"{DERIVED_DIR}/{sfname}"
+    marker = f"{out}/.complete"
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(
+        f"COPY ({_EVENTS_SELECT.format(sf_dir=sf_dir)}) "
+        f"TO '{out}/events.jsonl' (FORMAT JSON)"
+    )
+    con.execute(
+        f"COPY ({_CUSTOMER_SELECT.format(sf_dir=sf_dir)}) "
+        f"TO '{out}/customer.csv' (FORMAT CSV, HEADER)"
+    )
+    con.close()
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return out
+
+
+def derived_path(sf_dir: str, fname: str) -> str:
+    return f"{ensure_derived(sf_dir)}/{fname}"
+
+
+# The oracle runs at sf0.01 with fixed SQL strings — make sure those
+# files exist regardless of driver call ordering.
+ORACLE_SF_DIR = "/root/testdata/sf0.01"
+ensure_derived(ORACLE_SF_DIR)
+ORACLE_EVENTS_JSONL = f"{DERIVED_DIR}/sf0.01/events.jsonl"
+ORACLE_CUSTOMER_CSV = f"{DERIVED_DIR}/sf0.01/customer.csv"
