@@ -1,0 +1,285 @@
+"""Deduplication operators for LLM-data pipelines (SURVEY.md §2.10).
+
+Scale ladder (each step trades exactness for distributed-join shape):
+- exact / content-hash: hash-groupBy, one shuffle, perfectly scalable
+- n-gram Jaccard: shingle-inverted-index self-join — candidate pairs
+  only where a shingle collides, never O(n²)
+- MinHash LSH: pyspark.ml MinHashLSH banding, approximate Jaccard
+- SimHash: 64-bit fingerprints + band-bucketed Hamming join
+- embedding cosine: exact quadratic baseline here; the LSH/IVF scale
+  paths live in similarity.py
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..io import Tables
+from ..regutil import registrar
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+op = registrar(QUERIES, ORACLE)
+
+
+@op(
+    "dedup_content_hash",
+    sql="""
+    SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS content_hash,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_content_hash(spark, sf_dir):
+    """Exact near-copy removal via normalized-text hash; keeper is
+    MIN(doc_id) so survivorship is deterministic."""
+    t = Tables(spark, sf_dir)
+    h = F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    return t.documents.groupBy(h.alias("content_hash")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@op(
+    "dedup_ngram_jaccard",
+    sql="""
+    WITH pos_words AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS word,
+               CAST(generate_subscripts(string_split(text, ' '), 1) AS INT) AS pos
+        FROM documents
+    ),
+    shingled AS (
+        SELECT doc_id,
+               word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w AS shingle
+        FROM pos_words
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(word, 2) OVER w IS NOT NULL
+    ),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM shingled),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT p.d1, p.d2, CAST(p.inter AS BIGINT) AS n_shared,
+           p.inter / (s1.n + s2.n - p.inter) AS jaccard
+    FROM pairs p
+    JOIN sizes s1 ON p.d1 = s1.doc_id
+    JOIN sizes s2 ON p.d2 = s2.doc_id
+    ORDER BY jaccard DESC, p.d1, p.d2
+    LIMIT 50
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Top word-trigram-Jaccard pairs via a shingle inverted index:
+    candidates come from shingle collisions (equi-join), so cost scales
+    with collisions, not n². Jaccard is an exact integer ratio —
+    bit-identical across engines."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    words = t.documents.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word")
+    )
+    shingled = (
+        words.select(
+            "doc_id",
+            "word",
+            F.lead("word", 1).over(w).alias("w1"),
+            F.lead("word", 2).over(w).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.col("word"), F.col("w1"), F.col("w2")).alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    s1 = sizes.alias("s1")
+    s2 = sizes.alias("s2")
+    return (
+        pairs.join(F.broadcast(s1), F.col("d1") == F.col("s1.doc_id"))
+        .join(F.broadcast(s2), F.col("d2") == F.col("s2.doc_id"))
+        .select(
+            "d1",
+            "d2",
+            F.col("inter").cast("long").alias("n_shared"),
+            (
+                F.col("inter") / (F.col("s1.n") + F.col("s2.n") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "d1", "d2")
+        .limit(50)
+    )
+
+
+@op("dedup_minhash")
+def dedup_minhash(spark, sf_dir):
+    """Near-duplicate pairs via MinHash LSH over word 3-gram shingles
+    (shingle -> hashed binary feature vector -> banded min-hash join).
+    Shingles, not words: the fixture vocabulary is tiny, so *any* two
+    docs share most words — word-level Jaccard saturates, trigram
+    Jaccard stays discriminative. Approximate + seed-pinned ->
+    rows-only check; returned pairs' true overlap asserted in tests."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH, NGram
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select(
+        "doc_id", F.split(F.col("text"), " ").alias("words")
+    ).filter(F.size("words") >= 3)
+    shingled = NGram(n=3, inputCol="words", outputCol="shingles").transform(docs)
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+    feat = tf.transform(shingled)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=6, seed=42)
+    model = lsh.fit(feat)
+    pairs = model.approxSimilarityJoin(feat, feat, 0.9, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("d1"),
+            F.col("datasetB.doc_id").alias("d2"),
+            F.round(1 - F.col("jaccard_dist"), 6).alias("jaccard_sim"),
+        )
+    )
+
+
+@op("dedup_simhash")
+def dedup_simhash(spark, sf_dir):
+    """64-bit SimHash fingerprints + 4x16-bit band bucketing; candidate
+    pairs from band collisions, verified by exact Hamming distance
+    (F.bit_count on XOR). All candidate generation is equi-join shaped —
+    scales like a hash join, not a cross join."""
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    t = Tables(spark, sf_dir)
+
+    @pandas_udf("long")
+    def simhash64(texts: pd.Series) -> pd.Series:
+        out = []
+        for txt in texts:
+            acc = [0] * 64
+            for w in set(txt.split(" ")):
+                h = int.from_bytes(
+                    hashlib.md5(w.encode()).digest()[:8], "big", signed=False
+                )
+                for i in range(64):
+                    acc[i] += 1 if (h >> i) & 1 else -1
+            v = 0
+            for i in range(64):
+                if acc[i] > 0:
+                    v |= 1 << i
+            # wrap to signed 64-bit for Spark LongType
+            out.append(v - (1 << 64) if v >= (1 << 63) else v)
+        return pd.Series(out, dtype="int64")
+
+    sh = t.documents.select("doc_id", simhash64("text").alias("simhash"))
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("simhash", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.simhash").alias("h1"),
+            F.col("b.simhash").alias("h2"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "d1",
+        "d2",
+        F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).alias("hamming"),
+    ).filter(F.col("hamming") <= 12)
+
+
+@op(
+    "dedup_embedding",
+    sql="""
+    WITH d AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM d
+    )
+    SELECT a.vec_id AS v1, b.vec_id AS v2,
+           round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cos_sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= 0.8
+    """,
+)
+def dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs — exact quadratic baseline
+    (the LSH scale path is similarity.sim_ann_lsh). Dot products are
+    double-promoted and computed in list order on both engines."""
+    t = Tables(spark, sf_dir)
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    d = t.embeddings.select(
+        "vec_id",
+        e.alias("e"),
+        F.sqrt(
+            F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x * x)
+        ).alias("nrm"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.e"), F.col("b.e"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6)
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("v1"),
+            F.col("b.vec_id").alias("v2"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.8)
+    )

@@ -1,0 +1,278 @@
+"""Similarity-search operators (SURVEY.md §2.10).
+
+- sim_cosine_brute: exact top-k, small broadcast query side — the
+  correctness baseline (and DuckDB-oracle'd).
+- knn_join: exact k-NN majority-vote labeling, same brute shape.
+- sim_ann_lsh: random-hyperplane LSH built from pure DataFrame ops
+  (seed-pinned deterministic projections) — candidates from bucket
+  collisions; the shape that scales to 100 TB.
+- ann_ivf: IVF-style coarse quantization (seeded KMeans centroids,
+  probe nearest cells only).
+
+Cosine arithmetic is double-promoted and reduced in list order on both
+engines, then rounded to 6 — ordering ties broken by vec_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..io import Tables
+from ..regutil import registrar
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+op = registrar(QUERIES, ORACLE)
+
+
+def _norm_df(t):
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return t.embeddings.select(
+        "vec_id",
+        "label",
+        e.alias("e"),
+        F.sqrt(F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x * x)).alias("nrm"),
+    )
+
+
+def _dot(a_col: str, b_col: str):
+    return F.aggregate(
+        F.zip_with(F.col(a_col), F.col(b_col), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+_COS_CTE = """
+    WITH d AS (
+        SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    n AS (SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm FROM d)
+"""
+
+
+@op(
+    "sim_cosine_brute",
+    sql=_COS_CTE
+    + """
+    SELECT q_id, n_id, cos_sim FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+               round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) AS cos_sim,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) DESC,
+                            c.vec_id
+               ) AS rn
+        FROM n q JOIN n c ON q.vec_id < 20 AND c.vec_id <> q.vec_id
+    ) WHERE rn <= 5
+    """,
+)
+def sim_cosine_brute(spark, sf_dir):
+    """Exact top-5 cosine neighbors for the first 20 query vectors:
+    broadcast the (small) query side, scan the corpus once, rank per
+    query. At 100 TB the corpus side stays partitioned; only queries
+    move."""
+    t = Tables(spark, sf_dir)
+    d = _norm_df(t)
+    q = d.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    c = d.select(F.col("vec_id").alias("n_id"), F.col("e").alias("ce"), F.col("nrm").alias("cn"))
+    cos = F.round(_dot("qe", "ce") / (F.col("qn") * F.col("cn")), 6)
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id"))
+    return (
+        F.broadcast(q)
+        .join(c, F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", cos.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
+@op(
+    "knn_join",
+    sql=_COS_CTE
+    + """
+    , neigh AS (
+        SELECT q_id, n_label FROM (
+            SELECT q.vec_id AS q_id, c.label AS n_label,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) DESC,
+                                c.vec_id
+                   ) AS rn
+            FROM n q JOIN n c ON q.vec_id < 100 AND c.vec_id <> q.vec_id
+        ) WHERE rn <= 5
+    )
+    SELECT q_id, pred_label, votes FROM (
+        SELECT q_id, n_label AS pred_label, COUNT(*) AS votes,
+               row_number() OVER (
+                   PARTITION BY q_id ORDER BY COUNT(*) DESC, n_label
+               ) AS vr
+        FROM neigh GROUP BY q_id, n_label
+    ) WHERE vr = 1
+    """,
+)
+def knn_join(spark, sf_dir):
+    """k-NN label prediction: exact top-5 neighbors per query vector,
+    majority vote with (count DESC, label ASC) tiebreak."""
+    t = Tables(spark, sf_dir)
+    d = _norm_df(t)
+    q = d.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    c = d.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("label").alias("n_label"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    cos = F.round(_dot("qe", "ce") / (F.col("qn") * F.col("cn")), 6)
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id"))
+    neigh = (
+        F.broadcast(q)
+        .join(c, F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", "n_label", cos.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+    )
+    wv = Window.partitionBy("q_id").orderBy(F.col("votes").desc(), F.col("pred_label"))
+    return (
+        neigh.groupBy("q_id", F.col("n_label").alias("pred_label"))
+        .agg(F.count(F.lit(1)).alias("votes"))
+        .withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .drop("vr")
+    )
+
+
+@op("sim_ann_lsh")
+def sim_ann_lsh(spark, sf_dir):
+    """Approximate NN via banded random-hyperplane LSH composed from
+    DataFrame ops: 4 hash tables x 6 seeded hyperplanes each; a vector
+    emits one (table, 6-bit key) row per table, candidates are bucket
+    collisions in ANY table (equi-join on (table, key)), then exact
+    cosine re-rank keeps top-5. Deterministic (fixed seed -> fixed
+    planes) but approximate -> rows-only; agreement with the exact
+    brute cosines is asserted in tests.
+
+    This is the 100 TB shape: candidates come from a hash join on
+    exploded band keys, never a cross join; more tables = more recall,
+    linearly more shuffle.
+    """
+    import random
+
+    from ..schemas import EMBEDDING_DIM
+
+    N_TABLES, BITS = 4, 6
+    rnd = random.Random(42)
+    planes = [
+        [
+            [rnd.gauss(0.0, 1.0) for _ in range(EMBEDDING_DIM)]
+            for _ in range(BITS)
+        ]
+        for _ in range(N_TABLES)
+    ]
+
+    t = Tables(spark, sf_dir)
+    d = _norm_df(t)
+
+    def band_key(e_col, table: int):
+        bits = [
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        e_col,
+                        F.array(*[F.lit(v) for v in planes[table][b]]),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                > 0,
+                F.lit(1 << b),
+            ).otherwise(F.lit(0))
+            for b in range(BITS)
+        ]
+        out = bits[0]
+        for bb in bits[1:]:
+            out = out + bb
+        return out
+
+    def banded(df, id_alias):
+        return df.select(
+            F.col("vec_id").alias(id_alias),
+            F.col("e"),
+            F.col("nrm"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(tb).alias("table"),
+                            band_key(F.col("e"), tb).alias("key"),
+                        )
+                        for tb in range(N_TABLES)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(id_alias, "e", "nrm", "bk.table", "bk.key")
+
+    q = banded(d.filter(F.col("vec_id") < 20), "q_id").withColumnsRenamed(
+        {"e": "qe", "nrm": "qn"}
+    )
+    c = banded(d, "n_id").withColumnsRenamed({"e": "ce", "nrm": "cn"})
+    cand = (
+        F.broadcast(q)
+        .join(c, ["table", "key"])
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", "qe", "qn", "ce", "cn")
+        .dropDuplicates(["q_id", "n_id"])
+    )
+    cos = F.round(_dot("qe", "ce") / (F.col("qn") * F.col("cn")), 6)
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id"))
+    return (
+        cand.select("q_id", "n_id", cos.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
+@op("ann_ivf")
+def ann_ivf(spark, sf_dir):
+    """IVF-style ANN: seeded KMeans coarse centroids; queries probe only
+    their nearest cell, exact re-rank inside it. Demonstrates the
+    partition-pruning ANN shape (cells ≈ partitions at scale)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    t = Tables(spark, sf_dir)
+    d = _norm_df(t).withColumn("fv", array_to_vector(F.col("e")))
+    km = KMeans(k=8, seed=42, featuresCol="fv", predictionCol="cell")
+    model = km.fit(d)
+    assigned = model.transform(d).select("vec_id", "e", "nrm", "cell")
+    q = assigned.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+        F.col("cell").alias("qcell"),
+    )
+    c = assigned.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+        F.col("cell").alias("ccell"),
+    )
+    cos = F.round(_dot("qe", "ce") / (F.col("qn") * F.col("cn")), 6)
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id"))
+    return (
+        F.broadcast(q)
+        .join(c, (F.col("qcell") == F.col("ccell")) & (F.col("n_id") != F.col("q_id")))
+        .select("q_id", "n_id", cos.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )

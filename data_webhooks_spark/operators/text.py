@@ -1,0 +1,311 @@
+"""Text-analysis operators for LLM-data pipelines (SURVEY.md §2.10).
+
+All hot paths are built-in expressions (split/filter/transform/
+regexp_*) — no Python per row. The explode-based ops (tf-idf,
+sentiment) shuffle on (doc_id|word); at 100 TB the word-keyed shuffle
+is skew-prone (Zipfian words), which AQE skew-split handles; document-
+keyed aggregations are uniform.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import Tables
+from ..regutil import registrar
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+op = registrar(QUERIES, ORACLE)
+
+_STOPWORDS = ("a", "the")
+_POS_WORDS = ("fast", "big", "value")
+_NEG_WORDS = ("slow", "small")
+
+
+def _tokens():
+    return F.split(F.col("text"), " ")
+
+
+@op(
+    "text_stats",
+    sql="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_words,
+           CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_words
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_stats(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    n_words = F.size(_tokens())
+    return t.documents.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(n_words).cast("long").alias("total_words"),
+        (F.sum(n_words).cast("double") / F.count(F.lit(1))).alias("avg_words"),
+    )
+
+
+@op(
+    "text_tokenize",
+    sql=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           list_filter(string_split(text, ' '),
+                       x -> x NOT IN {_STOPWORDS}) AS tokens_nostop,
+           CAST(len(list_filter(string_split(text, ' '),
+                       x -> x NOT IN {_STOPWORDS})) AS INT) AS n_nostop
+    FROM documents
+    """,
+)
+def text_tokenize(spark, sf_dir):
+    """Whitespace tokenization + stopword removal, pure expressions."""
+    t = Tables(spark, sf_dir)
+    toks = _tokens()
+    nostop = F.filter(toks, lambda x: ~x.isin(*_STOPWORDS))
+    return t.documents.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        nostop.alias("tokens_nostop"),
+        F.size(nostop).alias("n_nostop"),
+    )
+
+
+@op(
+    "text_token_count",
+    sql="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INT) AS bpe_ish_tokens,
+           CAST(ceil(n_chars / 4.0) AS BIGINT) AS byte_estimate_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark, sf_dir):
+    """Token counting three ways: whitespace, BPE-ish regex pieces, and
+    the chars/4 heuristic used for budget estimates."""
+    t = Tables(spark, sf_dir)
+    return t.documents.select(
+        "doc_id",
+        F.size(_tokens()).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+"), 0)).alias(
+            "bpe_ish_tokens"
+        ),
+        F.ceil(F.col("n_chars") / 4.0).alias("byte_estimate_tokens"),
+    )
+
+
+@op(
+    "text_quality",
+    sql=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_uniq,
+           round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS uniq_ratio,
+           round(CAST(len(list_filter(string_split(text, ' '),
+                          x -> x IN {_STOPWORDS})) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS stopword_ratio,
+           round(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 6) AS avg_word_len,
+           CAST(len(string_split(text, ' ')) BETWEEN 20 AND 200
+                AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                    / len(string_split(text, ' ')) > 0.2 AS BOOLEAN) AS passes_filter
+    FROM documents
+    """,
+)
+def text_quality(spark, sf_dir):
+    """Heuristic quality scoring: length band, uniqueness, stopword
+    density — the standard pre-training corpus filters."""
+    t = Tables(spark, sf_dir)
+    toks = _tokens()
+    n_words = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    uniq_ratio = n_uniq.cast("double") / n_words
+    stop_ratio = (
+        F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS))).cast("double") / n_words
+    )
+    return t.documents.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_uniq.alias("n_uniq"),
+        F.round(uniq_ratio, 6).alias("uniq_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(F.col("n_chars").cast("double") / n_words, 6).alias("avg_word_len"),
+        (n_words.between(20, 200) & (uniq_ratio > 0.2)).alias("passes_filter"),
+    )
+
+
+# Distinctive-ish stopword sets per language for the n-gram/stopword
+# voting heuristic. The fixture vocabulary is shared across langs, so
+# votes mostly tie — the point is the deterministic *mechanism*.
+_LANG_MARKERS = {
+    "en": ("the", "a", "fast"),
+    "de": ("der", "die", "und"),
+    "es": ("el", "la", "que"),
+    "fr": ("le", "la", "et"),
+    "zh": ("de", "le", "shi"),
+}
+
+
+def _vote_sql(lang: str) -> str:
+    return (
+        f"len(list_filter(string_split(text, ' '), x -> x IN {_LANG_MARKERS[lang]}))"
+    )
+
+
+@op(
+    "text_langid",
+    sql=f"""
+    SELECT doc_id, lang AS lang_true,
+           CASE WHEN {_vote_sql('en')} >= {_vote_sql('de')}
+                 AND {_vote_sql('en')} >= {_vote_sql('es')}
+                 AND {_vote_sql('en')} >= {_vote_sql('fr')}
+                 AND {_vote_sql('en')} >= {_vote_sql('zh')} THEN 'en'
+                WHEN {_vote_sql('de')} >= {_vote_sql('es')}
+                 AND {_vote_sql('de')} >= {_vote_sql('fr')}
+                 AND {_vote_sql('de')} >= {_vote_sql('zh')} THEN 'de'
+                WHEN {_vote_sql('es')} >= {_vote_sql('fr')}
+                 AND {_vote_sql('es')} >= {_vote_sql('zh')} THEN 'es'
+                WHEN {_vote_sql('fr')} >= {_vote_sql('zh')} THEN 'fr'
+                ELSE 'zh' END AS lang_pred
+    FROM documents
+    """,
+)
+def text_langid(spark, sf_dir):
+    """Marker-word voting language ID with a fixed priority order for
+    ties (deterministic; real corpora would use n-gram profiles)."""
+    t = Tables(spark, sf_dir)
+    toks = _tokens()
+
+    def vote(lang):
+        return F.size(F.filter(toks, lambda x: x.isin(*_LANG_MARKERS[lang])))
+
+    v = {lang: vote(lang) for lang in _LANG_MARKERS}
+    pred = (
+        F.when(
+            (v["en"] >= v["de"]) & (v["en"] >= v["es"]) & (v["en"] >= v["fr"]) & (v["en"] >= v["zh"]),
+            "en",
+        )
+        .when((v["de"] >= v["es"]) & (v["de"] >= v["fr"]) & (v["de"] >= v["zh"]), "de")
+        .when((v["es"] >= v["fr"]) & (v["es"] >= v["zh"]), "es")
+        .when(v["fr"] >= v["zh"], "fr")
+        .otherwise("zh")
+    )
+    return t.documents.select(
+        "doc_id", F.col("lang").alias("lang_true"), pred.alias("lang_pred")
+    )
+
+
+@op(
+    "text_fingerprint",
+    sql="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+             AS fingerprint,
+           md5(text) AS exact_hash
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Order-insensitive document fingerprint (sorted unique words ->
+    md5) + exact content hash; the pair powers exact and bag-of-words
+    dedup."""
+    t = Tables(spark, sf_dir)
+    bag = F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens())))
+    return t.documents.select(
+        "doc_id",
+        F.md5(bag).alias("fingerprint"),
+        F.md5(F.col("text")).alias("exact_hash"),
+    )
+
+
+@op(
+    "text_sentiment",
+    sql=f"""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+               len(string_split(text, ' ')) AS n_words
+        FROM documents
+    ),
+    lex AS (
+        SELECT * FROM (VALUES
+            {", ".join(f"('{w}', 1)" for w in _POS_WORDS)},
+            {", ".join(f"('{w}', -1)" for w in _NEG_WORDS)}
+        ) AS t(word, weight)
+    )
+    SELECT w.doc_id,
+           CAST(coalesce(SUM(l.weight), 0) AS BIGINT) AS polarity,
+           round(CAST(coalesce(SUM(l.weight), 0) AS DOUBLE) / any_value(w.n_words), 6) AS score
+    FROM words w LEFT JOIN lex l ON w.word = l.word
+    GROUP BY w.doc_id
+    """,
+)
+def text_sentiment(spark, sf_dir):
+    """Lexicon-based polarity: explode words, broadcast-join the
+    lexicon, aggregate back per doc (cf. PAPERS.md sentiment-on-Spark;
+    scales as one word-shuffle + broadcast)."""
+    t = Tables(spark, sf_dir)
+    lex = spark.createDataFrame(
+        [(w, 1) for w in _POS_WORDS] + [(w, -1) for w in _NEG_WORDS],
+        "word string, weight int",
+    )
+    words = t.documents.select(
+        "doc_id",
+        F.size(_tokens()).alias("n_words"),
+        F.explode(_tokens()).alias("word"),
+    )
+    return (
+        words.join(F.broadcast(lex), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.coalesce(F.sum("weight"), F.lit(0)).cast("long").alias("polarity"),
+            F.round(
+                F.coalesce(F.sum("weight"), F.lit(0)).cast("double")
+                / F.any_value(F.col("n_words")),
+                6,
+            ).alias("score"),
+        )
+    )
+
+
+@op(
+    "text_tfidf",
+    sql="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY doc_id, word
+    ),
+    df AS (
+        SELECT word, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY word
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.word,
+           CAST(tf.tf AS BIGINT) AS tf,
+           CAST(df.df AS BIGINT) AS df,
+           round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+    FROM tf JOIN df ON tf.word = df.word CROSS JOIN n
+    """,
+)
+def text_tfidf(spark, sf_dir):
+    """tf-idf via explode + two aggregations + broadcast join of the
+    (tiny) df table — fully SQL-expressible, fully distributed."""
+    t = Tables(spark, sf_dir)
+    words = t.documents.select("doc_id", F.explode(_tokens()).alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = t.documents.count()  # scalar; at scale use a broadcast 1-row DF
+    return tf.join(F.broadcast(df), "word").select(
+        "doc_id",
+        "word",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )

@@ -22,6 +22,10 @@ _MODULES = [
     "data_webhooks_spark.operators.scans",
     "data_webhooks_spark.operators.semistructured",
     "data_webhooks_spark.operators.udfs",
+    "data_webhooks_spark.operators.text",
+    "data_webhooks_spark.operators.dedup",
+    "data_webhooks_spark.operators.similarity",
+    "data_webhooks_spark.operators.multimodal",
 ]
 
 

@@ -1,0 +1,81 @@
+"""Quality checks for approximate operators (SURVEY.md §5.2.3).
+
+Approximate ops can't hash-match an exact oracle; instead assert
+bounded error / subset-correctness properties against their exact
+twins.
+"""
+
+import pytest
+
+from data_webhooks_spark import registry
+
+QUERIES = registry.queries()
+
+
+def test_approx_count_distinct_tolerance(spark, sf_dir):
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["agg_approx_count_distinct"](spark, sf_dir).collect()
+    }
+    from data_webhooks_spark.io import Tables
+    from pyspark.sql import functions as F
+
+    t = Tables(spark, sf_dir)
+    exact = {
+        r["event_type"]: r["n"]
+        for r in t.events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for et, n in exact.items():
+        rel_err = abs(approx[et] - n) / n
+        assert rel_err < 0.06, f"{et}: approx {approx[et]} vs exact {n}"
+
+
+def test_minhash_pairs_have_real_overlap(spark, sf_dir):
+    """Every pair MinHash LSH reports at jaccard_sim>=0.2 must truly
+    share vocabulary (no phantom pairs)."""
+    pairs = QUERIES["dedup_minhash"](spark, sf_dir).collect()
+    if not pairs:
+        pytest.skip("no near-dup pairs at this SF")
+    from data_webhooks_spark.io import Tables
+    from pyspark.sql import functions as F
+
+    t = Tables(spark, sf_dir)
+    docs = {
+        r["doc_id"]: set(r["text"].split(" "))
+        for r in t.documents.select("doc_id", "text").collect()
+    }
+    for p in pairs:
+        a, b = docs[p["d1"]], docs[p["d2"]]
+        true_j = len(a & b) / len(a | b)
+        assert true_j > 0.05, f"phantom pair {p}"
+
+
+def test_ann_lsh_subset_of_brute_cosines(spark, sf_dir):
+    """LSH re-ranked cosines must agree with the exact brute-force
+    cosines for the same (query, neighbor) pairs."""
+    brute = {
+        (r["q_id"], r["n_id"]): r["cos_sim"]
+        for r in QUERIES["sim_cosine_brute"](spark, sf_dir).collect()
+    }
+    lsh = QUERIES["sim_ann_lsh"](spark, sf_dir).collect()
+    assert lsh, "LSH returned no candidates at all"
+    overlap = [r for r in lsh if (r["q_id"], r["n_id"]) in brute]
+    for r in overlap:
+        assert abs(r["cos_sim"] - brute[(r["q_id"], r["n_id"])]) < 1e-9
+
+
+def test_simhash_hamming_bound(spark, sf_dir):
+    rows = QUERIES["dedup_simhash"](spark, sf_dir).collect()
+    for r in rows:
+        assert 0 <= r["hamming"] <= 12
+
+
+def test_multimodal_decode_matches_nchars(spark, sf_dir):
+    rows = QUERIES["multimodal_col"](spark, sf_dir).limit(50).collect()
+    assert rows
+    for r in rows:
+        assert r["mime"] == "text/plain"
+        assert r["n_bytes"] > 0
+        assert len(r["header_hex"]) == 16
