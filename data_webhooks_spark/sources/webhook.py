@@ -1,0 +1,216 @@
+"""Webhook streaming source: an HTTP endpoint as a Spark stream.
+
+A Python DataSource (Spark 4 ``pyspark.sql.datasource``) whose
+SimpleDataSourceStreamReader hosts an HTTP server on the driver:
+external clients POST payloads; each POST is appended to an in-memory,
+offset-addressed ring buffer; micro-batches drain offset ranges.
+
+Envelope schema is payload-agnostic: (offset BIGINT, body STRING) —
+downstream queries parse ``body`` with from_json against their topic
+schema, which is exactly the schema-on-read webhook model (SURVEY §1.3).
+
+Exactly-once contract (SURVEY §7.3):
+- offsets are a monotone integer counter;
+- ``read(start)`` serves [start, head) and never drops rows before
+  ``commit(end)`` — so ``readBetweenOffsets`` can deterministically
+  replay any uncommitted range after a restart;
+- backpressure: when the buffer holds more than ``maxBuffer``
+  uncommitted rows the server answers 429 and the client retries.
+
+Scale notes: a single-driver HTTP ingest is the reference shape
+(webhook receiver). At 100 TB/day you would front this with a durable
+log and use many partition-readers; the DataSource abstraction is the
+same — only ``partitions()`` changes. The driver-side simple reader is
+the faithful, replayable core.
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import threading
+from dataclasses import dataclass
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql.datasource import (
+    DataSource,
+    SimpleDataSourceStreamReader,
+)
+
+WEBHOOK_SCHEMA = "offset bigint, body string"
+
+
+def free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@dataclass
+class _Buffer:
+    """Offset-addressed buffer: rows[i] holds offset base+i."""
+
+    base: int = 0
+    lock: threading.Lock = None  # type: ignore[assignment]
+    rows: list = None  # type: ignore[assignment]
+
+    def __post_init__(self):
+        self.lock = threading.Lock()
+        self.rows = []
+
+    @property
+    def head(self) -> int:
+        return self.base + len(self.rows)
+
+    def append(self, body: str, max_buffer: int) -> int | None:
+        with self.lock:
+            if len(self.rows) >= max_buffer:
+                return None  # backpressure
+            self.rows.append(body)
+            return self.head - 1
+
+    def slice(self, start: int, end: int) -> list[tuple[int, str]]:
+        with self.lock:
+            lo = max(start, self.base)
+            return [
+                (off, self.rows[off - self.base]) for off in range(lo, min(end, self.head))
+            ]
+
+    def prune(self, upto: int) -> None:
+        with self.lock:
+            drop = min(max(upto - self.base, 0), len(self.rows))
+            if drop:
+                self.rows = self.rows[drop:]
+                self.base += drop
+
+
+class WebhookStreamReader(SimpleDataSourceStreamReader):
+    """Owns the HTTP server + offset buffer.
+
+    Spark instantiates this class in TWO driver-side Python worker
+    processes: the streaming-source runner (which drives
+    ``initialOffset``/``read``/``commit`` and prefetches the data) and
+    the plan worker (which only pickles a read function; prefetched
+    rows travel to executors inside the input partitions). The HTTP
+    server must therefore bind *lazily*, on the first offset/read call
+    — only the runner makes those calls, so only the runner binds the
+    port. Binding eagerly in ``__init__`` double-binds and crashes.
+    """
+
+    def __init__(self, options: dict):
+        self.port = int(options.get("port", 0)) or free_port()
+        self.max_buffer = int(options.get("maxbuffer", 100_000))
+        self.buffer: _Buffer | None = None
+        self.server = None
+        self.thread = None
+
+    def _ensure_server(self) -> None:
+        if self.server is not None:
+            return
+        self.buffer = _Buffer()
+        reader = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_POST(self):  # noqa: N802 (http.server API)
+                length = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(length).decode("utf-8")
+                off = reader.buffer.append(body, reader.max_buffer)
+                if off is None:
+                    self.send_response(429)  # buffer full — retry later
+                    self.end_headers()
+                    return
+                payload = json.dumps({"offset": off}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+
+            def log_message(self, *args):  # silence per-request logging
+                pass
+
+        self.server = ThreadingHTTPServer(("127.0.0.1", self.port), Handler)
+        self.thread = threading.Thread(target=self.server.serve_forever, daemon=True)
+        self.thread.start()
+
+    def __getstate__(self):
+        # Server/thread/buffer are process-local and unpicklable; a
+        # deserialized copy (executor side) starts with no server and
+        # never binds one (it only sees prefetched partition data).
+        state = dict(self.__dict__)
+        state["buffer"] = None
+        state["server"] = None
+        state["thread"] = None
+        return state
+
+    # --- SimpleDataSourceStreamReader contract ---
+
+    def initialOffset(self) -> dict:
+        self._ensure_server()
+        return {"offset": 0}
+
+    def read(self, start: dict):
+        self._ensure_server()
+        start_off = start["offset"]
+        end_off = self.buffer.head
+        rows = self.buffer.slice(start_off, end_off)
+        return iter(rows), {"offset": end_off}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # Replay path: rows are retained until commit, so uncommitted
+        # ranges are servable within the server-owning process. A
+        # process that never bound the server (plan worker / executor)
+        # has no buffer — the prefetched partition data covers it.
+        if self.buffer is None:
+            return iter(())
+        return iter(self.buffer.slice(start["offset"], end["offset"]))
+
+    def commit(self, end: dict) -> None:
+        if self.buffer is not None:
+            self.buffer.prune(end["offset"])
+
+    def stop(self) -> None:
+        if self.server is not None:
+            self.server.shutdown()
+
+
+class WebhookDataSource(DataSource):
+    """spark.readStream.format("webhook").option("port", N).load()"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "webhook"
+
+    def schema(self) -> str:
+        return WEBHOOK_SCHEMA
+
+    def simpleStreamReader(self, schema) -> WebhookStreamReader:
+        return WebhookStreamReader(self.options)
+
+
+def post_events(port: int, bodies: list[str], timeout_s: float = 60.0) -> int:
+    """Test/client helper: POST each body; retries on 429 backpressure
+    and on server-not-up; returns number of accepted posts."""
+    import http.client
+    import time
+
+    accepted = 0
+    deadline = time.time() + timeout_s
+    i = 0
+    while i < len(bodies) and time.time() < deadline:
+        try:
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=5)
+            conn.request(
+                "POST", "/", body=bodies[i].encode(), headers={"Content-Type": "application/json"}
+            )
+            resp = conn.getresponse()
+            resp.read()
+            if resp.status == 200:
+                accepted += 1
+                i += 1
+            elif resp.status == 429:
+                time.sleep(0.05)
+            conn.close()
+        except (ConnectionError, OSError):
+            time.sleep(0.05)
+    return accepted

@@ -1,0 +1,115 @@
+"""Streaming test/replay plumbing.
+
+- ``replay_dir``: deterministic 4-chunk file replay of the events
+  fixture (DuckDB-derived, ts-ordered; ``late=True`` displaces a fixed
+  ~3% of rows one chunk later to exercise watermark/late-data paths
+  deterministically — SURVEY §5.2.2). Chunk mtimes increase with chunk
+  id so Spark's file source replays them in order with
+  maxFilesPerTrigger=1 (one micro-batch per chunk).
+- ``read_replay_stream``: readStream with the explicit chunk schema.
+- ``run_to_table``: run a streaming DF through an availableNow trigger
+  into a uniquely-named memory sink and return the result table.
+
+Checkpoints/chunks live under /root/repo/.runtime (gitignored). Fresh
+checkpoint + fresh sink name per run keeps every invocation a full,
+deterministic replay.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import duckdb
+
+from pyspark.sql import DataFrame, SparkSession
+
+RUNTIME_DIR = "/root/repo/.runtime"
+
+# Chunks are written by DuckDB with µs timestamps — no nanos quirk on
+# the streaming path. ts is TIMESTAMP (not NTZ): watermarks require it;
+# the session timezone is pinned UTC so wall-clock matches the NTZ
+# batch reads, and outputs cast window bounds back to NTZ for hashing.
+REPLAY_SCHEMA = (
+    "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+N_CHUNKS = 4
+
+
+def replay_dir(sf_dir: str, late: bool = False) -> str:
+    sfname = os.path.basename(sf_dir.rstrip("/"))
+    kind = "late" if late else "ordered"
+    out = f"{RUNTIME_DIR}/stream/{sfname}/{kind}"
+    marker = f"{out}/.complete"
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    # chunk = ts-quartile; late variant demotes event_id%37==0 rows one
+    # chunk (deterministic late arrivals), capped at the last chunk.
+    late_expr = (
+        "LEAST(chunk + CASE WHEN event_id % 37 = 0 THEN 1 ELSE 0 END, "
+        f"{N_CHUNKS})" if late else "chunk"
+    )
+    con.execute(
+        f"""
+        CREATE TEMP TABLE chunked AS
+        SELECT *, {late_expr} AS final_chunk FROM (
+            SELECT event_id, ts, user_id, event_type, value, props,
+                   ntile({N_CHUNKS}) OVER (ORDER BY ts, event_id) AS chunk
+            FROM read_parquet('{sf_dir}/events.parquet')
+        )
+        """
+    )
+    base = 1_700_000_000
+    for i in range(1, N_CHUNKS + 1):
+        path = f"{out}/chunk_{i}.parquet"
+        con.execute(
+            f"""
+            COPY (SELECT event_id, ts, user_id, event_type, value, props
+                  FROM chunked WHERE final_chunk = {i}
+                  ORDER BY ts, event_id)
+            TO '{path}' (FORMAT PARQUET)
+            """
+        )
+        os.utime(path, (base + i, base + i))  # replay order == chunk order
+    con.close()
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return out
+
+
+def read_replay_stream(
+    spark: SparkSession, sf_dir: str, late: bool = False, files_per_trigger: int = 1
+) -> DataFrame:
+    path = replay_dir(sf_dir, late=late)
+    return (
+        spark.readStream.schema(REPLAY_SCHEMA)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(path)
+    )
+
+
+def checkpoint_dir() -> str:
+    return f"{RUNTIME_DIR}/ckpt/{uuid.uuid4().hex}"
+
+
+def run_to_table(
+    sdf: DataFrame, output_mode: str = "append", extra_options: dict | None = None
+) -> DataFrame:
+    """Drive a streaming DataFrame to completion (availableNow) into a
+    memory sink; returns the materialized result as a batch DataFrame."""
+    name = f"stream_result_{uuid.uuid4().hex[:12]}"
+    writer = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir())
+        .trigger(availableNow=True)
+    )
+    for k, v in (extra_options or {}).items():
+        writer = writer.option(k, v)
+    q = writer.start()
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)

@@ -1,0 +1,454 @@
+"""Streaming operators (SURVEY.md §2.9 + streaming rows of §2.1).
+
+Every entry replays the events fixture through Structured Streaming
+(deterministic 4-chunk file source, one micro-batch per chunk,
+availableNow trigger) and returns the materialized result. Where the
+end-of-stream result is provably deterministic (complete-mode aggs,
+passthrough sinks, inner stream-stream joins), the operator carries a
+DuckDB oracle — the streaming answer must equal the batch answer.
+Watermark-dependent append outputs are rows-only here and asserted
+against batch recomputations in tests/test_streaming.py.
+
+Scale notes: state lives in the StateStore keyed by group; watermarks
+bound it. complete-mode is used only for bounded-cardinality results
+(per-type/per-window counts) — unbounded state in complete mode would
+not survive 100 TB; the watermarked append variants are the scale path.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..io import Tables
+from ..norms import dec_sum, o_dec_sum
+from ..regutil import registrar
+from ..session import tune
+from .core import (
+    N_CHUNKS,
+    checkpoint_dir,
+    read_replay_stream,
+    run_to_table,
+)
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+op = registrar(QUERIES, ORACLE)
+
+# Explicit epoch-floor window oracle — engine-proof bucket alignment.
+_WSTART_10M = (
+    "make_timestamp(CAST(floor(extract(epoch FROM ts) / 600) * 600 AS BIGINT) * 1000000)"
+)
+
+
+@op(
+    "source_file_stream",
+    sql="SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
+)
+def source_file_stream(spark, sf_dir):
+    """File-source replay -> complete-mode counts; must equal batch."""
+    tune(spark)
+    s = read_replay_stream(spark, sf_dir)
+    agg = s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return run_to_table(agg, "complete")
+
+
+@op(
+    "stream_tumbling_agg",
+    sql=f"""
+    SELECT {_WSTART_10M} AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           {o_dec_sum('value', 'total_value', 4)}
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_agg(spark, sf_dir):
+    """Per-10-minute tumbling window counts/sums by event type."""
+    tune(spark)
+    s = read_replay_stream(spark, sf_dir)
+    agg = (
+        s.groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dec_sum("value", "total_value", 4))
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    return run_to_table(agg, "complete")
+
+
+@op(
+    "stream_sliding_agg",
+    sql="""
+    WITH starts AS (
+        SELECT *,
+               make_timestamp(CAST(floor(extract(epoch FROM ts) / 300) * 300 AS BIGINT) * 1000000) AS s1,
+               make_timestamp((CAST(floor(extract(epoch FROM ts) / 300) * 300 AS BIGINT) - 300) * 1000000) AS s0
+        FROM events
+    ),
+    assigned AS (
+        SELECT s1 AS window_start, event_type, value FROM starts
+        UNION ALL
+        SELECT s0 AS window_start, event_type, value FROM starts
+    )
+    SELECT window_start, event_type, COUNT(*) AS n
+    FROM assigned GROUP BY 1, 2
+    """,
+)
+def stream_sliding_agg(spark, sf_dir):
+    """10-minute windows sliding every 5 — each event lands in 2
+    windows; oracle assigns both starts explicitly."""
+    tune(spark)
+    s = read_replay_stream(spark, sf_dir)
+    agg = (
+        s.groupBy(F.window("ts", "10 minutes", "5 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+    return run_to_table(agg, "complete")
+
+
+@op("stream_session_agg")
+def stream_session_agg(spark, sf_dir):
+    """Gap-based sessionization (30-minute inactivity gap) per user,
+    append mode + watermark: only closed sessions are emitted — the
+    bounded-state scale path. Rows-only (open tail sessions stay in
+    state by design); closed-session equivalence vs a batch
+    recomputation is asserted in tests."""
+    tune(spark)
+    s = read_replay_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        s.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dec_sum("value", "total_value", 4))
+        .select(
+            F.col("session_window.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("session_window.end").cast("timestamp_ntz").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_to_table(agg, "append")
+
+
+@op("stream_watermark")
+def stream_watermark(spark, sf_dir):
+    """Tumbling agg over the LATE replay (3% of rows arrive one chunk
+    late) with a tight 15-minute watermark: late rows beyond the
+    watermark are dropped and only finalized windows are emitted.
+    Deterministic for a fixed replay but watermark-semantics-dependent
+    -> rows-only; exact drop set asserted in tests."""
+    tune(spark)
+    s = read_replay_stream(spark, sf_dir, late=True).withWatermark("ts", "15 minutes")
+    agg = (
+        s.groupBy(F.window("ts", "10 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"), "n"
+        )
+    )
+    return run_to_table(agg, "append")
+
+
+@op(
+    "stream_dedup",
+    sql="SELECT event_id, user_id, event_type FROM events",
+)
+def stream_dedup(spark, sf_dir):
+    """Exactly-once event-id dedup under watermark: the replay is
+    unioned with itself (every event arrives twice in the same batch),
+    dropDuplicatesWithinWatermark must emit each exactly once — output
+    equals the plain events table."""
+    tune(spark)
+    a = read_replay_stream(spark, sf_dir)
+    b = read_replay_stream(spark, sf_dir)
+    deduped = (
+        a.unionByName(b)
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    return run_to_table(deduped, "append")
+
+
+@op(
+    "stream_stateful",
+    sql=f"""
+    SELECT user_id, COUNT(*) AS n_events,
+           round(SUM(value), 4) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful(spark, sf_dir):
+    """Arbitrary per-key state: running per-user (count, sum) via
+    applyInPandasWithState, update mode. The final update per user
+    (selected by max count) must equal the batch aggregate."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    tune(spark)
+    s = read_replay_stream(spark, sf_dir)
+
+    def track(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            n, total = state.get
+        else:
+            n, total = 0, 0.0
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_value": [round(total, 4)]}
+        )
+
+    updates = s.groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    all_updates = run_to_table(updates, "update")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        all_updates.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value")
+    )
+
+
+@op("stream_output_modes")
+def stream_output_modes(spark, sf_dir):
+    """append vs update vs complete semantics on one aggregation:
+    complete re-emits every group each batch, update only changed
+    groups — row counts in the sink differ accordingly."""
+    tune(spark)
+    results = []
+    for mode in ["update", "complete"]:
+        s = read_replay_stream(spark, sf_dir)
+        agg = s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+        sink_rows = run_to_table(agg, mode)
+        results.append(
+            sink_rows.groupBy("event_type")
+            .agg(F.max("n").alias("final_n"), F.count(F.lit(1)).alias("n_emissions"))
+            .withColumn("mode", F.lit(mode))
+        )
+    out = results[0].unionByName(results[1])
+    return out.select("mode", "event_type", "final_n", "n_emissions")
+
+
+@op("stream_triggers")
+def stream_triggers(spark, sf_dir):
+    """Micro-batch cadence control: availableNow + maxFilesPerTrigger=1
+    -> exactly one bounded micro-batch per replay chunk; foreachBatch
+    records (batch_id, rows)."""
+    tune(spark)
+    s = read_replay_stream(spark, sf_dir, files_per_trigger=1)
+    seen: list[tuple[int, int]] = []
+
+    def record(batch_df, batch_id):
+        n = batch_df.count()
+        if n:
+            seen.append((int(batch_id), n))
+
+    q = (
+        s.writeStream.foreachBatch(record)
+        .option("checkpointLocation", checkpoint_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(
+        sorted(seen), "batch_id long, n_rows long"
+    )
+
+
+@op("source_rate")
+def source_rate(spark, sf_dir):
+    """Deterministic synthetic source: rate-micro-batch emits a fixed
+    rowsPerBatch with a pinned startTimestamp; we take values < 200."""
+    tune(spark)
+    name = f"rate_{uuid.uuid4().hex[:8]}"
+    s = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 50)
+        .option("startTimestamp", 0)
+        .option("advanceMillisPerBatch", 1000)
+        .load()
+    )
+    q = (
+        s.select("value")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir())
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table(name).count() >= 200:
+                break
+            time.sleep(0.2)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return spark.table(name).filter(F.col("value") < 200)
+
+
+@op(
+    "sink_parquet",
+    sql="SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
+)
+def sink_parquet(spark, sf_dir):
+    """Append stream to parquet files with checkpoint, then read the
+    sink back — counts must equal the source table."""
+    tune(spark)
+    out = f"/root/repo/.runtime/sink_parquet/{uuid.uuid4().hex[:12]}"
+    s = read_replay_stream(spark, sf_dir)
+    q = (
+        s.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", checkpoint_dir())
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.schema(
+            "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+            "value DOUBLE, props STRING"
+        )
+        .parquet(out)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@op(
+    "sink_memory",
+    sql="SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id",
+)
+def sink_memory(spark, sf_dir):
+    """Append passthrough into an in-memory table, aggregated after."""
+    tune(spark)
+    s = read_replay_stream(spark, sf_dir)
+    sunk = run_to_table(s.select("event_id", "user_id"), "append")
+    return sunk.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+
+
+@op(
+    "sink_foreach_batch",
+    sql=f"""
+    SELECT COUNT(*) AS n_rows, {o_dec_sum('value', 'total_value', 4)} FROM events
+    """,
+)
+def sink_foreach_batch(spark, sf_dir):
+    """foreachBatch: per-micro-batch arbitrary batch writes. Each batch
+    contributes an exact decimal partial sum; partials combine to the
+    global aggregate (map-side-combine semantics made explicit)."""
+    tune(spark)
+    s = read_replay_stream(spark, sf_dir)
+    partials: list[tuple[int, float]] = []
+
+    def write_batch(batch_df, batch_id):
+        row = batch_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(28,4)")).alias("s"),
+        ).collect()[0]
+        if row["n"]:
+            partials.append((row["n"], row["s"]))
+
+    q = (
+        s.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n = sum(p[0] for p in partials)
+    total = sum((p[1] for p in partials), start=__import__("decimal").Decimal(0))
+    return spark.createDataFrame(
+        [(n, float(total))], "n_rows long, total_value double"
+    )
+
+
+@op(
+    "join_stream_static",
+    sql="""
+    SELECT c.c_mktsegment, COUNT(*) AS n_events
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_stream_static(spark, sf_dir):
+    """Streaming events enriched with the static customer dimension
+    (broadcast hash join inside each micro-batch), complete-mode agg."""
+    tune(spark)
+    t = Tables(spark, sf_dir)
+    s = read_replay_stream(spark, sf_dir)
+    joined = s.join(
+        F.broadcast(t.customer), s["user_id"] == F.col("c_custkey")
+    )
+    agg = joined.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_events"))
+    return run_to_table(agg, "complete")
+
+
+@op(
+    "join_stream_stream",
+    sql="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    """,
+)
+def join_stream_stream(spark, sf_dir):
+    """Stream-stream inner join with watermark-bounded time range:
+    clicks within the hour before each purchase. Inner joins emit every
+    match exactly once regardless of batching -> equals the batch join."""
+    tune(spark)
+    p = (
+        read_replay_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    c = (
+        read_replay_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    return run_to_table(joined.select("purchase_id", "click_id"), "append")
