@@ -152,7 +152,11 @@ def dedup_minhash(spark, sf_dir):
     tf = HashingTF(
         inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
     )
-    feat = tf.transform(shingled)
+    # Cache: approxSimilarityJoin(feat, feat) evaluates the shingle ->
+    # HashingTF pipeline once per join side (plus once for fit) — caching
+    # the feature vectors measured 7.0s -> 2.4s at sf0.1. At cluster
+    # scale this is the standard persist-before-self-join pattern.
+    feat = tf.transform(shingled).cache()
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=6, seed=42)
     model = lsh.fit(feat)
     pairs = model.approxSimilarityJoin(feat, feat, 0.9, distCol="jaccard_dist")

@@ -293,12 +293,21 @@ def text_sentiment(spark, sf_dir):
     """,
 )
 def text_tfidf(spark, sf_dir):
-    """tf-idf via explode + two aggregations + broadcast join of the
-    (tiny) df table — fully SQL-expressible, fully distributed."""
+    """tf-idf via one explode + two aggregations + broadcast join of
+    the (tiny) df table — fully SQL-expressible, fully distributed.
+
+    df is derived FROM tf (tf rows are unique per (doc_id, word), so
+    document frequency is a plain count per word), and tf is cached so
+    the scan + explode + (doc_id, word) shuffle happens once. Exchange
+    reuse can't kick in here: column pruning drops the count from the
+    df branch's partial aggregate, so the two exchanges don't
+    canonicalize equal — an explicit cache is the reliable fix. At
+    cluster scale use persist(MEMORY_AND_DISK); tf is the compacted
+    (doc, word) table, far smaller than the exploded corpus."""
     t = Tables(spark, sf_dir)
     words = t.documents.select("doc_id", F.explode(_tokens()).alias("word"))
-    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    df = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf")).cache()
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     n_docs = t.documents.count()  # scalar; at scale use a broadcast 1-row DF
     return tf.join(F.broadcast(df), "word").select(
         "doc_id",

@@ -95,12 +95,27 @@ def checkpoint_dir() -> str:
     return f"{RUNTIME_DIR}/ckpt/{uuid.uuid4().hex}"
 
 
+# Stateful streaming operators create one state-store instance per
+# shuffle partition per micro-batch; with tiny per-key state the
+# per-partition checkpoint commit dominates wall time. 4 partitions fit
+# the local fixture scale (measured 3.8s -> 2.0s on the tumbling agg at
+# sf0.1). At cluster scale, state partitions must instead scale with
+# key cardinality x executor count — raise via env. Checkpoints here
+# are fresh per run, so the partition count never conflicts with a
+# prior checkpoint's.
+STREAM_STATE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "4")
+)
+
+
 def run_to_table(
     sdf: DataFrame, output_mode: str = "append", extra_options: dict | None = None
 ) -> DataFrame:
     """Drive a streaming DataFrame to completion (availableNow) into a
     memory sink; returns the materialized result as a batch DataFrame."""
     name = f"stream_result_{uuid.uuid4().hex[:12]}"
+    spark = sdf.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     writer = (
         sdf.writeStream.format("memory")
         .queryName(name)
@@ -110,6 +125,10 @@ def run_to_table(
     )
     for k, v in (extra_options or {}).items():
         writer = writer.option(k, v)
-    q = writer.start()
-    q.awaitTermination()
-    return sdf.sparkSession.table(name)
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+    try:
+        q = writer.start()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)
