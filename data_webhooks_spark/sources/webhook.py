@@ -111,12 +111,20 @@ class WebhookStreamReader(SimpleDataSourceStreamReader):
         reader = self
 
         class Handler(BaseHTTPRequestHandler):
+            # HTTP/1.1 keep-alive: a webhook producer reuses its
+            # connection; per-request TCP setup would dominate ingest.
+            protocol_version = "HTTP/1.1"
+            # Without TCP_NODELAY, Nagle + delayed ACK stalls each
+            # keep-alive response ~40ms — 1000 posts took 47s.
+            disable_nagle_algorithm = True
+
             def do_POST(self):  # noqa: N802 (http.server API)
                 length = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(length).decode("utf-8")
                 off = reader.buffer.append(body, reader.max_buffer)
                 if off is None:
                     self.send_response(429)  # buffer full — retry later
+                    self.send_header("Content-Length", "0")
                     self.end_headers()
                     return
                 payload = json.dumps({"offset": off}).encode()
@@ -189,17 +197,20 @@ class WebhookDataSource(DataSource):
 
 
 def post_events(port: int, bodies: list[str], timeout_s: float = 60.0) -> int:
-    """Test/client helper: POST each body; retries on 429 backpressure
-    and on server-not-up; returns number of accepted posts."""
+    """Test/client helper: POST each body over one keep-alive
+    connection; retries on 429 backpressure and on server-not-up;
+    returns number of accepted posts."""
     import http.client
     import time
 
     accepted = 0
     deadline = time.time() + timeout_s
     i = 0
+    conn: http.client.HTTPConnection | None = None
     while i < len(bodies) and time.time() < deadline:
         try:
-            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=5)
+            if conn is None:
+                conn = http.client.HTTPConnection("127.0.0.1", port, timeout=5)
             conn.request(
                 "POST", "/", body=bodies[i].encode(), headers={"Content-Type": "application/json"}
             )
@@ -210,7 +221,11 @@ def post_events(port: int, bodies: list[str], timeout_s: float = 60.0) -> int:
                 i += 1
             elif resp.status == 429:
                 time.sleep(0.05)
-            conn.close()
         except (ConnectionError, OSError):
+            if conn is not None:
+                conn.close()
+            conn = None
             time.sleep(0.05)
+    if conn is not None:
+        conn.close()
     return accepted

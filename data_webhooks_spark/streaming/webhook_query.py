@@ -81,14 +81,21 @@ def source_webhook(spark, sf_dir):
     agg = parsed.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
 
     name = f"webhook_{uuid.uuid4().hex[:10]}"
+    from .core import STREAM_STATE_PARTITIONS
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
+    )
     q = (
         agg.writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
         .option("checkpointLocation", checkpoint_dir())
-        .trigger(processingTime="500 milliseconds")
+        .trigger(processingTime="100 milliseconds")
         .start()
     )
+    spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     try:
         deadline = time.time() + 120
         while time.time() < deadline:
@@ -98,7 +105,7 @@ def source_webhook(spark, sf_dir):
             )
             if got >= n_expected:
                 break
-            time.sleep(0.5)
+            time.sleep(0.1)
     finally:
         q.stop()
         q.awaitTermination()
