@@ -1,0 +1,114 @@
+"""Physical-plan assertions — the 100 TB design gate (SURVEY §4).
+
+Correctness tests prove the operators compute the right answer at
+fixture scale; these tests pin the *plan shapes* that make them hold
+at cluster scale: filters reach the parquet scan, scans read only the
+columns a query needs, small dimensions broadcast instead of
+shuffling the fact side, top-k plans as TakeOrderedAndProject, and
+nothing silently degrades to a cartesian product. A regression in any
+of these is invisible on 60k rows and fatal on 100 TB — hence plan
+tests, not timing tests.
+
+Plans are inspected pre-execution (AdaptiveSparkPlan's initial plan);
+AQE can only improve on what's asserted here (e.g. demote to fewer
+shuffle partitions), never un-broadcast an asserted broadcast.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_webhooks_spark import registry
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return registry.queries()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir, qs):
+    plan = plan_of(qs["filter_simple"](spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(value,90.0)" in plan
+
+
+def test_scan_prunes_columns(spark, sf_dir, qs):
+    # project touches 5 of lineitem's 16 columns; the scan must not
+    # read the rest.
+    plan = plan_of(qs["project"](spark, sf_dir))
+    scan_line = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    cols = scan_line.split("FileScan parquet [", 1)[1].split("]", 1)[0].split(",")
+    assert len(cols) == 5, cols
+    assert "l_comment" not in scan_line
+
+
+def test_agg_partial_before_exchange(spark, sf_dir, qs):
+    # map-side combine: partial_sum below the exchange means the
+    # shuffle carries per-group partials, not raw rows.
+    plan = plan_of(qs["agg_groupby"](spark, sf_dir))
+    assert "partial_sum" in plan
+    assert plan.index("partial_sum") > plan.index("Exchange")
+
+
+def test_multiway_join_broadcasts_dims(spark, sf_dir, qs):
+    # customer/supplier/nation/region/orders all broadcast; the
+    # lineitem fact side must never shuffle.
+    plan = plan_of(qs["join_multiway"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the final aggregation's exchange is the ONLY shuffle: the fact
+    # side flows scan -> joins -> partial agg without repartitioning.
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_equi_join_no_cartesian(spark, sf_dir, qs):
+    for key in ["join_inner_equi", "join_left_outer", "join_left_semi", "join_left_anti"]:
+        plan = plan_of(qs[key](spark, sf_dir))
+        assert "CartesianProduct" not in plan, key
+        assert "BroadcastNestedLoopJoin" not in plan, key
+
+
+def test_topk_plans_take_ordered(spark, sf_dir, qs):
+    plan = plan_of(qs["topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_narrow_ops_do_not_shuffle(spark, sf_dir, qs):
+    for key in ["project", "filter_compound", "str_funcs", "math_funcs"]:
+        plan = plan_of(qs[key](spark, sf_dir))
+        assert "Exchange" not in plan, key
+
+
+def test_scalar_ops_stay_in_codegen(spark, sf_dir, qs):
+    # No Python evaluation in built-in scalar pipelines: BatchEvalPython
+    # (row-at-a-time UDF) must never appear outside the udf_* keys.
+    for key in ["math_funcs", "str_funcs", "date_funcs", "json_get", "arr_higher_order"]:
+        plan = plan_of(qs[key](spark, sf_dir))
+        assert "BatchEvalPython" not in plan, key
+
+
+def test_window_single_exchange(spark, sf_dir, qs):
+    # One hash-partition exchange on the partition key, then both
+    # window frames run on the same distribution — no second shuffle.
+    plan = plan_of(qs["win_ranking"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_cosine_broadcasts_query_side(spark, sf_dir, qs):
+    # brute-force top-k: the 20-vector query side broadcasts; the
+    # corpus is never replicated or shuffled.
+    plan = plan_of(qs["sim_cosine_brute"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_embedding_is_vectorized(spark, sf_dir, qs):
+    # blocked-matmul path: one MapInPandas over the corpus, no join.
+    plan = plan_of(qs["dedup_embedding"](spark, sf_dir))
+    assert "MapInPandas" in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
