@@ -1,0 +1,107 @@
+"""Scale sweep: measure headline queries at 1x / 10x / 100x of sf0.1.
+
+Evidence for the 100 TB design claim: per-query fixed overhead should
+amortize and throughput (rows/s) should grow toward the hardware limit
+as data scales; plans must not degrade (no broadcast flips to SMJ on
+the dim side, no spills at these sizes).
+
+Amplified inputs are derived from the sf0.1 fixtures (seed data stays
+driver-generated; amplification shifts keys so joins keep realistic
+fan-out) and live under .runtime/scale/x{N}/ as multi-file parquet —
+which also exercises multi-split scans, unlike the single-file
+fixtures. Usage: python scripts/scale_sweep.py [factors...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from data_webhooks_spark import registry  # noqa: E402
+from data_webhooks_spark.session import get_spark  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+OUT_BASE = "/root/repo/.runtime/scale"
+# Batch relational headliners only: streaming/LSH keys have their own
+# fixed-size side inputs and would conflate the sweep.
+KEYS = ["agg_groupby", "join_multiway", "win_ranking", "topn_per_group", "agg_cube"]
+# Tables the amplified queries touch. Keyed tables get their ids
+# shifted per replica so cardinalities scale like real data (orders/
+# lineitem/customer grow; nation/region stay fixed dims).
+AMPLIFY = {
+    "lineitem": ("l_orderkey", 150_000),
+    "orders": ("o_orderkey", 150_000),
+    "customer": ("c_custkey", 15_000),
+    "events": ("event_id", 100_000),
+}
+COPY = ["nation", "region", "supplier", "part"]
+
+
+def amplify(spark, factor: int) -> str:
+    from pyspark.sql import functions as F
+
+    out = f"{OUT_BASE}/x{factor}"
+    marker = f"{out}/.complete"
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    for name in COPY:
+        spark.read.parquet(f"{BASE}/{name}.parquet").write.mode("overwrite").parquet(
+            f"{out}/{name}.parquet"
+        )
+    for name, (key, step) in AMPLIFY.items():
+        df = spark.read.parquet(f"{BASE}/{name}.parquet")
+        reps = spark.range(factor).select(F.col("id").alias("_rep"))
+        fk_shift = {
+            "lineitem": [("l_orderkey", 150_000)],
+            "orders": [("o_orderkey", 150_000), ("o_custkey", 15_000)],
+            "customer": [("c_custkey", 15_000)],
+            "events": [("event_id", 100_000)],
+        }[name]
+        amped = df.crossJoin(reps)
+        for col, colstep in fk_shift:
+            amped = amped.withColumn(col, F.col(col) + F.col("_rep") * colstep)
+        (
+            amped.drop("_rep")
+            .repartition(max(4, factor))
+            .write.mode("overwrite")
+            .parquet(f"{out}/{name}.parquet")
+        )
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return out
+
+
+def main() -> None:
+    factors = [int(a) for a in sys.argv[1:]] or [1, 10, 100]
+    spark = get_spark("dws-scale-sweep")
+    qs = registry.queries()
+    results: dict = {}
+    for factor in factors:
+        sf_dir = BASE if factor == 1 else amplify(spark, factor)
+        lineitem_rows = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+        per = {}
+        for k in KEYS:
+            qs[k](spark, sf_dir).toPandas()  # warm
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                qs[k](spark, sf_dir).toPandas()
+                best = min(best, time.perf_counter() - t0)
+            per[k] = round(best, 3)
+        results[f"x{factor}"] = {
+            "lineitem_rows": lineitem_rows,
+            "queries": per,
+            "total_s": round(sum(per.values()), 3),
+        }
+        print(json.dumps({f"x{factor}": results[f"x{factor}"]}), flush=True)
+    with open("/root/repo/.runtime/scale_sweep.json", "w") as f:
+        json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -24,6 +24,42 @@ def test_webhook_roundtrip_counts(spark, sf_dir):
     assert result == expected
 
 
+def test_webhook_reader_replay_contract():
+    """SimpleDataSourceStreamReader contract (SURVEY §7.3): read()
+    advances the offset; readBetweenOffsets() replays any uncommitted
+    range identically (restart replay); commit() prunes only below the
+    committed offset."""
+    from data_webhooks_spark.sources.webhook import (
+        WebhookStreamReader,
+        free_port,
+        post_events,
+    )
+
+    port = free_port()
+    reader = WebhookStreamReader({"port": str(port)})
+    assert reader.initialOffset() == {"offset": 0}  # binds the server
+    assert post_events(port, ['{"a":1}', '{"a":2}', '{"a":3}']) == 3
+
+    rows, end = reader.read({"offset": 0})
+    assert end == {"offset": 3}
+    rows = list(rows)
+    assert rows == [(0, '{"a":1}'), (1, '{"a":2}'), (2, '{"a":3}')]
+
+    # replay of the uncommitted range returns the identical rows
+    assert list(reader.readBetweenOffsets({"offset": 0}, {"offset": 3})) == rows
+    assert list(reader.readBetweenOffsets({"offset": 1}, {"offset": 3})) == rows[1:]
+
+    # commit prunes strictly below the committed offset; later ranges
+    # stay replayable
+    reader.commit({"offset": 2})
+    assert list(reader.readBetweenOffsets({"offset": 0}, {"offset": 3})) == rows[2:]
+
+    # empty read at head does not advance
+    it, end2 = reader.read(end)
+    assert end2 == end and list(it) == []
+    reader.stop()
+
+
 def test_webhook_backpressure_and_buffer():
     from data_webhooks_spark.sources.webhook import _Buffer
 
