@@ -198,7 +198,11 @@ def stream_stateful(spark, sf_dir):
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     tune(spark)
-    s = read_replay_stream(spark, sf_dir)
+    # 2 files per trigger = 2 micro-batches: state must survive a
+    # batch boundary (the point of the operator), but each stateful
+    # micro-batch costs ~2.4s in python-state-worker + store-commit
+    # fixed overhead at fixture scale, so don't replay chunk-per-batch.
+    s = read_replay_stream(spark, sf_dir, files_per_trigger=2)
 
     def track(key, pdf_iter, state: GroupState):
         (user_id,) = key
