@@ -107,6 +107,25 @@ def test_cosine_broadcasts_query_side(spark, sf_dir, qs):
     assert "CartesianProduct" not in plan
 
 
+def test_partitioned_read_prunes_partitions(spark, sf_dir, qs):
+    # the day filter must prune whole partition directories before any
+    # file I/O — the mechanism that bounds time-windowed queries on a
+    # 100 TB date-partitioned table.
+    plan = plan_of(qs["sink_partitioned_parquet"](spark, sf_dir))
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    clause = pf.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "event_date" in clause and ">= 2025-01-02" in clause
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, qs):
+    # co-located SortMergeJoin on pre-bucketed tables: the only
+    # exchange in the plan belongs to the final aggregation.
+    plan = plan_of(qs["join_bucketed"](spark, sf_dir))
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 def test_dedup_embedding_is_vectorized(spark, sf_dir, qs):
     # blocked-matmul path: one MapInPandas over the corpus, no join.
     plan = plan_of(qs["dedup_embedding"](spark, sf_dir))
