@@ -37,19 +37,22 @@ REPLAY_SCHEMA = (
 N_CHUNKS = 4
 
 
-def replay_dir(sf_dir: str, late: bool = False) -> str:
+def replay_dir(sf_dir: str, late: bool = False, late_by: int = 1) -> str:
     sfname = os.path.basename(sf_dir.rstrip("/"))
-    kind = "late" if late else "ordered"
+    kind = ("late" if late_by == 1 else f"late{late_by}") if late else "ordered"
     out = f"{RUNTIME_DIR}/stream/{sfname}/{kind}"
     marker = f"{out}/.complete"
     if os.path.exists(marker):
         return out
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
-    # chunk = ts-quartile; late variant demotes event_id%37==0 rows one
-    # chunk (deterministic late arrivals), capped at the last chunk.
+    # chunk = ts-quartile; late variant demotes event_id%37==0 rows
+    # late_by chunks (deterministic late arrivals), capped at the last
+    # chunk. Note Spark's late-row filter lags eviction by one batch
+    # (tests/test_streaming_semantics.py), so late_by=1 rows are never
+    # dropped — use late_by>=2 to exercise actual watermark drops.
     late_expr = (
-        "LEAST(chunk + CASE WHEN event_id % 37 = 0 THEN 1 ELSE 0 END, "
+        f"LEAST(chunk + CASE WHEN event_id % 37 = 0 THEN {late_by} ELSE 0 END, "
         f"{N_CHUNKS})" if late else "chunk"
     )
     con.execute(
@@ -81,9 +84,13 @@ def replay_dir(sf_dir: str, late: bool = False) -> str:
 
 
 def read_replay_stream(
-    spark: SparkSession, sf_dir: str, late: bool = False, files_per_trigger: int = 1
+    spark: SparkSession,
+    sf_dir: str,
+    late: bool = False,
+    files_per_trigger: int = 1,
+    late_by: int = 1,
 ) -> DataFrame:
-    path = replay_dir(sf_dir, late=late)
+    path = replay_dir(sf_dir, late=late, late_by=late_by)
     return (
         spark.readStream.schema(REPLAY_SCHEMA)
         .option("maxFilesPerTrigger", files_per_trigger)

@@ -146,10 +146,13 @@ def stream_session_agg(spark, sf_dir):
 @op("stream_watermark")
 def stream_watermark(spark, sf_dir):
     """Tumbling agg over the LATE replay (3% of rows arrive one chunk
-    late) with a tight 15-minute watermark: late rows beyond the
-    watermark are dropped and only finalized windows are emitted.
-    Deterministic for a fixed replay but watermark-semantics-dependent
-    -> rows-only; exact drop set asserted in tests."""
+    late) with a tight 15-minute watermark: only finalized windows are
+    emitted (append mode); windows still open at the final flush stay
+    unemitted. One-chunk-late rows survive Spark's one-batch-lagging
+    late filter and join their windows; tests/test_streaming_semantics
+    pins the exact emission set, plus the exact drop set for
+    two-chunk-late replays. Deterministic for a fixed replay but
+    watermark-semantics-dependent -> rows-only."""
     tune(spark)
     s = read_replay_stream(spark, sf_dir, late=True).withWatermark("ts", "15 minutes")
     agg = (

@@ -1,0 +1,127 @@
+"""Watermark/late-data semantics (SURVEY §5.2.2).
+
+The late replay displaces a fixed ~3% of events (event_id % 37 == 0)
+``late_by`` chunks later. These tests simulate Structured Streaming's
+watermark protocol over the exact same chunk assignment and assert
+the stream's append-mode output equals the simulation row-for-row:
+
+- eviction watermark of batch k = max event time seen through batch
+  k-1, minus delay (the value Spark reports in that batch's progress);
+  batch k emits (finalizes) every state window with end <= it
+- the LATE-ROW FILTER lags one batch: a row arriving in batch k is
+  dropped iff window_end <= eviction watermark of batch k-1 (verified
+  empirically via numRowsDroppedByWatermark — a late row can still
+  join its window in the very batch that finalizes it, but can never
+  re-open an already-emitted window, so append stays exactly-once)
+- availableNow runs one final empty batch that flushes with the last
+  watermark; windows still open after it stay unemitted.
+
+Consequence worth pinning: rows one chunk late are NEVER dropped by a
+watermark shorter than a chunk (the lagging filter hasn't caught up);
+rows two chunks late are. Both cases asserted below.
+"""
+
+from collections import defaultdict
+
+import duckdb
+from pyspark.sql import functions as F
+
+from data_webhooks_spark import registry
+from data_webhooks_spark.streaming.core import (
+    N_CHUNKS,
+    read_replay_stream,
+    run_to_table,
+)
+
+DELAY_US = 15 * 60 * 1_000_000  # 15-minute watermark (stream_watermark)
+WINDOW_US = 10 * 60 * 1_000_000  # 10-minute tumbling window
+
+
+def simulate(sf_dir: str, late_by: int = 1) -> tuple[dict[int, int], int]:
+    """Expected ({window_start_us: n}, n_dropped) per the protocol."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT epoch_us(ts) AS ts_us,
+               LEAST(chunk + CASE WHEN event_id % 37 = 0 THEN {late_by}
+                     ELSE 0 END, {N_CHUNKS}) AS final_chunk
+        FROM (
+            SELECT event_id, ts,
+                   ntile({N_CHUNKS}) OVER (ORDER BY ts, event_id) AS chunk
+            FROM read_parquet('{sf_dir}/events.parquet')
+        )
+        ORDER BY final_chunk
+        """
+    ).fetchall()
+    con.close()
+
+    batches: dict[int, list[int]] = defaultdict(list)
+    for ts_us, chunk in rows:
+        batches[chunk].append(ts_us)
+
+    state: dict[int, int] = defaultdict(int)  # open windows
+    emitted: dict[int, int] = {}
+    dropped = 0
+    wm_evict: int | None = None  # batch k's reported watermark
+    wm_filter: int | None = None  # = previous batch's reported watermark
+    max_seen = None
+    chunk_keys = sorted(batches)
+    for k in chunk_keys + [chunk_keys[-1] + 1]:  # + final empty flush
+        wm_filter = wm_evict
+        if max_seen is not None:
+            wm_evict = max_seen - DELAY_US
+        for ts_us in batches.get(k, ()):
+            # watermark tracking observes every input row, dropped or not
+            max_seen = ts_us if max_seen is None else max(max_seen, ts_us)
+            w = ts_us - ts_us % WINDOW_US
+            if wm_filter is not None and w + WINDOW_US <= wm_filter:
+                dropped += 1
+                continue  # late beyond (lagging) watermark
+            state[w] += 1
+        if wm_evict is not None:
+            for w in sorted(state):
+                if w + WINDOW_US <= wm_evict:
+                    emitted[w] = state.pop(w)
+    return emitted, dropped
+
+
+def _collect_windows(df) -> dict[int, int]:
+    return {
+        int(r["window_start"].timestamp() * 1_000_000): r["n"]
+        for r in df.collect()
+    }
+
+
+def test_watermark_exact_one_chunk_late(spark, sf_dir):
+    """stream_watermark (late_by=1): exact emission set — and the
+    non-obvious fact that nothing is dropped, because the lagging
+    filter never catches a row only one chunk behind."""
+    result = _collect_windows(registry.queries()["stream_watermark"](spark, sf_dir))
+    expected, dropped = simulate(sf_dir, late_by=1)
+    assert result == expected
+    assert dropped == 0
+
+
+def test_watermark_exact_two_chunks_late_drops(spark, sf_dir):
+    """late_by=2: displaced rows arrive behind even the lagging
+    filter watermark and must be dropped — exact drop set asserted."""
+    s = read_replay_stream(spark, sf_dir, late=True, late_by=2).withWatermark(
+        "ts", "15 minutes"
+    )
+    agg = (
+        s.groupBy(F.window("ts", "10 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"), "n"
+        )
+    )
+    result = _collect_windows(run_to_table(agg, "append"))
+    expected, dropped = simulate(sf_dir, late_by=2)
+    assert result == expected
+    assert dropped > 0  # the two-chunk-late rows really were dropped
+    total_emitted = sum(expected.values())
+    total_rows = duckdb.connect().execute(
+        f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchone()[0]
+    # emitted + dropped + still-open tail == all events
+    assert total_emitted + dropped <= total_rows
