@@ -52,7 +52,7 @@ _WSTART_10M = (
 def source_file_stream(spark, sf_dir):
     """File-source replay -> complete-mode counts; must equal batch."""
     tune(spark)
-    s = read_replay_stream(spark, sf_dir)
+    s = read_replay_stream(spark, sf_dir, files_per_trigger=2)
     agg = s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     return run_to_table(agg, "complete")
 
@@ -71,7 +71,7 @@ def source_file_stream(spark, sf_dir):
 def stream_tumbling_agg(spark, sf_dir):
     """Per-10-minute tumbling window counts/sums by event type."""
     tune(spark)
-    s = read_replay_stream(spark, sf_dir)
+    s = read_replay_stream(spark, sf_dir, files_per_trigger=2)
     agg = (
         s.groupBy(F.window("ts", "10 minutes"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), dec_sum("value", "total_value", 4))
@@ -107,7 +107,7 @@ def stream_sliding_agg(spark, sf_dir):
     """10-minute windows sliding every 5 — each event lands in 2
     windows; oracle assigns both starts explicitly."""
     tune(spark)
-    s = read_replay_stream(spark, sf_dir)
+    s = read_replay_stream(spark, sf_dir, files_per_trigger=2)
     agg = (
         s.groupBy(F.window("ts", "10 minutes", "5 minutes"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
