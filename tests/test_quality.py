@@ -79,3 +79,48 @@ def test_multimodal_decode_matches_nchars(spark, sf_dir):
         assert r["mime"] == "text/plain"
         assert r["n_bytes"] > 0
         assert len(r["header_hex"]) == 16
+
+
+def test_json_corrupt_record_modes(spark, tmp_path):
+    """Webhook payloads are schema-on-read (SURVEY §1.3): PERMISSIVE
+    parsing must capture malformed lines in the corrupt-record column
+    instead of failing the pipeline, DROPMALFORMED must drop exactly
+    them, and from_json must null out (is_valid=false) bad payloads."""
+    path = str(tmp_path / "payloads.jsonl")
+    lines = [
+        '{"event_id": 1, "value": 1.5}',
+        "{not json at all",
+        '{"event_id": 3, "value": null}',
+        '["wrong", "shape"]',
+    ]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    schema = "event_id LONG, value DOUBLE, _corrupt_record STRING"
+    permissive = spark.read.schema(schema).json(path).cache()
+    assert permissive.count() == 4
+    bad = permissive.filter("_corrupt_record IS NOT NULL").collect()
+    assert sorted(r["_corrupt_record"] for r in bad) == sorted(
+        [lines[1], lines[3]]
+    )
+    good = permissive.filter("_corrupt_record IS NULL").collect()
+    assert {r["event_id"] for r in good} == {1, 3}
+    permissive.unpersist()
+
+    dropped = (
+        spark.read.schema("event_id LONG, value DOUBLE")
+        .option("mode", "DROPMALFORMED")
+        .json(path)
+    )
+    assert {r["event_id"] for r in dropped.collect()} == {1, 3}
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(l,) for l in lines], ["body"])
+    parsed = df.select(
+        F.from_json("body", "event_id LONG, value DOUBLE").alias("e")
+    )
+    # PERMISSIVE from_json yields a struct of NULL fields (not a NULL
+    # struct) for unparseable or wrong-shape input
+    assert parsed.filter("e.event_id IS NULL AND e.value IS NULL").count() == 2
+    assert parsed.filter("e.event_id IS NOT NULL").count() == 2
