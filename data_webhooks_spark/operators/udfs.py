@@ -27,9 +27,19 @@ ORACLE: dict = {}
 op = registrar(QUERIES, ORACLE)
 
 
-@op("udf_python")
+@op(
+    "udf_python",
+    sql="""
+    SELECT event_id, value,
+           CASE WHEN value IS NULL THEN 'none'
+                WHEN value >= 50 THEN 'high' ELSE 'low' END AS grade
+    FROM events
+    """,
+)
 def udf_python(spark, sf_dir):
-    """Row-at-a-time Python UDF (the discouraged escape hatch)."""
+    """Row-at-a-time Python UDF (the discouraged escape hatch); the
+    oracle re-expresses the Python branch logic as a CASE, so the UDF
+    result is hash-verified, not just row-counted."""
     t = Tables(spark, sf_dir)
 
     @F.udf("string")
@@ -41,9 +51,18 @@ def udf_python(spark, sf_dir):
     return t.events.select("event_id", "value", grade("value").alias("grade"))
 
 
-@op("udf_pandas_scalar")
+@op(
+    "udf_pandas_scalar",
+    sql="""
+    SELECT event_id, value,
+           LEAST(GREATEST(value / 100.0, 0.0), 1.0) AS value01
+    FROM events
+    """,
+)
 def udf_pandas_scalar(spark, sf_dir):
-    """Arrow-vectorized scalar UDF: whole-column pandas arithmetic."""
+    """Arrow-vectorized scalar UDF: whole-column pandas arithmetic.
+    pandas clip == LEAST/GREATEST for the null-free fixture column, so
+    the vectorized result is hash-verified against the SQL twin."""
     t = Tables(spark, sf_dir)
 
     @pandas_udf("double")
@@ -107,10 +126,17 @@ def grouped_map(spark, sf_dir):
     )
 
 
-@op("udtf_python")
+@op(
+    "udtf_python",
+    sql="""
+    SELECT event_id, k AS key, json_extract_string(props, '$.' || k) AS val
+    FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)
+    """,
+)
 def udtf_python(spark, sf_dir):
     """Python UDTF: one row in -> many out (expand the props JSON object
-    into key/value rows)."""
+    into key/value rows); oracle unnests json_keys so the expansion is
+    hash-verified (int-valued props render identically both sides)."""
     import json as _json
 
     from pyspark.sql.functions import udtf

@@ -7,7 +7,8 @@ end-of-stream result is provably deterministic (complete-mode aggs,
 passthrough sinks, inner stream-stream joins), the operator carries a
 DuckDB oracle — the streaming answer must equal the batch answer.
 Watermark-dependent append outputs are rows-only here and asserted
-against batch recomputations in tests/test_streaming.py.
+against exact protocol simulations and first-principles batch
+recomputations in tests/test_streaming_semantics.py.
 
 Scale notes: state lives in the StateStore keyed by group; watermarks
 bound it. complete-mode is used only for bounded-cardinality results

@@ -125,3 +125,65 @@ def test_watermark_exact_two_chunks_late_drops(spark, sf_dir):
     ).fetchone()[0]
     # emitted + dropped + still-open tail == all events
     assert total_emitted + dropped <= total_rows
+
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # stream_session_agg's gap
+SESSION_DELAY_US = 60 * 60 * 1_000_000  # its 1-hour watermark
+
+
+def test_session_window_equivalence(spark, sf_dir):
+    """stream_session_agg (append + 1h watermark over the ORDERED
+    replay) must emit exactly the ground-truth 30-min-gap sessions
+    whose end precedes the final watermark; open tail sessions stay in
+    state. Ground truth from first principles (lag/gap split in
+    DuckDB), not from Spark."""
+    con = duckdb.connect()
+    sessions = con.execute(
+        f"""
+        WITH x AS (
+            SELECT user_id, value, epoch_us(ts) AS us,
+                   lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev
+            FROM read_parquet('{sf_dir}/events.parquet')
+        ),
+        flagged AS (
+            SELECT *, CASE WHEN prev IS NULL
+                           OR us - prev >= {SESSION_GAP_US}
+                      THEN 1 ELSE 0 END AS new_s
+            FROM x
+        ),
+        numbered AS (
+            SELECT *, SUM(new_s) OVER (
+                PARTITION BY user_id ORDER BY us
+                ROWS UNBOUNDED PRECEDING
+            ) AS sid
+            FROM flagged
+        )
+        SELECT user_id, MIN(us) AS start_us,
+               MAX(us) + {SESSION_GAP_US} AS end_us,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total_value
+        FROM numbered GROUP BY user_id, sid
+        """
+    ).fetchall()
+    (max_us,) = con.execute(
+        f"SELECT MAX(epoch_us(ts)) FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchone()
+    con.close()
+    final_wm = max_us - SESSION_DELAY_US
+    expected = {
+        (u, s, e): (n, tv)
+        for u, s, e, n, tv in sessions
+        if e <= final_wm
+    }
+    result = {}
+    for r in registry.queries()["stream_session_agg"](spark, sf_dir).collect():
+        key = (
+            r["user_id"],
+            int(r["session_start"].timestamp() * 1_000_000),
+            int(r["session_end"].timestamp() * 1_000_000),
+        )
+        result[key] = (r["n_events"], r["total_value"])
+    assert len(result) == len(expected)
+    assert result == expected
