@@ -280,6 +280,13 @@ def dedup_embedding(spark, sf_dir):
     nrm = np.sqrt((M * M).sum(axis=1))
     bc = spark.sparkContext.broadcast((ids, M, nrm))
 
+    # Cap the similarity slab at ~rows x 16k doubles (~1.25 GB for a
+    # 10k-row Arrow batch): the kernel tiles over corpus blocks, so
+    # memory stays bounded no matter how large the broadcast corpus
+    # grows. At true scale the broadcast itself becomes a loop over
+    # corpus partitions — same tiling, one level up.
+    corpus_block = 16384
+
     def block(batches):
         b_ids, b_m, b_nrm = bc.value
         for pdf in batches:
@@ -288,14 +295,22 @@ def dedup_embedding(spark, sf_dir):
             a_ids = pdf["vec_id"].to_numpy()
             A = np.array(pdf["embedding"].tolist(), dtype=np.float64)
             a_nrm = np.sqrt((A * A).sum(axis=1))
-            sims = (A @ b_m.T) / (a_nrm[:, None] * b_nrm[None, :])
-            # same quantization as the oracle's round(x, 6); exact-tie
-            # divergence is measure-zero on real-valued cosines
-            sims = np.floor(sims * 1e6 + 0.5) / 1e6
-            keep = (sims >= 0.8) & (a_ids[:, None] < b_ids[None, :])
-            i, j = np.nonzero(keep)
-            yield pd.DataFrame(
-                {"v1": a_ids[i], "v2": b_ids[j], "cos_sim": sims[i, j]}
-            )
+            for lo in range(0, len(b_ids), corpus_block):
+                hi = lo + corpus_block
+                sims = (A @ b_m[lo:hi].T) / (
+                    a_nrm[:, None] * b_nrm[None, lo:hi]
+                )
+                # same quantization as the oracle's round(x, 6);
+                # exact-tie divergence is measure-zero on real cosines
+                sims = np.floor(sims * 1e6 + 0.5) / 1e6
+                keep = (sims >= 0.8) & (a_ids[:, None] < b_ids[None, lo:hi])
+                i, j = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {
+                        "v1": a_ids[i],
+                        "v2": b_ids[lo:hi][j],
+                        "cos_sim": sims[i, j],
+                    }
+                )
 
     return emb.mapInPandas(block, "v1 long, v2 long, cos_sim double")

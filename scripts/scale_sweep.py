@@ -26,17 +26,33 @@ from data_webhooks_spark.session import get_spark  # noqa: E402
 
 BASE = "/root/testdata/sf0.1"
 OUT_BASE = "/root/repo/.runtime/scale"
-# Batch relational headliners only: streaming/LSH keys have their own
-# fixed-size side inputs and would conflate the sweep.
-KEYS = ["agg_groupby", "join_multiway", "win_ranking", "topn_per_group", "agg_cube"]
+# Batch relational + text/dedup/as-of; streaming/LSH keys have their
+# own fixed-size side inputs and would conflate the sweep. Per-key
+# factor caps keep inherently quadratic outputs bounded (amplified
+# embeddings contain exact replicas, so near-dup pairs grow O(f^2)).
+KEYS = [
+    "agg_groupby",
+    "join_multiway",
+    "win_ranking",
+    "topn_per_group",
+    "agg_cube",
+    "join_asof",
+    "text_tfidf",
+    "dedup_content_hash",
+    "dedup_embedding",
+]
+MAX_FACTOR = {"dedup_embedding": 10}
 # Tables the amplified queries touch. Keyed tables get their ids
 # shifted per replica so cardinalities scale like real data (orders/
-# lineitem/customer grow; nation/region stay fixed dims).
+# lineitem/customer/documents/embeddings grow; nation/region stay
+# fixed dims).
 AMPLIFY = {
     "lineitem": ("l_orderkey", 150_000),
     "orders": ("o_orderkey", 150_000),
     "customer": ("c_custkey", 15_000),
     "events": ("event_id", 100_000),
+    "documents": ("doc_id", 5_000),
+    "embeddings": ("vec_id", 2_000),
 }
 COPY = ["nation", "region", "supplier", "part"]
 
@@ -61,6 +77,8 @@ def amplify(spark, factor: int) -> str:
             "orders": [("o_orderkey", 150_000), ("o_custkey", 15_000)],
             "customer": [("c_custkey", 15_000)],
             "events": [("event_id", 100_000)],
+            "documents": [("doc_id", 5_000)],
+            "embeddings": [("vec_id", 2_000)],
         }[name]
         amped = df.crossJoin(reps)
         for col, colstep in fk_shift:
@@ -86,6 +104,8 @@ def main() -> None:
         lineitem_rows = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
         per = {}
         for k in KEYS:
+            if factor > MAX_FACTOR.get(k, 10**9):
+                continue
             qs[k](spark, sf_dir).toPandas()  # warm
             best = float("inf")
             for _ in range(2):
