@@ -126,6 +126,51 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, qs):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_aqe_splits_skewed_join(spark, sf_dir):
+    """The skew story in SCALE.md is AQE's runtime skew-join split —
+    prove the mechanism actually fires: fold 80% of a 1M-row shuffle
+    onto one key (a hot partition ~50x the median), join against a
+    non-broadcastable side, and require the final adaptive plan to
+    mark the join skew=true with a skewed shuffle read. Thresholds are
+    scaled to fixture volume; on a cluster the defaults (256MB) play
+    the same role."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1m",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256k",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").crossJoin(
+            spark.range(10).select(F.col("id").alias("_rep"))
+        )
+        skewed = ev.withColumn(
+            "k",
+            F.when(F.col("user_id") % 10 < 8, F.lit(0)).otherwise(F.col("user_id")),
+        )
+        dim = spark.range(2000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = skewed.join(dim, "k")
+        n = j.count()
+        j.collect()
+        plan = plan_of(j)
+        assert "SortMergeJoin(skew=true)" in plan
+        assert "skewed" in plan  # AQEShuffleRead ... skewed
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_dedup_embedding_is_vectorized(spark, sf_dir, qs):
     # blocked-matmul path: one MapInPandas over the corpus, no join.
     plan = plan_of(qs["dedup_embedding"](spark, sf_dir))
