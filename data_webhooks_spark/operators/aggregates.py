@@ -314,3 +314,80 @@ def dedup_exact(spark, sf_dir):
     are full projections, so *which* duplicate survives is moot)."""
     t = Tables(spark, sf_dir)
     return t.events.select("user_id", "event_type").dropDuplicates()
+
+
+@op(
+    "unpivot",
+    sql="""
+    WITH w AS (
+        SELECT user_id,
+               COUNT(*) FILTER (event_type = 'click') AS click,
+               COUNT(*) FILTER (event_type = 'view') AS view,
+               COUNT(*) FILTER (event_type = 'error') AS error
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, kind, n
+    FROM w UNPIVOT (n FOR kind IN (click, view, error))
+    """,
+)
+def unpivot(spark, sf_dir):
+    """Wide -> long (melt): the inverse of agg_pivot. DuckDB's UNPIVOT
+    drops nothing here because counts are never NULL."""
+    t = Tables(spark, sf_dir)
+    wide = (
+        t.events.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "error"])
+        .agg(F.count(F.lit(1)).alias("n"))
+        .na.fill(0, ["click", "view", "error"])
+    )
+    return wide.unpivot("user_id", ["click", "view", "error"], "kind", "n")
+
+
+@op(
+    "agg_mode",
+    sql="""
+    SELECT user_id, event_type AS mode_type, n FROM (
+        SELECT user_id, event_type, COUNT(*) AS n,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY COUNT(*) DESC, event_type
+               ) AS rn
+        FROM events GROUP BY user_id, event_type
+    ) WHERE rn = 1
+    """,
+)
+def agg_mode(spark, sf_dir):
+    """Most frequent event type per user with a DETERMINISTIC tie-break
+    (count desc, then lexicographic) — native mode() in both engines
+    leaves ties unspecified, so the operator is expressed as
+    count + rank on both sides. Scale shape: partial-agg then a
+    per-user window over at most |event_type| rows."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    counts = t.events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), "event_type")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), "n")
+    )
+
+
+@op(
+    "agg_string",
+    sql="""
+    SELECT user_id,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_string(spark, sf_dir):
+    """Ordered string aggregation (listagg): sorted distinct set joined
+    with a delimiter — array_sort(collect_set(...)) keeps the result
+    deterministic under any row order."""
+    t = Tables(spark, sf_dir)
+    return t.events.groupBy("user_id").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias("types")
+    )
