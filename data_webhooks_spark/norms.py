@@ -42,21 +42,39 @@ def _c(col: str | Column) -> Column:
 # ---------- Spark side ----------
 
 
+def _scaled_units(c: Column, scale: int) -> Column:
+    """``CAST(x AS DECIMAL(28,scale))`` re-expressed as integer units.
+
+    ``round-half-away(x * 10^scale)`` computed with FLOOR on the
+    double (BIGINT result, sign-branched so negatives round away from
+    zero exactly like a decimal cast), then widened to DECIMAL(28,0)
+    from a *long* — Spark's Decimal-from-long stays in its compact
+    representation, whereas Decimal-from-double allocates a BigDecimal
+    per row (measured ~2x on the Q1 aggregate at sf0.1). Requires
+    |x|*10^scale < 2^53, which holds for every money/value column by
+    orders of magnitude; the DECIMAL(28,0) sum keeps 100 TB-scale
+    totals overflow-safe where a raw BIGINT sum would not be."""
+    m = F.lit(float(10**scale))
+    units = F.when(c >= 0, F.floor(c * m + F.lit(0.5))).otherwise(
+        -F.floor(-c * m + F.lit(0.5))
+    )
+    return units.cast(DecimalType(MONEY_PREC, 0))
+
+
 def dec_sum(col: str | Column, alias: str, scale: int = MONEY_SCALE) -> Column:
     """Exact sum of doubles via decimal; result is a deterministic double."""
-    return (
-        F.sum(_c(col).cast(DecimalType(MONEY_PREC, scale)))
-        .cast("double")
-        .alias(alias)
+    m = 10**scale
+    return (F.sum(_scaled_units(_c(col), scale)).cast("double") / F.lit(m)).alias(
+        alias
     )
 
 
 def dec_avg(col: str | Column, alias: str, scale: int = MONEY_SCALE) -> Column:
     """Deterministic average: exact decimal sum -> double, / count."""
     c = _c(col)
+    m = 10**scale
     return (
-        F.sum(c.cast(DecimalType(MONEY_PREC, scale))).cast("double")
-        / F.count(c)
+        F.sum(_scaled_units(c, scale)).cast("double") / F.lit(m) / F.count(c)
     ).alias(alias)
 
 
