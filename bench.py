@@ -39,7 +39,7 @@ HEADLINE = [
     "stream_tumbling_agg",  # availableNow streaming replay
 ]
 
-RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 
 def main() -> None:
@@ -58,6 +58,10 @@ def main() -> None:
     for k in keys:
         best = float("inf")
         for _ in range(RUNS):
+            # queries that persist() intermediates pin a fresh DataFrame
+            # per call; drop stale entries so earlier keys' caches don't
+            # add GC pressure to later keys' timings
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             qs[k](spark, sf_dir).toPandas()
             best = min(best, time.perf_counter() - t0)

@@ -308,13 +308,19 @@ def text_tfidf(spark, sf_dir):
     words = t.documents.select("doc_id", F.explode(_tokens()).alias("word"))
     tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf")).cache()
     df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = t.documents.count()  # scalar; at scale use a broadcast 1-row DF
-    return tf.join(F.broadcast(df), "word").select(
-        "doc_id",
-        "word",
-        F.col("tf").cast("long").alias("tf"),
-        F.col("df").cast("long").alias("df"),
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
-        ).alias("tfidf"),
+    # corpus size as a broadcast 1-row aggregate, not an eager .count():
+    # keeps the whole computation one lazy plan (no extra driver job)
+    nd = t.documents.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    return (
+        tf.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "word",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
     )
