@@ -82,3 +82,108 @@ def multimodal_col(spark, sf_dir):
             )
 
     return with_payload.mapInPandas(decode_batches, DECODE_SCHEMA)
+
+
+def _payloads(t):
+    """documents as (doc_id, payload binary) — the fixtures' only binary
+    source; real media tables swap in their blob column here."""
+    return t.documents.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+
+def resize_stub(payload: bytes, factor: int) -> bytes:
+    """Deterministic stand-in for an image resize (PIL.Image.thumbnail
+    in a production build — not installed here): keep every factor-th
+    byte. Preserves determinism and output-size semantics (len/factor)
+    so the Spark-side contract is testable."""
+    if payload is None:
+        raise NotImplementedError("resize of NULL payload")
+    return payload[::factor]
+
+
+@op("multimodal_resize")
+def multimodal_resize(spark, sf_dir):
+    """Batched media resize: binary in -> smaller binary out + new
+    size metadata, via Arrow-batched mapInPandas. The hot loop touches
+    only the binary column; doc_id rides along untouched, and the
+    operator is a pure per-partition map (no shuffle at any scale)."""
+    FACTOR = 4
+    t = Tables(spark, sf_dir)
+
+    def resize_batches(batches):
+        for pdf in batches:
+            out = [resize_stub(p, FACTOR) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": out,
+                    "orig_bytes": [len(p) for p in pdf["payload"]],
+                    "new_bytes": [len(o) for o in out],
+                }
+            )
+
+    return _payloads(t).mapInPandas(
+        resize_batches, "doc_id long, payload binary, orig_bytes long, new_bytes long"
+    )
+
+
+@op("multimodal_frames")
+def multimodal_frames(spark, sf_dir):
+    """Frame sampling: one binary "video" row fans out to one row per
+    sampled fixed-size frame (1 -> many inside mapInPandas, the same
+    shape a pyav keyframe extractor would use). Frame stride and size
+    are deterministic, so downstream tests can recompute counts from
+    n_chars. Fan-out happens executor-side per Arrow batch — the
+    driver never sees the frames."""
+    FRAME_BYTES, STRIDE = 64, 3  # sample every 3rd 64-byte "frame"
+    t = Tables(spark, sf_dir)
+
+    def frame_batches(batches):
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                if p is None:
+                    raise NotImplementedError("frame-sample of NULL payload")
+                n_frames = (len(p) + FRAME_BYTES - 1) // FRAME_BYTES
+                for k in range(0, n_frames, STRIDE):
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    frames.append(p[k * FRAME_BYTES : (k + 1) * FRAME_BYTES])
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return _payloads(t).mapInPandas(
+        frame_batches, "doc_id long, frame_idx int, frame binary"
+    )
+
+
+@op("multimodal_features")
+def multimodal_features(spark, sf_dir):
+    """Feature extraction: binary payload -> fixed-width float vector
+    (16-bin normalized byte histogram as the deterministic stand-in for
+    a CNN/audio embedding). Output is array<float> — the exact input
+    shape of the similarity/dedup operators (sim_*, dedup_embedding),
+    so the two pipelines compose. Vectorized numpy over each Arrow
+    batch; per-partition map, no shuffle."""
+    import numpy as np
+
+    BINS = 16
+    t = Tables(spark, sf_dir)
+
+    def feat_batches(batches):
+        for pdf in batches:
+            vecs = []
+            for p in pdf["payload"]:
+                if p is None:
+                    raise NotImplementedError("featurize of NULL payload")
+                arr = np.frombuffer(p, dtype=np.uint8)
+                hist = np.bincount(arr >> 4, minlength=BINS).astype(np.float32)
+                total = hist.sum()
+                vecs.append(hist / total if total else hist)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": vecs})
+
+    return _payloads(t).mapInPandas(
+        feat_batches, "doc_id long, features array<float>"
+    )

@@ -81,6 +81,54 @@ def test_multimodal_decode_matches_nchars(spark, sf_dir):
         assert len(r["header_hex"]) == 16
 
 
+def test_multimodal_resize_shrinks_by_factor(spark, sf_dir):
+    rows = QUERIES["multimodal_resize"](spark, sf_dir).limit(50).collect()
+    assert rows
+    for r in rows:
+        # stub keeps every 4th byte: ceil(orig/4)
+        assert r["new_bytes"] == (r["orig_bytes"] + 3) // 4
+        assert len(r["payload"]) == r["new_bytes"]
+
+
+def test_multimodal_frames_count_from_nchars(spark, sf_dir):
+    """Sampled frame count must be recomputable from document length:
+    every 3rd 64-byte frame, so ceil(ceil(n/64)/3) frames per doc."""
+    from data_webhooks_spark.io import Tables
+
+    def ceil_div(a, b):
+        return -(-a // b)
+
+    t = Tables(spark, sf_dir)
+    expect = {
+        r["doc_id"]: ceil_div(ceil_div(len(r["text"].encode("utf-8")), 64), 3)
+        for r in t.documents.select("doc_id", "text").collect()
+    }
+    got = (
+        QUERIES["multimodal_frames"](spark, sf_dir)
+        .groupBy("doc_id")
+        .count()
+        .collect()
+    )
+    assert got
+    for r in got:
+        assert r["count"] == expect[r["doc_id"]], r
+    # frame indexes follow the stride
+    sample = QUERIES["multimodal_frames"](spark, sf_dir).limit(200).collect()
+    for r in sample:
+        assert r["frame_idx"] % 3 == 0
+        assert 0 < len(r["frame"]) <= 64
+
+
+def test_multimodal_features_are_normalized(spark, sf_dir):
+    rows = QUERIES["multimodal_features"](spark, sf_dir).limit(50).collect()
+    assert rows
+    for r in rows:
+        v = r["features"]
+        assert len(v) == 16
+        assert abs(sum(v) - 1.0) < 1e-3
+        assert all(x >= 0 for x in v)
+
+
 def test_json_corrupt_record_modes(spark, tmp_path):
     """Webhook payloads are schema-on-read (SURVEY §1.3): PERMISSIVE
     parsing must capture malformed lines in the corrupt-record column
