@@ -308,6 +308,166 @@ def dedup_simhash(spark, sf_dir):
     ).filter(F.col("hamming") <= 12)
 
 
+_CLUSTER_PAIRS_SQL = """
+    pos_words AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS word,
+               CAST(generate_subscripts(string_split(text, ' '), 1) AS INT) AS pos
+        FROM documents
+    ),
+    shingled AS (
+        SELECT doc_id,
+               word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w AS shingle
+        FROM pos_words
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(word, 2) OVER w IS NOT NULL
+    ),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM shingled),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    rawpairs AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT p.d1, p.d2
+        FROM rawpairs p
+        JOIN sizes s1 ON p.d1 = s1.doc_id
+        JOIN sizes s2 ON p.d2 = s2.doc_id
+        WHERE p.inter / (s1.n + s2.n - p.inter) >= 0.6
+    )
+"""
+
+
+@op(
+    "dedup_cluster",
+    sql="WITH RECURSIVE "
+    + _CLUSTER_PAIRS_SQL
+    + """,
+    edges AS (
+        SELECT d1 AS a, d2 AS b FROM pairs
+        UNION
+        SELECT d2, d1 FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    comp AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+        FROM reach GROUP BY src
+    ),
+    assigned AS (
+        SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comp c USING (doc_id)
+    )
+    SELECT doc_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+    FROM assigned
+    """,
+)
+def dedup_cluster(spark, sf_dir):
+    """Duplicate-cluster assignment: connected components over the
+    near-duplicate graph (trigram-Jaccard >= 0.6 edges, from the same
+    inverted-index pair generation as dedup_ngram_jaccard), labeled by
+    the component's minimum doc_id — so survivorship ("keep cluster_id,
+    drop the rest") is deterministic. Docs with no near-dup are their
+    own singleton cluster.
+
+    Spark side is iterative min-label propagation: each round sends
+    every vertex's current label to its neighbors and keeps the min —
+    converges in graph-diameter rounds (near-dup components are
+    near-cliques, so 2-3 rounds in practice; capped + convergence-
+    checked). All rounds are plain join+groupBy — at 100 TB this is
+    the standard approach, with star-contraction (Kiveris et al.,
+    "Connected Components in MapReduce", SoCC'14) as the drop-in
+    upgrade if components ever get chain-shaped. The DuckDB oracle
+    computes the same components via a recursive-CTE transitive
+    closure."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    words = t.documents.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word")
+    )
+    shingled = (
+        words.select(
+            "doc_id",
+            F.lead("word", 1).over(w).alias("w1"),
+            F.lead("word", 2).over(w).alias("w2"),
+            "word",
+        )
+        .filter(F.col("w2").isNotNull())
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "word", "w1", "w2").alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = shingled.alias("a"), shingled.alias("b")
+    rawpairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    s1, s2 = sizes.alias("s1"), sizes.alias("s2")
+    pairs = (
+        rawpairs.join(F.broadcast(s1), F.col("d1") == F.col("s1.doc_id"))
+        .join(F.broadcast(s2), F.col("d2") == F.col("s2.doc_id"))
+        .filter(
+            F.col("inter") / (F.col("s1.n") + F.col("s2.n") - F.col("inter")) >= 0.6
+        )
+        .select("d1", "d2")
+    )
+    edges = pairs.union(pairs.select(F.col("d2"), F.col("d1"))).toDF("src", "dst")
+    edges = edges.persist()
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(20):
+        nbr_min = (
+            edges.join(labels, F.col("src") == F.col("doc_id"))
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "cluster_id", F.coalesce("nbr_min", "cluster_id")
+                ).alias("cluster_id"),
+                (F.col("nbr_min") < F.col("cluster_id")).alias("changed"),
+            )
+            .persist()
+        )
+        changed = new_labels.filter("changed").count()
+        labels.unpersist()
+        labels = new_labels.select("doc_id", "cluster_id").persist()
+        new_labels.unpersist()
+        if changed == 0:
+            break
+    assigned = (
+        t.documents.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+        )
+    )
+    cw = Window.partitionBy("cluster_id")
+    return assigned.select(
+        "doc_id", "cluster_id", F.count(F.lit(1)).over(cw).alias("cluster_size")
+    )
+
+
 @op(
     "dedup_embedding",
     sql="""
