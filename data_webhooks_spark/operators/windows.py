@@ -222,3 +222,67 @@ def topn_per_group(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .select("user_id", "event_id", "value")
     )
+
+
+@op(
+    "win_sessionize",
+    sql="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w <= 1800000000
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts, event_id,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_no
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def win_sessionize(spark, sf_dir):
+    """Batch gap-based sessionization (the batch twin of
+    stream_session_agg's 30-minute session_window): a session break is
+    a gap > 30 min since the user's previous event; session number is
+    the running sum of break flags; one output row per session.
+
+    Two window passes over the same (user_id, ts-ordered) partitioning
+    plus the final groupBy — Spark plans a single sort+exchange that
+    all three reuse, so the whole operator costs one shuffle. Scales
+    by user_id cardinality; a hot user only serializes that user's
+    own timeline, which is inherent to session semantics."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact µs-epoch gap comparison (epoch_us on the DuckDB side):
+    # second-truncating casts would misclassify gaps near the boundary
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap_ok = (ts_us - F.lag(ts_us).over(w)) <= 1_800_000_000
+    flagged = t.events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap_ok, F.lit(0)).otherwise(F.lit(1)).alias("new_session"),
+    )
+    numbered = flagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("session_no"),
+    )
+    return numbered.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
