@@ -28,7 +28,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql.types import DecimalType
 
 # Wide enough for sf0.1 money sums (~3e10) with headroom to 100 TB-ish
 # partial aggregates; scale 2 matches cents semantics.
@@ -43,26 +42,32 @@ def _c(col: str | Column) -> Column:
 
 
 def _scaled_units(c: Column, scale: int) -> Column:
-    """``CAST(x AS DECIMAL(28,scale))`` re-expressed as integer units.
+    """``CAST(x AS DECIMAL(28,scale))`` re-expressed as BIGINT units.
 
     ``round-half-away(x * 10^scale)`` computed with FLOOR on the
     double (BIGINT result, sign-branched so negatives round away from
-    zero exactly like a decimal cast), then widened to DECIMAL(28,0)
-    from a *long* — Spark's Decimal-from-long stays in its compact
-    representation, whereas Decimal-from-double allocates a BigDecimal
-    per row (measured ~2x on the Q1 aggregate at sf0.1). Requires
-    |x|*10^scale < 2^53, which holds for every money/value column by
-    orders of magnitude; the DECIMAL(28,0) sum keeps 100 TB-scale
-    totals overflow-safe where a raw BIGINT sum would not be."""
+    zero exactly like a decimal cast). Requires |x|*10^scale < 2^53,
+    which holds for every money/value column by orders of magnitude."""
     m = F.lit(float(10**scale))
-    units = F.when(c >= 0, F.floor(c * m + F.lit(0.5))).otherwise(
+    return F.when(c >= 0, F.floor(c * m + F.lit(0.5))).otherwise(
         -F.floor(-c * m + F.lit(0.5))
     )
-    return units.cast(DecimalType(MONEY_PREC, 0))
 
 
 def dec_sum(col: str | Column, alias: str, scale: int = MONEY_SCALE) -> Column:
-    """Exact sum of doubles via decimal; result is a deterministic double."""
+    """Exact, order-independent sum of doubles; deterministic double out.
+
+    Integer-unit BIGINT sum, not DECIMAL: Spark's sum buffer for
+    precision>18 decimals stores a serialized BigDecimal in the
+    UnsafeRow (the compact-long fast path caps at 18 digits), measured
+    ~1.8x slower on the Q1 aggregate at sf0.1. A BIGINT unit sum is
+    exact while the group total stays under 2^63 units — ~9e7 rows per
+    group at the widest money scale (1e11 units/row), i.e. every local
+    SF with orders-of-magnitude headroom. At 100 TB-per-group totals
+    BIGINT would wrap silently; the scale-safe twin is the salted
+    two-level aggregate (`agg_salted_exact`): BIGINT partials per
+    (group, salt) bucket, DECIMAL(28) final over ~#buckets rows — all
+    the per-row work stays in codegen integer arithmetic."""
     m = 10**scale
     return (F.sum(_scaled_units(_c(col), scale)).cast("double") / F.lit(m)).alias(
         alias
@@ -70,7 +75,7 @@ def dec_sum(col: str | Column, alias: str, scale: int = MONEY_SCALE) -> Column:
 
 
 def dec_avg(col: str | Column, alias: str, scale: int = MONEY_SCALE) -> Column:
-    """Deterministic average: exact decimal sum -> double, / count."""
+    """Deterministic average: exact unit sum -> double, / count."""
     c = _c(col)
     m = 10**scale
     return (
@@ -109,16 +114,25 @@ def as_long(col: Column, alias: str) -> Column:
 # ---------- DuckDB oracle side (SQL string builders) ----------
 
 
-def o_dec_sum(expr: str, alias: str, scale: int = MONEY_SCALE) -> str:
+def _o_units(expr: str, scale: int) -> str:
+    """DuckDB twin of _scaled_units: identical sign-branched FLOOR."""
+    m = float(10**scale)
     return (
-        f"CAST(SUM(CAST({expr} AS DECIMAL({MONEY_PREC},{scale}))) AS DOUBLE)"
-        f" AS {alias}"
+        f"CASE WHEN ({expr}) >= 0"
+        f" THEN CAST(FLOOR(({expr}) * {m} + 0.5) AS BIGINT)"
+        f" ELSE -CAST(FLOOR(-({expr}) * {m} + 0.5) AS BIGINT) END"
     )
 
 
+def o_dec_sum(expr: str, alias: str, scale: int = MONEY_SCALE) -> str:
+    m = 10**scale
+    return f"CAST(SUM({_o_units(expr, scale)}) AS DOUBLE) / {m} AS {alias}"
+
+
 def o_dec_avg(expr: str, alias: str, scale: int = MONEY_SCALE) -> str:
+    m = 10**scale
     return (
-        f"CAST(SUM(CAST({expr} AS DECIMAL({MONEY_PREC},{scale}))) AS DOUBLE)"
+        f"CAST(SUM({_o_units(expr, scale)}) AS DOUBLE) / {m}"
         f" / COUNT({expr}) AS {alias}"
     )
 

@@ -391,3 +391,55 @@ def agg_string(spark, sf_dir):
     return t.events.groupBy("user_id").agg(
         F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias("types")
     )
+
+
+@op(
+    "agg_salted_exact",
+    sql=f"""
+    SELECT l_returnflag, l_linestatus,
+           {o_dec_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)',
+                      'sum_charge', 6)},
+           COUNT(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_salted_exact(spark, sf_dir):
+    """100 TB-safe exact money sum: salted two-level aggregation.
+
+    ``dec_sum``'s single BIGINT unit sum wraps once a *group's* total
+    exceeds 2^63 units (~9e7 rows/group at scale 6). This twin splits
+    every group into 8192 salt buckets keyed by ``xxhash64(pk)``:
+
+    - level 1 groups by (keys, salt) — per-row work is pure codegen
+      integer arithmetic, map-side partials bound each task's sum by
+      its row count, and each bucket's final BIGINT total stays under
+      2^63 up to ~7e11 rows/group (uniform hash);
+    - level 2 sums the ~8192 bucket subtotals per group as
+      DECIMAL(28,0) — the slow BigDecimal path touches only #buckets
+      rows, never the data.
+
+    The salt also breaks group-key skew: a single hot group shuffles as
+    8192 evenly-sized cells instead of one giant partition. The oracle
+    is the plain unit sum — both sides are exact integers, so the salt
+    is invisible in the result."""
+    from pyspark.sql.types import DecimalType
+
+    from ..norms import _scaled_units
+
+    t = Tables(spark, sf_dir)
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    )
+    salt = F.pmod(F.xxhash64("l_orderkey"), F.lit(8192)).alias("_salt")
+    partial = t.lineitem.groupBy("l_returnflag", "l_linestatus", salt).agg(
+        F.sum(_scaled_units(charge, 6)).alias("_units"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return partial.groupBy("l_returnflag", "l_linestatus").agg(
+        (
+            F.sum(F.col("_units").cast(DecimalType(28, 0))).cast("double")
+            / F.lit(10**6)
+        ).alias("sum_charge"),
+        F.sum("_n").alias("count_order"),
+    )
