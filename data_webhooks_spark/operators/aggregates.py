@@ -443,3 +443,38 @@ def agg_salted_exact(spark, sf_dir):
         ).alias("sum_charge"),
         F.sum("_n").alias("count_order"),
     )
+
+
+@op("agg_hll_sketch")
+def agg_hll_sketch(spark, sf_dir):
+    """Mergeable distinct-count sketches (Apache DataSketches HLL via
+    ``hll_sketch_agg``): per-event-type sketches of user_id, re-merged
+    with ``hll_union_agg`` into the global distinct alongside.
+
+    This is the 100 TB distinct-counting pattern: sketches are built
+    once per partition/day/type (map-side, fixed ~KB state), persisted
+    as BINARY, and any rollup — per type, per week, global — is a
+    cheap union of sketches instead of a re-scan of raw data. Exact
+    ``countDistinct`` re-shuffles every distinct value each time;
+    ``approx_count_distinct`` (HLL++) can't be merged after the fact.
+    Estimates are deterministic for fixed input; accuracy vs exact is
+    asserted in tests (rows-only driver check)."""
+    t = Tables(spark, sf_dir)
+    per_type = t.events.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", 14).alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    global_row = per_type.agg(
+        F.lit("__all__").alias("event_type"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        F.lit(None).cast("long").alias("exact_users"),
+    )
+    return (
+        per_type.select(
+            "event_type",
+            F.hll_sketch_estimate("sk").alias("approx_users"),
+            "exact_users",
+        )
+        .unionByName(global_row)
+        .orderBy("event_type")
+    )

@@ -1,0 +1,161 @@
+"""Deterministic sampling / split operators for training-data pipelines.
+
+A 100 TB corpus can't be sampled with RNG state: resuming a failed job
+or re-running a stage must select the *same* rows, and the sample
+decision must be computable row-locally (no shuffle, no global pass).
+Every operator here derives the decision from a content hash of a key:
+
+- reproducible across runs, engines, partitionings and cluster sizes;
+- pushes down as a plain filter (the parquet scan prunes nothing, but
+  the decision costs one hash per row and no exchange);
+- stratification and train/test splits are CASE arms over the same
+  hash, so one pass assigns everything consistently.
+
+The hash is the first 15 hex digits of md5 (60 bits, exactly
+representable in BIGINT on both engines), giving a uniform bucket in
+[0, 10000) via modulus. md5, not xxhash64: the oracle must compute the
+identical buckets and DuckDB's hash() family differs from Spark's.
+For hot paths where cross-engine parity is not required, xxhash64
+halves the per-row cost (codegen, no string round-trip).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..io import Tables
+from ..regutil import registrar
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+op = registrar(QUERIES, ORACLE)
+
+BUCKETS = 10_000
+
+
+def hash_bucket(col: F.Column) -> F.Column:
+    """Uniform deterministic bucket in [0, BUCKETS) from a column's
+    string form — codegen md5 + 60-bit hex slice, identical in the
+    DuckDB oracle."""
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10)
+    return F.pmod(h.cast("long"), F.lit(BUCKETS))
+
+
+def o_hash_bucket(expr: str) -> str:
+    """DuckDB twin of hash_bucket (same md5 slice, same modulus)."""
+    return (
+        f"CAST(('0x' || substr(md5(CAST(({expr}) AS VARCHAR)), 1, 15)) AS BIGINT)"
+        f" % {BUCKETS}"
+    )
+
+
+@op(
+    "sample_hash",
+    sql=f"""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE {o_hash_bucket('doc_id')} < 1000
+    """,
+)
+def sample_hash(spark, sf_dir):
+    """Deterministic 10% Bernoulli sample of the document corpus: keep
+    a row iff its key hashes into the first 1000 of 10000 buckets. No
+    RNG, no state — the same rows survive on every run at any scale."""
+    t = Tables(spark, sf_dir)
+    return t.documents.filter(hash_bucket(F.col("doc_id")) < 1000).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+@op(
+    "sample_stratified",
+    sql=f"""
+    WITH b AS (SELECT *, {o_hash_bucket('event_id')} AS bucket FROM events)
+    SELECT event_type, COUNT(*) AS n_sampled
+    FROM b
+    WHERE bucket < CASE event_type
+        WHEN 'click' THEN 200 WHEN 'view' THEN 100 ELSE 5000 END
+    GROUP BY event_type
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """Per-stratum sampling rates in one pass (downsample the abundant
+    classes, keep the rare ones): the rate is a CASE arm over the same
+    hash bucket, so stratification adds zero extra scans or shuffles."""
+    t = Tables(spark, sf_dir)
+    rate = (
+        F.when(F.col("event_type") == "click", 200)
+        .when(F.col("event_type") == "view", 100)
+        .otherwise(5000)
+    )
+    return (
+        t.events.filter(hash_bucket(F.col("event_id")) < rate)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+
+
+@op(
+    "split_train_test",
+    sql=f"""
+    WITH b AS (SELECT *, {o_hash_bucket('doc_id')} AS bucket FROM documents)
+    SELECT CASE WHEN bucket < 8000 THEN 'train'
+                WHEN bucket < 9000 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM b
+    GROUP BY 1
+    """,
+)
+def split_train_test(spark, sf_dir):
+    """80/10/10 train/val/test assignment from the key hash: stable
+    under re-runs, appends, and repartitioning — a document never
+    migrates between splits, which is the leakage guarantee a training
+    pipeline actually needs."""
+    t = Tables(spark, sf_dir)
+    b = hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(b < 8000, "train").when(b < 9000, "val").otherwise("test")
+    )
+    return (
+        t.documents.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+@op(
+    "sample_per_group",
+    sql=f"""
+    WITH r AS (
+        SELECT user_id, event_id, value,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY {o_hash_bucket('event_id')}, event_id
+               ) AS rn
+        FROM events
+    )
+    SELECT user_id, event_id, value FROM r WHERE rn <= 5
+    """,
+)
+def sample_per_group(spark, sf_dir):
+    """Fixed-size per-key sample (5 events per user): rank rows inside
+    each group by their key hash and keep the first k — a deterministic
+    stand-in for per-group reservoir sampling. One shuffle (the window
+    partitioning); ties broken by event_id so the pick is total-ordered."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        hash_bucket(F.col("event_id")), F.col("event_id")
+    )
+    return (
+        t.events.select(
+            "user_id", "event_id", "value", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )

@@ -74,3 +74,30 @@ def scan_csv(spark, sf_dir):
     """CSV scan with header + explicit schema."""
     path = derived_path(sf_dir, "customer.csv")
     return spark.read.csv(path, header=True, schema=CUSTOMER_CSV_SPARK_SCHEMA)
+
+
+@op(
+    "scan_orc",
+    sql="SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+)
+def scan_orc(spark, sf_dir):
+    """ORC scan: the customer fixture is written once to ORC under
+    .runtime (derived 1:1 from the driver's parquet, deterministic) and
+    read back with an explicit schema. The oracle reads the original
+    parquet view — same rows, proving the ORC round-trip is lossless.
+    DuckDB has no ORC reader, so parity runs through the content."""
+    import os
+
+    from ..sources.derived import DERIVED_DIR
+
+    sfname = os.path.basename(sf_dir.rstrip("/"))
+    path = f"{DERIVED_DIR}/{sfname}/customer_orc"
+    marker = f"{path}/_SUCCESS"
+    t = Tables(spark, sf_dir)
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    if not os.path.exists(marker):
+        t.customer.select(*cols).write.mode("overwrite").orc(path)
+    return spark.read.schema(
+        "c_custkey LONG, c_name STRING, c_nationkey INT, "
+        "c_acctbal DOUBLE, c_mktsegment STRING"
+    ).orc(path)

@@ -172,3 +172,48 @@ def test_json_corrupt_record_modes(spark, tmp_path):
     # struct) for unparseable or wrong-shape input
     assert parsed.filter("e.event_id IS NULL AND e.value IS NULL").count() == 2
     assert parsed.filter("e.event_id IS NOT NULL").count() == 2
+
+
+def test_hll_sketch_within_tolerance(spark, sf_dir):
+    """Sketch estimates must land within HLL error bounds of the exact
+    distinct count, and the merged global sketch must cover at least
+    the largest stratum."""
+    rows = {r["event_type"]: r for r in QUERIES["agg_hll_sketch"](spark, sf_dir).collect()}
+    assert "__all__" in rows
+    exacts = []
+    for et, r in rows.items():
+        if et == "__all__":
+            continue
+        exact, approx = r["exact_users"], r["approx_users"]
+        exacts.append(exact)
+        # lgConfigK=14 -> rse ~0.8%; allow 5% absolute slack
+        assert abs(approx - exact) <= max(2, 0.05 * exact), (et, exact, approx)
+    assert rows["__all__"]["approx_users"] >= 0.95 * max(exacts)
+
+
+def test_hash_sampling_deterministic_and_unbiased(spark, sf_dir):
+    """The hash sample must be identical across runs and within a loose
+    binomial envelope of the nominal 10% rate; splits must partition."""
+    a = {r["doc_id"] for r in QUERIES["sample_hash"](spark, sf_dir).collect()}
+    b = {r["doc_id"] for r in QUERIES["sample_hash"](spark, sf_dir).collect()}
+    assert a == b, "hash sample not deterministic"
+    from data_webhooks_spark.io import Tables
+
+    n = Tables(spark, sf_dir).documents.count()
+    rate = len(a) / n
+    assert 0.05 <= rate <= 0.15, rate
+
+    splits = {
+        r["split"]: r["n_docs"]
+        for r in QUERIES["split_train_test"](spark, sf_dir).collect()
+    }
+    assert sum(splits.values()) == n
+    assert splits["train"] > splits["val"] and splits["train"] > splits["test"]
+
+
+def test_sample_per_group_cap(spark, sf_dir):
+    rows = QUERIES["sample_per_group"](spark, sf_dir).collect()
+    from collections import Counter
+
+    per_user = Counter(r["user_id"] for r in rows)
+    assert per_user and max(per_user.values()) <= 5
