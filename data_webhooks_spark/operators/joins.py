@@ -145,16 +145,40 @@ def join_cross(spark, sf_dir):
     """,
 )
 def join_theta_range(spark, sf_dir):
-    """Non-equi band join; supplier side broadcast so the big side
-    never shuffles (BroadcastNestedLoopJoin)."""
+    """Non-equi band join rewritten as a banded bucket EQUI-join.
+
+    A naive BroadcastNestedLoopJoin evaluates |s| x |c| predicates —
+    O(n*m) dies long before 100 TB. Instead: quantize ``acctbal`` into
+    width-20 buckets (>= the band width, so a band spans at most two
+    buckets). Each customer lands in exactly one bucket; each supplier
+    explodes to the <=2 buckets its band overlaps. The join becomes a
+    plain hash equi-join on the bucket key with the exact BETWEEN as a
+    residual filter — cost scales with true collisions, shuffles
+    partition by bucket, and no customer can double-match because its
+    bucket is unique. Left semantics survive the explode: both supplier
+    bucket-rows group back to one s_suppkey and count(c_custkey)
+    ignores the null-match rows."""
     t = Tables(spark, sf_dir)
-    s, c = t.supplier, t.customer
-    cond = F.col("c_acctbal").between(
+    width = 20
+    s = t.supplier.select(
+        "s_suppkey",
+        "s_acctbal",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("s_acctbal") - 10) / width),
+                F.floor((F.col("s_acctbal") + 10) / width),
+            )
+        ).alias("bucket"),
+    )
+    c = t.customer.select(
+        "c_custkey", "c_acctbal", F.floor(F.col("c_acctbal") / width).alias("bucket")
+    )
+    cond = (F.col("s.bucket") == F.col("c.bucket")) & F.col("c_acctbal").between(
         F.col("s_acctbal") - 10, F.col("s_acctbal") + 10
     )
     return (
-        F.broadcast(s)
-        .join(c, cond, "left")
+        s.alias("s")
+        .join(c.alias("c"), cond, "left")
         .groupBy("s_suppkey")
         .agg(F.count(F.col("c_custkey")).alias("n_band_customers"))
     )

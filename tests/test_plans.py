@@ -176,3 +176,19 @@ def test_dedup_embedding_is_vectorized(spark, sf_dir, qs):
     plan = plan_of(qs["dedup_embedding"](spark, sf_dir))
     assert "MapInPandas" in plan
     assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_band_join_is_hash_not_nested_loop(spark, sf_dir, qs):
+    """The banded-bucket rewrite must plan an equi hash join with the
+    BETWEEN as residual — a BroadcastNestedLoopJoin here is the O(n*m)
+    shape that dies at scale."""
+    plan = plan_of(qs["join_theta_range"](spark, sf_dir))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "HashJoin" in plan
+
+
+def test_sample_filter_is_row_local(spark, sf_dir, qs):
+    """Hash sampling must not introduce any exchange — the decision is
+    a per-row filter."""
+    plan = plan_of(qs["sample_hash"](spark, sf_dir))
+    assert "Exchange" not in plan
