@@ -229,3 +229,83 @@ def post_events(port: int, bodies: list[str], timeout_s: float = 60.0) -> int:
     if conn is not None:
         conn.close()
     return accepted
+
+
+class WebhookCollector:
+    """Test/receiver helper for the *delivery* path (sink_webhook): a
+    threaded local HTTP endpoint that records every POSTed body.
+    Threaded because local-mode executors deliver partitions
+    concurrently — exactly like N remote webhook consumers."""
+
+    def __init__(self):
+        import threading
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        self.bodies: list[str] = []
+        self._lock = threading.Lock()
+        collector = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def do_POST(self):  # noqa: N802 (http.server API)
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n).decode()
+                with collector._lock:
+                    collector.bodies.append(body)
+                resp = b"ok"
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(resp)))
+                self.end_headers()
+                self.wfile.write(resp)
+
+            def log_message(self, *args):
+                pass
+
+        self._server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.port = self._server.server_address[1]
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True
+        )
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+
+
+def deliver_partition(port: int, rows, max_retries: int = 3) -> None:
+    """Executor-side webhook delivery for one partition: one keep-alive
+    connection, bounded retries with backoff, raises on exhaustion so
+    the micro-batch fails and replays (at-least-once; exactly-once
+    requires an idempotent receiver keyed on event_id)."""
+    import http.client
+    import json
+    import time
+
+    conn: http.client.HTTPConnection | None = None
+    for row in rows:
+        body = json.dumps(row.asDict(), default=str).encode()
+        for attempt in range(max_retries + 1):
+            try:
+                if conn is None:
+                    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=5)
+                conn.request(
+                    "POST", "/", body=body,
+                    headers={"Content-Type": "application/json"},
+                )
+                resp = conn.getresponse()
+                resp.read()
+                if resp.status == 200:
+                    break
+                if resp.status == 429:
+                    time.sleep(0.05 * (attempt + 1))
+            except (ConnectionError, OSError):
+                if conn is not None:
+                    conn.close()
+                conn = None
+                time.sleep(0.05 * (attempt + 1))
+        else:
+            raise RuntimeError(f"webhook delivery failed after {max_retries} retries")
+    if conn is not None:
+        conn.close()

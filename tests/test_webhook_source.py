@@ -72,3 +72,27 @@ def test_webhook_backpressure_and_buffer():
     assert buf.slice(0, 2) == [(1, "b")]  # offset stability after prune
     assert buf.head == 2
     assert buf.append("c", max_buffer=2) == 2
+
+
+def test_sink_webhook_delivers_exactly_the_filtered_events(spark, sf_dir):
+    """Every event below the cutoff must reach the collector exactly
+    once across micro-batches (delivery happens executor-side via
+    foreachPartition)."""
+    from data_webhooks_spark import registry
+
+    got = {
+        r["event_type"]: r["n_delivered"]
+        for r in registry.queries()["sink_webhook"](spark, sf_dir).collect()
+    }
+    from data_webhooks_spark.io import Tables
+    from pyspark.sql import functions as F
+
+    want = {
+        r["event_type"]: r["n"]
+        for r in Tables(spark, sf_dir)
+        .events.filter(F.col("event_id") < 1000)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
