@@ -247,6 +247,10 @@ class WebhookCollector:
 
         class Handler(BaseHTTPRequestHandler):
             protocol_version = "HTTP/1.1"
+            # Same Nagle+delayed-ACK stall as the ingest server: without
+            # this, each keep-alive response waits ~40ms (1000 deliveries
+            # measured 46s -> ~1s).
+            disable_nagle_algorithm = True
 
             def do_POST(self):  # noqa: N802 (http.server API)
                 n = int(self.headers.get("Content-Length", 0))
@@ -281,6 +285,7 @@ def deliver_partition(port: int, rows, max_retries: int = 3) -> None:
     requires an idempotent receiver keyed on event_id)."""
     import http.client
     import json
+    import socket
     import time
 
     conn: http.client.HTTPConnection | None = None
@@ -290,6 +295,10 @@ def deliver_partition(port: int, rows, max_retries: int = 3) -> None:
             try:
                 if conn is None:
                     conn = http.client.HTTPConnection("127.0.0.1", port, timeout=5)
+                    conn.connect()
+                    conn.sock.setsockopt(
+                        socket.IPPROTO_TCP, socket.TCP_NODELAY, 1
+                    )
                 conn.request(
                     "POST", "/", body=body,
                     headers={"Content-Type": "application/json"},
