@@ -9,6 +9,8 @@ keyed aggregations are uniform.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import functions as F
 
 from ..io import Tables
@@ -322,5 +324,116 @@ def text_tfidf(spark, sf_dir):
             F.round(
                 F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
             ).alias("tfidf"),
+        )
+    )
+
+
+@op(
+    "text_normalize",
+    sql="""
+    SELECT doc_id,
+           nfc_normalize(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS norm_text,
+           md5(nfc_normalize(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS norm_hash
+    FROM documents
+    """,
+)
+def text_normalize(spark, sf_dir):
+    """Canonical text normalization for dedup/training: collapse
+    whitespace, trim, lowercase (all codegen), then Unicode NFC via an
+    Arrow-batched pandas UDF (Spark SQL has no NFC builtin; DuckDB's
+    ``nfc_normalize`` and Python's ``unicodedata`` implement the same
+    Unicode normal form, so the md5 of the result hash-matches). The
+    norm_hash column is the content-address every exact-dedup pass
+    keys on."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: unicodedata.normalize("NFC", x))
+
+    t = Tables(spark, sf_dir)
+    base = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    return t.documents.select(
+        "doc_id", nfc(base).alias("norm_text")
+    ).withColumn("norm_hash", F.md5(F.col("norm_text")))
+
+
+@op(
+    "text_redact",
+    sql="""
+    SELECT event_id,
+           regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS props_redacted,
+           CAST(len(regexp_extract_all(props, '[0-9]+')) AS INT) AS n_redactions
+    FROM events
+    """,
+)
+def text_redact(spark, sf_dir):
+    """PII-shaped redaction pass (scrub numeric literals from the
+    payload): pure codegen regexp_replace plus a redaction count for
+    audit — the pattern set extends to emails/phones/ids without plan
+    changes. Row-local, zero-shuffle."""
+    t = Tables(spark, sf_dir)
+    return t.events.select(
+        "event_id",
+        F.regexp_replace("props", "[0-9]+", "<NUM>").alias("props_redacted"),
+        F.regexp_count("props", F.lit("[0-9]+")).cast("int").alias("n_redactions"),
+    )
+
+
+@op(
+    "pack_sequences",
+    sql="""
+    WITH sized AS (
+        SELECT lang, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    cum AS (
+        SELECT lang, doc_id, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tokens AS cum_before
+        FROM sized
+    )
+    SELECT lang,
+           CAST(FLOOR(cum_before / 2048) AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM cum
+    GROUP BY lang, seq_id
+    """,
+)
+def pack_sequences(spark, sf_dir):
+    """Pack documents into ~2048-token training sequences per language:
+    running token count over a deterministic order, sequence id =
+    floor(cumulative-start / budget) — the streaming-packing semantic
+    (a sequence may overrun by at most one document). One shuffle (the
+    per-lang window); at 100 TB the partition key becomes
+    (lang, shard) so no single language serializes the window."""
+    t = Tables(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sized = t.documents.select(
+        "lang", "doc_id", F.size(_tokens()).cast("long").alias("n_tokens")
+    )
+    cum = sized.withColumn(
+        "cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return (
+        cum.select(
+            "lang",
+            F.floor(F.col("cum_before") / 2048).alias("seq_id"),
+            "n_tokens",
+        )
+        .groupBy("lang", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
         )
     )
