@@ -101,3 +101,37 @@ def scan_orc(spark, sf_dir):
         "c_custkey LONG, c_name STRING, c_nationkey INT, "
         "c_acctbal DOUBLE, c_mktsegment STRING"
     ).orc(path)
+
+
+@op(
+    "scan_python_datasource",
+    sql=f"""
+    SELECT event_id, make_timestamp(ts_us) AS ts, user_id, event_type, value, props
+    FROM read_json('{ORACLE_EVENTS_JSONL}', format='newline_delimited',
+                   columns={EVENTS_JSON_COLUMNS})
+    """,
+)
+def scan_python_datasource(spark, sf_dir):
+    """Custom *batch* Python DataSource (`jsonl_ranges`): byte-range
+    partitioned JSONL scan — every line parsed by exactly one of the
+    planned range tasks (sources/jsonl_source.py). Same content oracle
+    as scan_json, proving the range-split ownership rule drops and
+    duplicates nothing."""
+    from ..sources.jsonl_source import JsonlRangeDataSource
+
+    spark.dataSource.register(JsonlRangeDataSource)
+    path = derived_path(sf_dir, "events.jsonl")
+    raw = (
+        spark.read.format("jsonl_ranges")
+        .option("path", path)
+        .option("n_partitions", 8)
+        .load()
+    )
+    return raw.select(
+        "event_id",
+        F.expr("CAST(timestamp_micros(ts_us) AS TIMESTAMP_NTZ)").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )

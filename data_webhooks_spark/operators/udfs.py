@@ -178,3 +178,57 @@ def map_in_pandas(spark, sf_dir):
         add_batch_stats,
         "event_id long, value double, batch_rank long, batch_rows long",
     )
+
+
+@op(
+    "cogrouped_map",
+    sql="""
+    WITH o AS (
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_open
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_custkey,
+           coalesce(o.n_orders, 0) AS n_orders,
+           coalesce(o.n_open, 0) AS n_open,
+           round(c.c_acctbal / greatest(coalesce(o.n_orders, 0), 1), 6)
+               AS bal_per_order
+    FROM customer c LEFT JOIN o ON c.c_custkey = o.o_custkey
+    """,
+)
+def cogrouped_map(spark, sf_dir):
+    """Cogrouped pandas transform: customer and orders grouped on the
+    same key arrive as two aligned pandas frames per key
+    (``GroupedData.cogroup(...).applyInPandas``) — the escape hatch for
+    per-key logic that needs BOTH sides at once (custom reconciliation,
+    feature joins, per-entity backfills). Cogroup shuffles each side
+    once on the key, like the join the oracle re-expresses; the pandas
+    stage adds the Arrow hop, so at 100 TB prefer the join+agg form
+    unless the per-key logic genuinely can't be expressed relationally."""
+    t = Tables(spark, sf_dir)
+
+    def reconcile(key, cust: pd.DataFrame, orders: pd.DataFrame) -> pd.DataFrame:
+        if cust.empty:
+            return pd.DataFrame(
+                columns=["c_custkey", "n_orders", "n_open", "bal_per_order"]
+            )
+        (custkey,) = key
+        n_orders = len(orders)
+        n_open = int((orders["o_orderstatus"] == "O").sum()) if n_orders else 0
+        bal = float(cust["c_acctbal"].iloc[0])
+        return pd.DataFrame(
+            {
+                "c_custkey": [custkey],
+                "n_orders": [n_orders],
+                "n_open": [n_open],
+                "bal_per_order": [round(bal / max(n_orders, 1), 6)],
+            }
+        )
+
+    c = t.customer.groupBy("c_custkey")
+    o = t.orders.groupBy("o_custkey")
+    return c.cogroup(o).applyInPandas(
+        reconcile,
+        "c_custkey long, n_orders long, n_open long, bal_per_order double",
+    )
