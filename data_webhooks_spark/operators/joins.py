@@ -8,9 +8,13 @@ Strategy notes (100 TB):
 - The as-of join is the union+ordered-window formulation: O(n log n)
   with a single shuffle by key, instead of the O(n·m) conditional-join
   blowup — this is the pattern that survives 100 TB.
-- The theta/band join keeps the small side broadcast (BroadcastNestedLoop);
-  at scale you'd band-bucket both sides first (equi-prejoin on bucket)
-  — join_interval demonstrates exactly that equi+residual shape.
+- The theta/band join band-buckets both sides into an equi hash join
+  with the range predicate as residual (join_theta_range); interval
+  joins pre-join on the natural equi key (join_interval) — no
+  nested-loop anywhere (plan-tested).
+- Skew: AQE skew-split covers the common case (test_plans /
+  test_quality prove it fires); join_skew_salted is the deterministic
+  manual fallback.
 """
 
 from __future__ import annotations
@@ -334,4 +338,48 @@ def join_multiway(spark, sf_dir):
     return j.groupBy("n_name").agg(
         dec_sum(revenue, "revenue", 4),
         F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@op(
+    "join_skew_salted",
+    sql="""
+    WITH dim AS (
+        SELECT user_id, MIN(ts) AS first_seen
+        FROM events GROUP BY user_id
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN e.ts = d.first_seen THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_first_events
+    FROM events e JOIN dim d ON e.user_id = d.user_id
+    GROUP BY e.event_type
+    """,
+)
+def join_skew_salted(spark, sf_dir):
+    """Manually salted join for skewed keys — the fallback when AQE's
+    skew split can't fire (e.g. the skewed side feeds a co-partitioned
+    downstream op, or the dim side must broadcast-replicate).
+
+    The fact side adds ``salt = pmod(xxhash64(event_id), 8)`` (a
+    deterministic row hash, NOT rand(): replays/retries must salt
+    identically); the dim side cross-joins the 8 salt values so every
+    (user_id, salt) cell exists. The join key becomes (user_id, salt),
+    splitting a hot user across 8 shuffle partitions for 8x dim
+    duplication — the classic trade. Result provably equals the
+    unsalted join (the oracle is the plain SQL join)."""
+    S = 8
+    t = Tables(spark, sf_dir)
+    dim = t.events.groupBy("user_id").agg(F.min("ts").alias("first_seen"))
+    salts = spark.range(S).select(F.col("id").cast("int").alias("salt"))
+    dim_rep = dim.crossJoin(F.broadcast(salts))
+    fact = t.events.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(S)).cast("int")
+    )
+    j = fact.join(dim_rep, ["user_id", "salt"])
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("ts") == F.col("first_seen"), 1).otherwise(0)
+        ).cast("long").alias("n_first_events"),
     )
