@@ -128,3 +128,29 @@ def filter_null_safe_eq(spark, sf_dir):
         .groupBy("l_returnflag", "l_linestatus")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@op(
+    "sql_passthrough",
+    sql="""
+    SELECT n.n_name,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_finished
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def sql_passthrough(spark, sf_dir):
+    """Entry point B (SURVEY §3.1 vs §3.2): the engine accepts raw SQL
+    text over registered views — the EXACT oracle string is executed by
+    ``spark.sql`` (it is engine-portable ANSI), landing in the same
+    Catalyst pipeline as the DataFrame API. Three-way agreement
+    (DataFrame plan ≡ Spark SQL ≡ DuckDB) is asserted in
+    tests/test_parity.py."""
+    t = Tables(spark, sf_dir)
+    for name in ("orders", "customer", "nation"):
+        getattr(t, name).createOrReplaceTempView(name)
+    return spark.sql(ORACLE["sql_passthrough"])
