@@ -109,19 +109,28 @@ def udaf_pandas(spark, sf_dir):
 def grouped_map(spark, sf_dir):
     """Per-group pandas transform (z-score normalize each user's values
     with applyInPandas); oracle is the window-function re-expression.
-    pandas std(ddof=1) == stddev_samp."""
+    pandas std(ddof=1) == stddev_samp.
+
+    Grouping is on a hash BUCKET of the key, not the key itself: Spark
+    invokes the pandas function once per group, so per-user grouping
+    pays one Python call + frame construction per user (unbounded at
+    100 TB), while bucketing bounds the call count to n_buckets and the
+    per-user logic runs as one vectorized groupby inside each bucket.
+    Requires only that the logic is per-key-local, which groupby
+    preserves inside the bucket."""
     t = Tables(spark, sf_dir)
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
-        v = pdf["value"]
-        z = (v - v.mean()) / v.std(ddof=1)
+        g = pdf.groupby("user_id")["value"]
+        z = (pdf["value"] - g.transform("mean")) / g.transform("std")
         return pd.DataFrame(
             {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "z": z.round(6)}
         )
 
     return (
         t.events.select("event_id", "user_id", "value")
-        .groupBy("user_id")
+        .withColumn("bucket", F.pmod("user_id", F.lit(64)))
+        .groupBy("bucket")
         .applyInPandas(zscore, "event_id long, user_id long, z double")
     )
 
@@ -205,29 +214,51 @@ def cogrouped_map(spark, sf_dir):
     feature joins, per-entity backfills). Cogroup shuffles each side
     once on the key, like the join the oracle re-expresses; the pandas
     stage adds the Arrow hop, so at 100 TB prefer the join+agg form
-    unless the per-key logic genuinely can't be expressed relationally."""
+    unless the per-key logic genuinely can't be expressed relationally.
+
+    Both sides cogroup on a hash BUCKET of the customer key rather than
+    the key itself: one Python invocation per bucket (bounded, 64)
+    instead of one per customer (unbounded at 100 TB), with the per-key
+    reconcile vectorized as a pandas groupby+merge inside the bucket.
+    Cogroup still shuffles each side exactly once, on the bucket."""
     t = Tables(spark, sf_dir)
 
-    def reconcile(key, cust: pd.DataFrame, orders: pd.DataFrame) -> pd.DataFrame:
+    def reconcile(cust: pd.DataFrame, orders: pd.DataFrame) -> pd.DataFrame:
         if cust.empty:
             return pd.DataFrame(
-                columns=["c_custkey", "n_orders", "n_open", "bal_per_order"]
+                {
+                    "c_custkey": pd.Series(dtype="int64"),
+                    "n_orders": pd.Series(dtype="int64"),
+                    "n_open": pd.Series(dtype="int64"),
+                    "bal_per_order": pd.Series(dtype="float64"),
+                }
             )
-        (custkey,) = key
-        n_orders = len(orders)
-        n_open = int((orders["o_orderstatus"] == "O").sum()) if n_orders else 0
-        bal = float(cust["c_acctbal"].iloc[0])
-        return pd.DataFrame(
-            {
-                "c_custkey": [custkey],
-                "n_orders": [n_orders],
-                "n_open": [n_open],
-                "bal_per_order": [round(bal / max(n_orders, 1), 6)],
-            }
+        per_cust = (
+            orders.assign(is_open=(orders["o_orderstatus"] == "O").astype("int64"))
+            .groupby("o_custkey")
+            .agg(n_orders=("o_custkey", "size"), n_open=("is_open", "sum"))
         )
+        out = cust[["c_custkey", "c_acctbal"]].merge(
+            per_cust, left_on="c_custkey", right_index=True, how="left"
+        )
+        out[["n_orders", "n_open"]] = (
+            out[["n_orders", "n_open"]].fillna(0).astype("int64")
+        )
+        out["bal_per_order"] = (
+            out["c_acctbal"] / out["n_orders"].clip(lower=1)
+        ).round(6)
+        return out[["c_custkey", "n_orders", "n_open", "bal_per_order"]]
 
-    c = t.customer.groupBy("c_custkey")
-    o = t.orders.groupBy("o_custkey")
+    c = (
+        t.customer.select("c_custkey", "c_acctbal")
+        .withColumn("bucket", F.pmod("c_custkey", F.lit(64)))
+        .groupBy("bucket")
+    )
+    o = (
+        t.orders.select("o_custkey", "o_orderstatus")
+        .withColumn("bucket", F.pmod("o_custkey", F.lit(64)))
+        .groupBy("bucket")
+    )
     return c.cogroup(o).applyInPandas(
         reconcile,
         "c_custkey long, n_orders long, n_open long, bal_per_order double",
