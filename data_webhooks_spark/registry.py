@@ -28,6 +28,7 @@ _MODULES = [
     "data_webhooks_spark.operators.multimodal",
     "data_webhooks_spark.operators.layout",
     "data_webhooks_spark.operators.sampling",
+    "data_webhooks_spark.operators.analytics",
     "data_webhooks_spark.streaming.queries",
     "data_webhooks_spark.streaming.webhook_query",
 ]
