@@ -1,0 +1,635 @@
+"""TPC-H-shaped end-to-end query suite over the fixture star schema.
+
+The fixtures are TPC-H-like (TESTDATA.md); this module re-expresses
+the classic benchmark queries against the columns that exist, so the
+engine demonstrates full multi-operator pipelines (scan -> filter ->
+multi-join -> agg -> having/window -> top-k) rather than isolated
+operators. Queries needing absent columns are adapted and say so:
+no `partsupp` table (Q2/Q11/Q16/Q20 dropped, Q9 profit = revenue),
+no commit/receipt dates (Q4 uses shipped-30-days-late), no
+`l_shipmode`/`c_phone` (Q12 dropped, Q22 groups by nation key).
+
+Determinism: every money aggregate goes through the norms.py exact
+scaled-BIGINT sum on both engines, so revenue-ranked top-k rows and
+revenue-equality subqueries (Q15) are bit-stable; every top-k ordering
+ends in a unique key.
+
+Scale: these plans are the canonical 100 TB shapes — star joins where
+Catalyst broadcasts the dims (region/nation/customer/part/supplier)
+and shuffles only the fact, partial aggregation before every
+exchange, TakeOrderedAndProject for top-k. AQE reorders and
+skew-splits at runtime stats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import Tables
+from ..norms import _scaled_units, dec_avg, dec_sum, o_dec_avg, o_dec_sum
+from ..regutil import registrar
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+op = registrar(QUERIES, ORACLE)
+
+# revenue = l_extendedprice (2 dp) * (1 - l_discount) (2 dp) -> exact
+# at 4 decimal digits; discounted tax products fit the same scale.
+REV = 4
+
+
+def _ts(s: str) -> F.Column:
+    return F.lit(s).cast("timestamp")
+
+
+@op(
+    "tpch_q3",
+    sql=f"""
+    SELECT l.l_orderkey,
+           {o_dec_sum("l.l_extendedprice * (1 - l.l_discount)", "revenue", REV)},
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01'
+      AND l.l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3(spark, sf_dir):
+    """Q3 shipping priority: unshipped high-value BUILDING orders.
+    Exact revenue makes the DESC top-10 bit-stable; ties end in the
+    unique l_orderkey."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(t.orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < _ts("1998-06-01"))
+        .join(t.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > _ts("1998-06-01"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+                REV,
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@op(
+    "tpch_q4",
+    sql="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def tpch_q4(spark, sf_dir):
+    """Q4 order-priority checking, adapted (no commit/receipt dates):
+    an order is 'late' if any line shipped >30 days after the order
+    date. Left-semi join keeps the plan an existence filter."""
+    t = Tables(spark, sf_dir)
+    o = t.orders.filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1996-04-01"))
+    )
+    late = o.join(
+        t.lineitem,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@op(
+    "tpch_q5",
+    sql=f"""
+    SELECT n.n_name,
+           {o_dec_sum("l.l_extendedprice * (1 - l.l_discount)", "revenue", REV)}
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q5(spark, sf_dir):
+    """Q5 local-supplier volume: revenue where the customer and the
+    supplier share a nation inside one region. Six-table star join —
+    all dims broadcast, the lineitem fact shuffles once for the agg."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.customer.join(t.orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(
+            (F.col("o_orderdate") >= _ts("1996-01-01"))
+            & (F.col("o_orderdate") < _ts("1997-01-01"))
+        )
+        .join(t.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            t.supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(t.nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(t.region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+                REV,
+            )
+        )
+    )
+
+
+@op(
+    "tpch_q6",
+    sql=f"""
+    SELECT {o_dec_sum("l_extendedprice * l_discount", "revenue", REV)}
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6(spark, sf_dir):
+    """Q6 forecasting-revenue change: pure scan+filter+global agg —
+    the predicate-pushdown showcase (all three filters reach the
+    parquet scan)."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= _ts("1997-01-01"))
+            & (F.col("l_shipdate") < _ts("1998-01-01"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        ).agg(dec_sum(F.col("l_extendedprice") * F.col("l_discount"), "revenue", REV))
+    )
+
+
+@op(
+    "tpch_q7",
+    sql=f"""
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           {o_dec_sum("l.l_extendedprice * (1 - l.l_discount)", "revenue", REV)}
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+    JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+    WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+       OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7(spark, sf_dir):
+    """Q7 volume shipping between two nations, both directions, by
+    ship year. The nation dim joins twice under different roles."""
+    t = Tables(spark, sf_dir)
+    ns = t.nation.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = t.nation.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        t.supplier.join(t.lineitem, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t.customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(ns, F.col("s_nationkey") == F.col("ns_key"))
+        .join(nc, F.col("c_nationkey") == F.col("nc_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+                REV,
+            )
+        )
+    )
+
+
+@op(
+    "tpch_q9",
+    sql=f"""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           {o_dec_sum("l.l_extendedprice * (1 - l.l_discount)", "profit", REV)}
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY nation, o_year
+    """,
+)
+def tpch_q9(spark, sf_dir):
+    """Q9 product-type profit, adapted: no partsupp/supplycost table,
+    so profit reduces to discounted revenue over the part-name-matched
+    lines, by supplier nation and order year."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.part.filter(F.col("p_name").like("%widget%"))
+        .join(t.lineitem, F.col("p_partkey") == F.col("l_partkey"))
+        .join(t.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t.nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "profit",
+                REV,
+            )
+        )
+    )
+
+
+@op(
+    "tpch_q10",
+    sql=f"""
+    SELECT c.c_custkey, c.c_name,
+           {o_dec_sum("l.l_extendedprice * (1 - l.l_discount)", "revenue", REV)},
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-07-01'
+      AND o.o_orderdate < TIMESTAMP '1997-10-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10(spark, sf_dir):
+    """Q10 returned-item reporting: top 20 customers by lost revenue
+    in a quarter."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.customer.join(t.orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(
+            (F.col("o_orderdate") >= _ts("1997-07-01"))
+            & (F.col("o_orderdate") < _ts("1997-10-01"))
+        )
+        .join(t.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_returnflag") == "R")
+        .join(t.nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+                REV,
+            )
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@op(
+    "tpch_q13",
+    sql="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                          AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def tpch_q13(spark, sf_dir):
+    """Q13 customer order-count distribution (join predicate inside
+    the LEFT JOIN, so order-less customers count as zero)."""
+    t = Tables(spark, sf_dir)
+    per_cust = (
+        t.customer.join(
+            t.orders.filter(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@op(
+    "tpch_q14",
+    sql="""
+    SELECT FLOOR(
+        100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+            THEN CASE WHEN (l.l_extendedprice * (1 - l.l_discount)) >= 0
+                 THEN CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount)) * 10000.0 + 0.5) AS BIGINT)
+                 ELSE -CAST(FLOOR(-(l.l_extendedprice * (1 - l.l_discount)) * 10000.0 + 0.5) AS BIGINT) END
+            ELSE 0 END) AS DOUBLE)
+        / CAST(SUM(
+            CASE WHEN (l.l_extendedprice * (1 - l.l_discount)) >= 0
+                 THEN CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount)) * 10000.0 + 0.5) AS BIGINT)
+                 ELSE -CAST(FLOOR(-(l.l_extendedprice * (1 - l.l_discount)) * 10000.0 + 0.5) AS BIGINT) END
+          ) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l.l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+)
+def tpch_q14(spark, sf_dir):
+    """Q14 promotion effect: % of one month's revenue from PROMO
+    parts. Both operand sums are exact BIGINT unit sums, so the final
+    ratio is one deterministic double division (quantized to 6 dp with
+    the codegen-friendly FLOOR form on both engines)."""
+    t = Tables(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    units = _scaled_units(rev, REV)
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", units).otherwise(F.lit(0))
+    ).cast("double")
+    total = F.sum(units).cast("double")
+    pct = 100.0 * promo / total
+    return (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= _ts("1997-09-01"))
+            & (F.col("l_shipdate") < _ts("1997-10-01"))
+        )
+        .join(t.part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (F.floor(pct * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+                "promo_revenue_pct"
+            )
+        )
+    )
+
+
+@op(
+    "tpch_q15",
+    sql=f"""
+    WITH rev AS (
+        SELECT l_suppkey AS supplier_no,
+               {o_dec_sum("l_extendedprice * (1 - l_discount)", "total_revenue", REV)}
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+)
+def tpch_q15(spark, sf_dir):
+    """Q15 top supplier: supplier(s) whose quarter revenue equals the
+    maximum. Revenue equality on doubles is safe only because both
+    sides derive the identical exact unit-sum value."""
+    t = Tables(spark, sf_dir)
+    rev = (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= _ts("1997-01-01"))
+            & (F.col("l_shipdate") < _ts("1997-04-01"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "total_revenue",
+                REV,
+            )
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        t.supplier.join(rev, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(mx, F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@op(
+    "tpch_q17",
+    sql=f"""
+    WITH avg_qty AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                   / COUNT(*) AS part_avg
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT FLOOR((
+        CAST(SUM(CASE WHEN l.l_extendedprice >= 0
+             THEN CAST(FLOOR(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)
+             ELSE -CAST(FLOOR(-l.l_extendedprice * 100.0 + 0.5) AS BIGINT) END)
+          AS DOUBLE) / 100.0 / 7.0) * 1000000.0 + 0.5) / 1000000.0
+        AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN avg_qty a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < 0.2 * a.part_avg
+    """,
+)
+def tpch_q17(spark, sf_dir):
+    """Q17 small-quantity-order revenue: lines under 20% of their
+    part's average quantity. Quantities are integral doubles, so the
+    per-part average is an exact integer sum / count on both engines
+    and the 0.2× threshold compares identically."""
+    t = Tables(spark, sf_dir)
+    avg_qty = t.lineitem.groupBy(F.col("l_partkey").alias("ak")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("long")).cast("double") / F.count("*")
+        ).alias("part_avg")
+    )
+    joined = (
+        t.lineitem.join(
+            t.part.filter(F.col("p_brand") == "Brand#1"),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(avg_qty, F.col("ak") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("part_avg"))
+    )
+    yearly = (
+        F.sum(_scaled_units(F.col("l_extendedprice"), 2)).cast("double")
+        / F.lit(100.0)
+        / F.lit(7.0)
+    )
+    return joined.agg(
+        (F.floor(yearly * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("avg_yearly")
+    )
+
+
+@op(
+    "tpch_q18",
+    sql="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS BIGINT)) > 300
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+)
+def tpch_q18(spark, sf_dir):
+    """Q18 large-volume customers: orders whose total quantity exceeds
+    300 units (quantities integral -> exact BIGINT sums)."""
+    t = Tables(spark, sf_dir)
+    big = (
+        t.lineitem.groupBy(F.col("l_orderkey").alias("bk"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
+        .filter(F.col("q") > 300)
+        .select("bk")
+    )
+    return (
+        t.customer.join(t.orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(big, F.col("o_orderkey") == F.col("bk"), "left_semi")
+        .join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sum_qty"))
+    )
+
+
+@op(
+    "tpch_q19",
+    sql=f"""
+    SELECT {o_dec_sum("l.l_extendedprice * (1 - l.l_discount)", "revenue", REV)}
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19(spark, sf_dir):
+    """Q19 discounted revenue over three OR-combined brand/size/
+    quantity arms — the disjunctive-predicate join shape."""
+    t = Tables(spark, sf_dir)
+    arm = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        t.lineitem.join(t.part, F.col("p_partkey") == F.col("l_partkey"))
+        .filter(arm)
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+                REV,
+            )
+        )
+    )
+
+
+@op(
+    "tpch_q22",
+    sql=f"""
+    WITH avg_bal AS (
+        SELECT {o_dec_avg("c_acctbal", "ab")} FROM customer
+        WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey,
+           COUNT(*) AS numcust,
+           {o_dec_sum("c.c_acctbal", "totacctbal")}
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT ab FROM avg_bal)
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderpriority = '1-URGENT'
+      )
+    GROUP BY c.c_nationkey
+    """,
+)
+def tpch_q22(spark, sf_dir):
+    """Q22 global sales opportunity, adapted (no phone column, and
+    every fixture customer has orders): rich customers (balance above
+    the positive-balance average) with no URGENT orders, by nation.
+    The average is the exact decimal form so the threshold compares
+    identically on both engines; the no-urgent-orders test is a
+    left-anti join."""
+    t = Tables(spark, sf_dir)
+    avg_bal = t.customer.filter(F.col("c_acctbal") > 0.0).agg(
+        dec_avg("c_acctbal", "ab")
+    )
+    return (
+        t.customer.crossJoin(avg_bal)
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(
+            t.orders.filter(F.col("o_orderpriority") == "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            dec_sum("c_acctbal", "totacctbal"),
+        )
+    )

@@ -29,6 +29,7 @@ _MODULES = [
     "data_webhooks_spark.operators.layout",
     "data_webhooks_spark.operators.sampling",
     "data_webhooks_spark.operators.analytics",
+    "data_webhooks_spark.operators.tpch",
     "data_webhooks_spark.streaming.queries",
     "data_webhooks_spark.streaming.webhook_query",
 ]
