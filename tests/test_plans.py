@@ -192,3 +192,54 @@ def test_sample_filter_is_row_local(spark, sf_dir, qs):
     a per-row filter."""
     plan = plan_of(qs["sample_hash"](spark, sf_dir))
     assert "Exchange" not in plan
+
+
+def test_tpch_q6_zero_shuffle_pushdown_scan(spark, sf_dir, qs):
+    """Q6 is scan -> filter -> global agg: no exchange beyond the
+    single-partition gather, and all three predicates must reach the
+    parquet scan as data filters."""
+    plan = plan_of(qs["tpch_q6"](spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    for c in ["l_shipdate", "l_discount", "l_quantity"]:
+        assert c in scan.split("DataFilters", 1)[-1], c
+
+
+def test_tpch_star_joins_broadcast_dims(spark, sf_dir, qs):
+    """q3/q5: every dimension broadcasts; the lineitem fact side flows
+    scan -> joins -> partial agg with exactly one hash exchange (the
+    final aggregation). q3 additionally plans its top-10 as
+    TakeOrderedAndProject (per-partition heaps, no global sort)."""
+    p3 = plan_of(qs["tpch_q3"](spark, sf_dir))
+    assert p3.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p3 and "CartesianProduct" not in p3
+    assert p3.count("Exchange hashpartitioning") == 1
+    assert "TakeOrderedAndProject" in p3
+
+    p5 = plan_of(qs["tpch_q5"](spark, sf_dir))
+    assert p5.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in p5 and "CartesianProduct" not in p5
+    assert p5.count("Exchange hashpartitioning") == 1
+
+
+def test_tpch_semi_anti_stay_existence_filters(spark, sf_dir, qs):
+    """q4/q18/q22: the EXISTS/NOT-EXISTS rewrites must plan as
+    semi/anti joins, never materialize the match side as an inner
+    join + distinct."""
+    for key, marker in [
+        ("tpch_q4", "LeftSemi"),
+        ("tpch_q18", "LeftSemi"),
+        ("tpch_q22", "LeftAnti"),
+    ]:
+        plan = plan_of(qs[key](spark, sf_dir))
+        assert marker in plan, f"{key}: expected {marker}"
+        assert "CartesianProduct" not in plan
+
+
+def test_event_paths_single_window_exchange(spark, sf_dir, qs):
+    """Path matrix: one exchange for the user_id window, one for the
+    (prev,curr) aggregation whose partials make the shuffled bytes
+    negligible — and nothing else."""
+    plan = plan_of(qs["event_paths"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "partial_count" in plan
