@@ -41,12 +41,14 @@ op = registrar(QUERIES, ORACLE)
         SELECT e.user_id, MIN(e.ts) AS t2
         FROM events e JOIN v ON e.user_id = v.user_id
         WHERE e.event_type = 'click' AND e.ts > v.t1
+          AND e.ts <= v.t1 + INTERVAL 6 HOUR
         GROUP BY e.user_id
     ),
     p AS (
         SELECT e.user_id, MIN(e.ts) AS t3
         FROM events e JOIN c ON e.user_id = c.user_id
         WHERE e.event_type = 'purchase' AND e.ts > c.t2
+          AND e.ts <= c.t2 + INTERVAL 6 HOUR
         GROUP BY e.user_id
     )
     SELECT (SELECT COUNT(*) FROM v) AS viewed_users,
@@ -59,9 +61,11 @@ op = registrar(QUERIES, ORACLE)
     """,
 )
 def funnel_conversion(spark, sf_dir):
-    """Strictly-ordered three-stage funnel (view -> click -> purchase):
-    a user advances to a stage only with an event strictly AFTER their
-    earliest arrival at the previous stage. Each stage is a per-user
+    """Strictly-ordered three-stage funnel (view -> click -> purchase)
+    with a 6-hour conversion window: a user advances to a stage only
+    with an event strictly AFTER their earliest arrival at the
+    previous stage and within the window (so the funnel discriminates
+    instead of saturating). Each stage is a per-user
     min-timestamp aggregation joined to the next stage's candidate
     events — all three joins share the user_id partitioning, and the
     final counts cross-join three single-row aggregates (broadcast,
@@ -76,14 +80,14 @@ def funnel_conversion(spark, sf_dir):
     c = (
         e.filter(F.col("event_type") == "click")
         .join(v, "user_id")
-        .filter(F.col("ts") > F.col("t1"))
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 6 HOURS")))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
     )
     p = (
         e.filter(F.col("event_type") == "purchase")
         .join(c, "user_id")
-        .filter(F.col("ts") > F.col("t2"))
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 6 HOURS")))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))
     )

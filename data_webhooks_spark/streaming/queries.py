@@ -460,3 +460,136 @@ def join_stream_stream(spark, sf_dir):
         & (F.col("c_ts") <= F.col("p_ts")),
     )
     return run_to_table(joined.select("purchase_id", "click_id"), "append")
+
+
+@op(
+    "stream_funnel",
+    sql="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t1
+          AND e.ts <= v.t1 + INTERVAL 6 HOUR
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2
+          AND e.ts <= c.t2 + INTERVAL 6 HOUR
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS viewed_users,
+           (SELECT COUNT(*) FROM c) AS clicked_users,
+           (SELECT COUNT(*) FROM p) AS purchased_users,
+           round((SELECT COUNT(*) FROM c)
+                 / greatest((SELECT COUNT(*) FROM v), 1), 6) AS view_to_click,
+           round((SELECT COUNT(*) FROM p)
+                 / greatest((SELECT COUNT(*) FROM c), 1), 6) AS click_to_purchase
+    """,
+)
+def stream_funnel(spark, sf_dir):
+    """Continuous funnel: the streaming twin of `funnel_conversion`
+    (§2.12), and the strongest correctness statement in the streaming
+    family — per-user stage state maintained incrementally across
+    micro-batches must converge to EXACTLY the batch funnel's answer,
+    which is the DuckDB oracle.
+
+    State per user is the minimal sufficient set for the strict
+    ordering under out-of-order arrival: the earliest view timestamp
+    plus all click/purchase timestamps seen (a later batch can lower
+    t1 and retroactively qualify an earlier click, so click/purchase
+    candidates can't be discarded until the stream is bounded by a
+    watermark; at 100 TB the lists are capped by keeping only
+    candidates within the watermark horizon — same contract as every
+    watermarked state operator)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    tune(spark)
+    # late=True replays ~3% of rows one chunk out of order: the state
+    # logic must converge to the batch answer under disorder (a late
+    # view can retroactively qualify an already-seen click).
+    s = read_replay_stream(spark, sf_dir, late=True, files_per_trigger=2).filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+
+    def track(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            n, min_view, clicks, purchases = state.get
+            clicks, purchases = list(clicks), list(purchases)
+        else:
+            n, min_view, clicks, purchases = 0, None, [], []
+        for pdf in pdf_iter:
+            n += len(pdf)
+            ts = pdf["ts"].astype("datetime64[ns]").astype("int64")
+            et = pdf["event_type"]
+            views = ts[et == "view"]
+            if len(views):
+                mv = int(views.min())
+                min_view = mv if min_view is None else min(min_view, mv)
+            clicks.extend(int(x) for x in ts[et == "click"])
+            purchases.extend(int(x) for x in ts[et == "purchase"])
+        state.update((n, min_view, clicks, purchases))
+        W = 6 * 3600 * 10**9  # 6-hour conversion window, ns
+        t1 = min_view
+        t2 = min(
+            (c for c in clicks if t1 is not None and t1 < c <= t1 + W),
+            default=None,
+        )
+        t3 = min(
+            (p for p in purchases if t2 is not None and t2 < p <= t2 + W),
+            default=None,
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_seen": [n],
+                "viewed": [t1 is not None],
+                "clicked": [t2 is not None],
+                "purchased": [t3 is not None],
+            }
+        )
+
+    updates = s.groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType=(
+            "user_id long, n_seen long, viewed boolean, "
+            "clicked boolean, purchased boolean"
+        ),
+        stateStructType=(
+            "n long, min_view long, clicks array<long>, purchases array<long>"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    all_updates = run_to_table(updates, "update")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_seen").desc())
+    final = (
+        all_updates.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    counts = final.agg(
+        F.count(F.when(F.col("viewed"), 1)).alias("viewed_users"),
+        F.count(F.when(F.col("clicked"), 1)).alias("clicked_users"),
+        F.count(F.when(F.col("purchased"), 1)).alias("purchased_users"),
+    )
+    return counts.select(
+        "viewed_users",
+        "clicked_users",
+        "purchased_users",
+        F.round(
+            F.col("clicked_users") / F.greatest(F.col("viewed_users"), F.lit(1)), 6
+        ).alias("view_to_click"),
+        F.round(
+            F.col("purchased_users") / F.greatest(F.col("clicked_users"), F.lit(1)),
+            6,
+        ).alias("click_to_purchase"),
+    )
