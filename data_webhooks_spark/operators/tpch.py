@@ -633,3 +633,67 @@ def tpch_q22(spark, sf_dir):
             dec_sum("c_acctbal", "totacctbal"),
         )
     )
+
+
+@op(
+    "tpch_q8",
+    sql="""
+    SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           FLOOR(
+             CAST(SUM(CASE WHEN ns.n_name = 'NATION_3'
+                 THEN CASE WHEN (l.l_extendedprice * (1 - l.l_discount)) >= 0
+                      THEN CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount)) * 10000.0 + 0.5) AS BIGINT)
+                      ELSE -CAST(FLOOR(-(l.l_extendedprice * (1 - l.l_discount)) * 10000.0 + 0.5) AS BIGINT) END
+                 ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(
+                 CASE WHEN (l.l_extendedprice * (1 - l.l_discount)) >= 0
+                      THEN CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount)) * 10000.0 + 0.5) AS BIGINT)
+                      ELSE -CAST(FLOOR(-(l.l_extendedprice * (1 - l.l_discount)) * 10000.0 + 0.5) AS BIGINT) END
+               ) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS mkt_share
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+    JOIN region r ON nc.n_regionkey = r.r_regionkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+    WHERE r.r_name = 'EUROPE'
+    GROUP BY o_year
+    """,
+)
+def tpch_q8(spark, sf_dir):
+    """Q8 national market share, adapted (no p_type 'ECONOMY ANODIZED
+    STEEL' needed): NATION_3's share of supplied revenue to EUROPE
+    customers per order year. Both ratio operands are exact BIGINT
+    unit sums over the same rows, so the share is one deterministic
+    double division per year on both engines. The nation dim joins
+    twice (customer region gate vs supplier share condition)."""
+    t = Tables(spark, sf_dir)
+    nc = t.nation.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_region")
+    )
+    ns = t.nation.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev_units = _scaled_units(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), REV
+    )
+    share = (
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_3", rev_units).otherwise(F.lit(0))
+        ).cast("double")
+        / F.sum(rev_units).cast("double")
+    )
+    return (
+        t.lineitem.join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t.customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(nc, F.col("c_nationkey") == F.col("nc_key"))
+        .join(t.region, F.col("nc_region") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .join(t.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(ns, F.col("s_nationkey") == F.col("ns_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (F.floor(share * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("mkt_share")
+        )
+    )

@@ -40,6 +40,9 @@ KEYS = [
     "text_tfidf",
     "dedup_content_hash",
     "dedup_embedding",
+    "tpch_q5",
+    "tpch_q18",
+    "funnel_conversion",
 ]
 MAX_FACTOR = {"dedup_embedding": 10}
 # Tables the amplified queries touch. Keyed tables get their ids
