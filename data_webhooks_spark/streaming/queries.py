@@ -176,8 +176,12 @@ def stream_dedup(spark, sf_dir):
     dropDuplicatesWithinWatermark must emit each exactly once — output
     equals the plain events table."""
     tune(spark)
-    a = read_replay_stream(spark, sf_dir)
-    b = read_replay_stream(spark, sf_dir)
+    # 2 files/trigger: dedup across a batch boundary is still
+    # exercised (2 micro-batches) at half the state-commit overhead;
+    # output is batching-invariant since each id's duplicate arrives
+    # in the same batch as the original.
+    a = read_replay_stream(spark, sf_dir, files_per_trigger=2)
+    b = read_replay_stream(spark, sf_dir, files_per_trigger=2)
     deduped = (
         a.unionByName(b)
         .withWatermark("ts", "2 hours")
@@ -431,10 +435,12 @@ def join_stream_static(spark, sf_dir):
 def join_stream_stream(spark, sf_dir):
     """Stream-stream inner join with watermark-bounded time range:
     clicks within the hour before each purchase. Inner joins emit every
-    match exactly once regardless of batching -> equals the batch join."""
+    match exactly once regardless of batching -> equals the batch join
+    (2 files/trigger: cross-batch matches still exercised at half the
+    state-commit overhead)."""
     tune(spark)
     p = (
-        read_replay_stream(spark, sf_dir)
+        read_replay_stream(spark, sf_dir, files_per_trigger=2)
         .filter(F.col("event_type") == "purchase")
         .withWatermark("ts", "2 hours")
         .select(
@@ -444,7 +450,7 @@ def join_stream_stream(spark, sf_dir):
         )
     )
     c = (
-        read_replay_stream(spark, sf_dir)
+        read_replay_stream(spark, sf_dir, files_per_trigger=2)
         .filter(F.col("event_type") == "click")
         .withWatermark("ts", "2 hours")
         .select(
