@@ -235,6 +235,14 @@ def agg_stats(spark, sf_dir):
     """,
 )
 def agg_percentile(spark, sf_dir):
+    """Exact percentiles via Spark's Percentile aggregate, which
+    buffers a value->count map per group: right at fixture scale
+    (measured 2x faster than a sort-based rank rewrite), but the map
+    grows with distinct values per group, so on near-unique columns at
+    100 TB the scale paths are (a) `approx_percentile` (fixed-size
+    sketch, see this module) or (b) the sort-based exact form: window
+    row_number over (group, value) + count, keep the two boundary
+    ranks, interpolate — one range-partitioned sort, O(1) state."""
     t = Tables(spark, sf_dir)
     return t.lineitem.groupBy("l_returnflag").agg(
         F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50_qty"),
