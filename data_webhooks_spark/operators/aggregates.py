@@ -76,6 +76,7 @@ def agg_groupby(spark, sf_dir):
     """,
 )
 def agg_global(spark, sf_dir):
+    """No-group aggregates over the fact table (sum/avg/min/max/count in one pass)."""
     t = Tables(spark, sf_dir)
     return t.lineitem.agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -97,6 +98,7 @@ def agg_global(spark, sf_dir):
     """,
 )
 def agg_count_distinct(spark, sf_dir):
+    """Exact per-group distinct count (re-shuffles distinct values; the HLL sketch twin is the 100 TB path)."""
     t = Tables(spark, sf_dir)
     return t.lineitem.groupBy("l_returnflag").agg(
         F.countDistinct("l_suppkey").alias("n_supp"),
@@ -129,6 +131,7 @@ def agg_approx_count_distinct(spark, sf_dir):
     """,
 )
 def agg_having(spark, sf_dir):
+    """Post-aggregation filter (HAVING): predicate on the aggregated value, planned after the final agg."""
     t = Tables(spark, sf_dir)
     return (
         t.orders.groupBy("o_custkey")
@@ -153,6 +156,7 @@ def agg_having(spark, sf_dir):
     """,
 )
 def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS with grouping_id to tell the granularities apart."""
     t = Tables(spark, sf_dir)
     return t.lineitem.groupingSets(
         [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
@@ -177,6 +181,7 @@ def agg_grouping_sets(spark, sf_dir):
     """,
 )
 def agg_rollup(spark, sf_dir):
+    """ROLLUP hierarchy (key, subkey) -> per-level subtotals + grand total."""
     t = Tables(spark, sf_dir)
     return t.orders.rollup("o_orderstatus", "o_orderpriority").agg(
         dec_sum("o_totalprice", "sum_price"),
@@ -195,6 +200,7 @@ def agg_rollup(spark, sf_dir):
     """,
 )
 def agg_cube(spark, sf_dir):
+    """CUBE over two keys: all 4 grouping-set combinations with grouping-id disambiguation, expanded after partial aggregation."""
     t = Tables(spark, sf_dir)
     return t.events.cube("event_type", "user_id").agg(
         dec_sum("value", "sum_value", 4),
@@ -215,6 +221,7 @@ def agg_cube(spark, sf_dir):
     """,
 )
 def agg_stats(spark, sf_dir):
+    """Order-sensitive statistics (stddev/variance/corr) rounded to a digit budget both engines agree on."""
     t = Tables(spark, sf_dir)
     return t.lineitem.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
@@ -261,6 +268,7 @@ def agg_percentile(spark, sf_dir):
     """,
 )
 def agg_collect(spark, sf_dir):
+    """Per-group sorted distinct list (collect_set + array_sort keeps the result order-deterministic)."""
     t = Tables(spark, sf_dir)
     return t.lineitem.groupBy("l_returnflag").agg(
         F.array_sort(F.collect_set("l_linestatus")).alias("statuses"),
@@ -279,6 +287,7 @@ def agg_collect(spark, sf_dir):
     """,
 )
 def agg_conditional(spark, sf_dir):
+    """Filtered aggregates (sum/count over CASE arms) — the pivot-style conditional aggregation shape."""
     t = Tables(spark, sf_dir)
     return t.events.groupBy("user_id").agg(
         dec_sum(

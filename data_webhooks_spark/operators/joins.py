@@ -40,6 +40,7 @@ op = registrar(QUERIES, ORACLE)
     """,
 )
 def join_inner_equi(spark, sf_dir):
+    """Inner equi-join; Catalyst picks broadcast vs shuffle strategy by size estimate."""
     t = Tables(spark, sf_dir)
     return (
         t.orders.filter(F.col("o_orderstatus") == "F")
@@ -57,6 +58,7 @@ def join_inner_equi(spark, sf_dir):
     """,
 )
 def join_left_outer(spark, sf_dir):
+    """Left outer equi-join with null-extended right side."""
     t = Tables(spark, sf_dir)
     o = t.orders.filter(F.col("o_orderstatus") == "P")
     return t.customer.join(
@@ -73,6 +75,7 @@ def join_left_outer(spark, sf_dir):
     """,
 )
 def join_right_outer(spark, sf_dir):
+    """Right outer equi-join."""
     t = Tables(spark, sf_dir)
     o = t.orders.filter(F.col("o_totalprice") > 400000)
     return o.join(
@@ -90,6 +93,7 @@ def join_right_outer(spark, sf_dir):
     """,
 )
 def join_full_outer(spark, sf_dir):
+    """Full outer equi-join preserving both unmatched sides."""
     t = Tables(spark, sf_dir)
     e = t.events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
     c = t.customer.filter(F.col("c_custkey") <= 300).select("c_custkey", "c_name")
@@ -107,6 +111,7 @@ def join_full_outer(spark, sf_dir):
     """,
 )
 def join_left_semi(spark, sf_dir):
+    """Left semi join: existence filter (EXISTS) that emits the left side once."""
     t = Tables(spark, sf_dir)
     o = t.orders.filter(F.col("o_orderstatus") == "P")
     return t.customer.join(
@@ -122,6 +127,7 @@ def join_left_semi(spark, sf_dir):
     """,
 )
 def join_left_anti(spark, sf_dir):
+    """Left anti join: rows with NO match (NOT EXISTS), never materializing the match side."""
     t = Tables(spark, sf_dir)
     return t.customer.join(
         t.orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
@@ -135,6 +141,7 @@ def join_left_anti(spark, sf_dir):
     """,
 )
 def join_cross(spark, sf_dir):
+    """Cartesian product of two SMALL sides (region x nation) — crossJoin is gated by size by design."""
     t = Tables(spark, sf_dir)
     return t.region.crossJoin(t.nation).select("r_name", "n_name")
 
@@ -283,6 +290,7 @@ def join_asof(spark, sf_dir):
     """,
 )
 def join_self(spark, sf_dir):
+    """Self-join under two aliases (pairing rows of one table with itself on a key)."""
     t = Tables(spark, sf_dir)
     o1 = t.orders.alias("o1")
     o2 = t.orders.alias("o2")

@@ -43,6 +43,7 @@ def project(spark, sf_dir):
     sql="SELECT event_id, user_id, value FROM events WHERE value > 90",
 )
 def filter_simple(spark, sf_dir):
+    """Single comparison predicate, pushed into the parquet scan (plan-tested)."""
     t = Tables(spark, sf_dir)
     return t.events.filter(F.col("value") > 90).select("event_id", "user_id", "value")
 
@@ -59,6 +60,7 @@ def filter_simple(spark, sf_dir):
     """,
 )
 def filter_compound(spark, sf_dir):
+    """AND/OR/NOT + IN + BETWEEN + null tests combined in one pushable predicate."""
     t = Tables(spark, sf_dir)
     return t.lineitem.filter(
         F.col("l_discount").between(0.02, 0.05)
@@ -77,6 +79,7 @@ def filter_compound(spark, sf_dir):
     """,
 )
 def filter_like(spark, sf_dir):
+    """Pattern predicates: LIKE / rlike / startswith, evaluated in codegen."""
     t = Tables(spark, sf_dir)
     return t.part.filter(
         F.col("p_type").like("PROMO%")
@@ -98,6 +101,7 @@ def filter_like(spark, sf_dir):
     """,
 )
 def case_when(spark, sf_dir):
+    """Conditional projection: CASE WHEN ladders compiled into codegen expressions."""
     t = Tables(spark, sf_dir)
     bucket = (
         F.when(F.col("value") < 10, "low")

@@ -40,6 +40,7 @@ op = registrar(QUERIES, ORACLE)
     """,
 )
 def str_funcs(spark, sf_dir):
+    """String family: concat/substring/case/trim/pad/length/split/initcap/replace."""
     t = Tables(spark, sf_dir)
     return t.customer.select(
         "c_custkey",
@@ -68,6 +69,7 @@ def str_funcs(spark, sf_dir):
     """,
 )
 def str_regex(spark, sf_dir):
+    """Regex extract/replace/match over the string columns."""
     t = Tables(spark, sf_dir)
     return t.part.filter(F.col("p_type").rlike("BRUSHED|PLATED|PROMO")).select(
         "p_partkey",
@@ -93,6 +95,7 @@ def str_regex(spark, sf_dir):
     """,
 )
 def date_funcs(spark, sf_dir):
+    """Calendar functions: year/month/day, date_trunc, date_add, datediff, last_day, dayofweek."""
     t = Tables(spark, sf_dir)
     d = F.col("o_orderdate")
     return t.orders.select(
@@ -123,6 +126,7 @@ def date_funcs(spark, sf_dir):
     """,
 )
 def ts_funcs(spark, sf_dir):
+    """Timestamp conversions: to_date, unix_timestamp round-trips, UTC-pinned session timezone."""
     t = Tables(spark, sf_dir)
     ts = F.col("ts")
     return t.events.select(
@@ -154,6 +158,7 @@ def ts_funcs(spark, sf_dir):
     """,
 )
 def math_funcs(spark, sf_dir):
+    """Math family: abs/ceil/floor/pow/sqrt/ln/log10/mod/sign/greatest/least with floor-quantized rounding (stays in codegen)."""
     t = Tables(spark, sf_dir)
     price, qty = F.col("l_extendedprice"), F.col("l_quantity")
     return t.lineitem.select(
@@ -188,6 +193,7 @@ def math_funcs(spark, sf_dir):
     """,
 )
 def null_funcs(spark, sf_dir):
+    """Null handling: coalesce, nullif, nvl, nanvl."""
     t = Tables(spark, sf_dir)
     return t.customer.select(
         "c_custkey",

@@ -34,6 +34,7 @@ op = registrar(QUERIES, ORACLE)
     """,
 )
 def arr_basic(spark, sf_dir):
+    """Array basics over embeddings: size/contains/element_at/slice/sort/distinct."""
     t = Tables(spark, sf_dir)
     e = F.col("embedding")
     return t.embeddings.select(

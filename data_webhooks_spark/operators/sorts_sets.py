@@ -32,6 +32,7 @@ op = registrar(QUERIES, ORACLE)
     """,
 )
 def sort_multi(spark, sf_dir):
+    """Multi-key global sort with explicit asc/desc and nulls-first/last on every key."""
     t = Tables(spark, sf_dir)
     return (
         t.orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
@@ -49,6 +50,7 @@ def sort_multi(spark, sf_dir):
     sql="SELECT o_orderkey, o_custkey FROM orders ORDER BY o_orderkey LIMIT 50",
 )
 def limit(spark, sf_dir):
+    """LIMIT after a fully-determined sort (deterministic first-N)."""
     t = Tables(spark, sf_dir)
     return (
         t.orders.select("o_orderkey", "o_custkey").orderBy("o_orderkey").limit(50)
@@ -86,6 +88,7 @@ def topk(spark, sf_dir):
     """,
 )
 def set_union_all(spark, sf_dir):
+    """Bag union by column name (UNION ALL)."""
     t = Tables(spark, sf_dir)
     u = t.customer.select(F.col("c_nationkey").alias("nkey")).unionByName(
         t.supplier.select(F.col("s_nationkey").alias("nkey"))
@@ -102,6 +105,7 @@ def set_union_all(spark, sf_dir):
     """,
 )
 def set_union_distinct(spark, sf_dir):
+    """Set union with duplicate elimination."""
     t = Tables(spark, sf_dir)
     return (
         t.customer.select(F.col("c_nationkey").alias("nkey"))
@@ -119,6 +123,7 @@ def set_union_distinct(spark, sf_dir):
     """,
 )
 def set_intersect(spark, sf_dir):
+    """Set intersection (INTERSECT DISTINCT)."""
     t = Tables(spark, sf_dir)
     return t.customer.select(F.col("c_nationkey").alias("nkey")).intersect(
         t.supplier.select(F.col("s_nationkey").alias("nkey"))
@@ -134,6 +139,7 @@ def set_intersect(spark, sf_dir):
     """,
 )
 def set_except(spark, sf_dir):
+    """Set difference (EXCEPT DISTINCT)."""
     t = Tables(spark, sf_dir)
     return t.customer.select(F.col("c_nationkey").alias("nkey")).subtract(
         t.supplier.select(F.col("s_nationkey").alias("nkey"))
@@ -149,6 +155,7 @@ def set_except(spark, sf_dir):
     """,
 )
 def set_intersect_all(spark, sf_dir):
+    """Bag intersection (INTERSECT ALL)."""
     t = Tables(spark, sf_dir)
     f = t.orders.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
     o = t.orders.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
@@ -164,6 +171,7 @@ def set_intersect_all(spark, sf_dir):
     """,
 )
 def set_except_all(spark, sf_dir):
+    """Bag difference (EXCEPT ALL) — multiplicity-aware."""
     t = Tables(spark, sf_dir)
     f = t.orders.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
     p = t.orders.filter(F.col("o_orderstatus") == "P").select("o_orderpriority")

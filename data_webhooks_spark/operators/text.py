@@ -42,6 +42,7 @@ def _tokens():
     """,
 )
 def text_stats(spark, sf_dir):
+    """Corpus statistics per language: doc counts, length and word-count aggregates."""
     t = Tables(spark, sf_dir)
     n_words = F.size(_tokens())
     return t.documents.groupBy("lang").agg(

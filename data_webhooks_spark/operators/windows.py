@@ -40,6 +40,7 @@ _DEC = DecimalType(28, 4)
     """,
 )
 def win_ranking(spark, sf_dir):
+    """rank / dense_rank / row_number / ntile / percent_rank per partition; unique-key orderings pin tie placement."""
     t = Tables(spark, sf_dir)
     w_ties = Window.partitionBy("event_type").orderBy("user_id")
     w_uniq = Window.partitionBy("event_type").orderBy("user_id", "event_id")
@@ -68,6 +69,7 @@ def win_ranking(spark, sf_dir):
     """,
 )
 def win_lag_lead(spark, sf_dir):
+    """lag/lead neighbors within each user's time-ordered history (time since previous event)."""
     t = Tables(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
@@ -97,6 +99,7 @@ def win_lag_lead(spark, sf_dir):
     """,
 )
 def win_running(spark, sf_dir):
+    """Running totals and cumulative averages over unbounded-preceding frames (decimal-exact sums)."""
     t = Tables(spark, sf_dir)
     w = (
         Window.partitionBy("user_id")
@@ -123,6 +126,7 @@ def win_running(spark, sf_dir):
     """,
 )
 def win_sliding_rows(spark, sf_dir):
+    """Moving aggregate over the last N rows of each partition (rowsBetween frame)."""
     t = Tables(spark, sf_dir)
     w = (
         Window.partitionBy("user_id")
@@ -186,6 +190,7 @@ def win_range_time(spark, sf_dir):
     """,
 )
 def win_first_last(spark, sf_dir):
+    """first/last value (ignoring nulls) over a fully-determined window frame."""
     t = Tables(spark, sf_dir)
     w = (
         Window.partitionBy("user_id")

@@ -58,6 +58,7 @@ def _bodies(sf_dir: str) -> list[str]:
     """,
 )
 def source_webhook(spark, sf_dir):
+    """Streaming HTTP webhook source: POSTs buffered by the Python DataSource reader, exactly-once offset replay (see sources/webhook.py)."""
     tune(spark)
     spark.dataSource.register(WebhookDataSource)
 
