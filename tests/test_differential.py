@@ -161,3 +161,68 @@ def test_generated_topk_agrees(spark, sf_dir, duck, t, fspecs, k):
     )
     probs = compare_frames(sdf.toPandas(), duck.execute(sql).df())
     assert not probs, f"{sql}\n{probs}"
+
+
+WIN_FNS = ["row_number", "rank", "dense_rank", "lag", "lead", "run_count"]
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    fspecs=st.lists(filters, min_size=0, max_size=2),
+    pcol=st.sampled_from(KEY_COLS),
+    ocol=st.sampled_from(NUM_COLS),
+    fn=st.sampled_from(WIN_FNS),
+)
+def test_generated_window_agrees(spark, sf_dir, duck, t, fspecs, pcol, ocol, fn):
+    """Generated window queries: rank-family over value ties (rank is
+    tie-invariant), and order-sensitive fns (row_number/lag/lead/
+    running count) over a fully-determined ordering ending in the
+    unique (l_orderkey, l_linenumber)."""
+    from pyspark.sql import Window
+
+    df = t.lineitem
+    conds = []
+    for fs in fspecs:
+        df = spark_filter(df, fs)
+        conds.append(sql_filter(fs))
+    where = (" WHERE " + " AND ".join(conds)) if conds else ""
+
+    tie = ", l_orderkey, l_linenumber"
+    if fn in ("rank", "dense_rank"):
+        w = Window.partitionBy(pcol).orderBy(F.col(ocol))
+        over = f"OVER (PARTITION BY {pcol} ORDER BY {ocol})"
+    else:
+        w = Window.partitionBy(pcol).orderBy(
+            F.col(ocol), F.col("l_orderkey"), F.col("l_linenumber")
+        )
+        over = f"OVER (PARTITION BY {pcol} ORDER BY {ocol}{tie})"
+
+    if fn == "row_number":
+        v, vsql = F.row_number().over(w).cast("long"), f"row_number() {over}"
+    elif fn == "rank":
+        v, vsql = F.rank().over(w).cast("long"), f"rank() {over}"
+    elif fn == "dense_rank":
+        v, vsql = F.dense_rank().over(w).cast("long"), f"dense_rank() {over}"
+    elif fn == "lag":
+        v, vsql = F.lag(ocol).over(w), f"lag({ocol}) {over}"
+    elif fn == "lead":
+        v, vsql = F.lead(ocol).over(w), f"lead({ocol}) {over}"
+    else:
+        w2 = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        v = F.count(F.lit(1)).over(w2).cast("long")
+        vsql = (
+            f"count(*) {over[:-1]} ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND CURRENT ROW)"
+        )
+
+    sdf = df.select("l_orderkey", "l_linenumber", v.alias("v"))
+    sql = (
+        f"SELECT l_orderkey, l_linenumber, {vsql} AS v FROM lineitem{where}"
+    )
+    probs = compare_frames(sdf.toPandas(), duck.execute(sql).df())
+    assert not probs, f"{sql}\n{probs}"
