@@ -187,3 +187,61 @@ def test_session_window_equivalence(spark, sf_dir):
         result[key] = (r["n_events"], r["total_value"])
     assert len(result) == len(expected)
     assert result == expected
+
+
+def test_checkpoint_restart_exactly_once(spark, sf_dir):
+    """Exactly-once across a query restart: a passthrough stream
+    processes half the replay chunks, terminates (availableNow), new
+    chunks land, and a SECOND query started from the SAME checkpoint
+    must emit only the unseen files — the sink ends with every event
+    exactly once. This is the recovery contract every streaming
+    operator inherits from the offset/commit WAL (SURVEY §3.3)."""
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    from data_webhooks_spark.streaming.core import (
+        REPLAY_SCHEMA,
+        RUNTIME_DIR,
+        replay_dir,
+    )
+
+    src = replay_dir(sf_dir)
+    chunks = sorted(glob.glob(f"{src}/chunk_*.parquet"))
+    assert len(chunks) == 4
+
+    stage = f"{RUNTIME_DIR}/restart/{uuid.uuid4().hex[:8]}"
+    indir, ckpt, out = f"{stage}/in", f"{stage}/ckpt", f"{stage}/out"
+    os.makedirs(indir)
+    for c in chunks[:2]:
+        shutil.copy(c, indir)
+
+    def run_to_completion():
+        s = (
+            spark.readStream.schema(REPLAY_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(indir)
+        )
+        q = (
+            s.select("event_id", "user_id", "event_type")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_to_completion()
+    total = spark.read.parquet(*chunks).count()
+    n_first = spark.read.parquet(out).count()
+    assert 0 < n_first < total  # partial progress was checkpointed
+
+    for c in chunks[2:]:
+        shutil.copy(c, indir)
+    run_to_completion()
+
+    sink = spark.read.parquet(out)
+    assert sink.count() == total  # nothing lost, nothing replayed
+    assert sink.select("event_id").distinct().count() == total
