@@ -495,3 +495,103 @@ def agg_hll_sketch(spark, sf_dir):
         .unionByName(global_row)
         .orderBy("event_type")
     )
+
+
+@op("agg_kll_quantile")
+def agg_kll_quantile(spark, sf_dir):
+    """Mergeable quantile sketches (Apache DataSketches KLL via
+    ``kll_sketch_agg_double``): one k=200 sketch of l_extendedprice per
+    return flag, per-stratum medians read with
+    ``kll_sketch_get_quantile_double``, and a global median answered by
+    pairwise-merging the per-stratum sketches
+    (``kll_sketch_merge_double`` folded over the collected sketch list)
+    — no second scan of the raw data.
+
+    This is the 100 TB percentile pattern, completing the scale story
+    in ``agg_percentile``'s docstring: exact percentiles buffer
+    per-group value maps (unbounded on near-unique columns) and
+    ``approx_percentile`` sketches cannot be re-merged after the fact,
+    while KLL sketches are fixed-size (~KB), build map-side, persist as
+    BINARY, and answer any later rollup — per day, per segment, global
+    — by merge alone. k=200 gives ~1.65% normalized rank error;
+    tolerance vs the exact quantile is asserted in tests (rows-only
+    driver check)."""
+    t = Tables(spark, sf_dir)
+    per_flag = t.lineitem.groupBy("l_returnflag").agg(
+        F.kll_sketch_agg_double("l_extendedprice", 200).alias("sk"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias("exact_p50"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    merged = per_flag.agg(
+        F.collect_list("sk").alias("sks"), F.sum("n_rows").alias("n_rows")
+    ).select(
+        F.lit("__all__").alias("l_returnflag"),
+        F.round(
+            F.kll_sketch_get_quantile_double(
+                F.aggregate(
+                    F.slice("sks", 2, 100),
+                    F.element_at("sks", 1),
+                    lambda acc, x: F.kll_sketch_merge_double(acc, x),
+                ),
+                F.lit(0.5),
+            ),
+            2,
+        ).alias("approx_p50"),
+        F.lit(None).cast("double").alias("exact_p50"),
+        "n_rows",
+    )
+    per = per_flag.select(
+        "l_returnflag",
+        F.round(
+            F.kll_sketch_get_quantile_double("sk", F.lit(0.5)), 2
+        ).alias("approx_p50"),
+        "exact_p50",
+        "n_rows",
+    )
+    return per.unionByName(merged).orderBy("l_returnflag")
+
+
+@op("agg_theta_overlap")
+def agg_theta_overlap(spark, sf_dir):
+    """Segment-overlap set algebra on distinct sketches (Apache
+    DataSketches Theta): per-event-type sketches of user_id, then
+    |viewers ∪ purchasers|, |viewers ∩ purchasers| and
+    |viewers \\ purchasers| estimated with
+    ``theta_union``/``theta_intersection``/``theta_difference``.
+
+    Theta is the sketch HLL cannot replace: HLL merges only by union,
+    so "users who both viewed AND purchased" needs either a re-scan
+    with a per-user join or a Theta intersection of two ~KB sketches.
+    At 100 TB the per-segment sketches are built once map-side
+    (persisted BINARY, one per segment/day) and every audience-overlap
+    question — any boolean combination of segments — is answered from
+    sketches alone. Estimates are tolerance-tested vs the exact
+    distinct/overlap counts (rows-only driver check)."""
+    t = Tables(spark, sf_dir)
+    sk = (
+        t.events.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("event_type")
+        .agg(F.theta_sketch_agg("user_id").alias("sk"))
+    )
+    wide = sk.agg(
+        F.first(
+            F.when(F.col("event_type") == "view", F.col("sk")), ignorenulls=True
+        ).alias("sk_view"),
+        F.first(
+            F.when(F.col("event_type") == "purchase", F.col("sk")),
+            ignorenulls=True,
+        ).alias("sk_purchase"),
+    )
+    return wide.select(
+        F.theta_sketch_estimate("sk_view").cast("long").alias("viewers"),
+        F.theta_sketch_estimate("sk_purchase").cast("long").alias("purchasers"),
+        F.theta_sketch_estimate(F.theta_union("sk_view", "sk_purchase"))
+        .cast("long")
+        .alias("either"),
+        F.theta_sketch_estimate(F.theta_intersection("sk_view", "sk_purchase"))
+        .cast("long")
+        .alias("both"),
+        F.theta_sketch_estimate(F.theta_difference("sk_view", "sk_purchase"))
+        .cast("long")
+        .alias("view_only"),
+    )

@@ -217,3 +217,71 @@ def test_sample_per_group_cap(spark, sf_dir):
 
     per_user = Counter(r["user_id"] for r in rows)
     assert per_user and max(per_user.values()) <= 5
+
+
+def test_kll_quantile_within_rank_tolerance(spark, sf_dir):
+    """KLL k=200 has ~1.65% normalized rank error; assert every sketch
+    median (per stratum and merged-global) lies between the exact 0.40
+    and 0.60 quantiles — 6x slack on the rank bound."""
+    from data_webhooks_spark.io import Tables
+    from pyspark.sql import functions as F
+
+    rows = {
+        r["l_returnflag"]: r
+        for r in QUERIES["agg_kll_quantile"](spark, sf_dir).collect()
+    }
+    assert "__all__" in rows
+    t = Tables(spark, sf_dir)
+    bounds = {
+        r["l_returnflag"]: (r["lo"], r["hi"])
+        for r in t.lineitem.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", F.lit(0.40)).alias("lo"),
+            F.percentile("l_extendedprice", F.lit(0.60)).alias("hi"),
+        )
+        .collect()
+    }
+    g = t.lineitem.agg(
+        F.percentile("l_extendedprice", F.lit(0.40)).alias("lo"),
+        F.percentile("l_extendedprice", F.lit(0.60)).alias("hi"),
+    ).collect()[0]
+    bounds["__all__"] = (g["lo"], g["hi"])
+    for flag, r in rows.items():
+        lo, hi = bounds[flag]
+        assert lo <= r["approx_p50"] <= hi, (flag, lo, r["approx_p50"], hi)
+
+
+def test_theta_overlap_set_algebra(spark, sf_dir):
+    """Theta union/intersection/difference estimates must track the
+    exact segment overlaps, and inclusion-exclusion must hold within
+    sketch tolerance."""
+    from data_webhooks_spark.io import Tables
+
+    r = QUERIES["agg_theta_overlap"](spark, sf_dir).collect()[0]
+    t = Tables(spark, sf_dir)
+    v = {
+        x[0]
+        for x in t.events.filter("event_type = 'view'")
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    p = {
+        x[0]
+        for x in t.events.filter("event_type = 'purchase'")
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+
+    def close(approx, exact):
+        return abs(approx - exact) <= max(2, 0.05 * exact)
+
+    assert close(r["viewers"], len(v))
+    assert close(r["purchasers"], len(p))
+    assert close(r["either"], len(v | p))
+    assert close(r["both"], len(v & p))
+    assert close(r["view_only"], len(v - p))
+    assert abs((r["viewers"] + r["purchasers"] - r["both"]) - r["either"]) <= max(
+        2, 0.05 * max(r["either"], 1)
+    )
