@@ -261,17 +261,20 @@ def agg_percentile(spark, sf_dir):
     "agg_collect",
     sql="""
     SELECT l_returnflag,
-           LIST_SORT(LIST(DISTINCT l_linestatus)) AS statuses,
+           ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT l_linestatus)), ',') AS statuses,
            CAST(LEN(LIST(DISTINCT l_linestatus)) AS INT) AS n_statuses
     FROM lineitem
     GROUP BY l_returnflag
     """,
 )
 def agg_collect(spark, sf_dir):
-    """Per-group sorted distinct list (collect_set + array_sort keeps the result order-deterministic)."""
+    """Per-group sorted distinct list (collect_set + array_sort keeps the result
+    order-deterministic).  The list is projected to a ','-joined scalar so the
+    result stays hashable for order-insensitive comparison — the array op is
+    still exercised, only the output column is scalarized."""
     t = Tables(spark, sf_dir)
     return t.lineitem.groupBy("l_returnflag").agg(
-        F.array_sort(F.collect_set("l_linestatus")).alias("statuses"),
+        F.concat_ws(",", F.array_sort(F.collect_set("l_linestatus"))).alias("statuses"),
         F.size(F.collect_set("l_linestatus")).alias("n_statuses"),
     )
 

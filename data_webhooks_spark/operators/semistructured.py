@@ -27,21 +27,29 @@ op = registrar(QUERIES, ORACLE)
     SELECT vec_id,
            CAST(len(embedding) AS INT) AS dim,
            embedding[1] AS first_dim,
-           list_slice(embedding, 1, 4) AS head4,
+           round(list_sum(list_transform(list_slice(embedding, 1, 4),
+                                         x -> CAST(x AS DOUBLE))), 6) AS head4_sum,
            round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_dim,
            round(CAST(list_min(embedding) AS DOUBLE), 6) AS min_dim
     FROM embeddings
     """,
 )
 def arr_basic(spark, sf_dir):
-    """Array basics over embeddings: size/contains/element_at/slice/sort/distinct."""
+    """Array basics over embeddings: size/contains/element_at/slice/sort/distinct.
+
+    The sliced sub-array is reduced to a rounded scalar sum (slice is still
+    exercised); array-typed output columns are avoided because the driver's
+    order-insensitive hash canonicalizer requires hashable cells."""
     t = Tables(spark, sf_dir)
     e = F.col("embedding")
+    head4_sum = F.aggregate(
+        F.slice(e, 1, 4), F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    )
     return t.embeddings.select(
         "vec_id",
         F.size(e).alias("dim"),
         F.element_at(e, 1).alias("first_dim"),
-        F.slice(e, 1, 4).alias("head4"),
+        F.round(head4_sum, 6).alias("head4_sum"),
         F.round(F.array_max(e).cast("double"), 6).alias("max_dim"),
         F.round(F.array_min(e).cast("double"), 6).alias("min_dim"),
     )
@@ -72,12 +80,16 @@ def arr_explode(spark, sf_dir):
     SELECT vec_id,
            round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)), 6) AS sum_sq,
            CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive,
-           list_transform(list_slice(embedding, 1, 3), x -> CAST(x AS DOUBLE) * 2) AS head3_doubled
+           round(list_sum(list_transform(list_slice(embedding, 1, 3),
+                                         x -> CAST(x AS DOUBLE) * 2)), 6) AS head3_doubled_sum
     FROM embeddings
     """,
 )
 def arr_higher_order(spark, sf_dir):
-    """Per-element lambdas: transform / filter / aggregate (fold)."""
+    """Per-element lambdas: transform / filter / aggregate (fold).
+
+    transform's output is folded to a rounded scalar (transform still runs)
+    so every output cell stays hashable for the driver's canonicalizer."""
     t = Tables(spark, sf_dir)
     e = F.col("embedding")
     sum_sq = F.aggregate(
@@ -85,13 +97,16 @@ def arr_higher_order(spark, sf_dir):
         F.lit(0.0),
         lambda acc, x: acc + x.cast("double") * x.cast("double"),
     )
+    head3_doubled = F.aggregate(
+        F.transform(F.slice(e, 1, 3), lambda x: x.cast("double") * 2),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     return t.embeddings.select(
         "vec_id",
         F.round(sum_sq, 6).alias("sum_sq"),
         F.size(F.filter(e, lambda x: x > 0)).alias("n_positive"),
-        F.transform(F.slice(e, 1, 3), lambda x: x.cast("double") * 2).alias(
-            "head3_doubled"
-        ),
+        F.round(head3_doubled, 6).alias("head3_doubled_sum"),
     )
 
 

@@ -58,22 +58,26 @@ def text_stats(spark, sf_dir):
     sql=f"""
     SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
-           list_filter(string_split(text, ' '),
-                       x -> x NOT IN {_STOPWORDS}) AS tokens_nostop,
+           array_to_string(list_filter(string_split(text, ' '),
+                       x -> x NOT IN {_STOPWORDS}), ' ') AS tokens_nostop,
            CAST(len(list_filter(string_split(text, ' '),
                        x -> x NOT IN {_STOPWORDS})) AS INT) AS n_nostop
     FROM documents
     """,
 )
 def text_tokenize(spark, sf_dir):
-    """Whitespace tokenization + stopword removal, pure expressions."""
+    """Whitespace tokenization + stopword removal, pure expressions.
+
+    The filtered token list is re-joined to a string output column (filter
+    still runs element-wise) so every cell stays hashable for the driver's
+    order-insensitive comparison."""
     t = Tables(spark, sf_dir)
     toks = _tokens()
     nostop = F.filter(toks, lambda x: ~x.isin(*_STOPWORDS))
     return t.documents.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
-        nostop.alias("tokens_nostop"),
+        F.concat_ws(" ", nostop).alias("tokens_nostop"),
         F.size(nostop).alias("n_nostop"),
     )
 
