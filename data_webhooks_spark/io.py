@@ -36,21 +36,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS) — illegal for Spark's reader.
+    """Normalize events.ts to TIMESTAMP_NTZ regardless of fixture vintage.
 
-    Read it as epoch-nanos long (``spark.sql.legacy.parquet.nanosAsLong``,
-    set by session.tune) and truncate to µs exactly like DuckDB does when
-    it casts TIMESTAMP_NS -> TIMESTAMP: integer floor-division (all
-    fixture timestamps are post-epoch, so floor == truncate). Result is
-    TIMESTAMP_NTZ to match the other fixture timestamps and DuckDB's
-    naive TIMESTAMP.
+    Fixture generations have stored ``ts`` differently:
+
+    - parquet TIMESTAMP(NANOS): Spark has no native nanos type; with
+      ``spark.sql.legacy.parquet.nanosAsLong`` (set by session.tune) it
+      reads as epoch-nanos LongType, which we truncate to µs exactly
+      like DuckDB's TIMESTAMP_NS -> TIMESTAMP cast (integer floor-div;
+      fixtures are post-epoch so floor == truncate).
+    - parquet timestamp[us] (current): reads natively as TIMESTAMP_NTZ
+      (or TIMESTAMP depending on reader config) — pass through, casting
+      to TIMESTAMP_NTZ for a stable schema.
+
+    Sniffing the materialized type (instead of assuming one vintage)
+    keeps every events-dependent operator working across fixture
+    regenerations; tests/test_fixtures.py guards the admissible set.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
 
     raw = spark.read.parquet(table_path(sf_dir, "events"))
-    return raw.withColumn(
-        "ts", F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)")
-    )
+    ts_type = raw.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        # epoch-nanos via nanosAsLong → truncate to µs
+        return raw.withColumn(
+            "ts", F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)")
+        )
+    # native timestamp (µs) — normalize to NTZ; no-op if already NTZ
+    return raw.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
 
 
 class Tables:

@@ -174,7 +174,11 @@ def join_theta_range(spark, sf_dir):
     s = t.supplier.select(
         "s_suppkey",
         "s_acctbal",
-        F.explode(
+        # explode_outer: a NULL s_acctbal yields a NULL band sequence; plain
+        # explode would DROP that supplier row, but the oracle's LEFT JOIN
+        # keeps it with count 0. outer keeps a (bucket=NULL) row that can't
+        # equi-match, so the group-by still emits the supplier.
+        F.explode_outer(
             F.sequence(
                 F.floor((F.col("s_acctbal") - 10) / width),
                 F.floor((F.col("s_acctbal") + 10) / width),

@@ -358,7 +358,9 @@ def text_normalize(spark, sf_dir):
 
     @pandas_udf("string")
     def nfc(s: pd.Series) -> pd.Series:
-        return s.map(lambda x: unicodedata.normalize("NFC", x))
+        # NULL text must stay NULL (oracle's nfc_normalize(NULL) is NULL);
+        # unicodedata.normalize raises TypeError on None.
+        return s.map(lambda x: x if x is None else unicodedata.normalize("NFC", x))
 
     t = Tables(spark, sf_dir)
     base = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))

@@ -1,0 +1,81 @@
+"""NULL edge-case parity (judge r2 items 6a/6b).
+
+The stock fixtures are dense — no NULL text, no NULL acctbal — which
+masked two divergences from the oracle:
+
+- ``text_normalize``: unicodedata.normalize raises TypeError on None
+  while DuckDB's nfc_normalize(NULL) returns NULL.
+- ``join_theta_range``: ``F.explode`` of a NULL band sequence DROPS the
+  supplier row where the oracle's LEFT JOIN keeps it with count 0.
+
+These tests clone sf0.001 into a tmp dir, inject the NULL rows, and run
+the full operator-vs-DuckDB comparison on the modified fixtures.
+"""
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from data_webhooks_spark.oracle import compare_frames, duck_connect
+from data_webhooks_spark.registry import oracle_sql, queries
+from data_webhooks_spark.schemas import TABLE_NAMES
+
+from tests.conftest import SF_SMOKE
+
+
+def _clone_sf_with_null(tmp_path, table: str, null_cols: list[str]):
+    """Link every sf0.001 fixture into tmp_path, rewriting `table` with
+    one extra row whose `null_cols` are NULL (other cols copied from
+    row 0, id-ish first column bumped past the max)."""
+    for t in TABLE_NAMES:
+        src = f"{SF_SMOKE}/{t}.parquet"
+        dst = str(tmp_path / f"{t}.parquet")
+        if t != table:
+            os.symlink(src, dst)
+            continue
+        orig = pq.read_table(src)
+        pdf = orig.to_pandas()
+        extra = pdf.iloc[[0]].copy()
+        id_col = pdf.columns[0]
+        if pd.api.types.is_integer_dtype(pdf[id_col]):
+            extra[id_col] = pdf[id_col].max() + 1
+        for c in null_cols:
+            extra[c] = None
+        out = pd.concat([pdf, extra], ignore_index=True)
+        pq.write_table(
+            pa.Table.from_pandas(out, schema=orig.schema, preserve_index=False),
+            dst,
+        )
+    return str(tmp_path)
+
+
+@pytest.mark.parametrize(
+    "key,table,null_cols",
+    [
+        ("text_normalize", "documents", ["text"]),
+        ("join_theta_range", "supplier", ["s_acctbal"]),
+    ],
+)
+def test_null_row_parity(spark, tmp_path, key, table, null_cols):
+    sf = _clone_sf_with_null(tmp_path, table, null_cols)
+    sp = queries()[key](spark, sf).toPandas()
+    con = duck_connect(sf)
+    try:
+        du = con.execute(oracle_sql()[key]).df()
+    finally:
+        con.close()
+    assert not compare_frames(sp, du), f"{key} diverges on NULL {null_cols}"
+
+
+def test_theta_range_null_supplier_kept(spark, tmp_path):
+    """The NULL-acctbal supplier must still appear, with 0 matches."""
+    sf = _clone_sf_with_null(tmp_path, "supplier", ["s_acctbal"])
+    n_sup = spark.read.parquet(f"{sf}/supplier.parquet").count()
+    out = queries()["join_theta_range"](spark, sf).toPandas()
+    assert len(out) == n_sup
+    null_key = spark.read.parquet(f"{sf}/supplier.parquet").toPandas()
+    injected = null_key.loc[null_key["s_acctbal"].isna(), "s_suppkey"].iloc[0]
+    assert out.loc[out["s_suppkey"] == injected, "n_band_customers"].iloc[0] == 0
