@@ -233,15 +233,33 @@ def post_events(port: int, bodies: list[str], timeout_s: float = 60.0) -> int:
 
 class WebhookCollector:
     """Test/receiver helper for the *delivery* path (sink_webhook): a
-    threaded local HTTP endpoint that records every POSTed body.
-    Threaded because local-mode executors deliver partitions
-    concurrently — exactly like N remote webhook consumers."""
+    threaded local HTTP endpoint recording every POSTed body. Threaded
+    because local-mode executors deliver partitions concurrently —
+    exactly like N remote webhook consumers.
 
-    def __init__(self):
+    IDEMPOTENT receiver: Spark's foreachBatch delivery is at-least-once
+    (a lost response or failed task replays the POST), so the consumer
+    must dedupe on the event's natural key — bodies are stored in a
+    dict keyed on their JSON ``event_id``; a retried POST overwrites
+    instead of double-counting. Bodies without a parseable event_id
+    fall back to a unique sequence key (recorded as-is, no dedup
+    possible — matching a real consumer's contract that idempotency
+    requires an idempotency key).
+
+    ``fail_every=N`` injects the classic duplicate-producing fault for
+    tests: every Nth POST is fully processed but answered 500, forcing
+    the delivery client to retry a body the receiver already has.
+    """
+
+    def __init__(self, fail_every: int = 0):
         import threading
         from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-        self.bodies: list[str] = []
+        self._by_key: dict = {}
+        self._seq = 0
+        self._n_posts = 0
+        self.n_duplicates = 0  # retried POSTs observed (test introspection)
+        self._fail_every = fail_every
         self._lock = threading.Lock()
         collector = self
 
@@ -255,10 +273,30 @@ class WebhookCollector:
             def do_POST(self):  # noqa: N802 (http.server API)
                 n = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(n).decode()
+                key = None
+                try:
+                    obj = json.loads(body)
+                    if isinstance(obj, dict):
+                        key = obj.get("event_id")
+                except ValueError:
+                    pass
                 with collector._lock:
-                    collector.bodies.append(body)
+                    collector._n_posts += 1
+                    if key is None:
+                        key = ("_seq", collector._seq)
+                        collector._seq += 1
+                    elif key in collector._by_key:
+                        collector.n_duplicates += 1
+                    # process BEFORE responding — a 500 below models the
+                    # "response lost after commit" fault that produces
+                    # at-least-once duplicates
+                    collector._by_key[key] = body
+                    fail = (
+                        collector._fail_every
+                        and collector._n_posts % collector._fail_every == 0
+                    )
                 resp = b"ok"
-                self.send_response(200)
+                self.send_response(500 if fail else 200)
                 self.send_header("Content-Length", str(len(resp)))
                 self.end_headers()
                 self.wfile.write(resp)
@@ -272,6 +310,11 @@ class WebhookCollector:
             target=self._server.serve_forever, daemon=True
         )
         self._thread.start()
+
+    @property
+    def bodies(self) -> list[str]:
+        with self._lock:
+            return list(self._by_key.values())
 
     def stop(self) -> None:
         self._server.shutdown()
