@@ -500,7 +500,22 @@ def agg_hll_sketch(spark, sf_dir):
     )
 
 
-@op("agg_kll_quantile")
+@op(
+    "agg_kll_quantile",
+    sql="""
+    SELECT l_returnflag,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 2) AS exact_p50,
+           COUNT(*) AS n_rows,
+           TRUE AS rank_ok
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT '__all__',
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 2),
+           COUNT(*),
+           TRUE
+    FROM lineitem
+    """,
+)
 def agg_kll_quantile(spark, sf_dir):
     """Mergeable quantile sketches (Apache DataSketches KLL via
     ``kll_sketch_agg_double``): one k=200 sketch of l_extendedprice per
@@ -508,7 +523,8 @@ def agg_kll_quantile(spark, sf_dir):
     ``kll_sketch_get_quantile_double``, and a global median answered by
     pairwise-merging the per-stratum sketches
     (``kll_sketch_merge_double`` folded over the collected sketch list)
-    — no second scan of the raw data.
+    — no second scan of the raw data for the ESTIMATE (the exact
+    columns here exist only as the correctness yardstick).
 
     This is the 100 TB percentile pattern, completing the scale story
     in ``agg_percentile``'s docstring: exact percentiles buffer
@@ -516,20 +532,49 @@ def agg_kll_quantile(spark, sf_dir):
     ``approx_percentile`` sketches cannot be re-merged after the fact,
     while KLL sketches are fixed-size (~KB), build map-side, persist as
     BINARY, and answer any later rollup — per day, per segment, global
-    — by merge alone. k=200 gives ~1.65% normalized rank error;
-    tolerance vs the exact quantile is asserted in tests (rows-only
-    driver check)."""
+    — by merge alone.
+
+    Oracle strategy (a sketch value is not bit-predictable by another
+    engine): the sketch's median is checked Spark-side against the
+    exact rank-tolerance interval [q(0.5-eps), q(0.5+eps)] and
+    projected as the boolean ``rank_ok``; eps = 0.065 ≈ 4x the ~1.65%
+    normalized rank error of k=200, so the check is deterministic-pass
+    for a correct sketch and fails for a broken one. Every output
+    column (exact_p50, n_rows, rank_ok) is then exactly computable by
+    the DuckDB twin — turning the former permanent `no_oracle` row
+    into a real hash-matched check."""
     t = Tables(spark, sf_dir)
+    eps = 0.065
+    qs = [0.5 - eps, 0.5, 0.5 + eps]
     per_flag = t.lineitem.groupBy("l_returnflag").agg(
         F.kll_sketch_agg_double("l_extendedprice", 200).alias("sk"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias("exact_p50"),
+        F.percentile("l_extendedprice", F.array(*[F.lit(q) for q in qs])).alias(
+            "exq"
+        ),
         F.count(F.lit(1)).alias("n_rows"),
     )
-    merged = per_flag.agg(
-        F.collect_list("sk").alias("sks"), F.sum("n_rows").alias("n_rows")
-    ).select(
-        F.lit("__all__").alias("l_returnflag"),
-        F.round(
+    per = per_flag.select(
+        "l_returnflag",
+        F.round(F.element_at("exq", 2), 2).alias("exact_p50"),
+        "n_rows",
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.5))
+        .between(F.element_at("exq", 1), F.element_at("exq", 3))
+        .alias("rank_ok"),
+    )
+    global_exact = t.lineitem.agg(
+        F.percentile("l_extendedprice", F.array(*[F.lit(q) for q in qs])).alias(
+            "exq"
+        )
+    )
+    merged = (
+        per_flag.agg(
+            F.collect_list("sk").alias("sks"), F.sum("n_rows").alias("n_rows")
+        )
+        .crossJoin(global_exact)  # 1-row x 1-row: scalar attach
+        .select(
+            F.lit("__all__").alias("l_returnflag"),
+            F.round(F.element_at("exq", 2), 2).alias("exact_p50"),
+            "n_rows",
             F.kll_sketch_get_quantile_double(
                 F.aggregate(
                     F.slice("sks", 2, 100),
@@ -537,24 +582,34 @@ def agg_kll_quantile(spark, sf_dir):
                     lambda acc, x: F.kll_sketch_merge_double(acc, x),
                 ),
                 F.lit(0.5),
-            ),
-            2,
-        ).alias("approx_p50"),
-        F.lit(None).cast("double").alias("exact_p50"),
-        "n_rows",
-    )
-    per = per_flag.select(
-        "l_returnflag",
-        F.round(
-            F.kll_sketch_get_quantile_double("sk", F.lit(0.5)), 2
-        ).alias("approx_p50"),
-        "exact_p50",
-        "n_rows",
+            )
+            .between(F.element_at("exq", 1), F.element_at("exq", 3))
+            .alias("rank_ok"),
+        )
     )
     return per.unionByName(merged).orderBy("l_returnflag")
 
 
-@op("agg_theta_overlap")
+@op(
+    "agg_theta_overlap",
+    sql="""
+    WITH pu AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+        FROM events
+        WHERE event_type IN ('view', 'purchase')
+        GROUP BY user_id
+    )
+    SELECT CAST(SUM(v) AS BIGINT) AS n_viewers,
+           CAST(SUM(p) AS BIGINT) AS n_purchasers,
+           COUNT(*) AS n_either,
+           CAST(SUM(CASE WHEN v = 1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+           CAST(SUM(CASE WHEN v = 1 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_view_only,
+           TRUE AS est_ok
+    FROM pu
+    """,
+)
 def agg_theta_overlap(spark, sf_dir):
     """Segment-overlap set algebra on distinct sketches (Apache
     DataSketches Theta): per-event-type sketches of user_id, then
@@ -568,13 +623,20 @@ def agg_theta_overlap(spark, sf_dir):
     At 100 TB the per-segment sketches are built once map-side
     (persisted BINARY, one per segment/day) and every audience-overlap
     question — any boolean combination of segments — is answered from
-    sketches alone. Estimates are tolerance-tested vs the exact
-    distinct/overlap counts (rows-only driver check)."""
+    sketches alone.
+
+    Oracle strategy (same as ``agg_kll_quantile``): sketch estimates
+    aren't bit-predictable cross-engine, so the output carries the
+    EXACT segment counts (computable by the DuckDB twin) plus
+    ``est_ok`` — every Theta estimate within 10% (+2 absolute slack)
+    of its exact counterpart, asserted Spark-side. A broken sketch
+    pipeline flips est_ok and hash-mismatches; the former permanent
+    `no_oracle` row is now a real check. The exact branch re-scans
+    events — that's the yardstick's cost, not the operator's."""
     t = Tables(spark, sf_dir)
-    sk = (
-        t.events.filter(F.col("event_type").isin("view", "purchase"))
-        .groupBy("event_type")
-        .agg(F.theta_sketch_agg("user_id").alias("sk"))
+    seg = t.events.filter(F.col("event_type").isin("view", "purchase"))
+    sk = seg.groupBy("event_type").agg(
+        F.theta_sketch_agg("user_id").alias("sk")
     )
     wide = sk.agg(
         F.first(
@@ -585,16 +647,53 @@ def agg_theta_overlap(spark, sf_dir):
             ignorenulls=True,
         ).alias("sk_purchase"),
     )
-    return wide.select(
-        F.theta_sketch_estimate("sk_view").cast("long").alias("viewers"),
-        F.theta_sketch_estimate("sk_purchase").cast("long").alias("purchasers"),
-        F.theta_sketch_estimate(F.theta_union("sk_view", "sk_purchase"))
-        .cast("long")
-        .alias("either"),
-        F.theta_sketch_estimate(F.theta_intersection("sk_view", "sk_purchase"))
-        .cast("long")
-        .alias("both"),
-        F.theta_sketch_estimate(F.theta_difference("sk_view", "sk_purchase"))
-        .cast("long")
-        .alias("view_only"),
+    ests = wide.select(
+        F.theta_sketch_estimate("sk_view").alias("e_viewers"),
+        F.theta_sketch_estimate("sk_purchase").alias("e_purchasers"),
+        F.theta_sketch_estimate(F.theta_union("sk_view", "sk_purchase")).alias(
+            "e_either"
+        ),
+        F.theta_sketch_estimate(
+            F.theta_intersection("sk_view", "sk_purchase")
+        ).alias("e_both"),
+        F.theta_sketch_estimate(
+            F.theta_difference("sk_view", "sk_purchase")
+        ).alias("e_view_only"),
+    )
+    per_user = seg.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("v"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "p"
+        ),
+    )
+    exact = per_user.agg(
+        F.sum("v").alias("n_viewers"),
+        F.sum("p").alias("n_purchasers"),
+        F.count(F.lit(1)).alias("n_either"),
+        F.sum(
+            F.when((F.col("v") == 1) & (F.col("p") == 1), 1).otherwise(0)
+        ).alias("n_both"),
+        F.sum(
+            F.when((F.col("v") == 1) & (F.col("p") == 0), 1).otherwise(0)
+        ).alias("n_view_only"),
+    )
+
+    def ok(est, ex):
+        return F.abs(F.col(est) - F.col(ex)) <= F.greatest(
+            F.lit(2.0), 0.10 * F.col(ex)
+        )
+
+    return exact.crossJoin(ests).select(  # 1-row x 1-row: scalar attach
+        "n_viewers",
+        "n_purchasers",
+        "n_either",
+        "n_both",
+        "n_view_only",
+        (
+            ok("e_viewers", "n_viewers")
+            & ok("e_purchasers", "n_purchasers")
+            & ok("e_either", "n_either")
+            & ok("e_both", "n_both")
+            & ok("e_view_only", "n_view_only")
+        ).alias("est_ok"),
     )

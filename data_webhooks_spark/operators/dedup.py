@@ -528,56 +528,96 @@ def dedup_cluster(spark, sf_dir):
     """,
 )
 def dedup_embedding(spark, sf_dir):
-    """Embedding-cosine near-dup pairs — exact quadratic baseline
+    """Embedding-cosine near-dup pairs — exact all-pairs baseline
     (the LSH scale path is similarity.sim_ann_lsh), computed as a
-    blocked matrix product: each Arrow batch of rows is multiplied
-    against the broadcast corpus matrix with numpy (BLAS), instead of
-    a theta-join evaluating an interpreted per-pair lambda fold
-    (measured 26.6s -> sub-second at sf0.1). At 100 TB the broadcast
-    side becomes a loop over corpus blocks — same kernel, and the
-    row side stays fully partitioned."""
+    DISTRIBUTED tiled block self-join:
+
+    1. every vector is assigned a block via pmod(vec_id, B) (balanced,
+       deterministic); each block is packed into one (ids, matrix) row
+       by applyInPandas — one shuffle, block rows stay ~MB-sized;
+    2. the B packed rows self-join on blk_a <= blk_b (broadcast
+       nested-loop over a B-row table — B, not n, rows move), yielding
+       the B(B+1)/2 tile pairs;
+    3. each tile pair is one numpy (BLAS) matrix product in
+       mapInPandas; pair (x, y) is emitted exactly once because each
+       id lives in exactly one block (same-block tiles mask a < b,
+       cross-block tiles orient v1 = min, v2 = max).
+
+    Nothing is ever collected to the driver (the r2 `toPandas`
+    anti-pattern is gone): work = B² tiles scheduled across executors,
+    per-task memory = 2 block matrices + one sims tile, and total
+    shuffle = each block replicated to its B tile-pairs — the
+    unavoidable cost of exact all-pairs. Quadratic compute is inherent
+    to the EXACT operator; at corpus scale you cap B's growth by
+    raising block_rows, or switch to the LSH/IVF keys."""
+    import math
+
     import numpy as np
     import pandas as pd
 
     t = Tables(spark, sf_dir)
     emb = t.embeddings.select("vec_id", "embedding")
-    corpus = emb.toPandas()  # broadcast build side (n x 64 floats)
-    ids = corpus["vec_id"].to_numpy()
-    M = np.array(corpus["embedding"].tolist(), dtype=np.float64)
-    nrm = np.sqrt((M * M).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids, M, nrm))
 
-    # Cap the similarity slab at ~rows x 16k doubles (~1.25 GB for a
-    # 10k-row Arrow batch): the kernel tiles over corpus blocks, so
-    # memory stays bounded no matter how large the broadcast corpus
-    # grows. At true scale the broadcast itself becomes a loop over
-    # corpus partitions — same tiling, one level up.
-    corpus_block = 16384
+    # ~4k vectors per tile row (4096 x 64 doubles ≈ 2 MB); the count is
+    # a distributed scalar aggregate, not a data collect.
+    block_rows = 4096
+    n = emb.count()
+    n_blocks = max(1, math.ceil(n / block_rows))
 
-    def block(batches):
-        b_ids, b_m, b_nrm = bc.value
+    blocked = emb.withColumn("blk", F.pmod("vec_id", F.lit(n_blocks)))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "blk": [int(pdf["blk"].iloc[0])],
+                "ids": [pdf["vec_id"].tolist()],
+                "vecs": [[list(map(float, v)) for v in pdf["embedding"]]],
+            }
+        )
+
+    packed = blocked.groupBy("blk").applyInPandas(
+        pack, "blk long, ids array<long>, vecs array<array<double>>"
+    )
+    a = packed.select(
+        F.col("blk").alias("blk_a"),
+        F.col("ids").alias("ids_a"),
+        F.col("vecs").alias("vecs_a"),
+    )
+    b = packed.select(
+        F.col("blk").alias("blk_b"),
+        F.col("ids").alias("ids_b"),
+        F.col("vecs").alias("vecs_b"),
+    )
+    tiles = a.join(F.broadcast(b), F.col("blk_a") <= F.col("blk_b"))
+
+    def kernel(batches):
         for pdf in batches:
-            if pdf.empty:
-                continue
-            a_ids = pdf["vec_id"].to_numpy()
-            A = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            a_nrm = np.sqrt((A * A).sum(axis=1))
-            for lo in range(0, len(b_ids), corpus_block):
-                hi = lo + corpus_block
-                sims = (A @ b_m[lo:hi].T) / (
-                    a_nrm[:, None] * b_nrm[None, lo:hi]
+            for row in pdf.itertuples(index=False):
+                a_ids = np.asarray(row.ids_a)
+                b_ids = np.asarray(row.ids_b)
+                A = np.array([np.asarray(v) for v in row.vecs_a], dtype=np.float64)
+                Bm = np.array([np.asarray(v) for v in row.vecs_b], dtype=np.float64)
+                sims = (A @ Bm.T) / (
+                    np.sqrt((A * A).sum(axis=1))[:, None]
+                    * np.sqrt((Bm * Bm).sum(axis=1))[None, :]
                 )
                 # same quantization as the oracle's round(x, 6);
                 # exact-tie divergence is measure-zero on real cosines
                 sims = np.floor(sims * 1e6 + 0.5) / 1e6
-                keep = (sims >= 0.8) & (a_ids[:, None] < b_ids[None, lo:hi])
+                if row.blk_a == row.blk_b:
+                    keep = (sims >= 0.8) & (a_ids[:, None] < b_ids[None, :])
+                else:
+                    keep = sims >= 0.8
                 i, j = np.nonzero(keep)
+                if not len(i):
+                    continue
+                ai, bj = a_ids[i], b_ids[j]
                 yield pd.DataFrame(
                     {
-                        "v1": a_ids[i],
-                        "v2": b_ids[lo:hi][j],
+                        "v1": np.minimum(ai, bj),
+                        "v2": np.maximum(ai, bj),
                         "cos_sim": sims[i, j],
                     }
                 )
 
-    return emb.mapInPandas(block, "v1 long, v2 long, cos_sim double")
+    return tiles.mapInPandas(kernel, "v1 long, v2 long, cos_sim double")

@@ -27,19 +27,26 @@ op = registrar(QUERIES, ORACLE)
     SELECT vec_id,
            CAST(len(embedding) AS INT) AS dim,
            embedding[1] AS first_dim,
-           round(list_sum(list_transform(list_slice(embedding, 1, 4),
-                                         x -> CAST(x AS DOUBLE))), 6) AS head4_sum,
+           round(COALESCE(list_sum(list_transform(list_slice(embedding, 1, 4),
+                                         x -> CAST(x AS DOUBLE))), 0.0), 6) AS head4_sum,
            round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_dim,
            round(CAST(list_min(embedding) AS DOUBLE), 6) AS min_dim
     FROM embeddings
     """,
 )
 def arr_basic(spark, sf_dir):
-    """Array basics over embeddings: size/contains/element_at/slice/sort/distinct.
+    """Array basics over embeddings: size / element_at / slice+fold /
+    array_max / array_min.
 
     The sliced sub-array is reduced to a rounded scalar sum (slice is still
     exercised); array-typed output columns are avoided because the driver's
-    order-insensitive hash canonicalizer requires hashable cells."""
+    order-insensitive hash canonicalizer requires hashable cells (the
+    element-wise array comparison is covered locally by
+    tests/test_parity.py::test_array_columns_elementwise_parity).
+    The oracle's list_sum is COALESCEd to 0.0: Spark's fold seeds 0.0 so
+    an empty slice yields 0.0, while DuckDB list_sum returns NULL —
+    degenerate inputs must agree even though current fixtures are dense
+    fixed-dim."""
     t = Tables(spark, sf_dir)
     e = F.col("embedding")
     head4_sum = F.aggregate(
@@ -78,10 +85,10 @@ def arr_explode(spark, sf_dir):
     "arr_higher_order",
     sql="""
     SELECT vec_id,
-           round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)), 6) AS sum_sq,
+           round(COALESCE(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)), 0.0), 6) AS sum_sq,
            CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive,
-           round(list_sum(list_transform(list_slice(embedding, 1, 3),
-                                         x -> CAST(x AS DOUBLE) * 2)), 6) AS head3_doubled_sum
+           round(COALESCE(list_sum(list_transform(list_slice(embedding, 1, 3),
+                                         x -> CAST(x AS DOUBLE) * 2)), 0.0), 6) AS head3_doubled_sum
     FROM embeddings
     """,
 )
@@ -89,7 +96,9 @@ def arr_higher_order(spark, sf_dir):
     """Per-element lambdas: transform / filter / aggregate (fold).
 
     transform's output is folded to a rounded scalar (transform still runs)
-    so every output cell stays hashable for the driver's canonicalizer."""
+    so every output cell stays hashable for the driver's canonicalizer.
+    Oracle list_sums are COALESCEd to 0.0 to match Spark's seed-0.0 fold
+    on empty/degenerate lists (ADVICE r2)."""
     t = Tables(spark, sf_dir)
     e = F.col("embedding")
     sum_sq = F.aggregate(
@@ -110,10 +119,33 @@ def arr_higher_order(spark, sf_dir):
     )
 
 
-@op("map_funcs")  # DuckDB MAP comparison via pandas is unstable -> rows-only
+def _map_funcs_sql():
+    from ..norms import o_dec_sum
+
+    return f"""
+    WITH per AS (
+        SELECT user_id, event_type,
+               {o_dec_sum('value', 'total', 4)}
+        FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           string_agg(event_type, ',' ORDER BY event_type) AS types,
+           MAX(CASE WHEN event_type = 'purchase' THEN total END)
+               AS purchase_total,
+           CAST(COUNT(*) AS INT) AS n_types
+    FROM per GROUP BY user_id
+    """
+
+
+@op("map_funcs", sql=_map_funcs_sql())
 def map_funcs(spark, sf_dir):
     """Build/inspect MapType: per-user map of event_type -> decimal-exact
-    total value, then inspect keys/values."""
+    total value, then inspect keys/values. The map construction
+    (map_from_entries over sorted collect_list) and lookups
+    (map_keys / element_at / size) are fully exercised; the keys array
+    is projected to a ','-joined scalar so the output hash-compares
+    against the DuckDB twin (DuckDB MAP cells don't round-trip stably
+    through pandas — same scalarization pattern as agg_collect)."""
     t = Tables(spark, sf_dir)
     from ..norms import dec_sum
 
@@ -132,7 +164,7 @@ def map_funcs(spark, sf_dir):
     )
     return m.select(
         "user_id",
-        F.map_keys(F.col("type_totals")).alias("types"),
+        F.concat_ws(",", F.map_keys(F.col("type_totals"))).alias("types"),
         F.element_at(F.col("type_totals"), "purchase").alias("purchase_total"),
         F.size(F.col("type_totals")).alias("n_types"),
     )

@@ -31,19 +31,31 @@ _DEC = DecimalType(28, 4)
     "win_ranking",
     sql="""
     SELECT event_id, event_type, user_id,
-           rank()       OVER (PARTITION BY event_type ORDER BY user_id) AS rnk,
-           dense_rank() OVER (PARTITION BY event_type ORDER BY user_id) AS drnk,
-           row_number() OVER (PARTITION BY event_type ORDER BY user_id, event_id) AS rn,
-           ntile(4)     OVER (PARTITION BY event_type ORDER BY user_id, event_id) AS quartile,
-           round(percent_rank() OVER (PARTITION BY event_type ORDER BY user_id), 9) AS prnk
+           rank()       OVER (PARTITION BY event_type, user_id ORDER BY value) AS rnk,
+           dense_rank() OVER (PARTITION BY event_type, user_id ORDER BY value) AS drnk,
+           row_number() OVER (PARTITION BY event_type, user_id ORDER BY value, event_id) AS rn,
+           ntile(4)     OVER (PARTITION BY event_type, user_id ORDER BY value, event_id) AS quartile,
+           round(percent_rank() OVER (PARTITION BY event_type, user_id ORDER BY value), 9) AS prnk
     FROM events
     """,
 )
 def win_ranking(spark, sf_dir):
-    """rank / dense_rank / row_number / ntile / percent_rank per partition; unique-key orderings pin tie placement."""
+    """rank / dense_rank / row_number / ntile / percent_rank, partitioned
+    by the COMPOSITE (event_type, user_id) key — thousands of window
+    partitions, so the sort parallelizes across the cluster (the r2
+    perf-weak flag). Partitioning by low-cardinality event_type alone
+    (5 values) caps parallelism at 5 and makes one reducer sort 1/5 of
+    100 TB — if globally-per-type ranks are truly needed, pre-aggregate
+    or two-phase rank (per-partition rank + offset merge, as
+    ``topn_per_group`` does); never a bare 5-partition window.
+
+    Tie discipline: rank/dense_rank/percent_rank are tie-stable under
+    ORDER BY value; row_number/ntile append the unique event_id."""
     t = Tables(spark, sf_dir)
-    w_ties = Window.partitionBy("event_type").orderBy("user_id")
-    w_uniq = Window.partitionBy("event_type").orderBy("user_id", "event_id")
+    w_ties = Window.partitionBy("event_type", "user_id").orderBy("value")
+    w_uniq = Window.partitionBy("event_type", "user_id").orderBy(
+        "value", "event_id"
+    )
     return t.events.select(
         "event_id",
         "event_type",

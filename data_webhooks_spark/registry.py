@@ -12,24 +12,31 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Module order IS registry key order, and the external driver's
+# correctness gate checks the FIRST 50 keys. Rounds 1-2 validated the
+# scalar/relational/agg families; round 3 rotates the never-checked
+# families (windows, tpch, text, dedup, similarity, semistructured —
+# exactly 50 keys) into the window so every family accumulates driver
+# CORRECTNESS rows across rounds. Rotation only reorders — every key
+# stays registered and locally tested either way.
 _MODULES = [
+    "data_webhooks_spark.operators.windows",
+    "data_webhooks_spark.operators.tpch",
+    "data_webhooks_spark.operators.text",
+    "data_webhooks_spark.operators.dedup",
+    "data_webhooks_spark.operators.similarity",
+    "data_webhooks_spark.operators.semistructured",
     "data_webhooks_spark.operators.aggregates",
     "data_webhooks_spark.operators.relational",
     "data_webhooks_spark.operators.sorts_sets",
     "data_webhooks_spark.operators.scalars",
     "data_webhooks_spark.operators.joins",
-    "data_webhooks_spark.operators.windows",
     "data_webhooks_spark.operators.scans",
-    "data_webhooks_spark.operators.semistructured",
     "data_webhooks_spark.operators.udfs",
-    "data_webhooks_spark.operators.text",
-    "data_webhooks_spark.operators.dedup",
-    "data_webhooks_spark.operators.similarity",
     "data_webhooks_spark.operators.multimodal",
     "data_webhooks_spark.operators.layout",
     "data_webhooks_spark.operators.sampling",
     "data_webhooks_spark.operators.analytics",
-    "data_webhooks_spark.operators.tpch",
     "data_webhooks_spark.streaming.queries",
     "data_webhooks_spark.streaming.webhook_query",
 ]

@@ -62,3 +62,43 @@ def test_three_way_agreement_sparksql_vs_dataframe(spark, sf_dir, duck):
             disagreements.append((k, probs))
     assert len(ran) >= 20, f"portable subset too small: {ran}"
     assert not disagreements, disagreements
+
+
+def test_array_columns_elementwise_parity(spark, sf_dir, duck):
+    """Element-wise array coverage (ADVICE r2): driver-facing outputs
+    scalarize arrays (a sum can collide while elements/order differ),
+    so keep a local check that the raw arrays themselves agree
+    cell-for-cell between engines — canon()'s list branch compares
+    per-element."""
+    from pyspark.sql import functions as F
+
+    from data_webhooks_spark.io import Tables
+
+    t = Tables(spark, sf_dir)
+    e = F.col("embedding")
+    sp = t.embeddings.select(
+        "vec_id",
+        F.transform(F.slice(e, 1, 4), lambda x: F.round(x.cast("double"), 6))
+        .alias("head4"),
+    ).toPandas()
+    du = duck.execute(
+        """
+        SELECT vec_id,
+               list_transform(list_slice(embedding, 1, 4),
+                              x -> round(CAST(x AS DOUBLE), 6)) AS head4
+        FROM embeddings
+        """
+    ).df()
+    assert not compare_frames(sp, du)
+
+    sp_tok = (
+        t.documents.filter(F.col("doc_id") < 200)
+        .select("doc_id", F.split(F.col("text"), " ").alias("words"))
+        .toPandas()
+    )
+    du_tok = duck.execute(
+        "SELECT doc_id, string_split(text, ' ') AS words FROM documents "
+        "WHERE doc_id < 200"
+    ).df()
+    assert len(sp_tok) > 0
+    assert not compare_frames(sp_tok, du_tok)

@@ -172,10 +172,16 @@ def test_aqe_splits_skewed_join(spark, sf_dir):
 
 
 def test_dedup_embedding_is_vectorized(spark, sf_dir, qs):
-    # blocked-matmul path: one MapInPandas over the corpus, no join.
+    """Distributed tiled all-pairs: vectors are packed into block rows
+    (FlatMapGroupsInPandas), tile pairs come from a broadcast join over
+    the B-row packed table (B rows move, not n), and the matmul kernel
+    is one MapInPandas. No cartesian product over raw vectors, and no
+    driver-side collect anywhere in the plan."""
     plan = plan_of(qs["dedup_embedding"](spark, sf_dir))
-    assert "MapInPandas" in plan
-    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "MapInPandas" in plan  # BLAS kernel
+    assert "FlatMapGroupsInPandas" in plan  # block packing
+    assert "BroadcastNestedLoopJoin" in plan  # B-row tile-pair join
+    assert "CartesianProduct" not in plan
 
 
 def test_band_join_is_hash_not_nested_loop(spark, sf_dir, qs):
