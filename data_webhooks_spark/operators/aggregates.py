@@ -106,16 +106,34 @@ def agg_count_distinct(spark, sf_dir):
     )
 
 
-@op("agg_approx_count_distinct")  # estimate != exact oracle -> rows-only
+@op(
+    "agg_approx_count_distinct",
+    sql="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS est_ok
+    FROM events GROUP BY event_type
+    """,
+)
 def agg_approx_count_distinct(spark, sf_dir):
     """HLL++ distinct-user estimate per event type (SURVEY §2.4).
 
     At 100 TB this replaces exact COUNT DISTINCT's full shuffle with a
-    fixed-size sketch merge; accuracy asserted vs exact in tests.
-    """
+    fixed-size sketch merge. Oracle strategy (tolerance-boolean, same
+    as the KLL/Theta keys): the estimate is checked Spark-side against
+    the exact count at 4x the configured 2% relative standard error
+    and projected as ``est_ok``; the DuckDB twin computes the exact
+    count and pins est_ok TRUE, so a broken sketch hash-mismatches."""
     t = Tables(spark, sf_dir)
     return t.events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users")
+        F.countDistinct("user_id").alias("exact_users"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", 0.02)
+                - F.countDistinct("user_id")
+            )
+            <= F.greatest(F.lit(2.0), 0.08 * F.countDistinct("user_id"))
+        ).alias("est_ok"),
     )
 
 
@@ -465,7 +483,17 @@ def agg_salted_exact(spark, sf_dir):
     )
 
 
-@op("agg_hll_sketch")
+@op(
+    "agg_hll_sketch",
+    sql="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS est_ok
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT '__all__', COUNT(DISTINCT user_id), TRUE FROM events
+    """,
+)
 def agg_hll_sketch(spark, sf_dir):
     """Mergeable distinct-count sketches (Apache DataSketches HLL via
     ``hll_sketch_agg``): per-event-type sketches of user_id, re-merged
@@ -477,23 +505,44 @@ def agg_hll_sketch(spark, sf_dir):
     cheap union of sketches instead of a re-scan of raw data. Exact
     ``countDistinct`` re-shuffles every distinct value each time;
     ``approx_count_distinct`` (HLL++) can't be merged after the fact.
-    Estimates are deterministic for fixed input; accuracy vs exact is
-    asserted in tests (rows-only driver check)."""
+
+    Oracle strategy (tolerance-boolean, same as KLL/Theta): output the
+    exact counts (DuckDB-computable) plus ``est_ok`` — each sketch
+    estimate, including the union-merged global, within 5% (+2
+    absolute) of exact — so the sketch pipeline is hash-checked
+    instead of the former permanent rows-only row. The global exact
+    count is one extra countDistinct; the yardstick's cost, not the
+    operator's."""
     t = Tables(spark, sf_dir)
+
+    def ok(est, ex):
+        return F.abs(est - ex) <= F.greatest(F.lit(2.0), 0.05 * ex)
+
     per_type = t.events.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id", 14).alias("sk"),
         F.countDistinct("user_id").alias("exact_users"),
     )
-    global_row = per_type.agg(
-        F.lit("__all__").alias("event_type"),
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
-        F.lit(None).cast("long").alias("exact_users"),
+    global_exact = t.events.agg(
+        F.countDistinct("user_id").alias("g_exact")
+    )
+    global_row = (
+        per_type.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("g_est")
+        )
+        .crossJoin(global_exact)  # 1-row x 1-row: scalar attach
+        .select(
+            F.lit("__all__").alias("event_type"),
+            F.col("g_exact").alias("exact_users"),
+            ok(F.col("g_est"), F.col("g_exact")).alias("est_ok"),
+        )
     )
     return (
         per_type.select(
             "event_type",
-            F.hll_sketch_estimate("sk").alias("approx_users"),
             "exact_users",
+            ok(F.hll_sketch_estimate("sk"), F.col("exact_users")).alias(
+                "est_ok"
+            ),
         )
         .unionByName(global_row)
         .orderBy("event_type")

@@ -1,13 +1,16 @@
 """TPC-H-shaped end-to-end query suite over the fixture star schema.
 
 The fixtures are TPC-H-like (TESTDATA.md); this module re-expresses
-the classic benchmark queries against the columns that exist, so the
-engine demonstrates full multi-operator pipelines (scan -> filter ->
-multi-join -> agg -> having/window -> top-k) rather than isolated
+ALL 22 classic benchmark queries against the columns that exist, so
+the engine demonstrates full multi-operator pipelines (scan -> filter
+-> multi-join -> agg -> having/window -> top-k) rather than isolated
 operators. Queries needing absent columns are adapted and say so:
-no `partsupp` table (Q2/Q11/Q16/Q20 dropped, Q9 profit = revenue),
-no commit/receipt dates (Q4 uses shipped-30-days-late), no
-`l_shipmode`/`c_phone` (Q12 dropped, Q22 groups by nation key).
+no `partsupp` table (Q2/Q11/Q16/Q20 use DISTINCT (l_partkey,
+l_suppkey) from lineitem as the part<->supplier link; Q9 profit =
+revenue), no commit/receipt dates (Q4/Q12/Q21 use
+shipped-N-days-after-orderdate as the lateness notion), no
+`l_shipmode`/`c_phone` (Q12 buckets by linestatus, Q22 groups by
+nation key).
 
 Determinism: every money aggregate goes through the norms.py exact
 scaled-BIGINT sum on both engines, so revenue-ranked top-k rows and
@@ -696,4 +699,358 @@ def tpch_q8(spark, sf_dir):
         .agg(
             (F.floor(share * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("mkt_share")
         )
+    )
+
+
+@op(
+    "tpch_q1",
+    sql=f"""
+    SELECT l_returnflag, l_linestatus,
+           {o_dec_sum("l_quantity", "sum_qty")},
+           {o_dec_sum("l_extendedprice", "sum_base_price")},
+           {o_dec_sum("l_extendedprice * (1 - l_discount)", "sum_disc_price", 4)},
+           {o_dec_sum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge", 6)},
+           {o_dec_avg("l_quantity", "avg_qty")},
+           {o_dec_avg("l_extendedprice", "avg_price")},
+           {o_dec_avg("l_discount", "avg_disc", 4)},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark, sf_dir):
+    """Q1 pricing summary report — THE canonical scan->wide-agg query:
+    one pass over the fact, eight aggregates per (returnflag,
+    linestatus), everything in whole-stage codegen with map-side
+    partial aggregation (6 groups -> a few KB per partition crosses
+    the exchange). The charge product chains three 2-dp factors, so
+    its exact unit sum runs at scale 6."""
+    t = Tables(spark, sf_dir)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        t.lineitem.filter(F.col("l_shipdate") <= _ts("2001-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity", "sum_qty"),
+            dec_sum("l_extendedprice", "sum_base_price"),
+            dec_sum(disc_price, "sum_disc_price", 4),
+            dec_sum(charge, "sum_charge", 6),
+            dec_avg("l_quantity", "avg_qty"),
+            dec_avg("l_extendedprice", "avg_price"),
+            dec_avg("l_discount", "avg_disc", 4),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@op(
+    "tpch_q2",
+    sql="""
+    WITH link AS (
+        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ),
+    cand AS (
+        SELECT p.p_partkey, s.s_suppkey, s.s_name, s.s_acctbal, n.n_name,
+               MIN(s.s_acctbal) OVER (PARTITION BY p.p_partkey) AS min_bal
+        FROM part p
+        JOIN link k ON k.l_partkey = p.p_partkey
+        JOIN supplier s ON s.s_suppkey = k.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE' AND p.p_size = 10 AND p.p_type = 'STANDARD'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey
+    FROM cand WHERE s_acctbal = min_bal
+    ORDER BY s_acctbal DESC, p_partkey, s_name
+    LIMIT 100
+    """,
+)
+def tpch_q2(spark, sf_dir):
+    """Q2 minimum-cost supplier, adapted (no partsupp table): the
+    part<->supplier relationship comes from DISTINCT (l_partkey,
+    l_suppkey) observed in lineitem, and the cost proxy is s_acctbal
+    (MIN per part keeps Q2's correlated-minimum shape — a window min
+    instead of a correlated subquery, one shuffle by p_partkey).
+    Region/nation/size/type selections as in the original; ties on the
+    minimum keep every qualifying supplier, exactly like Q2."""
+    t = Tables(spark, sf_dir)
+    from pyspark.sql import Window
+
+    link = t.lineitem.select("l_partkey", "l_suppkey").distinct()
+    cand = (
+        t.part.filter((F.col("p_size") == 10) & (F.col("p_type") == "STANDARD"))
+        .join(link, F.col("l_partkey") == F.col("p_partkey"))
+        .join(t.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t.nation, F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(t.region, F.col("r_regionkey") == F.col("n_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey")
+        .orderBy(F.col("s_acctbal").desc(), "p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+@op(
+    "tpch_q11",
+    sql="""
+    WITH units AS (
+        SELECT l.l_partkey,
+               CASE WHEN (l.l_extendedprice * (1 - l.l_discount)) >= 0
+                    THEN CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount)) * 10000.0 + 0.5) AS BIGINT)
+                    ELSE -CAST(FLOOR(-(l.l_extendedprice * (1 - l.l_discount)) * 10000.0 + 0.5) AS BIGINT) END AS u
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = 'NATION_1'
+    ),
+    per_part AS (
+        SELECT l_partkey, SUM(u) AS pu FROM units GROUP BY l_partkey
+    )
+    SELECT l_partkey,
+           CAST(pu AS DOUBLE) / 10000 AS value
+    FROM per_part
+    WHERE CAST(pu AS DOUBLE) > (SELECT CAST(SUM(pu) AS DOUBLE) * 0.002 FROM per_part)
+    """,
+)
+def tpch_q11(spark, sf_dir):
+    """Q11 important stock, adapted (no partsupp): per-part supplied
+    revenue for NATION_1 suppliers, keeping parts whose value exceeds
+    0.2% of the nation's total — the group-agg-vs-global-scalar
+    subquery shape. Both the per-part values and the global threshold
+    derive from the SAME exact BIGINT unit sums (the global total is
+    the sum of per-part longs, associative in any order), so the
+    comparison is engine-deterministic; only the final display value
+    converts to double."""
+    t = Tables(spark, sf_dir)
+    units = (
+        t.lineitem.join(t.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t.nation, F.col("n_nationkey") == F.col("s_nationkey"))
+        .filter(F.col("n_name") == "NATION_1")
+        .select(
+            "l_partkey",
+            _scaled_units(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), REV
+            ).alias("u"),
+        )
+    )
+    per_part = units.groupBy("l_partkey").agg(F.sum("u").alias("pu"))
+    total = per_part.agg(F.sum("pu").alias("tu"))
+    return (
+        per_part.crossJoin(total)  # 1-row scalar attach
+        .filter(F.col("pu").cast("double") > F.col("tu").cast("double") * 0.002)
+        .select(
+            "l_partkey",
+            (F.col("pu").cast("double") / F.lit(10**REV)).alias("value"),
+        )
+    )
+
+
+@op(
+    "tpch_q12",
+    sql="""
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY l.l_linestatus
+    """,
+)
+def tpch_q12(spark, sf_dir):
+    """Q12 shipping-priority audit, adapted (no l_shipmode /
+    commit/receipt dates): lines shipped in 1997 more than 60 days
+    after order placement, bucketed by linestatus, counting
+    high- vs low-priority orders — the conditional-count-over-join
+    shape with a non-equi residual on the equi join."""
+    t = Tables(spark, sf_dir)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    j = (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= _ts("1997-01-01"))
+            & (F.col("l_shipdate") < _ts("1998-01-01"))
+        )
+        .join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+    )
+    return j.groupBy("l_linestatus").agg(
+        F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+        F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+    )
+
+
+@op(
+    "tpch_q16",
+    sql="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def tpch_q16(spark, sf_dir):
+    """Q16 supplier-count by part attributes, adapted (no partsupp:
+    the part<->supplier pairs come from lineitem; the complaints
+    exclusion becomes negative-balance suppliers). Distinct-count
+    after a broadcast dim join, with an anti-join exclusion — Q16's
+    signature shape."""
+    t = Tables(spark, sf_dir)
+    excluded = t.supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        t.lineitem.join(
+            t.part.filter(
+                (F.col("p_brand") != "Brand#1")
+                & (F.col("p_type") != "PROMO")
+                & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+            ),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(excluded, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@op(
+    "tpch_q20",
+    sql=f"""
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_2'
+      AND s.s_suppkey IN (
+          SELECT l.l_suppkey
+          FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+          WHERE p.p_name LIKE 'red%'
+            AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l.l_shipdate < TIMESTAMP '1998-01-01'
+          GROUP BY l.l_suppkey
+          HAVING SUM(CASE WHEN l_quantity >= 0
+                     THEN CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT)
+                     ELSE -CAST(FLOOR(-l_quantity * 100.0 + 0.5) AS BIGINT) END)
+                 > 50 * 100
+      )
+    """,
+)
+def tpch_q20(spark, sf_dir):
+    """Q20 potential part promotion, adapted (no partsupp availqty):
+    NATION_2 suppliers who shipped more than 50 units of red-named
+    parts during 1997 — the nested semi-join pipeline (inner
+    agg+HAVING derives the qualifying supplier set, outer left-semi
+    joins it). The quantity threshold compares exact BIGINT units on
+    both engines."""
+    t = Tables(spark, sf_dir)
+    qualifying = (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= _ts("1997-01-01"))
+            & (F.col("l_shipdate") < _ts("1998-01-01"))
+        )
+        .join(
+            t.part.filter(F.col("p_name").like("red%")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_scaled_units(F.col("l_quantity"), 2)).alias("qty_units"))
+        .filter(F.col("qty_units") > 50 * 100)
+        .select("l_suppkey")
+    )
+    return (
+        t.supplier.join(t.nation, F.col("n_nationkey") == F.col("s_nationkey"))
+        .filter(F.col("n_name") == "NATION_2")
+        .join(qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+    )
+
+
+@op(
+    "tpch_q21",
+    sql="""
+    WITH late AS (
+        SELECT l.l_orderkey, l.l_suppkey
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    ),
+    multi AS (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING COUNT(DISTINCT l_suppkey) > 1
+    ),
+    sole_late AS (
+        SELECT l_orderkey FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM late)
+        GROUP BY l_orderkey HAVING COUNT(*) = 1
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM late t
+    JOIN multi USING (l_orderkey)
+    JOIN sole_late USING (l_orderkey)
+    JOIN supplier s ON s.s_suppkey = t.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_1'
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+)
+def tpch_q21(spark, sf_dir):
+    """Q21 suppliers who kept orders waiting, adapted (no
+    commit/receipt dates: 'late' = shipped >60 days after order
+    placement on a finalized order). The original's correlated
+    EXISTS / NOT EXISTS pair is re-expressed as set joins — the
+    scalable form: EXISTS(other supplier) becomes a semi join against
+    multi-supplier orders; NOT EXISTS(other LATE supplier) becomes a
+    semi join against orders whose distinct-late-supplier count is
+    exactly 1 (the l1 row itself is late, so sole-late == no other
+    late). Every intermediate is key-grouped — no correlated per-row
+    subquery execution anywhere."""
+    t = Tables(spark, sf_dir)
+    late = (
+        t.lineitem.join(
+            t.orders.filter(F.col("o_orderstatus") == "F"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    multi = (
+        t.lineitem.groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("nsup"))
+        .filter(F.col("nsup") > 1)
+        .select("l_orderkey")
+    )
+    sole_late = (
+        late.distinct()
+        .groupBy("l_orderkey")
+        .count()
+        .filter(F.col("count") == 1)
+        .select("l_orderkey")
+    )
+    return (
+        late.join(multi, "l_orderkey", "left_semi")
+        .join(sole_late, "l_orderkey", "left_semi")
+        .join(t.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t.nation, F.col("n_nationkey") == F.col("s_nationkey"))
+        .filter(F.col("n_name") == "NATION_1")
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
     )
