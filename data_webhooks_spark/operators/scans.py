@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ..io import Tables
 from ..regutil import registrar
 from ..sources.derived import (
+    BLOB_DOCS,
     CUSTOMER_CSV_COLUMNS,
     CUSTOMER_CSV_SPARK_SCHEMA,
     EVENTS_JSON_COLUMNS,
@@ -134,4 +135,62 @@ def scan_python_datasource(spark, sf_dir):
         "event_type",
         "value",
         "props",
+    )
+
+
+@op(
+    "scan_text",
+    sql="SELECT doc_id, text FROM documents",
+)
+def scan_text(spark, sf_dir):
+    """Raw line-oriented text scan (`spark.read.text`) over a TSV
+    derivation of the documents fixture (1:1, deterministic —
+    sources/derived.py): each line splits into (doc_id, text) with
+    codegen string ops. The oracle reads the original parquet — same
+    rows, proving the text round-trip is byte-lossless. The text
+    source is the 100 TB log-file ingestion path: splittable by line,
+    no parse schema, structure applied downstream."""
+    path = derived_path(sf_dir, "documents.tsv")
+    raw = spark.read.text(path)
+    tab = F.instr(F.col("value"), "\t")
+    return raw.select(
+        F.substring(F.col("value"), 1, tab - 1).cast("long").alias("doc_id"),
+        F.substring(F.col("value"), tab + 1, F.length("value")).alias("text"),
+    )
+
+
+@op(
+    "scan_binaryfile",
+    sql=f"""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents WHERE doc_id < {BLOB_DOCS}
+    ORDER BY doc_id
+    """,
+)
+def scan_binaryfile(spark, sf_dir):
+    """Whole-file binary scan (`spark.read.format("binaryFile")`) over
+    per-document blob files — the object-store model every multimodal
+    pipeline starts from (one opaque file per asset; §2.11 operators
+    take over after this read). Output is (doc_id parsed from the
+    path, byte length, md5 of the bytes); the oracle recomputes all
+    three from the documents table (content is the utf-8 text, so
+    DuckDB's strlen/md5 agree byte-for-byte). At scale binaryFile
+    parallelizes by file with pathGlobFilter/recursive lookup; content
+    bytes never shuffle here — metadata only after the projection."""
+    path = derived_path(sf_dir, "docblobs")
+    raw = spark.read.format("binaryFile").option(
+        "pathGlobFilter", "*.txt"
+    ).load(path)
+    return (
+        raw.select(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.txt$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("length").alias("n_bytes"),
+            F.md5(F.col("content")).alias("content_md5"),
+        )
+        .filter(F.col("doc_id") < BLOB_DOCS)
+        .orderBy("doc_id")
     )

@@ -49,11 +49,17 @@ CUSTOMER_CSV_SPARK_SCHEMA = (
 )
 
 
+# Blob derivation cap: one file per document is the binaryFile model;
+# 200 files keeps listing/scheduling costs flat at every SF.
+BLOB_DOCS = 200
+
+
 def ensure_derived(sf_dir: str) -> str:
-    """Create JSONL/CSV twins of the fixtures for one scale factor."""
+    """Create JSONL/CSV/TSV/binary-blob twins of the fixtures for one
+    scale factor."""
     sfname = os.path.basename(sf_dir.rstrip("/"))
     out = f"{DERIVED_DIR}/{sfname}"
-    marker = f"{out}/.complete"
+    marker = f"{out}/.complete_v2"
     if os.path.exists(marker):
         return out
     os.makedirs(out, exist_ok=True)
@@ -66,6 +72,23 @@ def ensure_derived(sf_dir: str) -> str:
         f"COPY ({_CUSTOMER_SELECT.format(sf_dir=sf_dir)}) "
         f"TO '{out}/customer.csv' (FORMAT CSV, HEADER)"
     )
+    # documents as raw TAB-separated lines (verified tab/newline/quote
+    # free) for spark.read.text, written directly so no CSV quoting can
+    # alter the bytes
+    docs = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') "
+        "ORDER BY doc_id"
+    ).fetchall()
+    with open(f"{out}/documents.tsv", "w", encoding="utf-8") as f:
+        for doc_id, text in docs:
+            f.write(f"{doc_id}\t{text}\n")
+    # first BLOB_DOCS documents as one opaque binary file each (the
+    # binaryFile/multimodal object-store model): content = utf-8 text
+    blob_dir = f"{out}/docblobs"
+    os.makedirs(blob_dir, exist_ok=True)
+    for doc_id, text in docs[:BLOB_DOCS]:
+        with open(f"{blob_dir}/doc_{doc_id:06d}.txt", "wb") as f:
+            f.write(text.encode("utf-8"))
     con.close()
     with open(marker, "w") as f:
         f.write("ok\n")
