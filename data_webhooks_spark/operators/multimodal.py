@@ -49,14 +49,32 @@ def decode_stub(payload: bytes) -> dict:
     }
 
 
-@op("multimodal_col")
+@op(
+    "multimodal_col",
+    sql="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           lower(hex(substring(text, 1, 8))) AS header_hex,
+           CAST(CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT) AS BIGINT)
+               AS checksum,
+           'text/plain' AS mime
+    FROM documents
+    """,
+)
 def multimodal_col(spark, sf_dir):
     """Binary payload column + metadata struct + batched decode.
 
     Payloads are the documents' utf-8 bytes (the only binary source in
     the fixtures); metadata is a typed struct; decode runs via
     mapInPandas over Arrow batches.
-    """
+
+    Oracle: the stub's features are all byte-deterministic functions of
+    the text (length, first-8-bytes hex, md5-prefix checksum), so the
+    DuckDB twin recomputes every output column from the documents table
+    (fixture text is verified ASCII, so char ops == byte ops) — the
+    whole binary pipeline is hash-checked, not rows-only. The sibling
+    resize/frames/features keys emit derived *binary/float* payloads
+    with no cross-engine scalar form; they stay rows-only by design."""
     t = Tables(spark, sf_dir)
     with_payload = t.documents.select(
         "doc_id",

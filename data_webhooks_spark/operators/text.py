@@ -449,3 +449,80 @@ def pack_sequences(spark, sf_dir):
             F.sum("n_tokens").alias("total_tokens"),
         )
     )
+
+
+@op(
+    "pipeline_text_prep",
+    sql="""
+    WITH norm AS (
+        SELECT doc_id,
+               nfc_normalize(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                   AS norm_text
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, norm_text, md5(norm_text) AS norm_hash,
+               row_number() OVER (PARTITION BY md5(norm_text) ORDER BY doc_id)
+                   AS rn
+        FROM norm
+    )
+    SELECT doc_id, norm_hash,
+           CAST(len(string_split(norm_text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(strlen(norm_text) AS BIGINT) AS n_chars
+    FROM hashed
+    WHERE rn = 1
+      AND strlen(norm_text) >= 64
+      AND len(string_split(norm_text, ' ')) >= 8
+    """,
+)
+def pipeline_text_prep(spark, sf_dir):
+    """END-TO-END training-data prep: the composition a 100 TB corpus
+    pipeline actually runs, as ONE lazy plan —
+
+      normalize (collapse whitespace + lower + Unicode NFC)
+        -> content-address (md5 of normalized text)
+        -> exact dedup (keep lowest doc_id per hash: one window shuffle
+           partitioned by hash — dedup keys distribute uniformly)
+        -> quality gate (min normalized length + min token count)
+        -> token accounting (whitespace tokens, the budget unit
+           pack_sequences consumes downstream)
+
+    Demonstrates that the individual operator keys (text_normalize,
+    dedup_content_hash, text_quality, text_token_count) compose into
+    one Catalyst plan with a single shuffle: everything before and
+    after the hash window is codegen'd row-local work, so the pipeline
+    reads the corpus exactly once. The full chain is hash-checked
+    against the DuckDB twin."""
+    import unicodedata
+
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda x: x if x is None else unicodedata.normalize("NFC", x)
+        )
+
+    t = Tables(spark, sf_dir)
+    base = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    norm = t.documents.select("doc_id", nfc(base).alias("norm_text"))
+    hashed = norm.withColumn("norm_hash", F.md5("norm_text")).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("norm_hash").orderBy("doc_id")
+        ),
+    )
+    return (
+        hashed.filter(
+            (F.col("rn") == 1)
+            & (F.length("norm_text") >= 64)
+            & (F.size(F.split("norm_text", " ")) >= 8)
+        )
+        .select(
+            "doc_id",
+            "norm_hash",
+            F.size(F.split("norm_text", " ")).cast("long").alias("n_tokens"),
+            F.length("norm_text").cast("long").alias("n_chars"),
+        )
+    )
