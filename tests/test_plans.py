@@ -249,3 +249,45 @@ def test_event_paths_single_window_exchange(spark, sf_dir, qs):
     plan = plan_of(qs["event_paths"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 2
     assert "partial_count" in plan
+
+
+def test_tpch_q21_no_cartesian_and_semi_joins(spark, sf_dir, qs):
+    """The correlated EXISTS / NOT EXISTS pair must plan as key-grouped
+    set joins — a CartesianProduct or per-row correlated execution here
+    is the shape that dies at 100 TB."""
+    plan = plan_of(qs["tpch_q21"](spark, sf_dir))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "LeftSemi" in plan
+
+
+def test_tpch_q2_window_min_and_broadcast_dims(spark, sf_dir, qs):
+    """Q2's correlated minimum runs as ONE window over p_partkey (no
+    correlated subquery re-execution) and the nation/region dims
+    broadcast instead of shuffling the link side."""
+    plan = plan_of(qs["tpch_q2"](spark, sf_dir))
+    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q16_anti_join_exclusion(spark, sf_dir, qs):
+    plan = plan_of(qs["tpch_q16"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q1_single_exchange_partial_agg(spark, sf_dir, qs):
+    """Q1 is scan -> wide agg: map-side partial aggregation, exactly
+    one shuffle carrying the 6 tiny group partials."""
+    plan = plan_of(qs["tpch_q1"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "HashAggregate" in plan
+
+
+def test_pipeline_text_prep_single_shuffle(spark, sf_dir, qs):
+    """The composed prep pipeline must stay ONE plan with a single
+    shuffle (the hash-partition window); a cache or extra exchange
+    means the composition broke."""
+    plan = plan_of(qs["pipeline_text_prep"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "InMemoryTableScan" not in plan
