@@ -229,7 +229,10 @@ def test_kll_quantile_within_rank_tolerance(spark, sf_dir):
     assert "__all__" in rows and len(rows) >= 4
     for flag, r in rows.items():
         assert r["rank_ok"] is True, (flag, r)
-        assert r["exact_p50"] is not None and r["n_rows"] > 0
+        assert r["n_rows"] > 0
+        # per-stratum rows carry the exact yardstick median; the
+        # __all__ row's exactness check is its counted rank (NULL p50)
+        assert (r["exact_p50"] is not None) == (flag != "__all__")
 
 
 def test_theta_overlap_set_algebra(spark, sf_dir):
