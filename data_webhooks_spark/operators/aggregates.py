@@ -769,3 +769,35 @@ def agg_theta_overlap(spark, sf_dir):
             & ok("e_view_only", "n_view_only")
         ).alias("est_ok"),
     )
+
+
+@op(
+    "agg_bitmap_distinct",
+    sql="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_bitmap_distinct(spark, sf_dir):
+    """EXACT distinct counting via two-level bitmap aggregation
+    (``bitmap_bucket_number`` / ``bitmap_construct_agg`` /
+    ``bitmap_count``): level 1 ORs each id's bit into a fixed 4KB
+    bitmap per (group, bucket) — map-side, codegen — and level 2 sums
+    the per-bucket popcounts.
+
+    This is the exact-distinct twin of the HLL sketch story: a plain
+    COUNT(DISTINCT) shuffles every distinct value; the bitmap form
+    shuffles at most one 4KB bitmap per 32k-id bucket per group —
+    bounded by id-space/32k regardless of row count, and the bitmaps
+    OR-merge associatively (persistable, re-aggregatable like
+    sketches, but exact). The DuckDB twin is the plain COUNT(DISTINCT)
+    it must equal exactly."""
+    t = Tables(spark, sf_dir)
+    per_bucket = t.events.groupBy(
+        "event_type", F.bitmap_bucket_number("user_id").alias("bucket")
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm")
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).cast("long").alias("n_users")
+    )

@@ -303,3 +303,38 @@ def win_sessionize(spark, sf_dir):
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@op(
+    "win_distribution",
+    sql="""
+    SELECT event_id, user_id,
+           round(cume_dist() OVER
+               (PARTITION BY user_id ORDER BY value, event_id), 9) AS cdist,
+           nth_value(event_type, 2) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS second_type
+    FROM events
+    """,
+)
+def win_distribution(spark, sf_dir):
+    """cume_dist + nth_value — the distribution/positional window
+    functions completing the §2.5 family. Unique (value|ts, event_id)
+    orderings pin tie placement; the nth_value frame is explicit
+    (unbounded-preceding to current) so both engines evaluate the same
+    running frame. Same composite user_id partition key discipline as
+    win_ranking."""
+    t = Tables(spark, sf_dir)
+    w_val = Window.partitionBy("user_id").orderBy("value", "event_id")
+    w_ts = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t.events.select(
+        "event_id",
+        "user_id",
+        F.round(F.cume_dist().over(w_val), 9).alias("cdist"),
+        F.nth_value("event_type", 2).over(w_ts).alias("second_type"),
+    )
