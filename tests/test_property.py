@@ -1,0 +1,124 @@
+"""Property-based tests (hypothesis) for the cross-engine determinism
+layer — the contract every oracle comparison rests on.
+
+No SparkSession here: these pin the *specification* shared by the
+Spark-side builders (norms._scaled_units) and the DuckDB-side SQL
+builders (norms._o_units), plus the comparison harness's canonical
+form. Spark-vs-DuckDB agreement on real plans is covered per-key in
+test_parity.py; these catch spec drift on inputs the fixtures never
+produce (negative halves, tie values, permuted frames).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from data_webhooks_spark.norms import _o_units
+from data_webhooks_spark.oracle import canon, compare_frames, frame_multiset
+
+
+def _py_scaled_units(x: float, scale: int) -> int:
+    """Reference implementation of the sign-branched FLOOR quantization
+    both engines must follow (norms.py docstring)."""
+    m = float(10**scale)
+    if x >= 0:
+        return int(math.floor(x * m + 0.5))
+    return -int(math.floor(-x * m + 0.5))
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e9, max_value=1e9, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.sampled_from([2, 4, 6]),
+)
+def test_o_units_matches_python_spec(vals, scale):
+    """DuckDB evaluating the generated _o_units SQL must agree with the
+    Python reference on every value — including negatives and exact
+    .5-boundary ties (round-half-away-from-zero)."""
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE t (x DOUBLE)")
+        con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+        got = [
+            r[0]
+            for r in con.execute(
+                f"SELECT {_o_units('x', scale)} FROM t"
+            ).fetchall()
+        ]
+    finally:
+        con.close()
+    assert got == [_py_scaled_units(v, scale) for v in vals]
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=30,
+    ),
+    st.sampled_from([2, 4]),
+)
+def test_unit_sum_is_order_independent(vals, scale):
+    """The whole point of the unit-sum discipline: the exact total is
+    identical under any aggregation order (integer adds associate),
+    where a naive float sum would drift."""
+    units = [_py_scaled_units(v, scale) for v in vals]
+    assert sum(units) == sum(reversed(units)) == sum(sorted(units))
+
+
+_cell = st.one_of(
+    st.none(),
+    st.integers(min_value=-(2**62), max_value=2**62),
+    st.floats(allow_nan=True, allow_infinity=False, width=64),
+    st.text(max_size=12),
+    st.booleans(),
+    st.lists(st.integers(-100, 100), max_size=4),
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.tuples(_cell, _cell), min_size=1, max_size=12),
+    st.randoms(use_true_random=False),
+)
+def test_frame_multiset_invariant_under_permutation(rows, rng):
+    """The driver's order-insensitive comparison: permuting rows AND
+    reordering columns must not change the canonical multiset, so two
+    engines returning the same rows in any order always match."""
+    a = pd.DataFrame(rows, columns=["x", "y"])
+    shuffled = list(rows)
+    rng.shuffle(shuffled)
+    b = pd.DataFrame(shuffled, columns=["x", "y"])[["y", "x"]][["x", "y"]]
+    assert frame_multiset(a) == frame_multiset(b)
+    assert not compare_frames(a, b.sample(frac=1, random_state=7))
+
+
+@settings(max_examples=200, deadline=None)
+@given(_cell, _cell)
+def test_canon_equality_is_value_equality(u, v):
+    """canon() must be injective enough for the hash check: equal
+    canonical forms for equal values, distinct for distinct values
+    (modulo float NaN, which canonicalizes to one token by design)."""
+    cu, cv = canon(u), canon(v)
+    if type(u) is type(v):
+        is_nan = (
+            isinstance(u, float)
+            and isinstance(v, float)
+            and math.isnan(u)
+            and math.isnan(v)
+        )
+        if u == v or is_nan:
+            assert cu == cv
+        elif not is_nan:
+            assert cu != cv or u == v
