@@ -562,7 +562,8 @@ def agg_hll_sketch(spark, sf_dir):
     """,
 )
 def agg_kll_quantile(spark, sf_dir):
-    """Mergeable quantile sketches (Apache DataSketches KLL via
+    """Mergeable quantile sketches (Apache DataSketches KLL — the
+    Karnin-Lang-Liberty FOCS 2016 compactor — via
     ``kll_sketch_agg_double``): one k=200 sketch of l_extendedprice per
     return flag, per-stratum medians read with
     ``kll_sketch_get_quantile_double``, and a global median answered by

@@ -279,7 +279,8 @@ def dedup_minhash(spark, sf_dir):
 
 @op("dedup_simhash")
 def dedup_simhash(spark, sf_dir):
-    """64-bit SimHash fingerprints + 4x16-bit band bucketing; candidate
+    """64-bit SimHash (Charikar 2002; near-dup application as in Manku
+    et al., WWW 2007) fingerprints + 4x16-bit band bucketing; candidate
     pairs from band collisions, verified by exact Hamming distance
     (F.bit_count on XOR). All candidate generation is equi-join shaped —
     scales like a hash join, not a cross join."""

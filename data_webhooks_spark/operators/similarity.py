@@ -243,7 +243,8 @@ def sim_ann_lsh(spark, sf_dir):
 
 @op("ann_ivf")
 def ann_ivf(spark, sf_dir):
-    """IVF-style ANN: seeded KMeans coarse centroids; queries probe only
+    """IVF-style ANN (inverted-file coarse quantization, as in Jégou
+    et al., TPAMI 2011): seeded KMeans coarse centroids; queries probe only
     their nearest cell, exact re-rank inside it. Demonstrates the
     partition-pruning ANN shape (cells ≈ partitions at scale)."""
     from pyspark.ml.clustering import KMeans
