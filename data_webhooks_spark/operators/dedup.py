@@ -116,11 +116,14 @@ def dedup_ngram_jaccard(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    # No broadcast hint: `sizes` is one row per DOCUMENT, so forcing a
+    # broadcast would OOM at corpus scale. Plain equi-join — AQE
+    # broadcasts it when it is actually small.
     s1 = sizes.alias("s1")
     s2 = sizes.alias("s2")
     return (
-        pairs.join(F.broadcast(s1), F.col("d1") == F.col("s1.doc_id"))
-        .join(F.broadcast(s2), F.col("d2") == F.col("s2.doc_id"))
+        pairs.join(s1, F.col("d1") == F.col("s1.doc_id"))
+        .join(s2, F.col("d2") == F.col("s2.doc_id"))
         .select(
             "d1",
             "d2",
@@ -186,7 +189,7 @@ def dedup_minhash(spark, sf_dir):
         flat = [w for ws in docs for w in ws]
         # Hash each unique word in the batch once (docs repeat
         # vocabulary heavily); factorize is C-speed.
-        codes, uniques = pd.factorize(pd.array(flat, dtype=object))
+        codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
         uh = np.array(
             [
                 np.frombuffer(
@@ -283,31 +286,19 @@ def dedup_simhash(spark, sf_dir):
     et al., WWW 2007) fingerprints + 4x16-bit band bucketing; candidate
     pairs from band collisions, verified by exact Hamming distance
     (F.bit_count on XOR). All candidate generation is equi-join shaped —
-    scales like a hash join, not a cross join."""
-    import hashlib
-
+    scales like a hash join, not a cross join. The fingerprint UDF is
+    the fully vectorized numpy bit-matrix kernel in simhash_impl.py
+    (factorize -> md5 digest matrix -> unpackbits -> signed sum ->
+    packbits); no per-word/per-bit Python loop."""
     from pyspark.sql.functions import pandas_udf
+
+    from .simhash_impl import simhash64_batch
 
     t = Tables(spark, sf_dir)
 
     @pandas_udf("long")
     def simhash64(texts: pd.Series) -> pd.Series:
-        out = []
-        for txt in texts:
-            acc = [0] * 64
-            for w in set(txt.split(" ")):
-                h = int.from_bytes(
-                    hashlib.md5(w.encode()).digest()[:8], "big", signed=False
-                )
-                for i in range(64):
-                    acc[i] += 1 if (h >> i) & 1 else -1
-            v = 0
-            for i in range(64):
-                if acc[i] > 0:
-                    v |= 1 << i
-            # wrap to signed 64-bit for Spark LongType
-            out.append(v - (1 << 64) if v >= (1 << 63) else v)
-        return pd.Series(out, dtype="int64")
+        return pd.Series(simhash64_batch(texts), dtype="int64")
 
     sh = t.documents.select("doc_id", simhash64("text").alias("simhash"))
     bands = sh.select(
@@ -457,10 +448,12 @@ def dedup_cluster(spark, sf_dir):
         .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    # Per-doc table: no broadcast hint (would force an OOM at corpus
+    # scale); AQE picks broadcast only when the side is actually small.
     s1, s2 = sizes.alias("s1"), sizes.alias("s2")
     pairs = (
-        rawpairs.join(F.broadcast(s1), F.col("d1") == F.col("s1.doc_id"))
-        .join(F.broadcast(s2), F.col("d2") == F.col("s2.doc_id"))
+        rawpairs.join(s1, F.col("d1") == F.col("s1.doc_id"))
+        .join(s2, F.col("d2") == F.col("s2.doc_id"))
         .filter(
             F.col("inter") / (F.col("s1.n") + F.col("s2.n") - F.col("inter")) >= 0.6
         )
@@ -497,6 +490,12 @@ def dedup_cluster(spark, sf_dir):
         new_labels.unpersist()
         if changed == 0:
             break
+    # labels is fully materialized by the loop's count() actions, so the
+    # edge cache is no longer needed — release it instead of leaking it
+    # into the long-lived session (same hygiene as ADVICE r3's KLL item;
+    # if labels' cache is ever evicted, recompute from the un-cached
+    # edges lineage is slower but still correct).
+    edges.unpersist()
     assigned = (
         t.documents.select("doc_id")
         .join(labels, "doc_id", "left")

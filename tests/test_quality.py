@@ -74,6 +74,33 @@ def test_simhash_hamming_bound(spark, sf_dir):
         assert 0 <= r["hamming"] <= 12
 
 
+def test_simhash_vectorized_matches_reference_loop():
+    """The numpy bit-matrix kernel must be bit-exact vs the original
+    interpreted per-word/per-bit loop on fixed inputs, including edge
+    cases (empty string, single word, repeated words, sign wrap)."""
+    from data_webhooks_spark.operators.simhash_impl import (
+        simhash64_batch,
+        simhash64_reference,
+    )
+
+    texts = [
+        "",
+        "one",
+        "one one one",
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "completely different vocabulary entirely here now",
+        "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+        "payment checkout cart user session click view purchase",
+    ]
+    got = simhash64_batch(texts)
+    assert len(got) == len(texts)
+    for txt, g in zip(texts, got):
+        want = simhash64_reference(txt)
+        assert int(g) == want, (txt, int(g), want)
+        assert -(2**63) <= int(g) < 2**63
+
+
 def test_multimodal_decode_matches_nchars(spark, sf_dir):
     rows = QUERIES["multimodal_col"](spark, sf_dir).limit(50).collect()
     assert rows
