@@ -33,6 +33,22 @@ def test_rows_only_runs(key, spark, sf_dir):
     assert len(df.columns) > 0
 
 
+def test_driver_window_is_the_round4_rotation():
+    """The external driver's correctness gate reads the FIRST 50 keys
+    of queries(); round 4 rotates the never-officially-checked keys
+    (plus the 4 sketch keys whose last driver record was a stale ERR)
+    into that window. Every window key must be SQL-oracled, and the
+    rotation must not drop or duplicate any key."""
+    from data_webhooks_spark.registry import _WINDOW
+
+    qs, osql = registry.queries(), registry.oracle_sql()
+    first50 = list(qs)[:50]
+    assert len(_WINDOW) == 50
+    assert first50 == _WINDOW
+    assert all(k in osql for k in first50)
+    assert len(set(qs)) == len(qs)
+
+
 def test_three_way_agreement_sparksql_vs_dataframe(spark, sf_dir, duck):
     """SURVEY §3.2: every oracle string that is engine-portable ANSI
     must ALSO run through spark.sql over the same views and agree with
