@@ -594,14 +594,16 @@ def agg_kll_quantile(spark, sf_dir):
     exactness check IS the counted rank of the merged sketch."""
     t = Tables(spark, sf_dir)
     eps = 0.065
-    per_flag = (
-        t.lineitem.groupBy("l_returnflag")
-        .agg(
-            F.kll_sketch_agg_double("l_extendedprice", 200).alias("sk"),
-            F.percentile("l_extendedprice", F.lit(0.5)).alias("exact_p50"),
-            F.count(F.lit(1)).alias("n_rows"),
-        )
-        .persist()
+    # Deliberately NOT cached (ADVICE r3: a persist here leaked cached
+    # partitions into the long-lived driver session with no unpersist
+    # hook after materialization). The branch is post-aggregation tiny
+    # (n_flags rows) and every reuse sits inside the ONE returned plan,
+    # where ReuseExchange serves the groupBy shuffle to all branches —
+    # re-reading a reused exchange output beats pinning storage memory.
+    per_flag = t.lineitem.groupBy("l_returnflag").agg(
+        F.kll_sketch_agg_double("l_extendedprice", 200).alias("sk"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("exact_p50"),
+        F.count(F.lit(1)).alias("n_rows"),
     )
     # Stratum + merged-global sketch medians: a tiny (n_flags+1)-row
     # table derived without touching the raw data again.

@@ -31,11 +31,11 @@ _DEC = DecimalType(28, 4)
     "win_ranking",
     sql="""
     SELECT event_id, event_type, user_id,
-           rank()       OVER (PARTITION BY event_type, user_id ORDER BY value) AS rnk,
-           dense_rank() OVER (PARTITION BY event_type, user_id ORDER BY value) AS drnk,
-           row_number() OVER (PARTITION BY event_type, user_id ORDER BY value, event_id) AS rn,
-           ntile(4)     OVER (PARTITION BY event_type, user_id ORDER BY value, event_id) AS quartile,
-           round(percent_rank() OVER (PARTITION BY event_type, user_id ORDER BY value), 9) AS prnk
+           rank()       OVER (PARTITION BY event_type, user_id ORDER BY value NULLS LAST) AS rnk,
+           dense_rank() OVER (PARTITION BY event_type, user_id ORDER BY value NULLS LAST) AS drnk,
+           row_number() OVER (PARTITION BY event_type, user_id ORDER BY value NULLS LAST, event_id) AS rn,
+           ntile(4)     OVER (PARTITION BY event_type, user_id ORDER BY value NULLS LAST, event_id) AS quartile,
+           round(percent_rank() OVER (PARTITION BY event_type, user_id ORDER BY value NULLS LAST), 9) AS prnk
     FROM events
     """,
 )
@@ -50,11 +50,17 @@ def win_ranking(spark, sf_dir):
     ``topn_per_group`` does); never a bare 5-partition window.
 
     Tie discipline: rank/dense_rank/percent_rank are tie-stable under
-    ORDER BY value; row_number/ntile append the unique event_id."""
+    ORDER BY value; row_number/ntile append the unique event_id. NULL
+    placement is pinned explicitly (NULLS LAST on both engines): Spark
+    defaults to NULLS FIRST ascending while DuckDB defaults to NULLS
+    LAST, so an unpinned ordering diverges the moment a fixture
+    regeneration introduces a NULL value (ADVICE r3)."""
     t = Tables(spark, sf_dir)
-    w_ties = Window.partitionBy("event_type", "user_id").orderBy("value")
+    w_ties = Window.partitionBy("event_type", "user_id").orderBy(
+        F.col("value").asc_nulls_last()
+    )
     w_uniq = Window.partitionBy("event_type", "user_id").orderBy(
-        "value", "event_id"
+        F.col("value").asc_nulls_last(), "event_id"
     )
     return t.events.select(
         "event_id",
@@ -310,7 +316,7 @@ def win_sessionize(spark, sf_dir):
     sql="""
     SELECT event_id, user_id,
            round(cume_dist() OVER
-               (PARTITION BY user_id ORDER BY value, event_id), 9) AS cdist,
+               (PARTITION BY user_id ORDER BY value NULLS LAST, event_id), 9) AS cdist,
            nth_value(event_type, 2) OVER
                (PARTITION BY user_id ORDER BY ts, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -324,9 +330,12 @@ def win_distribution(spark, sf_dir):
     orderings pin tie placement; the nth_value frame is explicit
     (unbounded-preceding to current) so both engines evaluate the same
     running frame. Same composite user_id partition key discipline as
-    win_ranking."""
+    win_ranking, and the same explicit NULLS LAST pin on the nullable
+    value ordering (Spark NULLS FIRST vs DuckDB NULLS LAST default)."""
     t = Tables(spark, sf_dir)
-    w_val = Window.partitionBy("user_id").orderBy("value", "event_id")
+    w_val = Window.partitionBy("user_id").orderBy(
+        F.col("value").asc_nulls_last(), "event_id"
+    )
     w_ts = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")

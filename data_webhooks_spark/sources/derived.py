@@ -72,15 +72,24 @@ def ensure_derived(sf_dir: str) -> str:
         f"COPY ({_CUSTOMER_SELECT.format(sf_dir=sf_dir)}) "
         f"TO '{out}/customer.csv' (FORMAT CSV, HEADER)"
     )
-    # documents as raw TAB-separated lines (verified tab/newline/quote
-    # free) for spark.read.text, written directly so no CSV quoting can
-    # alter the bytes
+    # documents as raw TAB-separated lines for spark.read.text, written
+    # directly so no CSV quoting can alter the bytes. The format is only
+    # lossless while text contains no tab / LF / CR (spark.read.text
+    # also splits on bare \r), so fail loudly if a regenerated fixture
+    # ever violates that instead of silently corrupting scan_text.
     docs = con.execute(
         f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') "
         "ORDER BY doc_id"
     ).fetchall()
     with open(f"{out}/documents.tsv", "w", encoding="utf-8") as f:
         for doc_id, text in docs:
+            if "\t" in text or "\n" in text or "\r" in text:
+                raise ValueError(
+                    f"documents fixture drift: doc_id={doc_id} contains a "
+                    "tab/newline/CR — the TSV derivation for scan_text "
+                    "cannot represent it losslessly; teach derived.py an "
+                    "escaping scheme before regenerating"
+                )
             f.write(f"{doc_id}\t{text}\n")
     # first BLOB_DOCS documents as one opaque binary file each (the
     # binaryFile/multimodal object-store model): content = utf-8 text

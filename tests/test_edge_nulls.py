@@ -57,6 +57,12 @@ def _clone_sf_with_null(tmp_path, table: str, null_cols: list[str]):
     [
         ("text_normalize", "documents", ["text"]),
         ("join_theta_range", "supplier", ["s_acctbal"]),
+        # ADVICE r3: window frames ordered by nullable events.value —
+        # Spark sorts NULLS FIRST ascending, DuckDB NULLS LAST, so these
+        # diverge the moment a fixture gains a NULL value unless the
+        # ordering pins NULLS LAST explicitly on both engines.
+        ("win_ranking", "events", ["value"]),
+        ("win_distribution", "events", ["value"]),
     ],
 )
 def test_null_row_parity(spark, tmp_path, key, table, null_cols):
