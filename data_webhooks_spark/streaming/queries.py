@@ -500,7 +500,13 @@ def _prune_funnel_candidates(min_view, clicks, purchases, wm_ns, w_ns):
 
     Monotonicity facts the rules rest on: t1 (earliest view) only ever
     DECREASES as late views arrive, and every future input row has
-    ts >= wm (Spark's watermark filter). Unit-tested for boundedness
+    ts >= wm. The caller must pass a wm that actually lower-bounds
+    future ADMISSIONS: Spark's late-row filter lags one batch
+    (documented in tests/test_streaming_semantics.py), so ``track``
+    passes the watermark it observed one call EARLIER (carried in
+    state), never the current one — watermark monotonicity makes any
+    previously observed value a valid lower bound for every future
+    batch's filter (ADVICE r3). Unit-tested for boundedness
     and result-preservation in tests/test_streaming_semantics.py.
 
     A click c stays iff
@@ -537,6 +543,92 @@ def _prune_funnel_candidates(min_view, clicks, purchases, wm_ns, w_ns):
         if (t2 is not None and t2 < p <= t2 + w_ns) or p > wm_ns
     ]
     return kept_clicks, kept_purchases
+
+
+_FUNNEL_W_NS = 6 * 3600 * 10**9  # 6-hour conversion window, ns
+
+_FUNNEL_STATE_SCHEMA = (
+    "n long, min_view long, clicks array<long>, "
+    "purchases array<long>, last_wm long"
+)
+
+
+def _funnel_track(key, pdf_iter, state):
+    """Per-user funnel state transition (module-level so the many-batch
+    timeout/settle protocol is drivable by a fake GroupState in
+    tests/test_streaming_semantics.py — the production replay only
+    runs 2 micro-batches, which cannot exercise eviction+return)."""
+    (user_id,) = key
+    W_NS = _FUNNEL_W_NS
+    wm_ms = state.getCurrentWatermarkMs()
+    wm_ns = wm_ms * 1_000_000
+    if state.hasTimedOut:
+        # NEVER state.remove(): a removed user who returns later
+        # restarts at n=0 with no memory of the true earliest view
+        # and can win the final max-n_seen pick with wrong flags
+        # (ADVICE r3, medium). Instead, once a *previously observed*
+        # watermark (a safe lower bound on every future admission,
+        # unlike the current one which the admission filter lags by a
+        # batch) proves min_view + 2 windows is unreachable, compact
+        # the state to the winning candidates — flags are final, n
+        # stays monotonic, resurrection is impossible.
+        n, min_view, clicks, purchases, last_wm = state.get
+        t1, t2, t3 = _funnel_stages(min_view, clicks, purchases, W_NS)
+        if min_view is not None and last_wm > min_view + 2 * W_NS:
+            state.update((n, min_view,
+                          [t2] if t2 is not None else [],
+                          [t3] if t3 is not None else [],
+                          wm_ns))
+            # settled: no further timeout needed
+        elif min_view is not None:
+            # Horizon passed per the CURRENT wm but not yet per a
+            # stored observation — record this observation and
+            # re-check at the next watermark advance (two-step
+            # settle keeps the premise one batch conservative).
+            state.update((n, min_view, clicks, purchases, wm_ns))
+            state.setTimeoutTimestamp(wm_ms + 1_000)
+        else:
+            # No view yet: flags could still flip on a future view;
+            # keep the (already pruned, horizon-bounded) state.
+            state.update((n, min_view, clicks, purchases, wm_ns))
+        yield _funnel_row(user_id, n, t1, t2, t3)
+        return
+    if state.exists:
+        n, min_view, clicks, purchases, last_wm = state.get
+        clicks, purchases = list(clicks), list(purchases)
+    else:
+        n, min_view, clicks, purchases, last_wm = 0, None, [], [], 0
+    max_ts = 0
+    for pdf in pdf_iter:
+        n += len(pdf)
+        ts = pdf["ts"].astype("datetime64[ns]").astype("int64")
+        if len(ts):
+            max_ts = max(max_ts, int(ts.max()))
+        et = pdf["event_type"]
+        views = ts[et == "view"]
+        if len(views):
+            mv = int(views.min())
+            min_view = mv if min_view is None else min(min_view, mv)
+        clicks.extend(int(x) for x in ts[et == "click"])
+        purchases.extend(int(x) for x in ts[et == "purchase"])
+    # Prune against the watermark observed at this user's PREVIOUS
+    # call (state-carried), not the current one: Spark's late-row
+    # admission filter lags a batch, so "future rows >= current wm"
+    # is not quite true — but any earlier observation lower-bounds
+    # all future filters by watermark monotonicity (ADVICE r3).
+    clicks, purchases = _prune_funnel_candidates(
+        min_view, clicks, purchases, last_wm, W_NS
+    )
+    state.update((n, min_view, clicks, purchases, wm_ns))
+    # Re-check once nothing after (last event + 2 windows) can
+    # change the result; must exceed the current watermark.
+    timeout_ms = max(
+        (max_ts + 2 * W_NS) // 1_000_000 + 1,
+        wm_ms + 1_000,
+    )
+    state.setTimeoutTimestamp(timeout_ms)
+    t1, t2, t3 = _funnel_stages(min_view, clicks, purchases, W_NS)
+    yield _funnel_row(user_id, n, t1, t2, t3)
 
 
 @op(
@@ -580,9 +672,19 @@ def stream_funnel(spark, sf_dir):
     plus only the click/purchase candidates that can still influence
     the result given (a) the 6 h conversion window and (b) the event
     -time watermark — see ``_prune_funnel_candidates`` for the
-    monotonicity proofs. Fully-final users are evicted via an
-    event-time timeout, so state is O(candidates-in-horizon) per
-    *active* user and zero for settled ones — the 100 TB contract.
+    monotonicity proofs. Once the watermark provably passes
+    min_view + 2 windows, the flags are FINAL (every future admitted
+    row has ts >= wm, so no stage range can gain a candidate and t1
+    can no longer decrease) and the state COMPACTS to the winning
+    candidates alone — O(1) per settled user, candidates-in-horizon
+    for active ones. State is never removed (ADVICE r3, medium): a
+    remove-on-timeout eviction resurrected returning users with
+    n=0 / min_view=None, and the resurrected row could outgrow the
+    settled row's n_seen and win the final max-n_seen pick with flags
+    computed against the wrong (later) t1. Keeping a compact row makes
+    n_seen monotonic for the final pick and resurrection impossible,
+    at ~5 longs per ever-seen user in the state store — the 100 TB
+    contract (RocksDB state store holds billions of such rows).
 
     Watermark delay is 10 days: the replay displaces late rows one
     ts-quartile (~7.5 days at every fixture SF), and Spark's late-row
@@ -590,7 +692,7 @@ def stream_funnel(spark, sf_dir):
     the exact batch-parity oracle. Real deployments with seconds-level
     disorder would run a correspondingly small delay; the pruning
     logic is delay-agnostic."""
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
     tune(spark)
     # late=True replays ~3% of rows one chunk out of order: the state
@@ -602,60 +704,13 @@ def stream_funnel(spark, sf_dir):
         .filter(F.col("event_type").isin("view", "click", "purchase"))
     )
 
-    W_NS = 6 * 3600 * 10**9  # 6-hour conversion window, ns
-
-    def track(key, pdf_iter, state: GroupState):
-        (user_id,) = key
-        if state.hasTimedOut:
-            # Funnel provably final (wm passed every horizon) — emit the
-            # settled snapshot once more and free the state.
-            n, min_view, clicks, purchases = state.get
-            t1, t2, t3 = _funnel_stages(min_view, clicks, purchases, W_NS)
-            state.remove()
-            yield _funnel_row(user_id, n, t1, t2, t3)
-            return
-        if state.exists:
-            n, min_view, clicks, purchases = state.get
-            clicks, purchases = list(clicks), list(purchases)
-        else:
-            n, min_view, clicks, purchases = 0, None, [], []
-        max_ts = 0
-        for pdf in pdf_iter:
-            n += len(pdf)
-            ts = pdf["ts"].astype("datetime64[ns]").astype("int64")
-            if len(ts):
-                max_ts = max(max_ts, int(ts.max()))
-            et = pdf["event_type"]
-            views = ts[et == "view"]
-            if len(views):
-                mv = int(views.min())
-                min_view = mv if min_view is None else min(min_view, mv)
-            clicks.extend(int(x) for x in ts[et == "click"])
-            purchases.extend(int(x) for x in ts[et == "purchase"])
-        wm_ns = state.getCurrentWatermarkMs() * 1_000_000
-        clicks, purchases = _prune_funnel_candidates(
-            min_view, clicks, purchases, wm_ns, W_NS
-        )
-        state.update((n, min_view, clicks, purchases))
-        # Evict once nothing after (last event + 2 windows) can change
-        # the result; must exceed the current watermark by contract.
-        timeout_ms = max(
-            (max_ts + 2 * W_NS) // 1_000_000 + 1,
-            state.getCurrentWatermarkMs() + 1_000,
-        )
-        state.setTimeoutTimestamp(timeout_ms)
-        t1, t2, t3 = _funnel_stages(min_view, clicks, purchases, W_NS)
-        yield _funnel_row(user_id, n, t1, t2, t3)
-
     updates = s.groupBy("user_id").applyInPandasWithState(
-        track,
+        _funnel_track,
         outputStructType=(
             "user_id long, n_seen long, viewed boolean, "
             "clicked boolean, purchased boolean"
         ),
-        stateStructType=(
-            "n long, min_view long, clicks array<long>, purchases array<long>"
-        ),
+        stateStructType=_FUNNEL_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -353,6 +353,127 @@ def test_funnel_prune_preserves_result_and_bounds_state():
         )
 
 
+class _FakeGroupState:
+    """Minimal GroupState double for driving _funnel_track through
+    arbitrary batch/timeout schedules (the production replay runs only
+    2 micro-batches, which can never exercise timeout-then-return)."""
+
+    def __init__(self):
+        self._val = None
+        self.timeout_ms = None
+        self.wm_ms = 0
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._val is not None
+
+    @property
+    def get(self):
+        return self._val
+
+    def update(self, v):
+        self._val = tuple(v)
+
+    def remove(self):
+        self._val = None
+
+    def getCurrentWatermarkMs(self):
+        return self.wm_ms
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_ms = ms
+
+
+def test_funnel_timeout_then_return_stays_batch_exact():
+    """ADVICE r3 (medium): a user whose events resume AFTER the
+    settle horizon must not be resurrected with fresh state — under
+    the old remove-on-timeout eviction the post-gap rows restarted at
+    n=0/min_view=None, and once the resurrected n_seen outgrew the
+    settled row's, the final max-n_seen pick reported flags computed
+    against the later view. Drive the track protocol through
+    batch -> gap(timeouts) -> return and assert the LAST emission
+    (highest n_seen) still matches the batch-funnel recomputation over
+    ALL events."""
+    import pandas as pd
+
+    from data_webhooks_spark.streaming.queries import (
+        _FUNNEL_W_NS,
+        _funnel_stages,
+        _funnel_track,
+    )
+
+    H = 3600 * 10**9  # 1 hour in ns
+    DAY = 24 * H
+
+    def batch_pdf(events):
+        return pd.DataFrame(
+            {
+                "ts": pd.Series([ts for ts, _ in events], dtype="int64").astype(
+                    "datetime64[ns]"
+                ),
+                "event_type": [et for _, et in events],
+            }
+        )
+
+    # Era A (day 0): full conversion. Era B (day 60+): a burst of 10
+    # clicks — more rows than era A, so a resurrected state would win
+    # the max-n_seen pick with viewed=False.
+    era_a = [(0 * H, "view"), (1 * H, "click"), (2 * H, "purchase")]
+    era_b = [(60 * DAY + k * H, "click") for k in range(10)]
+
+    state = _FakeGroupState()
+    emissions = []
+
+    def run_data_batch(events, wm_ms):
+        state.wm_ms = wm_ms
+        state.hasTimedOut = False
+        emissions.extend(
+            pd.concat(_funnel_track((7,), [batch_pdf(events)], state)).to_dict(
+                "records"
+            )
+        )
+
+    def run_timeout_batch(wm_ms):
+        # Spark fires the timeout only when the watermark passed it and
+        # the group has no data this batch.
+        state.wm_ms = wm_ms
+        if state.timeout_ms is not None and wm_ms > state.timeout_ms:
+            state.hasTimedOut = True
+            state.timeout_ms = None
+            emissions.extend(
+                pd.concat(_funnel_track((7,), [], state)).to_dict("records")
+            )
+            state.hasTimedOut = False
+
+    run_data_batch(era_a, wm_ms=0)
+    # Quiet period: watermark advances day by day; timeouts fire (the
+    # two-step settle needs at least two firings).
+    for day in range(1, 55):
+        run_timeout_batch(wm_ms=day * DAY // 1_000_000)
+    assert state.exists, "settled state must be KEPT, not removed"
+    n_settled, mv, clicks, purchases, _ = state.get
+    assert n_settled == 3 and mv == 0
+    assert len(clicks) <= 1 and len(purchases) <= 1, "state must compact"
+    # The user returns long after the horizon.
+    run_data_batch(era_b, wm_ms=54 * DAY // 1_000_000)
+
+    final = max(emissions, key=lambda e: e["n_seen"])
+    # Batch recomputation over ALL events = the oracle's semantics.
+    all_ts = sorted(era_a + era_b)
+    t1 = min((ts for ts, et in all_ts if et == "view"), default=None)
+    t2, t3 = _funnel_stages(
+        t1,
+        [ts for ts, et in all_ts if et == "click"],
+        [ts for ts, et in all_ts if et == "purchase"],
+        _FUNNEL_W_NS,
+    )[1:]
+    assert final["n_seen"] == 13, "n_seen must be monotonic across the gap"
+    assert final["viewed"] is True and (t1 is not None)
+    assert final["clicked"] is (t2 is not None)
+    assert final["purchased"] is (t3 is not None)
+
+
 def test_funnel_hot_user_state_stays_flat(spark, tmp_path):
     """End-to-end: a hot user clicking hourly for 25 days must not
     accumulate per-click state — after the watermark passes, only the
