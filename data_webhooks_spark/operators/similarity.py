@@ -277,3 +277,71 @@ def ann_ivf(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+@op(
+    "embed_quantize_int8",
+    sql="""
+    WITH d AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, e,
+               CASE WHEN list_max(list_transform(e, x -> abs(x))) = 0
+                    THEN 1.0
+                    ELSE list_max(list_transform(e, x -> abs(x))) / 127
+               END AS scale
+        FROM d
+    )
+    SELECT vec_id,
+           scale,
+           list_transform(e, x -> CAST(LEAST(GREATEST(
+               FLOOR(x / scale + 0.5), -127), 127) AS INT)) AS qvec,
+           list_max(list_transform(e, x -> abs(CAST(LEAST(GREATEST(
+               FLOOR(x / scale + 0.5), -127), 127) AS DOUBLE) * scale - x)))
+               AS max_abs_err
+    FROM s
+    """,
+)
+def embed_quantize_int8(spark, sf_dir):
+    """Symmetric per-vector int8 quantization of the embedding column —
+    the standard 4x storage/bandwidth compression step before an ANN
+    index or training-data shipping (absmax scaling as popularized by
+    LLM.int8, Dettmers et al., NeurIPS 2022): scale = max|x|/127,
+    q = clamp(floor(x/scale + 0.5), -127, 127), plus the max absolute
+    reconstruction error as a quality yardstick.
+
+    Everything is built-in higher-order functions (transform/zip_with/
+    array_max) inside whole-stage codegen — row-local, no shuffle, no
+    Python; the all-zero-vector edge case pins scale=1 identically on
+    both engines, and rounding is the repo-standard floor(x+0.5) (both
+    engines agree on every tie, unlike ROUND's dialect-specific
+    half-even/half-up)."""
+    t = Tables(spark, sf_dir)
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    d = t.embeddings.select("vec_id", e.alias("e"))
+    amax = F.array_max(F.transform(F.col("e"), lambda x: F.abs(x)))
+    s = d.withColumn(
+        "scale", F.when(amax == 0, F.lit(1.0)).otherwise(amax / 127)
+    )
+    q = F.transform(
+        F.col("e"),
+        lambda x: F.least(
+            F.greatest(F.floor(x / F.col("scale") + 0.5), F.lit(-127)),
+            F.lit(127),
+        ).cast("int"),
+    )
+    err = F.array_max(
+        F.zip_with(
+            q,
+            F.col("e"),
+            lambda qq, x: F.abs(qq.cast("double") * F.col("scale") - x),
+        )
+    )
+    return s.select(
+        "vec_id",
+        "scale",
+        q.alias("qvec"),
+        err.alias("max_abs_err"),
+    )

@@ -526,3 +526,153 @@ def pipeline_text_prep(spark, sf_dir):
             F.length("norm_text").cast("long").alias("n_chars"),
         )
     )
+
+
+_NGRAM_CTE = """
+    pos_words AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS word,
+               CAST(generate_subscripts(string_split(text, ' '), 1) AS INT) AS pos
+        FROM documents
+    ),
+    ngrams AS (
+        SELECT doc_id,
+               word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w AS ngram
+        FROM pos_words
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(word, 2) OVER w IS NOT NULL
+    )
+"""
+
+
+def _spark_ngrams(t):
+    """Word trigrams per document — same shingling as the dedup family
+    (posexplode + lead window), shared by the frequency/contamination
+    keys."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    words = t.documents.select(
+        "doc_id", F.posexplode(_tokens()).alias("pos", "word")
+    )
+    return (
+        words.select(
+            "doc_id",
+            "word",
+            F.lead("word", 1).over(w).alias("w1"),
+            F.lead("word", 2).over(w).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "word", "w1", "w2").alias("ngram"),
+        )
+    )
+
+
+@op(
+    "text_ngram_freq",
+    sql="WITH "
+    + _NGRAM_CTE
+    + """
+    SELECT ngram,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM ngrams
+    GROUP BY ngram
+    ORDER BY n_occurrences DESC, ngram
+    LIMIT 100
+    """,
+)
+def text_ngram_freq(spark, sf_dir):
+    """Corpus-level n-gram frequency table (top 100 word trigrams by
+    occurrence, ties broken lexically): the building block for
+    contamination screening, boilerplate detection, and memorization
+    audits over a training corpus.
+
+    Scale shape: one ngram-keyed groupBy (partial aggregation map-side;
+    Zipfian head handled by AQE skew split) followed by a global top-K,
+    which Spark executes as per-partition TakeOrdered + driver merge of
+    K rows — never a full sort of the ngram table."""
+    t = Tables(spark, sf_dir)
+    return (
+        _spark_ngrams(t)
+        .groupBy("ngram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "ngram")
+        .limit(100)
+    )
+
+
+@op(
+    "contamination_ngram",
+    sql="WITH "
+    + _NGRAM_CTE
+    + """,
+    sh AS (SELECT DISTINCT doc_id, ngram FROM ngrams),
+    bench AS (
+        SELECT DISTINCT s.ngram
+        FROM sh s JOIN documents d ON s.doc_id = d.doc_id
+        WHERE d.source = 'src0'
+    ),
+    target AS (
+        SELECT s.doc_id, s.ngram
+        FROM sh s JOIN documents d ON s.doc_id = d.doc_id
+        WHERE d.source <> 'src0'
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n_ngrams FROM target GROUP BY doc_id),
+    hits AS (
+        SELECT t.doc_id, COUNT(*) AS n_hit
+        FROM target t JOIN bench b ON t.ngram = b.ngram
+        GROUP BY t.doc_id
+    )
+    SELECT tot.doc_id,
+           CAST(tot.n_ngrams AS BIGINT) AS n_ngrams,
+           CAST(COALESCE(hits.n_hit, 0) AS BIGINT) AS n_contaminated,
+           CAST(COALESCE(hits.n_hit, 0) AS DOUBLE) / tot.n_ngrams AS contamination
+    FROM tot LEFT JOIN hits ON tot.doc_id = hits.doc_id
+    """,
+)
+def contamination_ngram(spark, sf_dir):
+    """Benchmark-contamination screen (the n-gram-overlap method used
+    for public-eval decontamination of LLM training sets, e.g. the
+    13-gram screens described in the GPT-3 and PaLM papers — trigrams
+    here because fixture docs are short): treating source='src0' as the
+    held-out benchmark, score every other document by the fraction of
+    its distinct trigrams that appear anywhere in the benchmark.
+
+    Scale shape: the benchmark's DISTINCT n-gram set is the classic
+    small side (real eval suites are MBs against a 100 TB corpus) —
+    the plan is a shingle equi-join against it (AQE broadcasts it when
+    small; no hint, so a huge 'benchmark' degrades to a shuffle join
+    instead of an OOM), then one doc-keyed count. The ratio is an
+    exact IEEE division of two BIGINTs on both engines — bit-stable,
+    no rounding needed."""
+    t = Tables(spark, sf_dir)
+    sh = _spark_ngrams(t).distinct()
+    src = t.documents.select("doc_id", "source")
+    sh_src = sh.join(src, "doc_id")
+    bench = (
+        sh_src.filter(F.col("source") == "src0").select("ngram").distinct()
+    )
+    target = sh_src.filter(F.col("source") != "src0").select("doc_id", "ngram")
+    tot = target.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_ngrams"))
+    hits = (
+        target.join(bench, "ngram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        tot.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_ngrams").cast("long").alias("n_ngrams"),
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_contaminated"),
+            (
+                F.coalesce("n_hit", F.lit(0)).cast("double") / F.col("n_ngrams")
+            ).alias("contamination"),
+        )
+    )

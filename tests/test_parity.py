@@ -118,3 +118,13 @@ def test_array_columns_elementwise_parity(spark, sf_dir, duck):
     ).df()
     assert len(sp_tok) > 0
     assert not compare_frames(sp_tok, du_tok)
+
+    # embed_quantize_int8 (added r4): its qvec array column flows
+    # through the driver compare whole — pin the element-wise parity
+    # here too, per the r2 ADVICE discipline for array-output keys.
+    sp_q = QUERIES["embed_quantize_int8"](spark, sf_dir).toPandas()
+    du_q = duck.execute(ORACLE["embed_quantize_int8"]).df()
+    assert not compare_frames(sp_q, du_q)
+    assert all(
+        all(-127 <= v <= 127 for v in row) for row in sp_q["qvec"].head(50)
+    )

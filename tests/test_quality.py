@@ -101,6 +101,17 @@ def test_simhash_vectorized_matches_reference_loop():
         assert -(2**63) <= int(g) < 2**63
 
 
+def test_quantize_int8_error_bound(spark, sf_dir):
+    """absmax int8 quantization: reconstruction error of any in-range
+    component is at most scale/2 (floor(x+0.5) rounding), and scale is
+    positive."""
+    rows = QUERIES["embed_quantize_int8"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["scale"] > 0
+        assert r["max_abs_err"] <= r["scale"] / 2 + 1e-12, r
+
+
 def test_multimodal_decode_matches_nchars(spark, sf_dir):
     rows = QUERIES["multimodal_col"](spark, sf_dir).limit(50).collect()
     assert rows
