@@ -5,6 +5,13 @@ amortize and throughput (rows/s) should grow toward the hardware limit
 as data scales; plans must not degrade (no broadcast flips to SMJ on
 the dim side, no spills at these sizes).
 
+The sweep also times each key's DUCKDB ORACLE on the same amplified
+parquet (judge r3 item 5): at sf0.1 the oracle answers in ~10 ms and
+any JVM engine loses the ratio to constant overhead, so the honest
+same-scale comparison is at x10/x100 where both engines do real work.
+Spark/DuckDB ratios per factor land in scale_sweep.json and are
+summarized in BASELINE.md.
+
 Amplified inputs are derived from the sf0.1 fixtures (seed data stays
 driver-generated; amplification shifts keys so joins keep realistic
 fan-out) and live under .runtime/scale/x{N}/ as multi-file parquet —
@@ -45,6 +52,11 @@ KEYS = [
     "funnel_conversion",
 ]
 MAX_FACTOR = {"dedup_embedding": 10}
+# Keys whose DuckDB oracle is skipped at amplified factors:
+# dedup_embedding's oracle is an O(n^2) nested-loop self-join (400M
+# 64-dim dot products at x10) — the oracle exists for CORRECTNESS at
+# sf0.01, not as a throughput baseline.
+ORACLE_SKIP = {"dedup_embedding"}
 # Tables the amplified queries touch. Keyed tables get their ids
 # shifted per replica so cardinalities scale like real data (orders/
 # lineitem/customer/documents/embeddings grow; nation/region stay
@@ -97,15 +109,32 @@ def amplify(spark, factor: int) -> str:
     return out
 
 
+def duck_connect_multi(sf_dir: str):
+    """DuckDB connection over the amplified dirs (Spark writes each
+    table as a directory of part files, so views need a glob)."""
+    import duckdb
+
+    from data_webhooks_spark.schemas import TABLE_NAMES
+
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        p = f"{sf_dir}/{t}.parquet"
+        src = p if os.path.isfile(p) else f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
+    return con
+
+
 def main() -> None:
     factors = [int(a) for a in sys.argv[1:]] or [1, 10, 100]
     spark = get_spark("dws-scale-sweep")
     qs = registry.queries()
+    osql = registry.oracle_sql()
     results: dict = {}
     for factor in factors:
         sf_dir = BASE if factor == 1 else amplify(spark, factor)
         lineitem_rows = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
-        per = {}
+        per, duck, ratio = {}, {}, {}
+        con = duck_connect_multi(sf_dir)
         for k in KEYS:
             if factor > MAX_FACTOR.get(k, 10**9):
                 continue
@@ -116,10 +145,23 @@ def main() -> None:
                 qs[k](spark, sf_dir).toPandas()
                 best = min(best, time.perf_counter() - t0)
             per[k] = round(best, 3)
+            if k in osql and k not in ORACLE_SKIP:
+                con.execute(osql[k]).df()  # warm (page cache + plan)
+                dbest = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    con.execute(osql[k]).df()
+                    dbest = min(dbest, time.perf_counter() - t0)
+                duck[k] = round(dbest, 3)
+                ratio[k] = round(per[k] / max(dbest, 1e-9), 2)
+        con.close()
         results[f"x{factor}"] = {
             "lineitem_rows": lineitem_rows,
             "queries": per,
+            "duckdb": duck,
+            "ratio_spark_over_duckdb": ratio,
             "total_s": round(sum(per.values()), 3),
+            "duck_total_s": round(sum(duck.values()), 3),
         }
         print(json.dumps({f"x{factor}": results[f"x{factor}"]}), flush=True)
     with open("/root/repo/.runtime/scale_sweep.json", "w") as f:
