@@ -38,6 +38,17 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Small-SF default; AQE coalesces post-shuffle partitions anyway.
     "spark.sql.shuffle.partitions": "32",
+    # Runtime bloom-filter semi-join reduction (Spark 3.3+, on by
+    # default but gated behind thresholds tuned for clusters: creation
+    # side <10 MB AND application-side scan >10 GB, so it never fires
+    # at bench scale). Widen both gates so a selective dimension/filter
+    # side prunes a big fact scan before the shuffle — the lever behind
+    # the multi-big-table join keys (tpch_q5/join_multiway) at x100,
+    # measured in BASELINE.md. The 200 MB application floor keeps every
+    # sf<=0.1 plan bloom-free (zero overhead, stable plan tests); on a
+    # real 100 TB cluster the stock 10 GB floor fires on its own.
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "256MB",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "200MB",
 }
 
 # Only settable at session build time.

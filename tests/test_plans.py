@@ -229,17 +229,22 @@ def test_tpch_star_joins_broadcast_dims(spark, sf_dir, qs):
 
 
 def test_tpch_semi_anti_stay_existence_filters(spark, sf_dir, qs):
-    """q4/q18/q22: the EXISTS/NOT-EXISTS rewrites must plan as
-    semi/anti joins, never materialize the match side as an inner
-    join + distinct."""
+    """q4/q22: the EXISTS/NOT-EXISTS rewrites must plan as semi/anti
+    joins, never materialize the match side as an inner join +
+    distinct. q18's r4 rewrite dissolved its semi-join entirely — the
+    HAVING>300 aggregate IS the final per-order sum — so its contract
+    is now a SINGLE pass over the fact (one lineitem scan in the whole
+    plan), which the last case pins."""
     for key, marker in [
         ("tpch_q4", "LeftSemi"),
-        ("tpch_q18", "LeftSemi"),
         ("tpch_q22", "LeftAnti"),
     ]:
         plan = plan_of(qs[key](spark, sf_dir))
         assert marker in plan, f"{key}: expected {marker}"
         assert "CartesianProduct" not in plan
+    q18 = plan_of(qs["tpch_q18"](spark, sf_dir))
+    assert q18.count("lineitem.parquet") == 1, "q18 must scan the fact once"
+    assert "CartesianProduct" not in q18
 
 
 def test_event_paths_single_window_exchange(spark, sf_dir, qs):
