@@ -676,3 +676,53 @@ def contamination_ngram(spark, sf_dir):
             ).alias("contamination"),
         )
     )
+
+
+@op(
+    "text_unigram_logprob",
+    sql="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    freq AS (SELECT word, COUNT(*) AS c FROM words GROUP BY word),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM freq)
+    SELECT w.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(-ln(CAST(f.c AS DOUBLE) / t.n)), 6) AS avg_neg_logprob
+    FROM words w
+    JOIN freq f ON w.word = f.word
+    CROSS JOIN tot t
+    GROUP BY w.doc_id
+    """,
+)
+def text_unigram_logprob(spark, sf_dir):
+    """Unigram LM quality score — mean negative log-probability of a
+    document under the corpus's own unigram distribution, the classic
+    cheap stand-in for perplexity-based quality filtering in
+    training-data pipelines (low = repetitive/boilerplate, high =
+    rare-token noise; both tails get dropped).
+
+    Scale shape: vocabulary table from one word-keyed count (map-side
+    partial agg owns the Zipf head), then words join the vocab — a
+    classic small-side join AQE broadcasts — and one doc-keyed mean.
+    The corpus total attaches as a 1-row scalar crossJoin. Float
+    discipline: each doc averages ~1e2 doubles, so cross-engine
+    summation-order noise is ~1e-13 while the ROUND(.,6) grain is
+    5e-7 — bit-stable in the hash compare."""
+    t = Tables(spark, sf_dir)
+    words = t.documents.select(
+        "doc_id", F.explode(_tokens()).alias("word")
+    )
+    freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.agg(F.sum("c").cast("double").alias("n"))
+    return (
+        words.join(freq, "word")
+        .crossJoin(tot)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(-F.log(F.col("c").cast("double") / F.col("n"))), 6
+            ).alias("avg_neg_logprob"),
+        )
+    )
