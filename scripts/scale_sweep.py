@@ -50,6 +50,9 @@ KEYS = [
     "tpch_q5",
     "tpch_q18",
     "funnel_conversion",
+    # r4 training-pipeline additions (shingle join + vocab join shapes)
+    "contamination_ngram",
+    "text_unigram_logprob",
 ]
 MAX_FACTOR = {"dedup_embedding": 10}
 # Keys whose DuckDB oracle is skipped at amplified factors:
