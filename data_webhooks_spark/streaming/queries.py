@@ -834,3 +834,69 @@ def stream_rollup_upsert(spark, sf_dir):
     return spark.read.parquet(out).select(
         "window_start", "event_type", "n", "total_value"
     )
+
+
+@op(
+    "stream_quantile",
+    sql="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(QUANTILE_CONT(value, 0.5), 2) AS exact_p50,
+           TRUE AS rank_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_quantile(spark, sf_dir):
+    """Continuous percentile: per-type medians maintained over the
+    stream with mergeable KLL sketches (Karnin-Lang-Liberty FOCS 2016
+    via ``kll_sketch_agg_double``) — the streaming twin of
+    ``agg_kll_quantile``. Sketches merge incrementally across
+    micro-batches inside the streaming aggregation state (complete
+    mode, bounded cardinality: one ~KB sketch per event type), so the
+    100 TB/day telemetry case never buffers raw values.
+
+    Oracle strategy (same counted-rank pattern as the batch key): the
+    stream materializes (event_type, n, sketch-median); the verify
+    side then rank-checks each streamed median by exact counting over
+    the same fixture — normalized_rank(m) in [0.5-eps, 0.5+eps] with
+    eps = 0.065 ≈ 4x the k=200 rank error — and projects ``rank_ok``,
+    which the DuckDB twin pins TRUE. exact_p50 stays an exact
+    yardstick column computed batch-side (the stream's own output is
+    the sketch; a wrong sketch flips rank_ok and hash-mismatches)."""
+    tune(spark)
+    eps = 0.065
+    s = read_replay_stream(spark, sf_dir, files_per_trigger=2)
+    agg = s.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.kll_sketch_agg_double("value", 200).alias("sk"),
+    )
+    streamed = run_to_table(agg, "complete")
+    ests = streamed.select(
+        "event_type",
+        "n",
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("est"),
+    )
+    t = Tables(spark, sf_dir)
+    counted = (
+        t.events.join(F.broadcast(ests.select("event_type", "est")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_batch"),
+            F.sum(
+                F.when(F.col("value") <= F.col("est"), 1).otherwise(0)
+            ).alias("le_est"),
+            F.percentile("value", F.lit(0.5)).alias("exact_p50_raw"),
+        )
+    )
+    return (
+        ests.join(counted, "event_type")
+        .select(
+            "event_type",
+            "n",
+            F.round("exact_p50_raw", 2).alias("exact_p50"),
+            (
+                F.abs(F.col("le_est") / F.col("n_batch") - 0.5) <= F.lit(eps)
+            ).alias("rank_ok"),
+        )
+    )
