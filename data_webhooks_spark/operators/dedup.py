@@ -186,14 +186,17 @@ def dedup_minhash(spark, sf_dir):
     def minhash_sig(texts: pd.Series) -> pd.Series:
         docs = [txt.split(" ") for txt in texts]
         lens = np.array([len(ws) for ws in docs], dtype=np.int64)
-        flat = [w for ws in docs for w in ws]
         # Hash each unique word in the batch once (docs repeat
-        # vocabulary heavily); factorize is C-speed.
+        # vocabulary heavily); factorize is C-speed. Encoded-bytes
+        # keys, not str: pandas' fast string hash table truncates at
+        # embedded NUL bytes and would conflate such words (see
+        # simhash_impl.py); blake2b consumes bytes anyway.
+        flat = [w.encode() for ws in docs for w in ws]
         codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
         uh = np.array(
             [
                 np.frombuffer(
-                    hashlib.blake2b(w.encode(), digest_size=8).digest(),
+                    hashlib.blake2b(w, digest_size=8).digest(),
                     dtype=np.uint64,
                 )[0]
                 for w in uniques

@@ -37,11 +37,16 @@ def simhash64_batch(texts) -> np.ndarray:
     if n_docs == 0:
         return np.empty(0, dtype=np.int64)
     lens = np.array([len(ws) for ws in docs], dtype=np.int64)
-    flat = [w for ws in docs for w in ws]
+    # Factorize the ENCODED words: pandas' fast string hash table is
+    # C-string based and silently conflates words that differ only
+    # past an embedded NUL byte ('' vs '\x00'); bytes objects take the
+    # NUL-safe PyObject path at near-identical speed, and the hashes
+    # below consume bytes anyway.
+    flat = [w.encode() for ws in docs for w in ws]
     codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
     # One md5 per unique word in the batch; ">u8" matches the reference
     # loop's int.from_bytes(digest[:8], "big").
-    digest8 = b"".join(hashlib.md5(w.encode()).digest()[:8] for w in uniques)
+    digest8 = b"".join(hashlib.md5(w).digest()[:8] for w in uniques)
     uh = np.frombuffer(digest8, dtype=">u8").astype(np.uint64)
     # (n_unique, 64) bit matrix, column i == (h >> i) & 1.
     bits = np.unpackbits(

@@ -122,3 +122,32 @@ def test_canon_equality_is_value_equality(u, v):
             assert cu == cv
         elif not is_nan:
             assert cu != cv or u == v
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_characters=[" "]
+            ),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_simhash_vectorized_equals_reference_on_random_words(words):
+    """The r4 numpy SimHash kernel must be bit-exact vs the original
+    interpreted loop on arbitrary vocabularies (unicode, empty words,
+    duplicates) — not just the fixed cases in test_quality.py."""
+    from data_webhooks_spark.operators.simhash_impl import (
+        simhash64_batch,
+        simhash64_reference,
+    )
+
+    texts = [" ".join(words), " ".join(reversed(words))]
+    got = simhash64_batch(texts)
+    for txt, g in zip(texts, got):
+        assert int(g) == simhash64_reference(txt)
