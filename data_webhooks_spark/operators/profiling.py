@@ -1,0 +1,191 @@
+"""Data profiling / data-quality operators (SURVEY §2.15).
+
+Any pipeline feeding a 100 TB training run needs automated table
+profiling (what does this column look like?) and rule-based quality
+gates (how many rows violate the contract?) — the Deequ/
+Great-Expectations surface, expressed as plain Catalyst plans.
+
+Scale notes (100 TB):
+- ``profile_table`` computes every column's stats in ONE scan: the
+  multi-column exact ``countDistinct`` makes Catalyst plan an Expand
+  (one duplicated row-stream per distinct column) — the honest cost
+  of exactness; the 100 TB variant swaps in
+  ``approx_count_distinct`` (fixed-size HLL state, no Expand blowup)
+  — same plan shape, sketch state.
+- ``dq_checks`` evaluates all row-local rules in one pass as
+  conditional counts (codegen), plus one left-anti join for the
+  referential rule; every rule reduces map-side, so the output is a
+  handful of rows regardless of input size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import Tables
+from ..regutil import registrar
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+op = registrar(QUERIES, ORACLE)
+
+# (column, is_numeric) — numeric columns get min/max as rounded doubles;
+# non-numerics profile null/distinct counts only (string min/max has
+# cross-engine collation/formatting hazards; SURVEY §5.3).
+_PROFILE_COLS = [
+    ("o_orderkey", True),
+    ("o_custkey", True),
+    ("o_orderstatus", False),
+    ("o_totalprice", True),
+    ("o_orderdate", False),
+    ("o_orderpriority", False),
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c, numeric in _PROFILE_COLS:
+        if numeric:
+            mn = f"ROUND(MIN(CAST({c} AS DOUBLE)), 6)"
+            mx = f"ROUND(MAX(CAST({c} AS DOUBLE)), 6)"
+        else:
+            mn = mx = "CAST(NULL AS DOUBLE)"
+        parts.append(
+            f"SELECT '{c}' AS column_name,"
+            f" CAST(COUNT(*) AS BIGINT) AS n_rows,"
+            f" CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,"
+            f" CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,"
+            f" {mn} AS min_num, {mx} AS max_num FROM orders"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@op("profile_table", sql=_profile_oracle())
+def profile_table(spark, sf_dir):
+    """One-scan table profile of ``orders``: per column — row count,
+    null count, exact distinct count, and numeric min/max. The wide
+    single-row aggregate is unpivoted to one row per column with an
+    inline explode (no second pass).
+
+    The oracle runs one aggregate per column (DuckDB re-scans; it is
+    the yardstick) — the Spark plan is the one you'd run at scale:
+    a single pass, with the Expand for multi-column exact distincts
+    swapped for approx_count_distinct when exactness isn't worth the
+    duplicated row-stream."""
+    t = Tables(spark, sf_dir)
+    aggs = []
+    for c, numeric in _PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"__nn_{c}"),
+            F.countDistinct(c).alias(f"__nd_{c}"),
+        ]
+        if numeric:
+            aggs += [
+                F.round(F.min(F.col(c).cast("double")), 6).alias(f"__mn_{c}"),
+                F.round(F.max(F.col(c).cast("double")), 6).alias(f"__mx_{c}"),
+            ]
+    wide = t.orders.agg(F.count(F.lit(1)).alias("__rows"), *aggs)
+    entries = []
+    for c, numeric in _PROFILE_COLS:
+        mn = F.col(f"__mn_{c}") if numeric else F.lit(None).cast("double")
+        mx = F.col(f"__mx_{c}") if numeric else F.lit(None).cast("double")
+        entries.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("__rows").alias("n_rows"),
+                F.col(f"__nn_{c}").alias("n_nulls"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                mn.alias("min_num"),
+                mx.alias("max_num"),
+            )
+        )
+    return wide.select(F.explode(F.array(*entries)).alias("p")).select("p.*")
+
+
+@op(
+    "dq_checks",
+    sql="""
+    SELECT 'totalprice_positive' AS rule,
+           CAST(COUNT(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT)
+               AS n_violations,
+           CAST(COUNT(*) AS BIGINT) AS n_checked
+    FROM orders
+    UNION ALL
+    SELECT 'orderdate_in_range',
+           CAST(COUNT(*) FILTER (WHERE o_orderdate < TIMESTAMP '1992-01-01'
+                                    OR o_orderdate >= TIMESTAMP '1999-01-01')
+                AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'status_in_domain',
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('F', 'O', 'P'))
+                AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'custkey_not_null',
+           CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'custkey_references_customer',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders
+    """,
+)
+def dq_checks(spark, sf_dir):
+    """Rule-based data-quality gate over ``orders``: four row-local
+    contract rules evaluated as conditional counts in ONE scan, plus a
+    referential-integrity rule (every o_custkey resolves in customer)
+    as a left-anti join — the Deequ-style validation report a pipeline
+    runs before promoting a batch.
+
+    The row-local rules are a single aggregate (map-side reduction,
+    codegen); the anti-join broadcasts or bloom-filters the dimension
+    side under AQE. Output is one row per rule: violations + rows
+    checked."""
+    t = Tables(spark, sf_dir)
+
+    def viol(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+
+    o = t.orders
+    local = o.agg(
+        viol(F.col("o_totalprice") <= 0, "totalprice_positive"),
+        viol(
+            (F.col("o_orderdate") < F.lit("1992-01-01").cast("timestamp_ntz"))
+            | (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp_ntz")),
+            "orderdate_in_range",
+        ),
+        viol(~F.col("o_orderstatus").isin("F", "O", "P"), "status_in_domain"),
+        viol(F.col("o_custkey").isNull(), "custkey_not_null"),
+        F.count(F.lit(1)).alias("n_checked"),
+    )
+    cust = t.customer
+    orphans = (
+        o.join(cust, o.o_custkey == cust.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("v"))
+        .select(F.col("v").cast("long").alias("custkey_references_customer"))
+    )
+    wide = local.crossJoin(orphans)  # 1-row x 1-row scalar attach
+    rules = [
+        "totalprice_positive",
+        "orderdate_in_range",
+        "status_in_domain",
+        "custkey_not_null",
+        "custkey_references_customer",
+    ]
+    entries = [
+        F.struct(
+            F.lit(r).alias("rule"),
+            F.col(r).alias("n_violations"),
+            F.col("n_checked").alias("n_checked"),
+        )
+        for r in rules
+    ]
+    return wide.select(F.explode(F.array(*entries)).alias("r")).select("r.*")

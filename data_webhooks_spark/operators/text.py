@@ -14,6 +14,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from ..io import Tables
+from ..norms import qnt
 from ..regutil import registrar
 
 QUERIES: dict = {}
@@ -724,5 +725,77 @@ def text_unigram_logprob(spark, sf_dir):
             F.round(
                 F.avg(-F.log(F.col("c").cast("double") / F.col("n"))), 6
             ).alias("avg_neg_logprob"),
+        )
+    )
+
+
+_MG_K = 199  # counters per partition: guarantees words > N/200 (0.5%) survive
+
+
+@op(
+    "text_heavy_hitters",
+    sql="""
+    WITH words AS (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS total FROM words)
+    SELECT word,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           FLOOR(COUNT(*) / CAST(total AS DOUBLE) * 1000000.0 + 0.5)
+               / 1000000.0 AS freq
+    FROM words, tot
+    GROUP BY word, total
+    HAVING COUNT(*) * 100 >= total
+    """,
+)
+def text_heavy_hitters(spark, sf_dir):
+    """EXACT corpus heavy hitters (words with frequency >= 1%) via the
+    two-phase pattern that makes frequent-items tractable at 100 TB:
+    per-partition Misra-Gries summaries generate a guaranteed-superset
+    candidate set, then one broadcast-filtered scan recounts ONLY the
+    candidates exactly.
+
+    Guarantee (mergeable-summaries bound, Agarwal et al., TODS 2013;
+    Misra & Gries 1982): with k=199 counters, any word whose
+    partition-local count exceeds n_p/200 keeps a counter, so any word
+    with global count > N/200 = 0.5% survives in at least one
+    partition — a strict superset of the 1% report threshold. The
+    recount + integer-arithmetic HAVING (n*100 >= N) then makes the
+    output exact and independent of partitioning/batch order, even
+    though the intermediate candidate set is not deterministic.
+
+    Scale shape: phase 1 ships k words per partition (bounded,
+    broadcastable); phase 2's join filters map-side before the
+    groupBy, so only candidate tokens shuffle — the full distinct
+    vocabulary (the thing that explodes on web text: typos, ids,
+    numbers) never shuffles anywhere."""
+    t = Tables(spark, sf_dir)
+    words = t.documents.select(F.explode(_tokens()).alias("word"))
+
+    def mg_candidates(batches):
+        s = pd.Series(dtype="int64")
+        for pdf in batches:
+            vc = pdf["word"].value_counts()
+            s = s.add(vc, fill_value=0).astype("int64") if len(s) else vc
+            if len(s) > _MG_K:
+                cut = s.sort_values(ascending=False).iloc[_MG_K]
+                s = s[s > cut] - cut
+        yield pd.DataFrame({"word": s.index.astype(str)})
+
+    cands = words.mapInPandas(mg_candidates, "word string").distinct()
+    total = words.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        words.join(F.broadcast(cands), "word")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .crossJoin(total)
+        .filter(F.col("n_occurrences") * 100 >= F.col("total"))
+        .select(
+            "word",
+            "n_occurrences",
+            qnt(
+                F.col("n_occurrences") / F.col("total").cast("double"),
+                "freq",
+            ),
         )
     )

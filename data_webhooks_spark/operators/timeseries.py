@@ -1,0 +1,234 @@
+"""Time-series operators over the webhook event stream (SURVEY §2.14).
+
+A webhook-analytics engine's users chart their event streams: regular
+time grids with gaps filled, smoothed trend lines, and outlier flags.
+These are the three canonical shapes — resample+gap-fill, EWMA
+smoothing, and robust (MAD) anomaly detection — each expressed as one
+declarative Catalyst plan with no Python in the hot path.
+
+Scale notes (100 TB):
+- ``ts_resample_gapfill``: the dense spine is ``hours × event_types``
+  — bounded by wall-clock time and type cardinality, never by row
+  count (a year of hours is 8 760 rows), so the grid build is a
+  broadcast-sized cross of two tiny derived tables no matter how big
+  the raw events table is. The heavy side is one partial-aggregated
+  groupBy over events; the forward-fill window partitions by
+  event_type over the *hourly* rollup (≤ spine rows), not raw events.
+- ``ts_ewma``: per-user windows give key-cardinality parallelism
+  (unlike a per-type window — the `win_ranking` ×100 lesson). The
+  weighted fold runs entirely in whole-stage codegen via
+  ``zip_with``/``aggregate`` higher-order functions; the frame is a
+  fixed 8 rows so per-row state is O(1).
+- ``ts_anomaly_mad``: the two join-backs broadcast per-type medians
+  (rows = #event_types, bounded); exact percentile state grows with
+  distinct values per group — at 100 TB swap ``F.percentile`` for the
+  mergeable KLL sketch (`agg_kll_quantile` is the worked pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..io import Tables
+from ..norms import o_qnt, qnt
+from ..regutil import registrar
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+op = registrar(QUERIES, ORACLE)
+
+
+@op(
+    "ts_resample_gapfill",
+    sql="""
+    WITH b AS (
+        SELECT date_trunc('hour', min(ts)) AS h0,
+               date_trunc('hour', max(ts)) AS h1
+        FROM events
+    ),
+    spine AS (
+        SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        FROM b
+    ),
+    grid AS (
+        SELECT hour, event_type
+        FROM spine CROSS JOIN (SELECT DISTINCT event_type FROM events)
+    ),
+    hourly AS (
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               COUNT(*) AS n, SUM(value) AS sv
+        FROM events GROUP BY 1, 2
+    )
+    SELECT g.event_type, g.hour,
+           CAST(COALESCE(h.n, 0) AS BIGINT) AS n_events,
+           FLOOR(last_value(h.sv / h.n IGNORE NULLS) OVER (
+                     PARTITION BY g.event_type ORDER BY g.hour
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) * 1000000.0 + 0.5) / 1000000.0 AS avg_fill
+    FROM grid g LEFT JOIN hourly h
+      ON g.hour = h.hour AND g.event_type = h.event_type
+    """,
+)
+def ts_resample_gapfill(spark, sf_dir):
+    """Resample events to a dense hourly grid per event_type: empty
+    hours appear with n_events=0 and the hourly mean value
+    forward-filled from the last observed hour (NULL before the first
+    observation — both engines agree).
+
+    The spine is generated from the data's own [min, max] hour range
+    (`sequence` + `explode`), crossed with the distinct type set —
+    both derived tables are aggregate-sized, so the cross is bounded
+    regardless of raw volume. One shuffle for the hourly rollup, one
+    tiny window over the rollup for the fill."""
+    t = Tables(spark, sf_dir)
+    bounds = t.events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    grid = spine.crossJoin(t.events.select("event_type").distinct())
+    hourly = t.events.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.join(hourly, ["hour", "event_type"], "left").select(
+        "event_type",
+        "hour",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        qnt(F.last(F.col("sv") / F.col("n"), ignorenulls=True).over(w), "avg_fill"),
+    )
+
+
+_EWMA_ALPHA = 0.3
+_EWMA_N = 8
+_EWMA_W = [(1.0 - _EWMA_ALPHA) ** j for j in range(_EWMA_N)]  # newest first
+_EWMA_NORM = sum(_EWMA_W)
+
+
+def _ewma_oracle() -> str:
+    # Fold terms newest->oldest with left-assoc addition: the exact
+    # IEEE operation sequence Spark's aggregate() lambda performs, so
+    # the doubles are bit-identical before quantization. DuckDB lists
+    # are 1-based: vs[8] is the current row, vs[8-j] is j rows back.
+    terms = " + ".join(
+        f"vs[{_EWMA_N - j}] * {w!r}" for j, w in enumerate(_EWMA_W)
+    )
+    return f"""
+    WITH w AS (
+        SELECT user_id, event_id, value,
+               list(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {_EWMA_N - 1} PRECEDING AND CURRENT ROW
+               ) AS vs
+        FROM events
+    )
+    SELECT user_id, event_id, value,
+           {o_qnt(f"(0.0 + {terms}) / {_EWMA_NORM!r}", "ewma")}
+    FROM w WHERE len(vs) = {_EWMA_N}
+    """
+
+
+@op("ts_ewma", sql=_ewma_oracle())
+def ts_ewma(spark, sf_dir):
+    """Exponentially weighted moving average of each user's event
+    values (alpha=0.3) over a fixed 8-row frame, emitted only for full
+    frames so the smoothing horizon is uniform.
+
+    The frame values are gathered with collect_list over a per-user
+    window (frame order is the window order, ascending), then the
+    weighted fold runs in codegen: reverse -> zip_with(weights) ->
+    aggregate(+). Per-user partitioning keeps parallelism at key
+    cardinality; the oracle replays the identical IEEE add sequence so
+    both engines quantize the same double."""
+    t = Tables(spark, sf_dir)
+    w8 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_EWMA_N - 1), 0)
+    )
+    weights = F.array(*[F.lit(w) for w in _EWMA_W])
+    frames = t.events.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.collect_list("value").over(w8).alias("vs"),
+    ).filter(F.size("vs") == _EWMA_N)
+    ewma = (
+        F.aggregate(
+            F.zip_with(F.reverse("vs"), weights, lambda x, w: x * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.lit(_EWMA_NORM)
+    )
+    return frames.select("user_id", "event_id", "value", qnt(ewma, "ewma"))
+
+
+_MAD_K = 1.4826  # consistency constant: MAD * 1.4826 ~ sigma for normal data
+_MAD_CUT = 3.0 * _MAD_K
+
+
+@op(
+    "ts_anomaly_mad",
+    sql=f"""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.event_id, e.value, m.med,
+               abs(e.value - m.med) AS adev
+        FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type, d.event_id, d.value,
+           {o_qnt(f"(d.value - d.med) / ({_MAD_K!r} * m.mad)", "robust_z")}
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    WHERE d.adev > {_MAD_CUT!r} * m.mad
+    """,
+)
+def ts_anomaly_mad(spark, sf_dir):
+    """Robust outlier detection: flag events whose value deviates from
+    the per-type median by more than 3 sigma-equivalents, where sigma
+    is estimated as 1.4826 x the median absolute deviation — the
+    standard robust z-score (unlike mean/stddev, immune to the
+    outliers it is hunting).
+
+    Two aggregate passes (median, then MAD of deviations) with the
+    tiny per-type stats broadcast back; the filter and score are plain
+    codegen expressions. Exact percentile state grows with distinct
+    values per group — the 100 TB swap is the mergeable KLL sketch
+    (see agg_kll_quantile)."""
+    t = Tables(spark, sf_dir)
+    med = t.events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = t.events.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("adev") > F.lit(_MAD_CUT) * F.col("mad"))
+        .select(
+            "event_type",
+            "event_id",
+            "value",
+            qnt(
+                (F.col("value") - F.col("med")) / (F.lit(_MAD_K) * F.col("mad")),
+                "robust_z",
+            ),
+        )
+    )

@@ -102,6 +102,8 @@ _MODULES = [
     "data_webhooks_spark.operators.layout",
     "data_webhooks_spark.operators.sampling",
     "data_webhooks_spark.operators.analytics",
+    "data_webhooks_spark.operators.timeseries",
+    "data_webhooks_spark.operators.profiling",
     "data_webhooks_spark.streaming.queries",
     "data_webhooks_spark.streaming.webhook_query",
 ]
