@@ -512,9 +512,18 @@ def dedup_cluster(spark, sf_dir):
     )
 
 
+# Pair-report threshold: the fixture embeddings are near-orthogonal
+# random vectors (max pairwise cosine ~0.5-0.6), so a "real" near-dup
+# cut like 0.9 matches NOTHING and the oracle check passes vacuously —
+# the r4 zero-row audit caught exactly that (the former 0.8 cut).
+# 0.45 sits in the distribution's upper tail: tens to hundreds of
+# pairs at sf0.01/sf0.1, so the kernel's pair emission is actually
+# exercised and hash-compared.
+_EMB_SIM_THRESHOLD = 0.45
+
 @op(
     "dedup_embedding",
-    sql="""
+    sql=f"""
     WITH d AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
         FROM embeddings
@@ -527,7 +536,7 @@ def dedup_cluster(spark, sf_dir):
                / 1000000.0 AS cos_sim
     FROM n a JOIN n b ON a.vec_id < b.vec_id
     WHERE FLOOR(list_dot_product(a.e, b.e) / (a.nrm * b.nrm) * 1000000.0 + 0.5)
-               / 1000000.0 >= 0.8
+               / 1000000.0 >= {_EMB_SIM_THRESHOLD!r}
     """,
 )
 def dedup_embedding(spark, sf_dir):
@@ -608,9 +617,9 @@ def dedup_embedding(spark, sf_dir):
                 # exact-tie divergence is measure-zero on real cosines
                 sims = np.floor(sims * 1e6 + 0.5) / 1e6
                 if row.blk_a == row.blk_b:
-                    keep = (sims >= 0.8) & (a_ids[:, None] < b_ids[None, :])
+                    keep = (sims >= _EMB_SIM_THRESHOLD) & (a_ids[:, None] < b_ids[None, :])
                 else:
-                    keep = sims >= 0.8
+                    keep = sims >= _EMB_SIM_THRESHOLD
                 i, j = np.nonzero(keep)
                 if not len(i):
                     continue

@@ -123,14 +123,22 @@ def join_left_semi(spark, sf_dir):
     "join_left_anti",
     sql="""
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '1998-01-01')
     """,
 )
 def join_left_anti(spark, sf_dir):
-    """Left anti join: rows with NO match (NOT EXISTS), never materializing the match side."""
+    """Left anti join: customers with NO order since 1998 (NOT EXISTS),
+    never materializing the match side. (The r4 audit found the
+    unfiltered customer-without-any-order form returned 0 rows at
+    every fixture scale factor — a vacuously-passing oracle; the date
+    filter makes the difference non-empty at sf0.01 and sf0.1.)"""
     t = Tables(spark, sf_dir)
+    recent = t.orders.filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp_ntz")
+    )
     return t.customer.join(
-        t.orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
     ).select("c_custkey", "c_name")
 
 

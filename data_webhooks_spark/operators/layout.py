@@ -59,9 +59,9 @@ def partitioned_events_path(spark, sf_dir: str) -> str:
 @op(
     "sink_partitioned_parquet",
     sql="""
-    SELECT CAST(ts AS DATE) AS event_date, event_type, COUNT(*) AS n
+    SELECT date_trunc('day', ts) AS event_day, event_type, COUNT(*) AS n
     FROM events
-    WHERE CAST(ts AS DATE) BETWEEN DATE '2025-01-02' AND DATE '2025-01-04'
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-02' AND DATE '2024-01-04'
     GROUP BY 1, 2
     """,
 )
@@ -74,9 +74,12 @@ def sink_partitioned_parquet(spark, sf_dir):
     df = spark.read.parquet(path)
     return (
         df.filter(
-            F.col("event_date").between("2025-01-02", "2025-01-04")
+            F.col("event_date").between("2024-01-02", "2024-01-04")
         )
-        .groupBy("event_date", "event_type")
+        .groupBy(
+            F.col("event_date").cast("timestamp_ntz").alias("event_day"),
+            F.col("event_type"),
+        )
         .agg(F.count(F.lit(1)).alias("n"))
     )
 
@@ -133,4 +136,164 @@ def join_bucketed(spark, sf_dir):
     return joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_orders"),
         dec_sum("o_totalprice", "segment_value"),
+    )
+
+
+def fragmented_events_path(spark, sf_dir: str) -> str:
+    """events deliberately shattered into 64 tiny unsorted files (once
+    per sf) — the small-files problem every streaming ingest creates."""
+    out = f"{RUNTIME_DIR}/layout/{_sf_name(sf_dir)}/events_fragmented"
+    marker = f"{out}/_done"
+    if not os.path.exists(marker):
+        t = Tables(spark, sf_dir)
+        t.events.repartition(64, "event_id").write.mode("overwrite").parquet(out)
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    return out
+
+
+def compacted_events_path(spark, sf_dir: str) -> str:
+    """The fragmented layout compacted to 4 time-clustered files (once
+    per sf): range-partition by ts so each output file owns a
+    contiguous time slice, sorted within for row-group stat locality."""
+    out = f"{RUNTIME_DIR}/layout/{_sf_name(sf_dir)}/events_compacted"
+    marker = f"{out}/_done"
+    if not os.path.exists(marker):
+        frag = fragmented_events_path(spark, sf_dir)
+        (
+            spark.read.parquet(frag)
+            .repartitionByRange(4, "ts")
+            .sortWithinPartitions("ts", "event_id")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    return out
+
+
+@op(
+    "compact_files",
+    sql="""
+    SELECT date_trunc('day', ts) AS event_day,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids,
+           TRUE AS compacted_ok
+    FROM events GROUP BY 1
+    """,
+)
+def compact_files(spark, sf_dir):
+    """Small-file compaction as an oracle-checked operator: a 64-file
+    shattered events layout is rewritten into 4 time-range-clustered
+    files, and the compacted copy must reproduce the source exactly
+    (per-day row and distinct-id counts hash-checked against the
+    original parquet) while actually being 4 files
+    (``compacted_ok`` = distinct input_file_name <= 4, computed from
+    the compacted scan itself).
+
+    At 100 TB this is the nightly maintenance job that keeps scan task
+    counts sane: repartitionByRange(ts) gives each output file one
+    contiguous time slice (so time predicates prune whole files via
+    row-group stats), and the sortWithinPartitions tightens min/max
+    bounds per row group. The op's plan reads ONLY the compacted
+    layout — equality with the oracle proves losslessness."""
+    path = compacted_events_path(spark, sf_dir)
+    df = spark.read.parquet(path)
+    nfiles = df.select(F.input_file_name().alias("f")).agg(
+        F.countDistinct("f").alias("nf")
+    )
+    return (
+        df.groupBy(F.date_trunc("day", "ts").alias("event_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("event_id").alias("n_ids"),
+        )
+        .crossJoin(nfiles)  # 1-row scalar attach
+        .select(
+            "event_day", "n", "n_ids", (F.col("nf") <= 4).alias("compacted_ok")
+        )
+    )
+
+
+def _zvalue(u, h):
+    """Interleave the low 16 bits of two longs into a Z-order key —
+    pure codegen shift/mask arithmetic, no UDF."""
+    # the shifted bit positions are disjoint, so addition == bitwise OR
+    # (and stays a plain long-typed codegen expression)
+    z = F.lit(0).cast("long")
+    for i in range(16):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(u, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(h, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def zordered_events_path(spark, sf_dir: str) -> str:
+    """events clustered by the Z-order interleave of (user_id, hour
+    index) into 8 range-partitioned files (once per sf)."""
+    out = f"{RUNTIME_DIR}/layout/{_sf_name(sf_dir)}/events_zorder"
+    marker = f"{out}/_done"
+    if not os.path.exists(marker):
+        t = Tables(spark, sf_dir)
+        hour_idx = (
+            F.unix_timestamp(F.col("ts").cast("timestamp"))
+            / F.lit(3600)
+        ).cast("long")
+        (
+            t.events.withColumn(
+                "zv", _zvalue(F.col("user_id"), hour_idx)
+            )
+            .repartitionByRange(8, "zv")
+            .sortWithinPartitions("zv")
+            .drop("zv")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    return out
+
+
+@op(
+    "zorder_layout",
+    sql="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS locality_ok
+    FROM events
+    WHERE user_id BETWEEN 100 AND 299
+      AND ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+    GROUP BY event_type
+    """,
+)
+def zorder_layout(spark, sf_dir):
+    """Multi-dimensional clustering (Z-order) as an oracle-checked
+    operator: events are laid out by the bit-interleave of (user_id,
+    hour), so a query box selective in BOTH dimensions touches only
+    the few files whose Z-range intersects the box — the
+    Databricks-OPTIMIZE-ZORDER / Hudi clustering pattern, built from
+    shift/mask codegen + repartitionByRange (no engine extension).
+
+    ``locality_ok`` asserts the locality from inside the plan: the
+    distinct input_file_name count over matched rows must be at most
+    half the 8 clustered files (a time-only or user-only sort would
+    touch nearly all of them). The aggregate itself is hash-verified
+    against the unclustered source — clustering must never change
+    query results, only which files hold them."""
+    path = zordered_events_path(spark, sf_dir)
+    df = spark.read.parquet(path).filter(
+        F.col("user_id").between(100, 299)
+        & (F.col("ts") >= F.lit("2024-01-08").cast("timestamp_ntz"))
+        & (F.col("ts") < F.lit("2024-01-15").cast("timestamp_ntz"))
+    )
+    nfiles = df.select(F.input_file_name().alias("f")).agg(
+        F.countDistinct("f").alias("nf")
+    )
+    return (
+        df.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(nfiles)  # 1-row scalar attach
+        .select("event_type", "n", (F.col("nf") <= 4).alias("locality_ok"))
     )

@@ -133,16 +133,27 @@ def set_intersect(spark, sf_dir):
 @op(
     "set_except",
     sql="""
-    SELECT c_nationkey AS nkey FROM customer
+    SELECT DISTINCT o_custkey AS ckey FROM orders WHERE o_orderstatus = 'F'
     EXCEPT
-    SELECT s_nationkey AS nkey FROM supplier
+    SELECT DISTINCT o_custkey AS ckey FROM orders WHERE o_orderstatus = 'O'
     """,
 )
 def set_except(spark, sf_dir):
-    """Set difference (EXCEPT DISTINCT)."""
+    """Set difference (EXCEPT DISTINCT): customers with finished
+    orders but no open ones. (The r4 audit found the former
+    customer-minus-supplier nation form returned 0 rows at every
+    scale factor — a vacuously-passing oracle; these operands have a
+    non-empty difference at sf0.01 and sf0.1.)"""
     t = Tables(spark, sf_dir)
-    return t.customer.select(F.col("c_nationkey").alias("nkey")).subtract(
-        t.supplier.select(F.col("s_nationkey").alias("nkey"))
+    o = t.orders
+    return (
+        o.filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("ckey"))
+        .subtract(
+            o.filter(F.col("o_orderstatus") == "O").select(
+                F.col("o_custkey").alias("ckey")
+            )
+        )
     )
 
 

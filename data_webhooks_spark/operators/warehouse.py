@@ -1,0 +1,192 @@
+"""Warehouse-maintenance operators: CDC merge and slowly-changing
+dimensions (SURVEY §2.16).
+
+A webhook platform's dimension tables (customers, accounts) change
+over time; the two canonical maintenance shapes are SCD1 (merge/upsert
+— keep latest) and SCD2 (validity intervals — keep history). Both are
+expressed as declarative plans over deterministic snapshot derivations
+of the ``customer`` fixture, so DuckDB can verify them end-to-end.
+
+Scale notes (100 TB):
+- ``merge_upsert`` is one full-outer equi-join on the dimension key —
+  the exact shuffle MERGE INTO performs in any lakehouse engine; with
+  both sides bucketed by key it is shuffle-free. No driver-side
+  anything.
+- ``dim_scd2`` is a union of snapshots + two windows over the
+  dimension key — per-key state is the snapshot count (bounded), and
+  the window partitions by the high-cardinality key, so parallelism
+  scales with keys, not snapshots.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..io import Tables
+from ..regutil import registrar
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+op = registrar(QUERIES, ORACLE)
+
+# Deterministic snapshot derivation (same arithmetic in both engines):
+#   v2: customers with key%7==0 move to segment SEG_B;
+#       key%11==0 gain +100.00 balance
+#   v3: key%13==0 move to SEG_C (on top of v2's segment);
+#       key%7==0 gain a further +250.00 balance
+_SEG2 = "CASE WHEN c_custkey % 7 = 0 THEN 'SEG_B' ELSE c_mktsegment END"
+_BAL2 = "c_acctbal + (CASE WHEN c_custkey % 11 = 0 THEN 100.0 ELSE 0.0 END)"
+_SEG3 = f"CASE WHEN c_custkey % 13 = 0 THEN 'SEG_C' ELSE ({_SEG2}) END"
+_BAL3 = f"({_BAL2}) + (CASE WHEN c_custkey % 7 = 0 THEN 250.0 ELSE 0.0 END)"
+
+
+def _snapshots(t):
+    """customer at versions 1..3 as (c_custkey, version, segment, bal)."""
+    c = t.customer
+    v1 = c.select(
+        "c_custkey",
+        F.lit(1).alias("version"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    v2 = c.select(
+        "c_custkey",
+        F.lit(2).alias("version"),
+        F.expr(_SEG2).alias("segment"),
+        F.expr(_BAL2).alias("bal"),
+    )
+    v3 = c.select(
+        "c_custkey",
+        F.lit(3).alias("version"),
+        F.expr(_SEG3).alias("segment"),
+        F.expr(_BAL3).alias("bal"),
+    )
+    return v1.unionByName(v2).unionByName(v3)
+
+
+_SNAPSHOTS_SQL = f"""
+    snaps AS (
+        SELECT c_custkey, 1 AS version, c_mktsegment AS segment,
+               c_acctbal AS bal FROM customer
+        UNION ALL
+        SELECT c_custkey, 2, {_SEG2}, {_BAL2} FROM customer
+        UNION ALL
+        SELECT c_custkey, 3, {_SEG3}, {_BAL3} FROM customer
+    )
+"""
+
+
+@op(
+    "merge_upsert",
+    sql=f"""
+    WITH {_SNAPSHOTS_SQL},
+    src AS (
+        SELECT c_custkey, segment, bal FROM snaps WHERE version = 2
+        AND (c_custkey % 7 = 0 OR c_custkey % 11 = 0)
+    )
+    SELECT t.c_custkey,
+           COALESCE(s.segment, t.c_mktsegment) AS segment,
+           ROUND(COALESCE(s.bal, t.c_acctbal), 2) AS bal,
+           s.c_custkey IS NOT NULL AS was_updated
+    FROM customer t LEFT JOIN src s ON t.c_custkey = s.c_custkey
+    UNION ALL
+    SELECT c_custkey + 1000000, segment, ROUND(bal, 2), TRUE
+    FROM src WHERE c_custkey % 11 = 0
+    """,
+)
+def merge_upsert(spark, sf_dir):
+    """MERGE INTO (SCD1) semantics without a lakehouse format: apply a
+    CDC changeset to the customer dimension — matched keys take the
+    source's segment/balance, unmatched targets pass through, and
+    source-only rows (here: key-shifted clones standing in for new
+    customers) are inserted.
+
+    Plan: one left equi-join target<-changeset (update arm; AQE
+    broadcasts the small changeset) + a union of the insert arm —
+    exactly the shuffle shape a lakehouse MERGE plans. was_updated
+    makes the three arms visible to the oracle."""
+    t = Tables(spark, sf_dir)
+    src = (
+        _snapshots(t)
+        .filter(
+            (F.col("version") == 2)
+            & ((F.col("c_custkey") % 7 == 0) | (F.col("c_custkey") % 11 == 0))
+        )
+        .select("c_custkey", "segment", "bal")
+    )
+    tgt = t.customer
+    updated = tgt.join(
+        src.withColumnRenamed("c_custkey", "s_key"),
+        tgt.c_custkey == F.col("s_key"),
+        "left",
+    ).select(
+        "c_custkey",
+        F.coalesce("segment", "c_mktsegment").alias("segment"),
+        F.round(F.coalesce("bal", "c_acctbal"), 2).alias("bal"),
+        F.col("s_key").isNotNull().alias("was_updated"),
+    )
+    inserts = src.filter(F.col("c_custkey") % 11 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        "segment",
+        F.round("bal", 2).alias("bal"),
+        F.lit(True).alias("was_updated"),
+    )
+    return updated.unionByName(inserts)
+
+
+@op(
+    "dim_scd2",
+    sql=f"""
+    WITH {_SNAPSHOTS_SQL},
+    marked AS (
+        SELECT *,
+               lag(segment) OVER w AS p_seg,
+               lag(bal) OVER w AS p_bal
+        FROM snaps
+        WINDOW w AS (PARTITION BY c_custkey ORDER BY version)
+    ),
+    kept AS (
+        SELECT c_custkey, version, segment, bal FROM marked
+        WHERE p_seg IS NULL OR segment <> p_seg OR bal <> p_bal
+    )
+    SELECT c_custkey, segment, ROUND(bal, 2) AS bal,
+           version AS valid_from,
+           lead(version) OVER
+               (PARTITION BY c_custkey ORDER BY version) AS valid_to,
+           lead(version) OVER
+               (PARTITION BY c_custkey ORDER BY version) IS NULL AS is_current
+    FROM kept
+    """,
+)
+def dim_scd2(spark, sf_dir):
+    """SCD Type-2 history build: collapse a sequence of dimension
+    snapshots into validity intervals — one row per (key, attribute
+    state), valid from the version that introduced it until the
+    version that changed it (NULL = current).
+
+    Plan: union the snapshots, drop no-change rows via a lag window
+    over (key, version), then assign interval ends with a lead window
+    over the survivors. Both windows partition by the dimension key,
+    so parallelism scales with key cardinality and per-key state is
+    the (bounded) snapshot count."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("c_custkey").orderBy("version")
+    marked = _snapshots(t).select(
+        "*",
+        F.lag("segment").over(w).alias("p_seg"),
+        F.lag("bal").over(w).alias("p_bal"),
+    )
+    kept = marked.filter(
+        F.col("p_seg").isNull()
+        | (F.col("segment") != F.col("p_seg"))
+        | (F.col("bal") != F.col("p_bal"))
+    )
+    return kept.select(
+        "c_custkey",
+        "segment",
+        F.round("bal", 2).alias("bal"),
+        F.col("version").alias("valid_from"),
+        F.lead("version").over(w).alias("valid_to"),
+        F.lead("version").over(w).isNull().alias("is_current"),
+    )

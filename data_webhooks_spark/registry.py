@@ -104,6 +104,7 @@ _MODULES = [
     "data_webhooks_spark.operators.analytics",
     "data_webhooks_spark.operators.timeseries",
     "data_webhooks_spark.operators.profiling",
+    "data_webhooks_spark.operators.warehouse",
     "data_webhooks_spark.streaming.queries",
     "data_webhooks_spark.streaming.webhook_query",
 ]

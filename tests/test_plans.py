@@ -114,7 +114,7 @@ def test_partitioned_read_prunes_partitions(spark, sf_dir, qs):
     plan = plan_of(qs["sink_partitioned_parquet"](spark, sf_dir))
     pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
     clause = pf.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
-    assert "event_date" in clause and ">= 2025-01-02" in clause
+    assert "event_date" in clause and ">= 2024-01-02" in clause
 
 
 def test_bucketed_join_has_no_shuffle(spark, sf_dir, qs):
