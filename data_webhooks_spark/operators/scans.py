@@ -21,6 +21,7 @@ from ..sources.derived import (
     EVENTS_JSON_COLUMNS,
     EVENTS_JSON_SPARK_SCHEMA,
     ORACLE_CUSTOMER_CSV,
+    ORACLE_EVENTS_EVOLVE,
     ORACLE_EVENTS_JSONL,
     derived_path,
 )
@@ -193,4 +194,33 @@ def scan_binaryfile(spark, sf_dir):
         )
         .filter(F.col("doc_id") < BLOB_DOCS)
         .orderBy("doc_id")
+    )
+
+
+@op(
+    "scan_parquet_evolve",
+    sql=f"""
+    SELECT event_id, user_id, value, event_type
+    FROM read_parquet(['{ORACLE_EVENTS_EVOLVE}/v1.parquet',
+                       '{ORACLE_EVENTS_EVOLVE}/v2.parquet'],
+                      union_by_name=true)
+    """,
+)
+def scan_parquet_evolve(spark, sf_dir):
+    """Schema-evolution scan: one directory holding parquet written by
+    two writer generations — the older file predates the event_type
+    column. ``mergeSchema`` unions the footers at planning time, and
+    rows from the older file surface NULL for the added column (the
+    data-lake additive-evolution contract).
+
+    At 100 TB, mergeSchema's footer pass is the cost knob: it reads
+    every file's footer at planning (vs the default first-file schema)
+    — enable it only on tables that actually evolved, or pin the
+    merged schema explicitly once known (the ``.schema(...)`` form
+    reads no extra footers and gets the same NULL-fill semantics)."""
+    path = derived_path(sf_dir, "events_evolve")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(path)
+        .select("event_id", "user_id", "value", "event_type")
     )

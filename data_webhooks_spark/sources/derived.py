@@ -59,7 +59,7 @@ def ensure_derived(sf_dir: str) -> str:
     scale factor."""
     sfname = os.path.basename(sf_dir.rstrip("/"))
     out = f"{DERIVED_DIR}/{sfname}"
-    marker = f"{out}/.complete_v2"
+    marker = f"{out}/.complete_v3"
     if os.path.exists(marker):
         return out
     os.makedirs(out, exist_ok=True)
@@ -98,6 +98,24 @@ def ensure_derived(sf_dir: str) -> str:
     for doc_id, text in docs[:BLOB_DOCS]:
         with open(f"{blob_dir}/doc_{doc_id:06d}.txt", "wb") as f:
             f.write(text.encode("utf-8"))
+    # schema-evolution twin: the same events table as TWO parquet
+    # files written by different "writer generations" — v1 lacks the
+    # event_type column (added later), v2 has it. Split by event_id
+    # parity so both files are non-trivial; deterministic ORDER BY.
+    evolve_dir = f"{out}/events_evolve"
+    os.makedirs(evolve_dir, exist_ok=True)
+    con.execute(
+        f"COPY (SELECT event_id, user_id, value "
+        f"FROM read_parquet('{sf_dir}/events.parquet') "
+        f"WHERE event_id % 2 = 0 ORDER BY event_id) "
+        f"TO '{evolve_dir}/v1.parquet' (FORMAT PARQUET)"
+    )
+    con.execute(
+        f"COPY (SELECT event_id, user_id, value, event_type "
+        f"FROM read_parquet('{sf_dir}/events.parquet') "
+        f"WHERE event_id % 2 = 1 ORDER BY event_id) "
+        f"TO '{evolve_dir}/v2.parquet' (FORMAT PARQUET)"
+    )
     con.close()
     with open(marker, "w") as f:
         f.write("ok\n")
@@ -114,3 +132,5 @@ ORACLE_SF_DIR = "/root/testdata/sf0.01"
 ensure_derived(ORACLE_SF_DIR)
 ORACLE_EVENTS_JSONL = f"{DERIVED_DIR}/sf0.01/events.jsonl"
 ORACLE_CUSTOMER_CSV = f"{DERIVED_DIR}/sf0.01/customer.csv"
+ORACLE_EVENTS_EVOLVE = f"{DERIVED_DIR}/sf0.01/events_evolve"
+

@@ -900,3 +900,33 @@ def stream_quantile(spark, sf_dir):
             ).alias("rank_ok"),
         )
     )
+
+
+@op(
+    "stream_topk",
+    sql="""
+    SELECT user_id, n FROM (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+               row_number() OVER (ORDER BY COUNT(*) DESC, user_id) AS rk
+        FROM events GROUP BY user_id
+    ) WHERE rk <= 10
+    """,
+)
+def stream_topk(spark, sf_dir):
+    """Continuously-maintained leaderboard: top-10 users by event count,
+    re-ranked every micro-batch (complete mode supports sort+limit
+    downstream of a streaming aggregate — append mode does not). The
+    end-of-replay answer must equal the batch top-10; ties break on
+    user_id so the result is deterministic.
+
+    Scale note: complete mode re-emits the whole aggregate each batch,
+    so this shape is only sane while group cardinality is bounded
+    (dashboard leaderboards). At 100 TB user_id cardinality, the scale
+    paths are (a) windowed top-N in append mode after the watermark
+    closes each window, or (b) the Misra-Gries candidates + exact
+    recount pattern (text_heavy_hitters) run per window."""
+    tune(spark)
+    s = read_replay_stream(spark, sf_dir, files_per_trigger=2)
+    agg = s.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    top = agg.orderBy(F.col("n").desc(), F.col("user_id")).limit(10)
+    return run_to_table(top, "complete")
