@@ -33,6 +33,21 @@ def test_rows_only_runs(key, spark, sf_dir):
     assert len(df.columns) > 0
 
 
+@pytest.mark.parametrize("key", SQL_KEYS)
+def test_oracle_not_vacuous(key, duck):
+    """A hash compare of two empty results passes no matter what the
+    operator computes. The r4 audit caught four keys whose operand
+    choices made the oracle permanently empty (set_except,
+    join_left_anti, dedup_embedding, sink_partitioned_parquet) — this
+    guard keeps the class extinct: every SQL oracle must produce at
+    least one row at the driver's correctness scale factor."""
+    assert len(duck.execute(ORACLE[key]).fetchall()) > 0, (
+        f"{key}: oracle returns 0 rows at sf0.01 — the driver's "
+        "value-hash comparison would pass vacuously; pick operands "
+        "with a non-empty result"
+    )
+
+
 def test_driver_window_is_the_round4_rotation():
     """The external driver's correctness gate reads the FIRST 50 keys
     of queries(); round 4 rotates the never-officially-checked keys
