@@ -82,17 +82,33 @@ def ts_resample_gapfill(spark, sf_dir):
     regardless of raw volume. One shuffle for the hourly rollup, one
     tiny window over the rollup for the fill."""
     t = Tables(spark, sf_dir)
-    bounds = t.events.agg(
-        F.date_trunc("hour", F.min("ts")).alias("h0"),
-        F.date_trunc("hour", F.max("ts")).alias("h1"),
-    )
-    spine = bounds.select(
-        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour")
-    )
-    grid = spine.crossJoin(t.events.select("event_type").distinct())
+    # Two events passes total (down from a naive four): the grid —
+    # type set AND global spine bounds — derives from one per-type
+    # aggregate over the hourly rollup (min rollup hour ==
+    # trunc(min ts) by construction), with the global [h0, h1] spread
+    # to the handful of type rows by an unpartitioned window over that
+    # aggregate-sized result. The only other pass is the rollup the
+    # grid joins against.
     hourly = t.events.groupBy(
         F.date_trunc("hour", "ts").alias("hour"), "event_type"
     ).agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+    w_all = Window.partitionBy()
+    per_type = hourly.groupBy("event_type").agg(
+        F.min("hour").alias("t0"), F.max("hour").alias("t1")
+    )
+    grid = (
+        per_type.select(
+            "event_type",
+            F.min("t0").over(w_all).alias("h0"),
+            F.max("t1").over(w_all).alias("h1"),
+        )
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
     w = (
         Window.partitionBy("event_type")
         .orderBy("hour")

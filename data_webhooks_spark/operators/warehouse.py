@@ -42,27 +42,32 @@ _BAL3 = f"({_BAL2}) + (CASE WHEN c_custkey % 7 = 0 THEN 250.0 ELSE 0.0 END)"
 
 
 def _snapshots(t):
-    """customer at versions 1..3 as (c_custkey, version, segment, bal)."""
+    """customer at versions 1..3 as (c_custkey, version, segment, bal).
+
+    ONE dimension scan: the three versions explode from an inline
+    struct array per row (a union of three selects would scan the
+    table three times — at a 100 TB dimension that is the whole cost)."""
     c = t.customer
-    v1 = c.select(
-        "c_custkey",
-        F.lit(1).alias("version"),
-        F.col("c_mktsegment").alias("segment"),
-        F.col("c_acctbal").alias("bal"),
+    versions = F.array(
+        F.struct(
+            F.lit(1).alias("version"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_acctbal").alias("bal"),
+        ),
+        F.struct(
+            F.lit(2).alias("version"),
+            F.expr(_SEG2).alias("segment"),
+            F.expr(_BAL2).alias("bal"),
+        ),
+        F.struct(
+            F.lit(3).alias("version"),
+            F.expr(_SEG3).alias("segment"),
+            F.expr(_BAL3).alias("bal"),
+        ),
     )
-    v2 = c.select(
-        "c_custkey",
-        F.lit(2).alias("version"),
-        F.expr(_SEG2).alias("segment"),
-        F.expr(_BAL2).alias("bal"),
+    return c.select("c_custkey", F.explode(versions).alias("v")).select(
+        "c_custkey", "v.version", "v.segment", "v.bal"
     )
-    v3 = c.select(
-        "c_custkey",
-        F.lit(3).alias("version"),
-        F.expr(_SEG3).alias("segment"),
-        F.expr(_BAL3).alias("bal"),
-    )
-    return v1.unionByName(v2).unionByName(v3)
 
 
 _SNAPSHOTS_SQL = f"""
@@ -107,13 +112,17 @@ def merge_upsert(spark, sf_dir):
     exactly the shuffle shape a lakehouse MERGE plans. was_updated
     makes the three arms visible to the oracle."""
     t = Tables(spark, sf_dir)
+    # the v2 changeset derived directly (pushed filter, one scan) —
+    # going through _snapshots would explode all 3 versions first
     src = (
-        _snapshots(t)
-        .filter(
-            (F.col("version") == 2)
-            & ((F.col("c_custkey") % 7 == 0) | (F.col("c_custkey") % 11 == 0))
+        t.customer.filter(
+            (F.col("c_custkey") % 7 == 0) | (F.col("c_custkey") % 11 == 0)
         )
-        .select("c_custkey", "segment", "bal")
+        .select(
+            "c_custkey",
+            F.expr(_SEG2).alias("segment"),
+            F.expr(_BAL2).alias("bal"),
+        )
     )
     tgt = t.customer
     updated = tgt.join(
