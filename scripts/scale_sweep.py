@@ -53,6 +53,13 @@ KEYS = [
     # r4 training-pipeline additions (shingle join + vocab join shapes)
     "contamination_ngram",
     "text_unigram_logprob",
+    # r4 time-series / profiling / warehouse additions
+    "ts_resample_gapfill",
+    "ts_ewma",
+    "ts_anomaly_mad",
+    "text_heavy_hitters",
+    "profile_table",
+    "dim_scd2",
 ]
 MAX_FACTOR = {"dedup_embedding": 10}
 # Keys whose DuckDB oracle is skipped at amplified factors:
@@ -128,17 +135,25 @@ def duck_connect_multi(sf_dir: str):
 
 
 def main() -> None:
+    # SPARK_GRAFT_SWEEP_KEYS=a,b,c restricts the sweep (incremental
+    # re-measure of new keys merges into the existing json).
+    only = os.environ.get("SPARK_GRAFT_SWEEP_KEYS")
+    keys = [k for k in KEYS if k in set(only.split(","))] if only else KEYS
     factors = [int(a) for a in sys.argv[1:]] or [1, 10, 100]
     spark = get_spark("dws-scale-sweep")
     qs = registry.queries()
     osql = registry.oracle_sql()
+    out_path = "/root/repo/.runtime/scale_sweep.json"
     results: dict = {}
+    if only and os.path.exists(out_path):
+        with open(out_path) as f:
+            results = json.load(f)
     for factor in factors:
         sf_dir = BASE if factor == 1 else amplify(spark, factor)
         lineitem_rows = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
         per, duck, ratio = {}, {}, {}
         con = duck_connect_multi(sf_dir)
-        for k in KEYS:
+        for k in keys:
             if factor > MAX_FACTOR.get(k, 10**9):
                 continue
             qs[k](spark, sf_dir).toPandas()  # warm
@@ -158,16 +173,15 @@ def main() -> None:
                 duck[k] = round(dbest, 3)
                 ratio[k] = round(per[k] / max(dbest, 1e-9), 2)
         con.close()
-        results[f"x{factor}"] = {
-            "lineitem_rows": lineitem_rows,
-            "queries": per,
-            "duckdb": duck,
-            "ratio_spark_over_duckdb": ratio,
-            "total_s": round(sum(per.values()), 3),
-            "duck_total_s": round(sum(duck.values()), 3),
-        }
+        slot = results.setdefault(f"x{factor}", {})
+        slot["lineitem_rows"] = lineitem_rows
+        slot.setdefault("queries", {}).update(per)
+        slot.setdefault("duckdb", {}).update(duck)
+        slot.setdefault("ratio_spark_over_duckdb", {}).update(ratio)
+        slot["total_s"] = round(sum(slot["queries"].values()), 3)
+        slot["duck_total_s"] = round(sum(slot["duckdb"].values()), 3)
         print(json.dumps({f"x{factor}": results[f"x{factor}"]}), flush=True)
-    with open("/root/repo/.runtime/scale_sweep.json", "w") as f:
+    with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
 
 

@@ -304,15 +304,17 @@ def test_theta_overlap_set_algebra(spark, sf_dir):
 
 
 def test_dedup_embedding_planted_pairs_multiblock(spark, tmp_path):
-    """The fixture corpus has ZERO pairs >= 0.8 at every SF, so the SQL
-    oracle is vacuous (0 == 0). Plant 50 near-duplicate pairs in a
-    9000-vector corpus large enough to span multiple tiles (n_blocks =
-    ceil(9000/4096) = 3), exercising both the same-block (a < b mask)
-    and cross-block (min/max orientation) kernel paths, and compare
-    against a tiled numpy brute force."""
+    """Plant 50 near-duplicate pairs in a 9000-vector corpus large
+    enough to span multiple tiles (n_blocks = ceil(9000/4096) = 3),
+    exercising both the same-block (a < b mask) and cross-block
+    (min/max orientation) kernel paths, and compare the FULL report —
+    planted near-dups plus the random corpus's own above-threshold
+    tail — against a tiled numpy brute force at the operator's shared
+    threshold."""
     import numpy as np
     import pandas as pd
 
+    from data_webhooks_spark.operators.dedup import _EMB_SIM_THRESHOLD
     from data_webhooks_spark.registry import queries
 
     rng = np.random.default_rng(7)
@@ -337,7 +339,7 @@ def test_dedup_embedding_planted_pairs_multiblock(spark, tmp_path):
         hi = min(lo + 1000, n)
         sims = (M[lo:hi] @ M.T) / (nrm[lo:hi, None] * nrm[None, :])
         sims = np.floor(sims * 1e6 + 0.5) / 1e6
-        i, j = np.nonzero(sims >= 0.8)
+        i, j = np.nonzero(sims >= _EMB_SIM_THRESHOLD)
         expect.update((lo + a, b) for a, b in zip(i, j) if lo + a < b)
 
     assert {(k, 8000 + k) for k in range(50)} <= expect  # plants visible
