@@ -403,3 +403,30 @@ def join_skew_salted(spark, sf_dir):
             F.when(F.col("ts") == F.col("first_seen"), 1).otherwise(0)
         ).cast("long").alias("n_first_events"),
     )
+
+
+_LATERAL_SQL = """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+"""
+
+
+@op("join_lateral", sql=_LATERAL_SQL)
+def join_lateral(spark, sf_dir):
+    """Correlated LATERAL join: for each customer, its top-2 orders by
+    price — the per-row-subquery SQL surface (identical text runs on
+    both engines; Spark decorrelates the correlated ORDER BY ... LIMIT
+    into a ranked join under the hood, DuckDB executes it natively).
+
+    The decorrelated plan Spark produces is exactly the
+    `topn_per_group` shape: one join on the correlation key + a
+    per-key rank filter — so the per-row subquery the SQL implies
+    never executes row-at-a-time, and the whole thing shuffles once on
+    the key at 100 TB. Ties break on o_orderkey for determinism."""
+    t = Tables(spark, sf_dir)
+    for name in ("customer", "orders"):
+        getattr(t, name).createOrReplaceTempView(name)
+    return spark.sql(_LATERAL_SQL)
