@@ -930,3 +930,79 @@ def stream_topk(spark, sf_dir):
     agg = s.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
     top = agg.orderBy(F.col("n").desc(), F.col("user_id")).limit(10)
     return run_to_table(top, "complete")
+
+
+@op(
+    "join_stream_stream_outer",
+    sql="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT * FROM events WHERE event_type = 'click'),
+    wm AS (
+        SELECT date_trunc('milliseconds',
+                 least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p)))
+               - INTERVAL 2 HOUR AS w
+    )
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id
+    FROM p JOIN c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    UNION ALL
+    SELECT p.event_id, NULL
+    FROM p, wm
+    WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = p.user_id
+                      AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts)
+      AND p.ts < wm.w
+    """,
+)
+def join_stream_stream_outer(spark, sf_dir):
+    """Stream-stream LEFT OUTER join with watermark-bounded time range:
+    purchases with their prior-hour clicks, or a NULL click once the
+    watermark proves no match can arrive.
+
+    The oracle encodes Spark's outer-emission protocol exactly, and the
+    protocol was pinned empirically before being written down (r4):
+
+    - matched pairs ≡ the batch inner join (emitted exactly once,
+      independent of batching);
+    - a NULL row emits iff the purchase is batch-unmatched AND its ts
+      is strictly below the FINAL global watermark = min over the two
+      input streams' max event time (each side tracks its own max;
+      the global watermark is their min), floored to the millisecond
+      Spark tracks event-time stats at, minus the 2h delay. The final
+      no-data micro-batch (availableNow runs one) performs that last
+      eviction.
+
+    Unmatched purchases above the final watermark stay in state,
+    exactly as they would on a live stream — the cost of outer
+    semantics under late-data tolerance, and why the delay should be
+    as tight as ingestion skew allows at 100 TB (state is one slim row
+    per unmatched left event inside the horizon)."""
+    tune(spark)
+    p = (
+        read_replay_stream(spark, sf_dir, files_per_trigger=2)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    c = (
+        read_replay_stream(spark, sf_dir, files_per_trigger=2)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_outer",
+    )
+    return run_to_table(joined.select("purchase_id", "click_id"), "append")
