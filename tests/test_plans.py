@@ -296,3 +296,41 @@ def test_pipeline_text_prep_single_shuffle(spark, sf_dir, qs):
     plan = plan_of(qs["pipeline_text_prep"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "InMemoryTableScan" not in plan
+
+
+def test_lateral_decorrelates_to_ranked_join(spark, sf_dir, qs):
+    """The correlated LATERAL ORDER BY/LIMIT must decorrelate into the
+    topn_per_group shape — a window rank + equi-join — never a per-row
+    subquery or nested loop."""
+    plan = plan_of(qs["join_lateral"](spark, sf_dir))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "Window" in plan  # the decorrelated per-key rank
+
+
+def test_scd2_single_dimension_scan(spark, sf_dir, qs):
+    """dim_scd2's snapshots explode from one struct array: exactly one
+    customer scan in the plan (a union formulation would scan 3x)."""
+    plan = plan_of(qs["dim_scd2"](spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_gapfill_two_fact_passes(spark, sf_dir, qs):
+    """ts_resample_gapfill reads events exactly twice (grid derivation
+    + rollup join side), not once per derived input."""
+    plan = plan_of(qs["ts_resample_gapfill"](spark, sf_dir))
+    assert plan.count("FileScan parquet") == 2
+
+
+def test_heavy_hitters_candidates_broadcast(spark, sf_dir, qs):
+    """The MG candidate set must broadcast (map-side semi filter before
+    the recount shuffle) — shipping the full token stream to a shuffle
+    keyed by the unbounded vocabulary is the anti-pattern."""
+    plan = plan_of(qs["text_heavy_hitters"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ewma_fold_stays_in_codegen(spark, sf_dir, qs):
+    """The weighted fold is zip_with/aggregate built-ins — no Python
+    eval anywhere in the plan."""
+    plan = plan_of(qs["ts_ewma"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
