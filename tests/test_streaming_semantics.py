@@ -507,3 +507,82 @@ def test_funnel_hot_user_state_stays_flat(spark, tmp_path):
     assert row["viewed_users"] == 2
     assert row["clicked_users"] == 2  # user 1's first click is within 6h
     assert row["purchased_users"] == 1
+
+
+def test_stream_outer_join_late_replay_inner_matches(spark, sf_dir):
+    """Robustness of the outer stream-stream join under out-of-order
+    arrival: replay with the deterministic late-displacement chunking
+    (event_id%37 rows demoted one chunk). Inner matches must STILL
+    equal the batch inner join exactly — late rows land inside the 2h
+    watermark tolerance, so no match may be lost or duplicated — and
+    every NULL emission must be a genuinely unmatched purchase."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from data_webhooks_spark.session import tune
+    from data_webhooks_spark.streaming.core import (
+        read_replay_stream,
+        run_to_table,
+    )
+
+    tune(spark)
+
+    def side(et, idc, uc, tc):
+        return (
+            read_replay_stream(spark, sf_dir, late=True, files_per_trigger=2)
+            .filter(F.col("event_type") == et)
+            .withWatermark("ts", "2 hours")
+            .select(
+                F.col("event_id").alias(idc),
+                F.col("user_id").alias(uc),
+                F.col("ts").alias(tc),
+            )
+        )
+
+    p = side("purchase", "purchase_id", "p_user", "p_ts")
+    c = side("click", "click_id", "c_user", "c_ts")
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_outer",
+    )
+    out = run_to_table(joined.select("purchase_id", "click_id"), "append").toPandas()
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    batch = con.execute(
+        """
+        SELECT p.event_id AS purchase_id, c.event_id AS click_id
+        FROM (SELECT * FROM events WHERE event_type='purchase') p
+        JOIN (SELECT * FROM events WHERE event_type='click') c
+          ON p.user_id = c.user_id
+         AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        """
+    ).df()
+    unmatched_ids = {
+        r[0]
+        for r in con.execute(
+            """
+            SELECT p.event_id FROM events p
+            WHERE p.event_type='purchase' AND NOT EXISTS (
+                SELECT 1 FROM events c WHERE c.event_type='click'
+                AND c.user_id=p.user_id
+                AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts)
+            """
+        ).fetchall()
+    }
+    con.close()
+
+    got_matched = set(
+        map(tuple, out.dropna()[["purchase_id", "click_id"]].astype(int).values)
+    )
+    want_matched = set(map(tuple, batch.astype(int).values))
+    assert got_matched == want_matched  # exactly-once despite late rows
+    got_null = set(out[out["click_id"].isna()]["purchase_id"].astype(int))
+    assert got_null <= unmatched_ids  # no phantom nulls
+    assert len(got_null) > 0
