@@ -122,13 +122,56 @@ def stream_sliding_agg(spark, sf_dir):
     return run_to_table(agg, "complete")
 
 
-@op("stream_session_agg")
+@op(
+    "stream_session_agg",
+    sql="""
+    WITH flagged AS (
+        SELECT user_id, ts, value, event_id,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w < 1800000000
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sno
+        FROM flagged
+    ),
+    sessions AS (
+        SELECT MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               """
+    + o_dec_sum("value", "total_value", 4)
+    + """
+        FROM numbered GROUP BY user_id, sno
+    ),
+    wm AS (
+        SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 1 HOUR AS w
+        FROM events
+    )
+    SELECT session_start, session_end, user_id, n_events, total_value
+    FROM sessions, wm WHERE session_end < wm.w
+    """,
+)
 def stream_session_agg(spark, sf_dir):
     """Gap-based sessionization (30-minute inactivity gap) per user,
     append mode + watermark: only closed sessions are emitted — the
-    bounded-state scale path. Rows-only (open tail sessions stay in
-    state by design); closed-session equivalence vs a batch
-    recomputation is asserted in tests."""
+    bounded-state scale path.
+
+    SQL-oracled since r4 by encoding the emission protocol exactly
+    (pinned empirically, same method as join_stream_stream_outer):
+    batch-sessionize with Spark's strict right-open merge rule (an
+    event at exactly last+gap starts a NEW session), session_end =
+    last event + gap, and a session is emitted iff session_end <
+    final watermark = ms-floored max event time minus the 1h delay
+    (the availableNow no-data batch performs the final eviction).
+    Open tail sessions stay in state by design — on a live stream
+    they emit when the watermark passes them."""
     tune(spark)
     s = read_replay_stream(spark, sf_dir).withWatermark("ts", "1 hour")
     agg = (
@@ -938,9 +981,15 @@ def stream_topk(spark, sf_dir):
     WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
     c AS (SELECT * FROM events WHERE event_type = 'click'),
     wm AS (
-        SELECT date_trunc('milliseconds',
-                 least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p)))
-               - INTERVAL 2 HOUR AS w
+        -- ms-floor via epoch_us (DuckDB-only on purpose: this oracle
+        -- encodes a STREAMING emission protocol; running it as batch
+        -- Spark SQL is meaningless, and Spark's date_trunc silently
+        -- returns NULL for sub-second fields — the epoch_us call makes
+        -- the three-way portability check skip this key instead)
+        SELECT make_timestamp(
+                 (epoch_us(least((SELECT max(ts) FROM c),
+                                 (SELECT max(ts) FROM p))) // 1000) * 1000
+                 - 7200000000) AS w
     )
     SELECT p.event_id AS purchase_id, c.event_id AS click_id
     FROM p JOIN c
