@@ -188,16 +188,40 @@ def stream_session_agg(spark, sf_dir):
     return run_to_table(agg, "append")
 
 
-@op("stream_watermark")
+@op(
+    "stream_watermark",
+    sql=f"""
+    WITH wm AS (
+        -- final watermark: ms-floored max event time minus the 15 min
+        -- delay (epoch_us is DuckDB-only on purpose: this encodes a
+        -- streaming emission protocol, not a portable batch query)
+        SELECT make_timestamp((epoch_us(max(ts)) // 1000) * 1000
+                              - 900000000) AS w
+        FROM events
+    ),
+    agg AS (
+        SELECT {_WSTART_10M} AS window_start, COUNT(*) AS n
+        FROM events GROUP BY 1
+    )
+    SELECT window_start, n FROM agg, wm
+    WHERE window_start + INTERVAL 10 MINUTE <= wm.w
+    """,
+)
 def stream_watermark(spark, sf_dir):
     """Tumbling agg over the LATE replay (3% of rows arrive one chunk
     late) with a tight 15-minute watermark: only finalized windows are
     emitted (append mode); windows still open at the final flush stay
-    unemitted. One-chunk-late rows survive Spark's one-batch-lagging
-    late filter and join their windows; tests/test_streaming_semantics
-    pins the exact emission set, plus the exact drop set for
-    two-chunk-late replays. Deterministic for a fixed replay but
-    watermark-semantics-dependent -> rows-only."""
+    unemitted.
+
+    SQL-oracled since r4 (emission-protocol encoding, same method as
+    join_stream_stream_outer): one-chunk-late rows survive Spark's
+    one-batch-lagging late filter and join their windows, so no row is
+    dropped and every emitted window carries its FULL batch count; a
+    window is emitted iff window_end <= the final watermark
+    (ms-floored max event time minus the delay, applied by the
+    availableNow no-data batch). The exact drop set for two-chunk-late
+    replays — where rows genuinely die — stays pinned in
+    tests/test_streaming_semantics."""
     tune(spark)
     s = read_replay_stream(spark, sf_dir, late=True).withWatermark("ts", "15 minutes")
     agg = (
