@@ -312,11 +312,38 @@ def stream_stateful(spark, sf_dir):
     )
 
 
-@op("stream_output_modes")
+@op(
+    "stream_output_modes",
+    sql=f"""
+    WITH chunked AS (
+        SELECT event_type,
+               ntile({N_CHUNKS}) OVER (ORDER BY ts, event_id) AS chunk
+        FROM events
+    ),
+    per AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS final_n,
+               CAST(COUNT(DISTINCT chunk) AS BIGINT) AS n_chunks
+        FROM chunked GROUP BY event_type
+    )
+    SELECT event_type, final_n, n_chunks AS n_emissions,
+           'update' AS mode FROM per
+    UNION ALL
+    SELECT event_type, final_n, CAST(1 AS BIGINT), 'complete'
+    FROM per
+    """,
+)
 def stream_output_modes(spark, sf_dir):
     """append vs update vs complete semantics on one aggregation:
     complete re-emits every group each batch, update only changed
-    groups — row counts in the sink differ accordingly."""
+    groups — row counts in the sink differ accordingly.
+
+    SQL-oracled since r4: the replay chunking is the deterministic
+    ts-quartile ntile (streaming/core.py), so the oracle reconstructs
+    the sink protocol exactly — an update-mode memory sink APPENDS a
+    row per (group, chunk-it-appears-in), while a complete-mode memory
+    sink is TRUNCATED and rewritten each batch, so only the final
+    snapshot (one row per group) remains."""
     tune(spark)
     results = []
     for mode in ["update", "complete"]:
@@ -332,11 +359,22 @@ def stream_output_modes(spark, sf_dir):
     return out.select("mode", "event_type", "final_n", "n_emissions")
 
 
-@op("stream_triggers")
+@op(
+    "stream_triggers",
+    sql="""
+    SELECT CAST(chunk - 1 AS BIGINT) AS batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM (SELECT ntile(4) OVER (ORDER BY ts, event_id) AS chunk
+          FROM events)
+    GROUP BY 1
+    """,
+)
 def stream_triggers(spark, sf_dir):
     """Micro-batch cadence control: availableNow + maxFilesPerTrigger=1
     -> exactly one bounded micro-batch per replay chunk; foreachBatch
-    records (batch_id, rows)."""
+    records (batch_id, rows). SQL-oracled since r4: batch ids map 1:1
+    onto the deterministic ts-quartile chunks, so the oracle is the
+    ntile group sizes."""
     tune(spark)
     s = read_replay_stream(spark, sf_dir, files_per_trigger=1)
     seen: list[tuple[int, int]] = []
@@ -358,10 +396,14 @@ def stream_triggers(spark, sf_dir):
     )
 
 
-@op("source_rate")
+@op(
+    "source_rate",
+    sql="SELECT CAST(range AS BIGINT) AS value FROM range(200)",
+)
 def source_rate(spark, sf_dir):
     """Deterministic synthetic source: rate-micro-batch emits a fixed
-    rowsPerBatch with a pinned startTimestamp; we take values < 200."""
+    rowsPerBatch with a pinned startTimestamp; we take values < 200 —
+    exactly the integers 0..199, which is the SQL oracle (r4)."""
     tune(spark)
     name = f"rate_{uuid.uuid4().hex[:8]}"
     s = (
