@@ -73,8 +73,10 @@ def multimodal_col(spark, sf_dir):
     DuckDB twin recomputes every output column from the documents table
     (fixture text is verified ASCII, so char ops == byte ops) — the
     whole binary pipeline is hash-checked, not rows-only. The sibling
-    resize/frames/features keys emit derived *binary/float* payloads
-    with no cross-engine scalar form; they stay rows-only by design."""
+    resize/frames keys got the same treatment in r4 (their exact
+    output BYTES are DuckDB-recomputable); features stays rows-only —
+    its float32 normalized histogram has no bit-exact cross-engine
+    double form."""
     t = Tables(spark, sf_dir)
     with_payload = t.documents.select(
         "doc_id",
@@ -120,12 +122,29 @@ def resize_stub(payload: bytes, factor: int) -> bytes:
     return payload[::factor]
 
 
-@op("multimodal_resize")
+@op(
+    "multimodal_resize",
+    sql="""
+    SELECT doc_id,
+           encode(regexp_replace(text, '(.).{1,3}', '\\1', 'g')) AS payload,
+           CAST(strlen(text) AS BIGINT) AS orig_bytes,
+           CAST(strlen(regexp_replace(text, '(.).{1,3}', '\\1', 'g'))
+                AS BIGINT) AS new_bytes
+    FROM documents
+    """,
+)
 def multimodal_resize(spark, sf_dir):
     """Batched media resize: binary in -> smaller binary out + new
     size metadata, via Arrow-batched mapInPandas. The hot loop touches
     only the binary column; doc_id rides along untouched, and the
-    operator is a pure per-partition map (no shuffle at any scale)."""
+    operator is a pure per-partition map (no shuffle at any scale).
+
+    SQL-oracled since r4: the stub resize keeps every 4th byte, and
+    fixture text is verified ASCII (char ops == byte ops), so DuckDB
+    recomputes the exact output bytes with a left-to-right greedy
+    regexp ('(.).{1,3}' -> first char of each block, matching
+    payload[::4] including the partial trailing block) — the resized
+    BINARY itself is hash-compared, not just its length."""
     FACTOR = 4
     t = Tables(spark, sf_dir)
 
@@ -146,14 +165,26 @@ def multimodal_resize(spark, sf_dir):
     )
 
 
-@op("multimodal_frames")
+@op(
+    "multimodal_frames",
+    sql="""
+    SELECT doc_id, CAST(k AS INT) AS frame_idx,
+           encode(substr(text, CAST(k * 64 + 1 AS BIGINT), 64)) AS frame
+    FROM documents,
+    LATERAL (SELECT unnest(range(0,
+                 CAST(ceil(strlen(text) / 64.0) AS BIGINT), 3)) AS k) t
+    """,
+)
 def multimodal_frames(spark, sf_dir):
     """Frame sampling: one binary "video" row fans out to one row per
     sampled fixed-size frame (1 -> many inside mapInPandas, the same
-    shape a pyav keyframe extractor would use). Frame stride and size
-    are deterministic, so downstream tests can recompute counts from
-    n_chars. Fan-out happens executor-side per Arrow batch — the
-    driver never sees the frames."""
+    shape a pyav keyframe extractor would use). Fan-out happens
+    executor-side per Arrow batch — the driver never sees the frames.
+
+    SQL-oracled since r4: stride and frame size are deterministic and
+    the text is verified ASCII, so DuckDB regenerates every sampled
+    frame's exact bytes with a LATERAL range + substr — frame binaries
+    hash-compared end to end."""
     FRAME_BYTES, STRIDE = 64, 3  # sample every 3rd 64-byte "frame"
     t = Tables(spark, sf_dir)
 
