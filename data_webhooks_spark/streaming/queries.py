@@ -1121,3 +1121,65 @@ def join_stream_stream_outer(spark, sf_dir):
         "left_outer",
     )
     return run_to_table(joined.select("purchase_id", "click_id"), "append")
+
+
+@op(
+    "stream_late_drops",
+    sql=f"""
+    WITH chunked AS (
+        SELECT epoch_us(ts) AS us,
+               LEAST(chunk + CASE WHEN event_id % 37 = 0 THEN 2 ELSE 0 END,
+                     {N_CHUNKS}) AS fc
+        FROM (SELECT event_id, ts,
+                     ntile({N_CHUNKS}) OVER (ORDER BY ts, event_id) AS chunk
+              FROM events)
+    ),
+    cm AS (SELECT fc, max(us) AS mx FROM chunked GROUP BY fc),
+    wms AS (
+        -- the admission filter in batch k uses the watermark REPORTED
+        -- one batch earlier, i.e. the running max through batch k-2
+        SELECT fc,
+               max(mx) OVER (ORDER BY fc
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) AS cm2
+        FROM cm
+    ),
+    admitted AS (
+        SELECT c.us FROM chunked c LEFT JOIN wms w ON c.fc = w.fc
+        WHERE w.cm2 IS NULL
+           OR (c.us - c.us % 600000000) + 600000000 > w.cm2 - 900000000
+    ),
+    final_wm AS (SELECT max(us) - 900000000 AS fw FROM chunked)
+    SELECT make_timestamp(ws) AS window_start, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT us - us % 600000000 AS ws FROM admitted), final_wm
+    GROUP BY ws, fw
+    HAVING ws + 600000000 <= fw
+    """,
+)
+def stream_late_drops(spark, sf_dir):
+    """The watermark actually DROPPING data, oracle-checked: the
+    two-chunk-late replay (event_id%37 rows displaced two chunks)
+    pushes the displaced rows behind even the one-batch-lagging
+    admission filter, so — unlike stream_watermark's one-chunk-late
+    twin — emitted window counts differ from the raw table's.
+
+    The oracle replays the full protocol in SQL (the same protocol
+    tests/test_streaming_semantics.py::simulate pins procedurally):
+    ntile reconstructs the chunking, a 2-PRECEDING running max gives
+    each batch's lagged filter watermark (the filter uses the
+    watermark REPORTED a batch before eviction does), a row is
+    admitted iff its window end clears that watermark, and a window is
+    emitted iff its end clears the final watermark. Every number the
+    sink shows is thereby derived from first principles — late-data
+    loss accounting as a hash-checked operator, not a prose claim."""
+    tune(spark)
+    s = read_replay_stream(spark, sf_dir, late=True, late_by=2).withWatermark(
+        "ts", "15 minutes"
+    )
+    agg = (
+        s.groupBy(F.window("ts", "10 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"), "n"
+        )
+    )
+    return run_to_table(agg, "append")
