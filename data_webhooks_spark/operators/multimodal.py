@@ -208,14 +208,45 @@ def multimodal_frames(spark, sf_dir):
     )
 
 
-@op("multimodal_features")
+@op(
+    "multimodal_features",
+    sql="""
+    WITH chars AS (
+        SELECT doc_id,
+               ascii(unnest(string_split_regex(text, ''))) // 16 AS bin
+        FROM documents
+    ),
+    counts AS (
+        SELECT doc_id, bin, COUNT(*) AS c FROM chars GROUP BY doc_id, bin
+    ),
+    tot AS (SELECT doc_id, SUM(c) AS t FROM counts GROUP BY doc_id),
+    spine AS (
+        SELECT d.doc_id, r.range AS bin FROM documents d, range(16) r
+    )
+    SELECT s.doc_id,
+           list(FLOOR(COALESCE(c.c, 0) / CAST(t.t AS DOUBLE)
+                      * 1000000.0 + 0.5) / 1000000.0
+                ORDER BY s.bin) AS features
+    FROM spine s
+    JOIN tot t ON s.doc_id = t.doc_id
+    LEFT JOIN counts c ON s.doc_id = c.doc_id AND s.bin = c.bin
+    GROUP BY s.doc_id
+    """,
+)
 def multimodal_features(spark, sf_dir):
     """Feature extraction: binary payload -> fixed-width float vector
     (16-bin normalized byte histogram as the deterministic stand-in for
-    a CNN/audio embedding). Output is array<float> — the exact input
-    shape of the similarity/dedup operators (sim_*, dedup_embedding),
-    so the two pipelines compose. Vectorized numpy over each Arrow
-    batch; per-partition map, no shuffle."""
+    a CNN/audio embedding). Output shape is the exact input of the
+    similarity/dedup operators (sim_*, dedup_embedding), so the two
+    pipelines compose. Vectorized numpy over each Arrow batch;
+    per-partition map, no shuffle.
+
+    SQL-oracled since r4: the histogram is computed in float64 and
+    quantized with the shared norms.qnt formula, so DuckDB rebuilds
+    the identical vector element-for-element (char-class counts over
+    the verified-ASCII text, a 16-bin spine for the zero bins, same
+    IEEE divide + floor quantize). canon()'s list branch compares
+    arrays per element."""
     import numpy as np
 
     BINS = 16
@@ -228,11 +259,13 @@ def multimodal_features(spark, sf_dir):
                 if p is None:
                     raise NotImplementedError("featurize of NULL payload")
                 arr = np.frombuffer(p, dtype=np.uint8)
-                hist = np.bincount(arr >> 4, minlength=BINS).astype(np.float32)
+                hist = np.bincount(arr >> 4, minlength=BINS).astype(np.float64)
                 total = hist.sum()
-                vecs.append(hist / total if total else hist)
+                v = hist / total if total else hist
+                # identical quantization to norms.qnt / the SQL oracle
+                vecs.append(np.floor(v * 1e6 + 0.5) / 1e6)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": vecs})
 
     return _payloads(t).mapInPandas(
-        feat_batches, "doc_id long, features array<float>"
+        feat_batches, "doc_id long, features array<double>"
     )
