@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..io import Tables
-from ..norms import dec_sum, o_dec_sum
+from ..norms import dec_sum, o_dec_sum, qnt
 from ..regutil import registrar
 from ..session import tune
 from .core import (
@@ -1183,3 +1183,72 @@ def stream_late_drops(spark, sf_dir):
         )
     )
     return run_to_table(agg, "append")
+
+
+@op(
+    "stream_anomaly",
+    sql=f"""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.event_id, e.value, m.med,
+               abs(e.value - m.med) AS adev
+        FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type, d.value,
+           FLOOR((d.value - d.med) / ({1.4826!r} * m.mad)
+                 * 1000000.0 + 0.5) / 1000000.0 AS robust_z
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    WHERE d.adev > {3.0 * 1.4826!r} * m.mad
+    """,
+)
+def stream_anomaly(spark, sf_dir):
+    """Streaming alerting — the webhook-platform core loop: events
+    stream through a stateless filter against PRE-COMPUTED per-type
+    robust stats (median + MAD from the historical batch table,
+    broadcast into the stream), and every event beyond 3
+    sigma-equivalents emits an alert row with its robust z-score.
+
+    Stateless append passthrough: no watermark, no state store — each
+    alert emits exactly once regardless of batching, so the result
+    provably equals the batch filter (the oracle). This is the
+    scale-path split for anomaly detection: the expensive percentile
+    pass runs periodically in batch (ts_anomaly_mad), the per-event
+    hot path is a broadcast lookup + codegen comparison at stream
+    rate."""
+    tune(spark)
+    t = Tables(spark, sf_dir)
+    med = t.events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = t.events.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    stats = (
+        dev.groupBy("event_type")
+        .agg(F.percentile("adev", F.lit(0.5)).alias("mad"))
+        .join(med, "event_type")
+    )
+    cut = F.lit(3.0 * 1.4826)
+    s = read_replay_stream(spark, sf_dir, files_per_trigger=2)
+    flagged = (
+        s.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(F.col("value") - F.col("med")) > cut * F.col("mad"))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            qnt(
+                (F.col("value") - F.col("med"))
+                / (F.lit(1.4826) * F.col("mad")),
+                "robust_z",
+            ),
+        )
+    )
+    return run_to_table(flagged, "append")
