@@ -248,3 +248,54 @@ def ts_anomaly_mad(spark, sf_dir):
             ),
         )
     )
+
+
+_MED_N = 9  # odd frame => the median is a single order statistic
+
+
+@op(
+    "ts_moving_median",
+    sql=f"""
+    WITH framed AS (
+        SELECT user_id, event_id, value,
+               list(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {_MED_N - 1} PRECEDING AND CURRENT ROW
+               ) AS vs
+        FROM events
+    )
+    SELECT user_id, event_id, value,
+           list_sort(vs)[{(_MED_N + 1) // 2}] AS med
+    FROM framed WHERE len(vs) = {_MED_N}
+    """,
+)
+def ts_moving_median(spark, sf_dir):
+    """Rolling EXACT median of each user's last 9 event values — the
+    robust smoothing twin of ts_ewma (a single spike cannot move the
+    median, while it drags any mean-based smoother).
+
+    SQL has no native median-over-moving-frame; the composition is
+    the same frame-gather trick as the EWMA: collect_list over the
+    9-row window, array_sort, pick the middle order statistic — all
+    codegen, O(frame log frame) per row with O(frame) state, emitted
+    for full frames only so the statistic is uniform. The odd frame
+    makes the median one exact element: no interpolation, so the
+    doubles are bit-identical across engines with no rounding step."""
+    t = Tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_MED_N - 1), 0)
+    )
+    framed = t.events.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.collect_list("value").over(w).alias("vs"),
+    ).filter(F.size("vs") == _MED_N)
+    return framed.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.element_at(F.array_sort("vs"), (_MED_N + 1) // 2).alias("med"),
+    )
