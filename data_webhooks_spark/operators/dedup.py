@@ -633,3 +633,94 @@ def dedup_embedding(spark, sf_dir):
                 )
 
     return tiles.mapInPandas(kernel, "v1 long, v2 long, cos_sim double")
+
+
+_RS_K = 20  # gram length (chars)
+_RS_W = 8  # winnowing-style local-min window (selects ~1/W positions)
+
+
+@op(
+    "dedup_repeated_substrings",
+    sql=f"""
+    WITH pos AS (
+        SELECT doc_id, text, unnest(range(1, strlen(text) - {_RS_K - 2}))
+                   AS p
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, p,
+               substr(text, CAST(p AS BIGINT), {_RS_K}) AS gram,
+               md5(substr(text, CAST(p AS BIGINT), {_RS_K})) AS h
+        FROM pos
+    ),
+    m AS (
+        SELECT doc_id, gram, h,
+               min(h) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS BETWEEN {_RS_W - 1} PRECEDING
+                            AND {_RS_W - 1} FOLLOWING) AS hmin
+        FROM g
+    ),
+    sel AS (SELECT doc_id, gram FROM m WHERE h = hmin)
+    SELECT gram,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_positions
+    FROM sel GROUP BY gram
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def dedup_repeated_substrings(spark, sf_dir):
+    """Cross-document repeated substrings via content-defined
+    fingerprint sampling — the scalable flavor of exact-substring
+    dedup (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better", ACL 2022 use suffix arrays; fingerprint sampling
+    is the distributed stand-in, after Schleimer et al.'s winnowing,
+    SIGMOD 2003 / MOSS):
+
+    1. every {_RS_K}-char gram of every document is hashed (md5, so
+       both engines order identically);
+    2. a position is SELECTED iff its hash is the minimum of the
+       2w-1 hashes around it (local-min sampling, ~1/w of positions)
+       — selection is content-defined, so the same substring selects
+       the same grams in every document that contains it, regardless
+       of alignment (the property stride sampling lacks);
+    3. selected grams group corpus-wide; grams in >= 2 distinct
+       documents are the repeated-substring report (doc count +
+       selected-position count).
+
+    Scale shape: the per-position explode is the honest cost (chars x
+    1 rows, map-side only); everything shuffles AFTER the 1/w
+    local-min filter, keyed by gram (Zipf head -> AQE skew split).
+    At 100 TB the gram table is the classic inverted-index build;
+    passing spans instead of booleans (merging adjacent selected
+    grams into maximal repeated regions) is the documented follow-up,
+    done per-doc with a lag window over selected positions."""
+    t = Tables(spark, sf_dir)
+    positions = t.documents.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - (_RS_K - 1))
+        ).alias("p"),
+    )
+    grams = positions.select(
+        "doc_id",
+        F.col("p"),
+        F.expr(f"substring(text, p, {_RS_K})").alias("gram"),
+        F.md5(F.expr(f"substring(text, p, {_RS_K})")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(-(_RS_W - 1), _RS_W - 1)
+    )
+    sel = grams.select(
+        "doc_id", "gram", "h", F.min("h").over(w).alias("hmin")
+    ).filter(F.col("h") == F.col("hmin"))
+    return (
+        sel.groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_positions"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -799,3 +799,39 @@ def text_heavy_hitters(spark, sf_dir):
             ),
         )
     )
+
+
+@op(
+    "text_repetition_score",
+    sql="WITH "
+    + _NGRAM_CTE
+    + """
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+           CAST(COUNT(DISTINCT ngram) AS BIGINT) AS n_distinct,
+           FLOOR((1.0 - COUNT(DISTINCT ngram) / CAST(COUNT(*) AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS rep_score
+    FROM ngrams GROUP BY doc_id
+    """,
+)
+def text_repetition_score(spark, sf_dir):
+    """Within-document repetition score: the fraction of a document's
+    word trigrams that are duplicates of another trigram in the SAME
+    document (1 - distinct/total) — the Gopher/MassiveText repetition
+    family of quality filters (Rae et al. 2021 drop docs whose
+    duplicate n-gram fraction exceeds a threshold; boilerplate and
+    template spam score high, natural prose scores near 0).
+
+    Shares the corpus shingling (posexplode + lead window) with the
+    frequency/contamination keys, then reduces per doc_id — one
+    doc-keyed aggregate, no join, no corpus-wide state, so the score
+    is embarrassingly parallel at any scale."""
+    t = Tables(spark, sf_dir)
+    return _spark_ngrams(t).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        F.countDistinct("ngram").alias("n_distinct"),
+        qnt(
+            1.0 - F.countDistinct("ngram") / F.count(F.lit(1)).cast("double"),
+            "rep_score",
+        ),
+    )
