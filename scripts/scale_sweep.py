@@ -60,8 +60,10 @@ KEYS = [
     "text_heavy_hitters",
     "profile_table",
     "dim_scd2",
+    "text_repetition_score",
+    "dedup_repeated_substrings",
 ]
-MAX_FACTOR = {"dedup_embedding": 10}
+MAX_FACTOR = {"dedup_embedding": 10, "dedup_repeated_substrings": 10}
 # Keys whose DuckDB oracle is skipped at amplified factors:
 # dedup_embedding's oracle is an O(n^2) nested-loop self-join (400M
 # 64-dim dot products at x10) — the oracle exists for CORRECTNESS at

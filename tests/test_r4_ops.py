@@ -233,3 +233,65 @@ def test_gapfill_grid_is_dense(spark, sf_dir):
         for r in t.events.groupBy("event_type").agg(F.count("*").alias("s")).collect()
     }
     assert got == want
+
+
+def test_repeated_substrings_finds_planted_duplicate(spark, tmp_path):
+    """Plant a long shared passage inside two otherwise-different docs:
+    the fingerprint sampler must report at least one shared gram from
+    the passage (content-defined selection is alignment-invariant —
+    the copies sit at different offsets on purpose), and a corpus of
+    fully-distinct docs must report nothing."""
+    import pandas as pd
+
+    passage = "the quick brown fox jumps over the lazy dog again and again"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "alpha beta gamma " + passage + " delta",
+                "unrelated prefix words here " + passage,
+                "completely different content with no overlap at all zzz",
+            ],
+            "lang": ["en"] * 3,
+            "source": ["t"] * 3,
+            "n_chars": [0, 0, 0],
+        }
+    )
+    docs["n_chars"] = docs["text"].str.len()
+    docs.to_parquet(f"{tmp_path}/documents.parquet")
+    from data_webhooks_spark.registry import queries
+
+    out = queries()["dedup_repeated_substrings"](spark, str(tmp_path)).collect()
+    assert len(out) > 0
+    assert all(r["n_docs"] == 2 for r in out)
+    assert all(passage.find(r["gram"]) >= 0 for r in out)
+
+
+def test_repetition_score_orders_boilerplate_above_prose(spark, tmp_path):
+    """A doc that repeats one phrase must score far above a doc of
+    distinct words, and scores must sit in [0, 1)."""
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [
+                " ".join(["click here to subscribe now"] * 8),
+                " ".join(f"word{i}" for i in range(40)),
+            ],
+            "lang": ["en"] * 2,
+            "source": ["t"] * 2,
+            "n_chars": [0, 0],
+        }
+    )
+    docs["n_chars"] = docs["text"].str.len()
+    docs.to_parquet(f"{tmp_path}/documents.parquet")
+    from data_webhooks_spark.registry import queries
+
+    rows = {
+        r["doc_id"]: r
+        for r in queries()["text_repetition_score"](spark, str(tmp_path)).collect()
+    }
+    assert rows[2]["rep_score"] == 0.0
+    assert rows[1]["rep_score"] > 0.8
+    assert 0.0 <= rows[1]["rep_score"] < 1.0
