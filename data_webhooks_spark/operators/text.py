@@ -835,3 +835,82 @@ def text_repetition_score(spark, sf_dir):
             "rep_score",
         ),
     )
+
+
+_VOCAB_SIZES = (5, 10, 20, 30)
+
+
+@op(
+    "vocab_coverage",
+    sql=f"""
+    WITH freq AS (
+        SELECT word, COUNT(*) AS c
+        FROM (SELECT unnest(string_split(text, ' ')) AS word
+              FROM documents)
+        GROUP BY word
+    ),
+    ranked AS (
+        SELECT c, row_number() OVER (ORDER BY c DESC, word) AS rk
+        FROM freq
+    ),
+    cum AS (
+        SELECT rk,
+               SUM(c) OVER (ORDER BY rk
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_c
+        FROM ranked
+    ),
+    tot AS (SELECT SUM(c) AS total FROM freq)
+    SELECT CAST(v.v AS INT) AS vocab_size,
+           CAST(MAX(cum.cum_c) AS BIGINT) AS n_covered,
+           FLOOR(MAX(cum.cum_c) / CAST(tot.total AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS coverage
+    FROM (VALUES {", ".join(f"({v})" for v in _VOCAB_SIZES)}) v(v)
+    JOIN cum ON cum.rk <= v.v
+    CROSS JOIN tot
+    GROUP BY v.v, tot.total
+    """,
+)
+def vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage curve — the tokenizer-design question "what
+    fraction of corpus tokens does a top-V vocabulary cover?": word
+    frequencies ranked (ties broken lexically), cumulative token mass
+    at each candidate V, reported as (vocab_size, tokens covered,
+    coverage fraction).
+
+    One word-keyed count (partial agg owns the Zipf head), then all
+    window work happens on the VOCABULARY table — which is the small
+    side by construction (distinct words, not tokens), so the
+    rank/cumsum single-partition window is safe at any corpus size
+    where a vocabulary fits on one executor (the same assumption every
+    tokenizer trainer makes)."""
+    t = Tables(spark, sf_dir)
+    from pyspark.sql import Window
+
+    freq = (
+        t.documents.select(F.explode(_tokens()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wr = Window.orderBy(F.col("c").desc(), "word")
+    cum = freq.select(
+        F.row_number().over(wr).alias("rk"),
+        F.sum("c")
+        .over(wr.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_c"),
+    )
+    tot = freq.agg(F.sum("c").alias("total"))
+    sizes = spark.range(1).select(
+        F.explode(F.array(*[F.lit(v) for v in _VOCAB_SIZES])).alias("v")
+    )
+    return (
+        sizes.join(cum, cum.rk <= sizes.v)
+        .groupBy("v")
+        .agg(F.max("cum_c").alias("mx"))
+        .crossJoin(tot)
+        .select(
+            F.col("v").cast("int").alias("vocab_size"),
+            F.col("mx").cast("long").alias("n_covered"),
+            qnt(F.col("mx") / F.col("total").cast("double"), "coverage"),
+        )
+    )
