@@ -297,3 +297,74 @@ def zorder_layout(spark, sf_dir):
         .crossJoin(nfiles)  # 1-row scalar attach
         .select("event_type", "n", (F.col("nf") <= 4).alias("locality_ok"))
     )
+
+
+def versioned_events_path(spark, sf_dir: str) -> str:
+    """A minimal snapshot-manifest table layout (the mechanism Delta/
+    Iceberg formalize), built once per sf: one directory holds data
+    files from two commits side by side, and per-version manifest
+    files list which data files belong to each snapshot. Readers that
+    plan from a manifest get snapshot isolation for free — files from
+    later commits sit in the same directory but are invisible."""
+    import glob
+    import json
+
+    out = f"{RUNTIME_DIR}/layout/{_sf_name(sf_dir)}/events_versioned"
+    marker = f"{out}/_done"
+    if not os.path.exists(marker):
+        t = Tables(spark, sf_dir)
+        base = t.events.filter(F.col("event_id") % 3 != 0)
+        late = t.events.filter(F.col("event_id") % 3 == 0)
+        base.repartition(2).write.mode("overwrite").parquet(f"{out}/data_v1")
+        late.repartition(1).write.mode("overwrite").parquet(f"{out}/data_v2")
+        v1_files = sorted(glob.glob(f"{out}/data_v1/part-*.parquet"))
+        v2_files = v1_files + sorted(glob.glob(f"{out}/data_v2/part-*.parquet"))
+        os.makedirs(f"{out}/_manifests", exist_ok=True)
+        for v, files in ((1, v1_files), (2, v2_files)):
+            with open(f"{out}/_manifests/v{v}.json", "w") as f:
+                json.dump({"version": v, "files": files}, f)
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    return out
+
+
+@op(
+    "scan_snapshot_manifest",
+    sql="""
+    SELECT 1 AS version, event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events WHERE event_id % 3 <> 0 GROUP BY event_type
+    UNION ALL
+    SELECT 2, event_type, CAST(COUNT(*) AS BIGINT)
+    FROM events GROUP BY event_type
+    """,
+)
+def scan_snapshot_manifest(spark, sf_dir):
+    """Snapshot-isolated reads / time travel from first principles:
+    the table directory contains data files from two commits, and each
+    query plans from a VERSION MANIFEST instead of a directory listing
+    — reading snapshot v1 after v2's files have landed must still see
+    exactly v1's rows (the core guarantee Delta Lake / Iceberg build
+    their log/manifest machinery around; no format jars exist in this
+    sandbox, so the mechanism itself is the operator).
+
+    The manifest is metadata (a file list) — reading it driver-side is
+    the same O(manifest) planning cost every table format pays; the
+    data path stays `spark.read.parquet(*files)`, which preserves all
+    pushdown/pruning. Output: per-type counts AS OF each version,
+    hash-checked against the key-arithmetic definition of the two
+    commits."""
+    import json
+
+    path = versioned_events_path(spark, sf_dir)
+    out = None
+    for v in (1, 2):
+        with open(f"{path}/_manifests/v{v}.json") as f:
+            files = json.load(f)["files"]
+        df = (
+            spark.read.parquet(*files)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit(v).alias("version"), "event_type", "n")
+        )
+        out = df if out is None else out.unionByName(df)
+    return out
