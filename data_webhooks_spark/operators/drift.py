@@ -1,0 +1,228 @@
+"""Distribution-drift operators (SURVEY §2.17): the monitoring gates a
+production pipeline runs before trusting new data — two-sample
+Kolmogorov-Smirnov and the Population Stability Index, both exact,
+both one Catalyst plan.
+
+Scale notes (100 TB):
+- ``drift_ks_test`` sorts the pooled sample once (range-partitioned
+  sort, the same machinery as any global orderBy) and takes a running
+  max of the ECDF gap — O(n log n), no per-row Python, no driver
+  collect; the two scalar counts broadcast as 1-row attaches.
+- ``drift_psi`` reduces each side to a fixed bin histogram (decile
+  edges from the baseline side's exact percentiles) — after the two
+  aggregations everything is bins × 1 arithmetic. At 100 TB swap the
+  exact percentile edges for KLL-sketch quantiles
+  (`agg_kll_quantile` is the worked pattern) and the plan is
+  otherwise unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..io import Tables
+from ..norms import qnt
+from ..regutil import registrar
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+op = registrar(QUERIES, ORACLE)
+
+_KS_A = "purchase"
+_KS_B = "click"
+
+
+@op(
+    "drift_ks_test",
+    sql=f"""
+    WITH s AS (
+        SELECT value, event_type FROM events
+        WHERE event_type IN ('{_KS_A}', '{_KS_B}')
+    ),
+    n AS (
+        SELECT COUNT(*) FILTER (WHERE event_type = '{_KS_A}') AS na,
+               COUNT(*) FILTER (WHERE event_type = '{_KS_B}') AS nb
+        FROM s
+    ),
+    ranked AS (
+        SELECT value,
+               SUM(CASE WHEN event_type = '{_KS_A}' THEN 1 ELSE 0 END)
+                   OVER w AS ca,
+               SUM(CASE WHEN event_type = '{_KS_B}' THEN 1 ELSE 0 END)
+                   OVER w AS cb
+        FROM s
+        WINDOW w AS (ORDER BY value
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    gaps AS (
+        -- evaluate the ECDF gap only at the TOP of each tied value
+        -- run (max cumulative counts per distinct value): the KS
+        -- statistic is attained at value boundaries
+        SELECT value, MAX(ca) AS ca, MAX(cb) AS cb
+        FROM ranked GROUP BY value
+    )
+    SELECT CAST(n.na AS BIGINT) AS n_a, CAST(n.nb AS BIGINT) AS n_b,
+           FLOOR(MAX(abs(gaps.ca / CAST(n.na AS DOUBLE)
+                         - gaps.cb / CAST(n.nb AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS ks_stat
+    FROM gaps, n
+    GROUP BY n.na, n.nb
+    """,
+)
+def drift_ks_test(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov statistic between the value
+    distributions of two event types — the distribution-drift gate
+    (did this batch's metric distribution shift vs the reference?).
+
+    D = max over observed values of |ECDF_a - ECDF_b|, computed as a
+    pooled sort + running per-side counts + a per-distinct-value max
+    (ties resolved by taking the top of each tied run, where the KS
+    sup is attained). One global sort, two scalar counts attached as
+    1-row joins — no Python, no collect, exact."""
+    t = Tables(spark, sf_dir)
+    s = t.events.filter(F.col("event_type").isin(_KS_A, _KS_B)).select(
+        "value", "event_type"
+    )
+    n = s.agg(
+        F.sum(F.when(F.col("event_type") == _KS_A, 1).otherwise(0))
+        .cast("long")
+        .alias("na"),
+        F.sum(F.when(F.col("event_type") == _KS_B, 1).otherwise(0))
+        .cast("long")
+        .alias("nb"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = s.select(
+        "value",
+        F.sum(F.when(F.col("event_type") == _KS_A, 1).otherwise(0))
+        .over(w)
+        .alias("ca"),
+        F.sum(F.when(F.col("event_type") == _KS_B, 1).otherwise(0))
+        .over(w)
+        .alias("cb"),
+    )
+    gaps = ranked.groupBy("value").agg(
+        F.max("ca").alias("ca"), F.max("cb").alias("cb")
+    )
+    return (
+        gaps.crossJoin(n)  # 1-row scalar attach
+        .agg(
+            F.first("na").alias("n_a"),
+            F.first("nb").alias("n_b"),
+            qnt(
+                F.max(
+                    F.abs(
+                        F.col("ca") / F.col("na").cast("double")
+                        - F.col("cb") / F.col("nb").cast("double")
+                    )
+                ),
+                "ks_stat",
+            ),
+        )
+    )
+
+
+_PSI_BINS = 10
+
+
+@op(
+    "drift_psi",
+    sql=f"""
+    WITH base AS (
+        SELECT value FROM events WHERE event_type = '{_KS_B}'
+    ),
+    cur AS (
+        SELECT value FROM events WHERE event_type = '{_KS_A}'
+    ),
+    edges AS (
+        SELECT quantile_cont(value,
+                   [x / {_PSI_BINS}.0 FOR x IN range(1, {_PSI_BINS})])
+               AS qs
+        FROM base
+    ),
+    binned AS (
+        SELECT 'base' AS side,
+               len(list_filter(e.qs, q -> q <= b.value)) AS bin
+        FROM base b, edges e
+        UNION ALL
+        SELECT 'cur', len(list_filter(e.qs, q -> q <= c.value))
+        FROM cur c, edges e
+    ),
+    counts AS (
+        SELECT r.range AS bin,
+               COUNT(*) FILTER (WHERE side = 'base' AND binned.bin = r.range)
+                   AS nb,
+               COUNT(*) FILTER (WHERE side = 'cur' AND binned.bin = r.range)
+                   AS nc
+        FROM range({_PSI_BINS}) r LEFT JOIN binned ON binned.bin = r.range
+        GROUP BY r.range
+    ),
+    tot AS (
+        SELECT SUM(nb) AS tb, SUM(nc) AS tc FROM counts
+    )
+    SELECT FLOOR(SUM((nc / CAST(tc AS DOUBLE) - nb / CAST(tb AS DOUBLE))
+                     * ln((nc / CAST(tc AS DOUBLE))
+                          / (nb / CAST(tb AS DOUBLE))))
+                 * 1000000.0 + 0.5) / 1000000.0 AS psi,
+           CAST(COUNT(*) AS BIGINT) AS n_bins
+    FROM counts, tot
+    GROUP BY tot.tb, tot.tc
+    """,
+)
+def drift_psi(spark, sf_dir):
+    """Population Stability Index between a baseline and a current
+    value distribution (the scorecard-monitoring standard: PSI < 0.1
+    stable, > 0.25 shifted): decile bin edges come from the BASELINE
+    side's exact percentiles, both sides histogram into those bins,
+    PSI = sum (p_cur - p_base) * ln(p_cur / p_base).
+
+    The bin edges are an aggregate (9 doubles) broadcast to both
+    histogram passes; after the two fixed-width aggregations the PSI
+    arithmetic touches 10 rows. Deterministic: exact percentiles, and
+    the heavy-tailed fixture keeps every decile bin populated on both
+    sides (no ln(0) arm at any fixture scale — asserted by the
+    oracle's equality itself)."""
+    t = Tables(spark, sf_dir)
+    base = t.events.filter(F.col("event_type") == _KS_B).select("value")
+    cur = t.events.filter(F.col("event_type") == _KS_A).select("value")
+    edges = base.agg(
+        F.percentile(
+            "value",
+            F.array(*[F.lit(x / _PSI_BINS) for x in range(1, _PSI_BINS)]),
+        ).alias("qs")
+    )
+
+    def binned(df, side):
+        return (
+            df.crossJoin(F.broadcast(edges))
+            .select(
+                F.lit(side).alias("side"),
+                F.size(
+                    F.filter("qs", lambda q: q <= F.col("value"))
+                ).alias("bin"),
+            )
+        )
+
+    bins = spark.range(_PSI_BINS).select(F.col("id").cast("int").alias("bin"))
+    both = binned(base, "base").unionByName(binned(cur, "cur"))
+    counts = (
+        bins.join(both, "bin", "left")
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("side") == "base", 1).otherwise(0)).alias("nb"),
+            F.sum(F.when(F.col("side") == "cur", 1).otherwise(0)).alias("nc"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("nb").alias("tb"), F.sum("nc").alias("tc")
+    )
+    pc = F.col("nc") / F.col("tc").cast("double")
+    pb = F.col("nb") / F.col("tb").cast("double")
+    return (
+        counts.crossJoin(tot)  # 1-row scalar attach
+        .agg(
+            qnt(F.sum((pc - pb) * F.log(pc / pb)), "psi"),
+            F.count(F.lit(1)).alias("n_bins"),
+        )
+    )

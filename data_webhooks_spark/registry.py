@@ -118,6 +118,7 @@ _MODULES = [
     "data_webhooks_spark.operators.timeseries",
     "data_webhooks_spark.operators.profiling",
     "data_webhooks_spark.operators.warehouse",
+    "data_webhooks_spark.operators.drift",
     "data_webhooks_spark.streaming.queries",
     "data_webhooks_spark.streaming.webhook_query",
 ]
