@@ -4,10 +4,10 @@ Kolmogorov-Smirnov and the Population Stability Index, both exact,
 both one Catalyst plan.
 
 Scale notes (100 TB):
-- ``drift_ks_test`` sorts the pooled sample once (range-partitioned
-  sort, the same machinery as any global orderBy) and takes a running
-  max of the ECDF gap — O(n log n), no per-row Python, no driver
-  collect; the two scalar counts broadcast as 1-row attaches.
+- ``drift_ks_test`` reduces to per-distinct-value counts FIRST (one
+  distributed groupBy), so the unpartitioned cumulative-sum window
+  only ever sees distinct-cardinality rows — never the raw sample;
+  the two scalar counts broadcast as 1-row attaches.
 - ``drift_psi`` reduces each side to a fixed bin histogram (decile
   edges from the baseline side's exact percentiles) — after the two
   aggregations everything is bins × 1 arithmetic. At 100 TB swap the
@@ -75,11 +75,16 @@ def drift_ks_test(spark, sf_dir):
     distributions of two event types — the distribution-drift gate
     (did this batch's metric distribution shift vs the reference?).
 
-    D = max over observed values of |ECDF_a - ECDF_b|, computed as a
-    pooled sort + running per-side counts + a per-distinct-value max
-    (ties resolved by taking the top of each tied run, where the KS
-    sup is attained). One global sort, two scalar counts attached as
-    1-row joins — no Python, no collect, exact."""
+    D = max over observed values of |ECDF_a - ECDF_b|: per-side counts
+    aggregate per DISTINCT value first (fully distributed), then the
+    cumulative sums run over the distinct-value table — so the one
+    unpartitioned window touches distinct-cardinality rows (bounded
+    for any quantized metric; 2-decimal doubles here), never the raw
+    sample. The two scalar counts attach as 1-row joins — no Python,
+    no collect, exact. For a truly continuous unbounded-cardinality
+    metric the swap is a range-partitioned two-pass cumsum (partition
+    offsets from per-partition totals) — plan shape otherwise
+    identical."""
     t = Tables(spark, sf_dir)
     s = t.events.filter(F.col("event_type").isin(_KS_A, _KS_B)).select(
         "value", "event_type"
@@ -92,18 +97,15 @@ def drift_ks_test(spark, sf_dir):
         .cast("long")
         .alias("nb"),
     )
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    ranked = s.select(
-        "value",
-        F.sum(F.when(F.col("event_type") == _KS_A, 1).otherwise(0))
-        .over(w)
-        .alias("ca"),
-        F.sum(F.when(F.col("event_type") == _KS_B, 1).otherwise(0))
-        .over(w)
-        .alias("cb"),
+    per_v = s.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == _KS_A, 1).otherwise(0)).alias("da"),
+        F.sum(F.when(F.col("event_type") == _KS_B, 1).otherwise(0)).alias("db"),
     )
-    gaps = ranked.groupBy("value").agg(
-        F.max("ca").alias("ca"), F.max("cb").alias("cb")
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    gaps = per_v.select(
+        "value",
+        F.sum("da").over(w).alias("ca"),
+        F.sum("db").over(w).alias("cb"),
     )
     return (
         gaps.crossJoin(n)  # 1-row scalar attach
