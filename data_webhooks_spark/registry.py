@@ -23,18 +23,20 @@ from pyspark.sql import DataFrame, SparkSession
 # pass the round-3 judge sweep; rotation only reorders — every key
 # stays registered and locally tested either way.
 #
-# ROUND-5 ROTATION PLAN (computed end of r4): after r4's window lands,
-# 39 keys still have no official CORRECTNESS row — the 19 operators
-# added during r4 (timeseries/profiling/warehouse/layout/lateral/
-# protocol-oracled streaming), the heavier streaming composites
-# deferred from r4 (stream_funnel, stream_rollup_upsert,
-# stream_quantile, join_stream_stream, sink_memory,
-# sink_foreach_batch), and the r4 training-pipeline keys
-# (text_ngram_freq, contamination_ngram, embed_quantize_int8,
-# text_unigram_logprob). 34 of them are SQL-oracled — rotate those
-# into the r5 window first (fill the remainder with rows-only keys or
-# re-checks); the 5 rows-only survivors (ann_ivf, dedup_minhash,
-# dedup_simhash, sim_ann_lsh, map_in_pandas) get rows-only records.
+# ROUND-5 ROTATION PLAN (recomputed at the final r4 key count of
+# 192): after r4's window lands, 46 keys still have no official
+# CORRECTNESS row — every operator added during r4 (timeseries,
+# profiling, warehouse/CDC, layout maintenance, lateral, drift,
+# dedup/repetition/vocab, snapshot scan, and the protocol-oracled
+# streaming keys), plus the heavier streaming composites deferred
+# from r4 (stream_funnel, stream_rollup_upsert, stream_quantile,
+# join_stream_stream, sink_memory, sink_foreach_batch) and the r4
+# training-pipeline keys (text_ngram_freq, contamination_ngram,
+# embed_quantize_int8, text_unigram_logprob). 41 of the 46 are
+# SQL-oracled — rotate those into the r5 window first and fill the
+# remaining slots from the 5 rows-only survivors (ann_ivf,
+# dedup_minhash, dedup_simhash, sim_ann_lsh, map_in_pandas), which
+# get rows-only records.
 _WINDOW = [
     # sketches (last driver record: stale ERR)
     "agg_approx_count_distinct",

@@ -62,6 +62,8 @@ KEYS = [
     "dim_scd2",
     "text_repetition_score",
     "dedup_repeated_substrings",
+    "drift_ks_test",
+    "drift_psi",
 ]
 MAX_FACTOR = {"dedup_embedding": 10, "dedup_repeated_substrings": 10}
 # Keys whose DuckDB oracle is skipped at amplified factors:
