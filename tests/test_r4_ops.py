@@ -295,3 +295,31 @@ def test_repetition_score_orders_boilerplate_above_prose(spark, tmp_path):
     assert rows[2]["rep_score"] == 0.0
     assert rows[1]["rep_score"] > 0.8
     assert 0.0 <= rows[1]["rep_score"] < 1.0
+
+
+def test_psi_preconditions_and_ks_bounds(spark, sf_dir):
+    """drift_psi's formula has a ln(p_cur/p_base) arm that diverges
+    between engines on an empty bin (Spark log(0)=NULL, DuckDB
+    ln(0)=-inf), so the operator's contract requires every decile bin
+    populated on both sides — assert it holds on the fixture, and that
+    both statistics land in their theoretical ranges."""
+    from data_webhooks_spark.io import Tables
+    import numpy as np
+
+    t = Tables(spark, sf_dir)
+    base = np.array(
+        [r["value"] for r in t.events.filter("event_type='click'").select("value").collect()]
+    )
+    cur = np.array(
+        [r["value"] for r in t.events.filter("event_type='purchase'").select("value").collect()]
+    )
+    edges = np.percentile(base, [10 * i for i in range(1, 10)], method="linear")
+    for side in (base, cur):
+        binned = np.searchsorted(edges, side, side="left")
+        counts = np.bincount(binned, minlength=10)
+        assert (counts > 0).all(), counts
+    psi = QUERIES["drift_psi"](spark, sf_dir).collect()[0]
+    assert psi["n_bins"] == 10 and psi["psi"] is not None and psi["psi"] >= 0.0
+    ks = QUERIES["drift_ks_test"](spark, sf_dir).collect()[0]
+    assert 0.0 <= ks["ks_stat"] <= 1.0
+    assert ks["n_a"] > 0 and ks["n_b"] > 0
