@@ -323,3 +323,23 @@ def test_psi_preconditions_and_ks_bounds(spark, sf_dir):
     ks = QUERIES["drift_ks_test"](spark, sf_dir).collect()[0]
     assert 0.0 <= ks["ks_stat"] <= 1.0
     assert ks["n_a"] > 0 and ks["n_b"] > 0
+
+
+def test_ks_matches_numpy(spark, sf_dir):
+    """Re-derive the two-sample KS statistic from raw values in numpy
+    and compare against the operator (up to its 1e-6 quantization)."""
+    from data_webhooks_spark.io import Tables
+
+    t = Tables(spark, sf_dir)
+    a = np.sort(
+        [r["value"] for r in t.events.filter("event_type='purchase'").select("value").collect()]
+    )
+    b = np.sort(
+        [r["value"] for r in t.events.filter("event_type='click'").select("value").collect()]
+    )
+    grid = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(a, grid, side="right") / len(a)
+    fb = np.searchsorted(b, grid, side="right") / len(b)
+    d = float(np.abs(fa - fb).max())
+    got = QUERIES["drift_ks_test"](spark, sf_dir).collect()[0]["ks_stat"]
+    assert abs(got - d) < 2e-6, (got, d)
