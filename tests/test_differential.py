@@ -226,3 +226,100 @@ def test_generated_window_agrees(spark, sf_dir, duck, t, fspecs, pcol, ocol, fn)
     )
     probs = compare_frames(sdf.toPandas(), duck.execute(sql).df())
     assert not probs, f"{sql}\n{probs}"
+
+
+# ---- events grammar: timestamp/JSON semantics (§5.3 hazard zone) ----------
+
+EV_FILTERS = st.one_of(
+    st.tuples(
+        st.just("ts"),
+        st.sampled_from(["<", ">="]),
+        st.sampled_from(
+            ["2024-01-05 00:00:00", "2024-01-16 12:00:00", "2024-01-28 06:30:00"]
+        ),
+    ),
+    st.tuples(
+        st.just("type"),
+        st.sampled_from(["=", "<>"]),
+        st.sampled_from(["view", "click", "purchase", "error", "signup"]),
+    ),
+    st.tuples(
+        st.just("val"),
+        st.sampled_from(["<", "<=", ">", ">="]),
+        st.sampled_from([5.0, 34.59, 100.0, 250.0]),
+    ),
+)
+
+EV_GROUPS = ["event_type", "day", "hour_of_day", "json_k_parity"]
+
+
+def ev_spark_filter(df, spec):
+    kind, op_, val = spec
+    if kind == "ts":
+        c = F.col("ts")
+        lit = F.lit(val).cast("timestamp_ntz")
+    elif kind == "type":
+        c, lit = F.col("event_type"), F.lit(val)
+    else:
+        c, lit = F.col("value"), F.lit(val)
+    return df.filter(
+        {"<": c < lit, "<=": c <= lit, ">": c > lit, ">=": c >= lit,
+         "=": c == lit, "<>": c != lit}[op_]
+    )
+
+
+def ev_sql_filter(spec):
+    kind, op_, val = spec
+    if kind == "ts":
+        return f"ts {op_} TIMESTAMP '{val}'"
+    if kind == "type":
+        return f"event_type {op_} '{val}'"
+    return f"value {op_} {val}"
+
+
+def ev_group(gcol):
+    """(spark Column, duckdb expr) for each grouping key."""
+    if gcol == "event_type":
+        return F.col("event_type"), "event_type"
+    if gcol == "day":
+        return F.date_trunc("day", "ts"), "date_trunc('day', ts)"
+    if gcol == "hour_of_day":
+        return F.hour("ts").cast("long"), "CAST(extract(hour FROM ts) AS BIGINT)"
+    # parity of the props JSON payload's "k" integer
+    return (
+        (F.get_json_object("props", "$.k").cast("long") % 2),
+        "CAST(json_extract(props, '$.k') AS BIGINT) % 2",
+    )
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    fspecs=st.lists(EV_FILTERS, min_size=0, max_size=2),
+    gcol=st.sampled_from(EV_GROUPS),
+)
+def test_generated_events_agg_agrees(spark, sf_dir, duck, t, fspecs, gcol):
+    """Generated (timestamp/JSON-keyed) aggregations over events must
+    agree across engines — sweeps the tz/µs-truncation/date_trunc/
+    json-extraction hazards the fixed parity examples touch only at
+    single points."""
+    df = t.events
+    conds = []
+    for fs in fspecs:
+        df = ev_spark_filter(df, fs)
+        conds.append(ev_sql_filter(fs))
+    where = (" WHERE " + " AND ".join(conds)) if conds else ""
+    gexpr, gsql = ev_group(gcol)
+    sdf = df.groupBy(gexpr.alias("g")).agg(
+        F.count(F.lit(1)).alias("n"), dec_sum("value", "v", 4)
+    )
+    sql = (
+        f"SELECT {gsql} AS g, COUNT(*) AS n, {o_dec_sum('value', 'v', 4)} "
+        f"FROM events{where} GROUP BY 1"
+    )
+    probs = compare_frames(sdf.toPandas(), duck.execute(sql).df())
+    assert not probs, f"{sql}\n{probs}"
