@@ -23,6 +23,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..io import Tables
+from ..norms import qnt
 from ..regutil import registrar
 
 QUERIES: dict = {}
@@ -191,4 +192,117 @@ def event_paths(spark, sf_dir):
         .filter(F.col("prev_type").isNotNull())
         .groupBy("prev_type", F.col("event_type").alias("curr_type"))
         .agg(F.count("*").alias("n_paths"))
+    )
+
+
+@op(
+    "pipeline_events_prep",
+    sql="""
+    WITH valid AS (
+        SELECT event_id, ts, user_id, event_type, value,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        FROM events
+        WHERE value > 0
+          AND event_type IN ('view', 'click', 'purchase', 'signup', 'error')
+          AND json_extract(props, '$.k') IS NOT NULL
+    ),
+    flagged AS (
+        SELECT *,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w <= 1800000000
+                    THEN 0 ELSE 1 END AS new_session
+        FROM valid
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT *,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sno
+        FROM flagged
+    ),
+    sessions AS (
+        SELECT user_id, sno,
+               COUNT(*) AS n_events,
+               epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS span_us,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS has_purchase,
+               SUM(k) AS k_sum
+        FROM numbered GROUP BY user_id, sno
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(FLOOR(SUM(span_us) / COUNT(*)) AS BIGINT) AS avg_span_us,
+           FLOOR(SUM(has_purchase) / CAST(COUNT(*) AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS purchase_session_rate,
+           CAST(SUM(k_sum) AS BIGINT) AS k_total
+    FROM sessions GROUP BY user_id
+    """,
+)
+def pipeline_events_prep(spark, sf_dir):
+    """END-TO-END webhook-analytics capstone, the events-side bookend
+    of pipeline_text_prep: parse the JSON payload -> contract-validate
+    (value domain, type domain, payload key present) -> sessionize
+    (30-min gap) -> per-session aggregates (length, span, purchase
+    flag, payload sum) -> per-user rollup (session count, average
+    span, purchase-session rate) — composed as ONE Catalyst plan.
+
+    Plan shape: a codegen parse+filter reaches the scan (pushdown on
+    value; json_extract stays in the projection), the sessionize
+    window and both aggregations all key on user_id, so the whole
+    pipeline costs ONE shuffle on the user key at any scale — the
+    same single-exchange discipline win_sessionize pins in its plan
+    test. The integer-µs span arithmetic and the qnt-rounded rate are
+    the cross-engine float discipline (norms.py)."""
+    t = Tables(spark, sf_dir)
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    valid = (
+        t.events.withColumn(
+            "k", F.get_json_object("props", "$.k").cast("long")
+        )
+        .filter(
+            (F.col("value") > 0)
+            & F.col("event_type").isin(
+                "view", "click", "purchase", "signup", "error"
+            )
+            & F.col("k").isNotNull()
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ok = (ts_us - F.lag(ts_us).over(w)) <= 1_800_000_000
+    numbered = valid.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "k",
+        F.sum(F.when(gap_ok, F.lit(0)).otherwise(F.lit(1)))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("sno"),
+    )
+    sessions = numbered.groupBy("user_id", "sno").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.unix_micros(F.max("ts").cast("timestamp"))
+            - F.unix_micros(F.min("ts").cast("timestamp"))
+        ).alias("span_us"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("has_purchase"),
+        F.sum("k").alias("k_sum"),
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        # FLOOR before the long cast on BOTH engines: DuckDB's
+        # double->BIGINT cast rounds while Spark's truncates (§5.3)
+        F.floor(F.sum("span_us") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("avg_span_us"),
+        qnt(
+            F.sum("has_purchase") / F.count(F.lit(1)).cast("double"),
+            "purchase_session_rate",
+        ),
+        F.sum("k_sum").cast("long").alias("k_total"),
     )
