@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 # stays registered and locally tested either way.
 #
 # ROUND-5 ROTATION PLAN (recomputed at the final r4 key count of
-# 192): after r4's window lands, 46 keys still have no official
+# 193): after r4's window lands, 47 keys still have no official
 # CORRECTNESS row — every operator added during r4 (timeseries,
 # profiling, warehouse/CDC, layout maintenance, lateral, drift,
 # dedup/repetition/vocab, snapshot scan, and the protocol-oracled
@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 # from r4 (stream_funnel, stream_rollup_upsert, stream_quantile,
 # join_stream_stream, sink_memory, sink_foreach_batch) and the r4
 # training-pipeline keys (text_ngram_freq, contamination_ngram,
-# embed_quantize_int8, text_unigram_logprob). 41 of the 46 are
+# embed_quantize_int8, text_unigram_logprob). 42 of the 47 are
 # SQL-oracled — rotate those into the r5 window first and fill the
 # remaining slots from the 5 rows-only survivors (ann_ivf,
 # dedup_minhash, dedup_simhash, sim_ann_lsh, map_in_pandas), which
