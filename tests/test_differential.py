@@ -323,3 +323,60 @@ def test_generated_events_agg_agrees(spark, sf_dir, duck, t, fspecs, gcol):
     )
     probs = compare_frames(sdf.toPandas(), duck.execute(sql).df())
     assert not probs, f"{sql}\n{probs}"
+
+
+# ---- join grammar: generated equi-join + filter + agg combinations --------
+
+JOIN_HOWS = ["inner", "left", "left_semi", "left_anti"]
+ORD_FILTERS = st.sampled_from(
+    [None, ("o_orderstatus", "F"), ("o_orderstatus", "O"), ("o_orderstatus", "P")]
+)
+CUST_FILTERS = st.sampled_from(
+    [None, ("c_mktsegment", "BUILDING"), ("c_mktsegment", "MACHINERY"),
+     ("c_nationkey_lt", 12)]
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(how=st.sampled_from(JOIN_HOWS), of=ORD_FILTERS, cf=CUST_FILTERS)
+def test_generated_join_agrees(spark, sf_dir, duck, t, how, of, cf):
+    """Generated customer⋈orders joins across join types × side
+    filters, reduced to per-nation counts — sweeps the null-extension
+    and existence-filter semantics the fixed join keys pin at single
+    points (e.g. a filtered right side under LEFT OUTER must
+    null-extend, not drop, the unmatched customers)."""
+    c, o = t.customer, t.orders
+    osql = "SELECT * FROM orders"
+    if of is not None:
+        o = o.filter(F.col(of[0]) == of[1])
+        osql += f" WHERE {of[0]} = '{of[1]}'"
+    csql = "SELECT * FROM customer"
+    if cf is not None:
+        if cf[0] == "c_nationkey_lt":
+            c = c.filter(F.col("c_nationkey") < cf[1])
+            csql += f" WHERE c_nationkey < {cf[1]}"
+        else:
+            c = c.filter(F.col(cf[0]) == cf[1])
+            csql += f" WHERE {cf[0]} = '{cf[1]}'"
+
+    joined = c.join(o, c.c_custkey == o.o_custkey, how)
+    sdf = joined.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n"))
+    dk = {
+        "inner": f"SELECT c_nationkey, COUNT(*) AS n FROM ({csql}) c JOIN ({osql}) o ON c_custkey = o_custkey GROUP BY 1",
+        "left": f"SELECT c_nationkey, COUNT(*) AS n FROM ({csql}) c LEFT JOIN ({osql}) o ON c_custkey = o_custkey GROUP BY 1",
+        "left_semi": (
+            f"SELECT c_nationkey, COUNT(*) AS n FROM ({csql}) c WHERE EXISTS "
+            f"(SELECT 1 FROM ({osql}) o WHERE o_custkey = c_custkey) GROUP BY 1"
+        ),
+        "left_anti": (
+            f"SELECT c_nationkey, COUNT(*) AS n FROM ({csql}) c WHERE NOT EXISTS "
+            f"(SELECT 1 FROM ({osql}) o WHERE o_custkey = c_custkey) GROUP BY 1"
+        ),
+    }[how]
+    probs = compare_frames(sdf.toPandas(), duck.execute(dk).df())
+    assert not probs, f"{how} {of} {cf}\n{probs}"
