@@ -170,22 +170,52 @@ def udtf_python(spark, sf_dir):
     )
 
 
-@op("map_in_pandas")
+@op(
+    "map_in_pandas",
+    sql="""
+    SELECT event_id, value,
+           CAST(event_id % 8 AS INT) AS bucket,
+           CAST(row_number() OVER (PARTITION BY event_id % 8
+                                   ORDER BY value, event_id) AS BIGINT)
+               AS bucket_rank,
+           CAST(COUNT(*) OVER (PARTITION BY event_id % 8) AS BIGINT)
+               AS bucket_rows
+    FROM events
+    """,
+)
 def map_in_pandas(spark, sf_dir):
-    """Partition-wise pandas iterator transform: per-batch feature calc
-    (value percentile rank within the Arrow batch plus batch size)."""
+    """Partition-wise pandas iterator transform: rank each event's
+    value within its deterministic 8-way event_id bucket, computed by
+    accumulating a partition's Arrow batches and ranking per bucket.
+
+    This exercises the full mapInPandas contract — iterator
+    consumption, cross-batch state, 1->many re-emission — while the
+    COMPUTED result depends only on the deterministic bucket key, not
+    on partition/batch layout (the repartition guarantees each bucket
+    is wholly inside one partition; several buckets may share a
+    partition, which the per-bucket groupby inside the function
+    handles). That layout-independence is what upgraded this key from
+    rows-only to hash-checked in r4: the former per-Arrow-batch rank
+    was unverifiable by construction."""
     t = Tables(spark, sf_dir)
+    bucketed = t.events.select(
+        "event_id", "value", F.pmod("event_id", F.lit(8)).cast("int").alias("bucket")
+    ).repartition(8, "bucket")
 
-    def add_batch_stats(batches):
-        for pdf in batches:
-            out = pdf[["event_id", "value"]].copy()
-            out["batch_rank"] = pdf["value"].rank(method="first").astype("int64")
-            out["batch_rows"] = len(pdf)
-            yield out
+    def rank_in_bucket(batches):
+        acc = [pdf for pdf in batches]
+        if not acc:
+            return
+        part = pd.concat(acc, ignore_index=True)
+        for _, g in part.groupby("bucket", sort=True):
+            out = g.sort_values(["value", "event_id"]).reset_index(drop=True)
+            out["bucket_rank"] = (out.index + 1).astype("int64")
+            out["bucket_rows"] = len(g)
+            yield out[["event_id", "value", "bucket", "bucket_rank", "bucket_rows"]]
 
-    return t.events.mapInPandas(
-        add_batch_stats,
-        "event_id long, value double, batch_rank long, batch_rows long",
+    return bucketed.mapInPandas(
+        rank_in_bucket,
+        "event_id long, value double, bucket int, bucket_rank long, bucket_rows long",
     )
 
 

@@ -32,11 +32,12 @@ from pyspark.sql import DataFrame, SparkSession
 # from r4 (stream_funnel, stream_rollup_upsert, stream_quantile,
 # join_stream_stream, sink_memory, sink_foreach_batch) and the r4
 # training-pipeline keys (text_ngram_freq, contamination_ngram,
-# embed_quantize_int8, text_unigram_logprob). 42 of the 47 are
+# embed_quantize_int8, text_unigram_logprob). 43 of the 47 are
 # SQL-oracled — rotate those into the r5 window first and fill the
-# remaining slots from the 5 rows-only survivors (ann_ivf,
-# dedup_minhash, dedup_simhash, sim_ann_lsh, map_in_pandas), which
-# get rows-only records.
+# remaining slots from the 4 rows-only survivors (ann_ivf,
+# dedup_minhash, dedup_simhash, sim_ann_lsh — all approximate by
+# design), which get rows-only records. (map_in_pandas became
+# SQL-oracled late in r4.)
 _WINDOW = [
     # sketches (last driver record: stale ERR)
     "agg_approx_count_distinct",
