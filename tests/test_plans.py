@@ -334,3 +334,42 @@ def test_ewma_fold_stays_in_codegen(spark, sf_dir, qs):
     eval anywhere in the plan."""
     plan = plan_of(qs["ts_ewma"](spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# Registry-wide plan lint: the 100 TB anti-pattern ratchet. Any NEW
+# key that plans row-at-a-time Python, a cartesian product, or a
+# nested-loop join fails this test until it is explicitly allowlisted
+# with a bounded-side justification.
+ROW_PYTHON_OK = {
+    "udf_python",  # the row-UDF escape hatch — demonstrating the slow path IS the key
+    "udtf_python",  # Python UDTFs evaluate row-wise by design
+}
+NESTED_LOOP_OK = {
+    # 1-row scalar attaches (aggregate crossJoin'd onto a result)
+    "agg_hll_sketch", "agg_kll_quantile", "agg_theta_overlap",
+    "compact_files", "dq_checks", "drift_ks_test", "drift_psi",
+    "funnel_conversion", "text_tfidf", "text_unigram_logprob",
+    "tpch_q11", "tpch_q22", "vocab_coverage", "zorder_layout",
+    # deliberately tiny cross/broadcast sides (<= dozens of rows or
+    # candidate sets bounded by construction)
+    "join_cross", "join_skew_salted", "knn_join", "sim_cosine_brute",
+    "dedup_embedding", "text_heavy_hitters",
+}
+
+
+def test_registry_wide_plan_lint(spark, sf_dir, qs):
+    """Sweep EVERY key's physical plan for the three operators that
+    kill 100 TB jobs: row-at-a-time Python eval, cartesian products,
+    and nested-loop joins. Only the pinned allowlists may contain
+    them; a new key hitting this must either fix its plan or add an
+    explicit bounded-side justification above."""
+    bad = []
+    for key, fn in sorted(qs.items()):
+        plan = plan_of(fn(spark, sf_dir))
+        if "BatchEvalPython" in plan and key not in ROW_PYTHON_OK:
+            bad.append((key, "BatchEvalPython"))
+        if "CartesianProduct" in plan:
+            bad.append((key, "CartesianProduct"))
+        if "BroadcastNestedLoop" in plan and key not in NESTED_LOOP_OK:
+            bad.append((key, "BroadcastNestedLoop"))
+    assert not bad, bad
