@@ -695,12 +695,18 @@ def dedup_repeated_substrings(spark, sf_dir):
     grams into maximal repeated regions) is the documented follow-up,
     done per-doc with a lag window over selected positions."""
     t = Tables(spark, sf_dir)
-    positions = t.documents.select(
-        "doc_id",
-        "text",
-        F.explode(
-            F.sequence(F.lit(1), F.length("text") - (_RS_K - 1))
-        ).alias("p"),
+    # guard: Spark's sequence(1, n) DESCENDS when n < 1, so a document
+    # shorter than the gram length would explode garbage positions;
+    # DuckDB's range(1, n<=1) is empty — filter reproduces that.
+    positions = (
+        t.documents.filter(F.length("text") >= _RS_K)
+        .select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text") - (_RS_K - 1))
+            ).alias("p"),
+        )
     )
     grams = positions.select(
         "doc_id",

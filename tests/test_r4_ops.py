@@ -343,3 +343,28 @@ def test_ks_matches_numpy(spark, sf_dir):
     d = float(np.abs(fa - fb).max())
     got = QUERIES["drift_ks_test"](spark, sf_dir).collect()[0]["ks_stat"]
     assert abs(got - d) < 2e-6, (got, d)
+
+
+def test_repeated_substrings_short_docs_are_safe(spark, tmp_path):
+    """Documents shorter than the gram length must contribute no
+    positions (Spark's sequence(1, n) DESCENDS for n < 1 — without the
+    length guard a short doc explodes garbage positions), and shared
+    passages among the long docs must still be found."""
+    import pandas as pd
+
+    passage = "a long enough shared passage that repeats verbatim here"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["tiny", "x", "lead-in " + passage, passage + " trailer"],
+            "lang": ["en"] * 4,
+            "source": ["t"] * 4,
+            "n_chars": [0] * 4,
+        }
+    )
+    docs["n_chars"] = docs["text"].str.len()
+    docs.to_parquet(f"{tmp_path}/documents.parquet")
+    out = QUERIES["dedup_repeated_substrings"](spark, str(tmp_path)).collect()
+    assert len(out) > 0
+    assert all(r["n_docs"] == 2 for r in out)
+    assert all(passage.find(r["gram"]) >= 0 for r in out)
