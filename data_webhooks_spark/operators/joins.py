@@ -293,6 +293,65 @@ def join_asof(spark, sf_dir):
 
 
 @op(
+    "join_asof_forward",
+    sql="""
+    SELECT p.event_id, p.user_id, p.ts AS p_ts,
+           c.ts AS next_click_ts, c.value AS next_click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts <= c.ts
+    """,
+)
+def join_asof_forward(spark, sf_dir):
+    """Forward as-of join — the mirror of join_asof: for each
+    purchase, the EARLIEST click at-or-after it per user (the
+    "next-action" lookup behind follow-up attribution). Same
+    union+window rewrite with the frame flipped to
+    [currentRow, unboundedFollowing] and first(ignorenulls); at equal
+    timestamps the purchase sorts before the click so the inclusive
+    at-or-after semantics match DuckDB's ASOF ... ON p.ts <= c.ts.
+    One shuffle, O(n log n), like its backward twin."""
+    t = Tables(spark, sf_dir)
+    ev = t.events
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(0).alias("side"),  # purchases sort before clicks at equal t (<= inclusive)
+        F.lit(None).cast(ev.schema["ts"].dataType).alias("c_ts"),
+        F.lit(None).cast("double").alias("c_value"),
+        "event_id",
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("side"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        purchases.unionByName(clicks)
+        .withColumn("next_click_ts", F.first("c_ts", ignorenulls=True).over(w))
+        .withColumn(
+            "next_click_value", F.first("c_value", ignorenulls=True).over(w)
+        )
+        .filter(F.col("side") == 0)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("t").alias("p_ts"),
+            "next_click_ts",
+            "next_click_value",
+        )
+    )
+
+
+@op(
     "join_self",
     sql="""
     SELECT o1.o_custkey, COUNT(*) AS n_order_pairs
