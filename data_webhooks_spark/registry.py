@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 # stays registered and locally tested either way.
 #
 # ROUND-5 ROTATION PLAN (recomputed at the final r4 key count of
-# 193): after r4's window lands, 47 keys still have no official
+# 194): after r4's window lands, 48 keys still have no official
 # CORRECTNESS row — every operator added during r4 (timeseries,
 # profiling, warehouse/CDC, layout maintenance, lateral, drift,
 # dedup/repetition/vocab, snapshot scan, and the protocol-oracled
@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 # from r4 (stream_funnel, stream_rollup_upsert, stream_quantile,
 # join_stream_stream, sink_memory, sink_foreach_batch) and the r4
 # training-pipeline keys (text_ngram_freq, contamination_ngram,
-# embed_quantize_int8, text_unigram_logprob). 43 of the 47 are
+# embed_quantize_int8, text_unigram_logprob). 44 of the 48 are
 # SQL-oracled — rotate those into the r5 window first and fill the
 # remaining slots from the 4 rows-only survivors (ann_ivf,
 # dedup_minhash, dedup_simhash, sim_ann_lsh — all approximate by
