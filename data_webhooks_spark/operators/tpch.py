@@ -140,24 +140,47 @@ def tpch_q4(spark, sf_dir):
 )
 def tpch_q5(spark, sf_dir):
     """Q5 local-supplier volume: revenue where the customer and the
-    supplier share a nation inside one region. Six-table star join —
-    all dims broadcast, the lineitem fact shuffles once for the agg."""
+    supplier share a nation inside one region. Six-table star join
+    planned region-first (same strategy as join_multiway): the ASIA
+    restriction reaches BOTH fact sides before the fact-fact shuffle —
+    lineitem is semi-filtered by the broadcast ASIA supplier set and
+    orders by the broadcast ASIA customer set (sound because the final
+    c_nationkey = s_nationkey equality forces both parties into the
+    region) — so only ~1/|regions| of each fact shuffles. Catalyst
+    cannot derive this reorder without CBO stats; the plan declares
+    it."""
     t = Tables(spark, sf_dir)
-    return (
-        t.customer.join(t.orders, F.col("c_custkey") == F.col("o_custkey"))
-        .filter(
+    asia_n = (
+        t.nation.join(
+            F.broadcast(t.region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    sup = t.supplier.join(
+        F.broadcast(asia_n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    cust = t.customer.join(
+        F.broadcast(asia_n.select("n_nationkey")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "c_nationkey")
+    o = (
+        t.orders.filter(
             (F.col("o_orderdate") >= _ts("1996-01-01"))
             & (F.col("o_orderdate") < _ts("1997-01-01"))
         )
-        .join(t.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(
-            t.supplier,
-            (F.col("l_suppkey") == F.col("s_suppkey"))
-            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "c_nationkey")
+    )
+    li = t.lineitem.join(
+        F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey")
+    ).select("l_orderkey", "l_extendedprice", "l_discount", "s_nationkey", "n_name")
+    return (
+        li.join(
+            o,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
-        .join(t.nation, F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(t.region, F.col("n_regionkey") == F.col("r_regionkey"))
-        .filter(F.col("r_name") == "ASIA")
         .groupBy("n_name")
         .agg(
             dec_sum(

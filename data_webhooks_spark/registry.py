@@ -23,81 +23,92 @@ from pyspark.sql import DataFrame, SparkSession
 # pass the round-3 judge sweep; rotation only reorders — every key
 # stays registered and locally tested either way.
 #
-# ROUND-5 ROTATION PLAN (recomputed at the final r4 key count of
-# 194): after r4's window lands, 48 keys still have no official
-# CORRECTNESS row — every operator added during r4 (timeseries,
-# profiling, warehouse/CDC, layout maintenance, lateral, drift,
-# dedup/repetition/vocab, snapshot scan, and the protocol-oracled
-# streaming keys), plus the heavier streaming composites deferred
-# from r4 (stream_funnel, stream_rollup_upsert, stream_quantile,
-# join_stream_stream, sink_memory, sink_foreach_batch) and the r4
-# training-pipeline keys (text_ngram_freq, contamination_ngram,
-# embed_quantize_int8, text_unigram_logprob). 44 of the 48 are
-# SQL-oracled — rotate those into the r5 window first and fill the
-# remaining slots from the 4 rows-only survivors (ann_ivf,
-# dedup_minhash, dedup_simhash, sim_ann_lsh — all approximate by
-# design), which get rows-only records. (map_in_pandas became
-# SQL-oracled late in r4.)
+# ROUND-5 WINDOW (the plan the r4 verdict signed off on, executed):
+# the 48 keys that had no official CORRECTNESS row after r1-r4 — the
+# 44 SQL-oracled ones (every r4 addition: timeseries, profiling/DQ,
+# warehouse/CDC, layout maintenance, lateral + forward-asof joins,
+# drift, dedup-repetition/vocab, snapshot scan, training-pipeline
+# text keys, and the heavier protocol-oracled streaming composites)
+# plus the 5 rows-only approximate keys (ann_ivf, dedup_minhash,
+# dedup_simhash, sim_ann_lsh, and r5's new profile_table_approx —
+# approximate by design; the driver records the weaker rows-only
+# check for them). The last slot re-verifies pack_sequences, whose
+# implementation changed this round ((lang, shard) two-level cumsum).
+# After this window lands, every registry key has an official driver
+# row.
+_ROWS_ONLY = {
+    "ann_ivf",
+    "dedup_minhash",
+    "dedup_simhash",
+    "sim_ann_lsh",
+    "profile_table_approx",
+}
 _WINDOW = [
-    # sketches (last driver record: stale ERR)
-    "agg_approx_count_distinct",
-    "agg_hll_sketch",
-    "agg_kll_quantile",
-    "agg_theta_overlap",
-    "agg_bitmap_distinct",
-    # dedup / similarity composites
-    "dedup_ngram_jaccard",
-    "dedup_cluster",
-    "dedup_embedding",
-    "sim_cosine_brute",
-    "knn_join",
-    # joins
-    "join_left_anti",
-    "join_cross",
-    "join_theta_range",
-    "join_interval",
-    "join_asof",
-    "join_self",
-    "join_multiway",
-    "join_skew_salted",
-    # scans
-    "scan_parquet",
-    "scan_json",
-    "scan_csv",
-    "scan_orc",
-    "scan_python_datasource",
-    "scan_text",
-    "scan_binaryfile",
-    # UDF surfaces
-    "udf_python",
-    "udf_pandas_scalar",
-    "udaf_pandas",
-    "grouped_map",
-    "udtf_python",
-    "cogrouped_map",
-    # multimodal + layout
-    "multimodal_col",
-    "sink_partitioned_parquet",
-    "join_bucketed",
-    # sampling
-    "sample_hash",
-    "sample_stratified",
-    "split_train_test",
-    "sample_per_group",
-    # analytics composites
-    "funnel_conversion",
-    "retention_cohort",
-    "event_paths",
-    # streaming (sql-oracled; heavy composites deferred to round 5)
-    "source_file_stream",
-    "stream_tumbling_agg",
-    "stream_sliding_agg",
-    "stream_dedup",
-    "stream_stateful",
-    "sink_parquet",
-    "join_stream_static",
-    "source_webhook",
-    "sink_webhook",
+    # training-pipeline text keys (added r4)
+    "text_ngram_freq",
+    "contamination_ngram",
+    "text_unigram_logprob",
+    "text_heavy_hitters",
+    "text_repetition_score",
+    "vocab_coverage",
+    "dedup_repeated_substrings",
+    "embed_quantize_int8",
+    # joins added r4
+    "join_asof_forward",
+    "join_lateral",
+    # scans / layout / maintenance
+    "scan_parquet_evolve",
+    "scan_snapshot_manifest",
+    "compact_files",
+    "zorder_layout",
+    # UDF surface straggler
+    "map_in_pandas",
+    # multimodal plumbing
+    "multimodal_resize",
+    "multimodal_frames",
+    "multimodal_features",
+    # analytics capstone
+    "pipeline_events_prep",
+    # time-series family
+    "ts_resample_gapfill",
+    "ts_ewma",
+    "ts_anomaly_mad",
+    "ts_moving_median",
+    # profiling / data quality
+    "profile_table",
+    "dq_checks",
+    # warehouse / CDC
+    "merge_upsert",
+    "dim_scd2",
+    # drift monitoring
+    "drift_ks_test",
+    "drift_psi",
+    # streaming: remaining protocol-oracled keys
+    "stream_session_agg",
+    "stream_watermark",
+    "stream_output_modes",
+    "stream_triggers",
+    "source_rate",
+    "sink_memory",
+    "sink_foreach_batch",
+    "join_stream_stream",
+    "stream_funnel",
+    "stream_rollup_upsert",
+    "stream_quantile",
+    "stream_topk",
+    "join_stream_stream_outer",
+    "stream_late_drops",
+    "stream_anomaly",
+    # rows-only approximate keys (weaker rows-only driver record);
+    # profile_table_approx is new in r5 (the Expand-free scale twin)
+    "ann_ivf",
+    "dedup_minhash",
+    "dedup_simhash",
+    "sim_ann_lsh",
+    "profile_table_approx",
+    # re-verify: implementation reworked in round 5 ((lang, shard)
+    # two-level cumsum)
+    "pack_sequences",
 ]
 
 _MODULES = [
@@ -143,7 +154,7 @@ def _collect() -> tuple[dict, dict]:
     missing = [k for k in _WINDOW if k not in queries]
     if missing:
         raise ValueError(f"window keys not registered: {missing}")
-    unoracled = [k for k in _WINDOW if k not in oracle]
+    unoracled = [k for k in _WINDOW if k not in oracle and k not in _ROWS_ONLY]
     if unoracled:
         raise ValueError(f"window keys without SQL oracle: {unoracled}")
     ordered = {k: queries[k] for k in _WINDOW}

@@ -801,6 +801,20 @@ def stream_funnel(spark, sf_dir):
     the exact batch-parity oracle. Real deployments with seconds-level
     disorder would run a correspondingly small delay; the pruning
     logic is delay-agnostic."""
+    return _funnel_finalize(
+        _funnel_updates(spark, sf_dir, late=True, files_per_trigger=2)
+    )
+
+
+def _funnel_updates(
+    spark, sf_dir, late: bool = True, files_per_trigger: int = 2
+) -> DataFrame:
+    """The funnel's streaming stage: replay -> applyInPandasWithState
+    -> materialized update-mode emissions. Parameterized so tests can
+    drive the REAL query (not a fake GroupState) through a 4-batch
+    replay where event-time timeouts fire mid-stream and a settled
+    user returns — see tests/test_streaming_semantics.py::
+    test_funnel_query_level_settle_then_return."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     tune(spark)
@@ -808,7 +822,9 @@ def stream_funnel(spark, sf_dir):
     # logic must converge to the batch answer under disorder (a late
     # view can retroactively qualify an already-seen click).
     s = (
-        read_replay_stream(spark, sf_dir, late=True, files_per_trigger=2)
+        read_replay_stream(
+            spark, sf_dir, late=late, files_per_trigger=files_per_trigger
+        )
         .withWatermark("ts", "10 days")
         .filter(F.col("event_type").isin("view", "click", "purchase"))
     )
@@ -823,8 +839,13 @@ def stream_funnel(spark, sf_dir):
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
-    all_updates = run_to_table(updates, "update")
+    return run_to_table(updates, "update")
 
+
+def _funnel_finalize(all_updates: DataFrame) -> DataFrame:
+    """Reduce the per-batch update emissions to the final funnel
+    report: per user, the row with the highest n_seen is the latest
+    state (n is monotonic by construction), then count stages."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy(F.col("n_seen").desc())
@@ -1134,7 +1155,12 @@ def join_stream_stream_outer(spark, sf_dir):
                      ntile({N_CHUNKS}) OVER (ORDER BY ts, event_id) AS chunk
               FROM events)
     ),
-    cm AS (SELECT fc, max(us) AS mx FROM chunked GROUP BY fc),
+    -- Spark tracks the event-time max at MILLISECOND precision, so
+    -- every watermark below is ms-floored before the delay subtraction
+    -- (the stream_watermark oracle pins the same protocol); fixture
+    -- timestamps carry sub-ms microseconds, so skipping the floor
+    -- would put the oracle watermark up to 999us above Spark's.
+    cm AS (SELECT fc, (max(us) // 1000) * 1000 AS mx FROM chunked GROUP BY fc),
     wms AS (
         -- the admission filter in batch k uses the watermark REPORTED
         -- one batch earlier, i.e. the running max through batch k-2
@@ -1148,7 +1174,9 @@ def join_stream_stream_outer(spark, sf_dir):
         WHERE w.cm2 IS NULL
            OR (c.us - c.us % 600000000) + 600000000 > w.cm2 - 900000000
     ),
-    final_wm AS (SELECT max(us) - 900000000 AS fw FROM chunked)
+    final_wm AS (
+        SELECT (max(us) // 1000) * 1000 - 900000000 AS fw FROM chunked
+    )
     SELECT make_timestamp(ws) AS window_start, CAST(COUNT(*) AS BIGINT) AS n
     FROM (SELECT us - us % 600000000 AS ws FROM admitted), final_wm
     GROUP BY ws, fw

@@ -64,6 +64,11 @@ KEYS = [
     "dedup_repeated_substrings",
     "drift_ks_test",
     "drift_psi",
+    # r5 additions/reworks: the Expand-free profile twin and the two
+    # de-serialized prefix sums
+    "profile_table_approx",
+    "pack_sequences",
+    "vocab_coverage",
 ]
 MAX_FACTOR = {"dedup_embedding": 10, "dedup_repeated_substrings": 10}
 # Keys whose DuckDB oracle is skipped at amplified factors:

@@ -48,19 +48,23 @@ def test_oracle_not_vacuous(key, duck):
     )
 
 
-def test_driver_window_is_the_round4_rotation():
+def test_driver_window_is_the_round5_rotation():
     """The external driver's correctness gate reads the FIRST 50 keys
-    of queries(); round 4 rotates the never-officially-checked keys
-    (plus the 4 sketch keys whose last driver record was a stale ERR)
-    into that window. Every window key must be SQL-oracled, and the
-    rotation must not drop or duplicate any key."""
-    from data_webhooks_spark.registry import _WINDOW
+    of queries(); round 5 rotates in the 48 keys that had no official
+    CORRECTNESS row after r1-r4 (44 SQL-oracled + the 4 rows-only
+    approximate survivors, which the driver records with the weaker
+    rows-only check) plus 2 re-verify slots for implementations
+    reworked this round. The rotation must not drop or duplicate any
+    key, and every window key outside the declared rows-only set must
+    be SQL-oracled."""
+    from data_webhooks_spark.registry import _ROWS_ONLY, _WINDOW
 
     qs, osql = registry.queries(), registry.oracle_sql()
     first50 = list(qs)[:50]
     assert len(_WINDOW) == 50
     assert first50 == _WINDOW
-    assert all(k in osql for k in first50)
+    assert all(k in osql for k in first50 if k not in _ROWS_ONLY)
+    assert _ROWS_ONLY == set(qs) - set(osql)
     assert len(set(qs)) == len(qs)
 
 

@@ -55,15 +55,21 @@ def test_agg_partial_before_exchange(spark, sf_dir, qs):
 
 
 def test_multiway_join_broadcasts_dims(spark, sf_dir, qs):
-    # customer/supplier/nation/region/orders all broadcast; the
-    # lineitem fact side must never shuffle.
+    # Region-first star plan (r5): every dim broadcasts, and BOTH fact
+    # sides are semi-filtered by their broadcast ASIA dim BEFORE the
+    # fact-fact exchange — lineitem via l_suppkey, orders via
+    # o_custkey — so only ~1/|regions| of each fact shuffles.
     plan = plan_of(qs["join_multiway"](spark, sf_dir))
-    assert plan.count("BroadcastHashJoin") >= 4
-    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 5
     assert "CartesianProduct" not in plan
-    # the final aggregation's exchange is the ONLY shuffle: the fact
-    # side flows scan -> joins -> partial agg without repartitioning.
-    assert plan.count("Exchange hashpartitioning") == 1
+    bhj_keys = "".join(
+        l for l in plan.splitlines() if "BroadcastHashJoin" in l
+    )
+    assert "l_suppkey" in bhj_keys  # lineitem prefiltered by ASIA suppliers
+    assert "o_custkey" in bhj_keys  # orders prefiltered by ASIA customers
+    # at most the slim fact-fact join (2) + final agg (1) exchanges;
+    # AQE demotes the fact-fact join to broadcast at fixture scale.
+    assert plan.count("Exchange hashpartitioning") <= 3
 
 
 def test_equi_join_no_cartesian(spark, sf_dir, qs):
@@ -222,10 +228,15 @@ def test_tpch_star_joins_broadcast_dims(spark, sf_dir, qs):
     assert p3.count("Exchange hashpartitioning") == 1
     assert "TakeOrderedAndProject" in p3
 
+    # q5 is region-first since r5 (see test_multiway_join_broadcasts_
+    # dims): dims broadcast AND both fact sides are prefiltered by
+    # their broadcast ASIA dim before the fact-fact exchange.
     p5 = plan_of(qs["tpch_q5"](spark, sf_dir))
-    assert p5.count("BroadcastHashJoin") == 5
-    assert "SortMergeJoin" not in p5 and "CartesianProduct" not in p5
-    assert p5.count("Exchange hashpartitioning") == 1
+    assert p5.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in p5
+    bhj5 = "".join(l for l in p5.splitlines() if "BroadcastHashJoin" in l)
+    assert "l_suppkey" in bhj5 and "o_custkey" in bhj5
+    assert p5.count("Exchange hashpartitioning") <= 3
 
 
 def test_tpch_semi_anti_stay_existence_filters(spark, sf_dir, qs):
@@ -334,6 +345,43 @@ def test_ewma_fold_stays_in_codegen(spark, sf_dir, qs):
     eval anywhere in the plan."""
     plan = plan_of(qs["ts_ewma"](spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_profile_approx_has_no_expand(spark, sf_dir, qs):
+    """The exact profile pays an Expand (one duplicated row-stream per
+    profiled column — inherent to multi-column exact countDistinct in
+    one pass); the scale-default approx twin must plan a plain
+    single-pass aggregate with HLL sketch state and NO Expand."""
+    assert "Expand" in plan_of(qs["profile_table"](spark, sf_dir))
+    assert "Expand" not in plan_of(qs["profile_table_approx"](spark, sf_dir))
+
+
+def test_pack_sequences_sharded_window(spark, sf_dir, qs):
+    """The heavy running-sum window must partition by (lang, shard),
+    never by lang alone — a per-lang window serializes most of a
+    100 TB corpus through a handful of partitions (r4 verdict watch
+    item). The tiny offsets window (langs x shards rows) may key by
+    lang."""
+    plan = plan_of(qs["pack_sequences"](spark, sf_dir))
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    heavy = [s for s in specs if "doc_id" in s]
+    assert heavy, specs
+    assert all("shard" in s for s in heavy), heavy
+
+
+def test_vocab_coverage_no_global_window(spark, sf_dir, qs):
+    """The vocabulary rank/cumsum is a range-partitioned two-pass
+    prefix sum: every window in the plan must carry a partition spec
+    (pid), so no 'No Partition Defined' single-partition window
+    remains anywhere (r4 verdict watch item)."""
+    plan = plan_of(qs["vocab_coverage"](spark, sf_dir))
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    assert all("pid" in s for s in specs), specs
 
 
 # Registry-wide plan lint: the 100 TB anti-pattern ratchet. Any NEW

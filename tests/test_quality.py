@@ -344,3 +344,27 @@ def test_dedup_embedding_planted_pairs_multiblock(spark, tmp_path):
 
     assert {(k, 8000 + k) for k in range(50)} <= expect  # plants visible
     assert got == expect
+
+
+def test_profile_approx_distinct_error_bound(spark, sf_dir):
+    """profile_table_approx must agree with the exact twin on every
+    deterministic column (rows, nulls, min/max) and keep each HLL
+    distinct estimate within 3x the default 5% rsd of the exact
+    count — the quantitative story behind the rows-only driver key."""
+    exact = {
+        r["column_name"]: r
+        for r in QUERIES["profile_table"](spark, sf_dir).collect()
+    }
+    approx = {
+        r["column_name"]: r
+        for r in QUERIES["profile_table_approx"](spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for c, e in exact.items():
+        a = approx[c]
+        assert a["n_rows"] == e["n_rows"]
+        assert a["n_nulls"] == e["n_nulls"]
+        assert a["min_num"] == e["min_num"]
+        assert a["max_num"] == e["max_num"]
+        rel = abs(a["n_distinct"] - e["n_distinct"]) / max(e["n_distinct"], 1)
+        assert rel <= 0.15, (c, a["n_distinct"], e["n_distinct"])
