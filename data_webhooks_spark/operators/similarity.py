@@ -152,12 +152,23 @@ def knn_join(spark, sf_dir):
 @op("sim_ann_lsh")
 def sim_ann_lsh(spark, sf_dir):
     """Approximate NN via banded random-hyperplane LSH composed from
-    DataFrame ops: 4 hash tables x 6 seeded hyperplanes each; a vector
-    emits one (table, 6-bit key) row per table, candidates are bucket
+    DataFrame ops: 8 hash tables x 4 seeded hyperplanes each; a vector
+    emits one (table, 4-bit key) row per table, candidates are bucket
     collisions in ANY table (equi-join on (table, key)), then exact
     cosine re-rank keeps top-5. Deterministic (fixed seed -> fixed
     planes) but approximate -> rows-only; agreement with the exact
-    brute cosines is asserted in tests.
+    brute cosines is asserted in tests, and measured recall vs brute
+    force is recorded in BASELINE.md (scripts/approx_quality.py).
+
+    The (tables, bits) point is the standard recall/candidate-count
+    trade (Indyk-Motwani): for the fixture's weakly-clustered 64-dim
+    embeddings, per-bit collision probability for true top-5 pairs is
+    ~0.6-0.7, so 4 tables x 6 bits collided at only ~(0.65^6)x4 ~ 25%
+    per pair (measured recall@5 0.08); 8 x 4 lifts the per-table
+    probability to ~0.18 for ~80% any-table recall at ~8x more
+    candidate pairs — still a vanishing fraction of n^2. At 100 TB,
+    BITS grows with log(corpus) to hold per-bucket cardinality, and
+    TABLES buys recall linearly in shuffle volume.
 
     This is the 100 TB shape: candidates come from a hash join on
     exploded band keys, never a cross join; more tables = more recall,
@@ -167,7 +178,7 @@ def sim_ann_lsh(spark, sf_dir):
 
     from ..schemas import EMBEDDING_DIM
 
-    N_TABLES, BITS = 4, 6
+    N_TABLES, BITS = 8, 4
     rnd = random.Random(42)
     planes = [
         [
@@ -244,22 +255,54 @@ def sim_ann_lsh(spark, sf_dir):
 @op("ann_ivf")
 def ann_ivf(spark, sf_dir):
     """IVF-style ANN (inverted-file coarse quantization, as in Jégou
-    et al., TPAMI 2011): seeded KMeans coarse centroids; queries probe only
-    their nearest cell, exact re-rank inside it. Demonstrates the
-    partition-pruning ANN shape (cells ≈ partitions at scale)."""
+    et al., TPAMI 2011): seeded KMeans coarse centroids; each query
+    probes its nprobe=2 nearest cells of 8 (scanning ~1/4 of the
+    corpus), exact cosine re-rank inside them. Demonstrates the
+    partition-pruning ANN shape (cells ≈ partitions at scale; nprobe
+    is the standard recall/scan-fraction knob — probe-1 measured
+    recall@3 0.33, probe-2 doubles the scanned fraction for roughly
+    double the recall on the fixture's weakly-clustered vectors;
+    numbers recorded in BASELINE.md via scripts/approx_quality.py).
+    The probe ranking runs as a codegen higher-order expression over
+    the 8 broadcast centroid literals — no second ML pass."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
+    NPROBE = 2
     t = Tables(spark, sf_dir)
     d = _norm_df(t).withColumn("fv", array_to_vector(F.col("e")))
     km = KMeans(k=8, seed=42, featuresCol="fv", predictionCol="cell")
     model = km.fit(d)
     assigned = model.transform(d).select("vec_id", "e", "nrm", "cell")
-    q = assigned.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("e").alias("qe"),
-        F.col("nrm").alias("qn"),
-        F.col("cell").alias("qcell"),
+
+    centers = model.clusterCenters()
+
+    def dist2(e_col, cvals):
+        c = F.array(*[F.lit(float(v)) for v in cvals])
+        return F.aggregate(
+            F.zip_with(e_col, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    probe = F.array(
+        *[
+            F.struct(
+                dist2(F.col("e"), centers[i]).alias("d"),
+                F.lit(i).alias("cell"),
+            )
+            for i in range(len(centers))
+        ]
+    )
+    q = (
+        assigned.filter(F.col("vec_id") < 20)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("e").alias("qe"),
+            F.col("nrm").alias("qn"),
+            F.explode(F.slice(F.array_sort(probe), 1, NPROBE)).alias("pc"),
+        )
+        .select("q_id", "qe", "qn", F.col("pc.cell").alias("qcell"))
     )
     c = assigned.select(
         F.col("vec_id").alias("n_id"),
