@@ -17,6 +17,7 @@ from ..norms import (
     dec_sum,
     o_dec_avg,
     o_dec_sum,
+    qnt,
 )
 from ..regutil import registrar
 
@@ -803,4 +804,52 @@ def agg_bitmap_distinct(spark, sf_dir):
     )
     return per_bucket.groupBy("event_type").agg(
         F.sum(F.bitmap_count("bm")).cast("long").alias("n_users")
+    )
+
+
+_HIST_W, _HIST_BINS = 25.0, 20  # bins over [0, 500); fixture max 490
+
+
+@op(
+    "agg_histogram",
+    sql=f"""
+    WITH binned AS (
+        SELECT event_type,
+               CAST(LEAST(FLOOR(value / {_HIST_W}), {_HIST_BINS - 1}) AS BIGINT)
+                   AS bin
+        FROM events
+    )
+    SELECT event_type, bin, COUNT(*) AS n,
+           FLOOR({_HIST_W} * bin * 1000000.0 + 0.5) / 1000000.0 AS bin_lo
+    FROM binned
+    GROUP BY 1, 2
+    """,
+)
+def agg_histogram(spark, sf_dir):
+    """Fixed-bin value histogram per event type (20 bins of width 25
+    over [0, 500), overflow clamped to the last bin) — the profiling/
+    charting primitive behind every dashboard distribution widget.
+
+    Binning is one codegen FLOOR per row, so the whole histogram is a
+    single map-side-combining aggregate: the shuffle carries at most
+    types x bins partial rows per partition regardless of input size —
+    the shape that survives 100 TB trivially. The bin boundary
+    arithmetic is the identical double expression on both engines."""
+    t = Tables(spark, sf_dir)
+    bin_ = F.least(
+        F.floor(F.col("value") / _HIST_W), F.lit(_HIST_BINS - 1)
+    ).cast("long")
+    return (
+        t.events.select(
+            "event_type",
+            bin_.alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            "bin",
+            "n",
+            qnt(F.lit(_HIST_W) * F.col("bin"), "bin_lo"),
+        )
     )

@@ -306,3 +306,58 @@ def pipeline_events_prep(spark, sf_dir):
         ),
         F.sum("k_sum").cast("long").alias("k_total"),
     )
+
+
+@op(
+    "win_pattern_match",
+    sql="""
+    WITH seq AS (
+        SELECT user_id, ts, event_type,
+               lead(event_type, 1) OVER w AS e1,
+               lead(event_type, 2) OVER w AS e2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           COUNT(*) AS n_matches,
+           MIN(ts) AS first_match_ts
+    FROM seq
+    WHERE event_type = 'view' AND e1 = 'click' AND e2 = 'purchase'
+    GROUP BY user_id
+    """,
+)
+def win_pattern_match(spark, sf_dir):
+    """MATCH_RECOGNIZE-lite sequence detection: per user, find every
+    STRICTLY CONSECUTIVE view -> click -> purchase run in event-time
+    order (no intervening event of any type — the stricter cousin of
+    funnel_conversion's 'eventually follows' semantics) and report the
+    match count plus the first match's anchor timestamp.
+
+    Spark has no MATCH_RECOGNIZE; fixed-length patterns compile to a
+    lead() chain — one window shuffle on the user key, then the
+    pattern predicate is a codegen conjunction. Arbitrary-length
+    patterns (Kleene closure) would extend this with the sessionize
+    run-id trick (win_sessionize) or applyInPandasWithState on a
+    stream. Ordering is total via the (ts, event_id) tiebreak, so
+    counts are deterministic."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t.events.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e1"),
+        F.lead("event_type", 2).over(w).alias("e2"),
+    )
+    return (
+        seq.filter(
+            (F.col("event_type") == "view")
+            & (F.col("e1") == "click")
+            & (F.col("e2") == "purchase")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("ts").alias("first_match_ts"),
+        )
+    )

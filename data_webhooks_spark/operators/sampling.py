@@ -159,3 +159,46 @@ def sample_per_group(spark, sf_dir):
         .filter(F.col("rn") <= 5)
         .drop("rn")
     )
+
+
+@op(
+    "sample_weighted",
+    sql=f"""
+    WITH b AS (
+        SELECT event_type, value,
+               {o_hash_bucket('event_id')} AS bucket
+        FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_kept,
+           CAST(SUM(CASE WHEN value >= 0
+                THEN CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                ELSE -CAST(FLOOR(-value * 100.0 + 0.5) AS BIGINT) END)
+             AS DOUBLE) / 100 AS kept_value
+    FROM b
+    WHERE bucket < value * 20
+    GROUP BY event_type
+    """,
+)
+def sample_weighted(spark, sf_dir):
+    """Deterministic WEIGHTED Bernoulli sampling: each row survives
+    with probability proportional to its weight (P(keep) = value/500,
+    value <= 490 in the fixture), decided by comparing the row's hash
+    bucket against weight*BUCKETS/500 — importance sampling for
+    training pipelines (keep high-value rows preferentially) with the
+    same engine/partitioning/re-run stability as the uniform
+    `sample_hash`: no RNG, the decision is a pure row-local function
+    of (key, weight). The boundary comparison is the identical
+    double expression on both engines, so the kept set is
+    bit-deterministic. One scan, filter + partial agg."""
+    t = Tables(spark, sf_dir)
+    kept = t.events.filter(
+        hash_bucket(F.col("event_id")) < F.col("value") * 20
+    )
+    units = F.when(
+        F.col("value") >= 0, F.floor(F.col("value") * 100.0 + F.lit(0.5))
+    ).otherwise(-F.floor(-F.col("value") * 100.0 + F.lit(0.5)))
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        (F.sum(units).cast("double") / 100).alias("kept_value"),
+    )

@@ -307,3 +307,130 @@ def ts_moving_median(spark, sf_dir):
         "value",
         F.element_at(F.array_sort("vs"), (_MED_N + 1) // 2).alias("med"),
     )
+
+
+@op(
+    "ts_interpolate_linear",
+    sql=f"""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               COUNT(*) AS n, {SV_ORACLE}
+        FROM events GROUP BY 1, 2
+    ),
+    b AS (
+        SELECT event_type, min(hour) AS t0, max(hour) AS t1 FROM hourly
+        GROUP BY event_type
+    ),
+    bb AS (
+        SELECT event_type, min(t0) OVER () AS h0, max(t1) OVER () AS h1
+        FROM b
+    ),
+    grid AS (
+        SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+            AS hour
+        FROM bb
+    ),
+    indexed AS (
+        SELECT g.event_type, g.hour, h.n, h.sv / h.n AS mean_v,
+               row_number() OVER (
+                   PARTITION BY g.event_type ORDER BY g.hour
+               ) AS idx
+        FROM grid g LEFT JOIN hourly h
+          ON g.hour = h.hour AND g.event_type = h.event_type
+    ),
+    joined AS (
+        SELECT event_type, hour, n, mean_v, idx,
+               last_value(CASE WHEN n IS NOT NULL THEN mean_v END
+                          IGNORE NULLS) OVER wp AS pval,
+               last_value(CASE WHEN n IS NOT NULL THEN idx END
+                          IGNORE NULLS) OVER wp AS pidx,
+               first_value(CASE WHEN n IS NOT NULL THEN mean_v END
+                           IGNORE NULLS) OVER wf AS nval,
+               first_value(CASE WHEN n IS NOT NULL THEN idx END
+                           IGNORE NULLS) OVER wf AS nidx
+        FROM indexed
+        WINDOW
+          wp AS (PARTITION BY event_type ORDER BY hour
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          wf AS (PARTITION BY event_type ORDER BY hour
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, hour,
+           n IS NOT NULL AS observed,
+           FLOOR((CASE
+               WHEN n IS NOT NULL THEN mean_v
+               WHEN pval IS NULL OR nval IS NULL THEN NULL
+               ELSE pval + (nval - pval)
+                    * ((idx - pidx) / CAST(nidx - pidx AS DOUBLE))
+           END) * 1000000.0 + 0.5) / 1000000.0 AS v_interp
+    FROM joined
+    """,
+)
+def ts_interpolate_linear(spark, sf_dir):
+    """Linear interpolation of missing hourly means per event type —
+    the charting companion to ts_resample_gapfill's LOCF fill: gaps
+    take the straight line between the neighboring observed hours
+    (NULL outside the observed range, where no line exists).
+
+    Same bounded-grid construction as the gapfill (spine = hours x
+    types, aggregate-sized regardless of raw volume); the neighbor
+    lookup is two frame-bounded window passes over the grid (last/
+    first ignorenulls for value AND grid index), all partitioned by
+    event_type. The interpolation x-axis is the dense grid's ROW INDEX
+    rather than epoch arithmetic: integer-derived fractions are
+    bit-identical across engines (the grid step is exactly one hour,
+    so index distance == hour distance)."""
+    t = Tables(spark, sf_dir)
+    hourly = t.events.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count("*").alias("n"), dec_sum("value", "sv", _SV_SCALE))
+    w_all = Window.partitionBy()
+    per_type = hourly.groupBy("event_type").agg(
+        F.min("hour").alias("t0"), F.max("hour").alias("t1")
+    )
+    grid = per_type.select(
+        "event_type",
+        F.min("t0").over(w_all).alias("h0"),
+        F.max("t1").over(w_all).alias("h1"),
+    ).select(
+        "event_type",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias(
+            "hour"
+        ),
+    )
+    wo = Window.partitionBy("event_type").orderBy("hour")
+    wp = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = wo.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    j = grid.join(hourly, ["hour", "event_type"], "left").select(
+        "event_type",
+        "hour",
+        "n",
+        (F.col("sv") / F.col("n")).alias("mean_v"),
+    )
+    obs = F.col("n").isNotNull()
+    j = j.withColumn("idx", F.row_number().over(wo))
+    j = (
+        j.withColumn(
+            "pval", F.last(F.when(obs, F.col("mean_v")), True).over(wp)
+        )
+        .withColumn("pidx", F.last(F.when(obs, F.col("idx")), True).over(wp))
+        .withColumn(
+            "nval", F.first(F.when(obs, F.col("mean_v")), True).over(wf)
+        )
+        .withColumn("nidx", F.first(F.when(obs, F.col("idx")), True).over(wf))
+    )
+    lerp = F.col("pval") + (F.col("nval") - F.col("pval")) * (
+        (F.col("idx") - F.col("pidx"))
+        / (F.col("nidx") - F.col("pidx")).cast("double")
+    )
+    v = (
+        F.when(obs, F.col("mean_v"))
+        .when(F.col("pval").isNull() | F.col("nval").isNull(), F.lit(None))
+        .otherwise(lerp)
+    )
+    return j.select(
+        "event_type",
+        "hour",
+        obs.alias("observed"),
+        qnt(v, "v_interp"),
+    )

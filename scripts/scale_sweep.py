@@ -64,11 +64,15 @@ KEYS = [
     "dedup_repeated_substrings",
     "drift_ks_test",
     "drift_psi",
-    # r5 additions/reworks: the Expand-free profile twin and the two
-    # de-serialized prefix sums
+    # r5 additions/reworks: the Expand-free profile twin, the two
+    # de-serialized prefix sums, and the r5 operator additions
     "profile_table_approx",
     "pack_sequences",
     "vocab_coverage",
+    "agg_histogram",
+    "ts_interpolate_linear",
+    "win_pattern_match",
+    "sample_weighted",
 ]
 MAX_FACTOR = {"dedup_embedding": 10, "dedup_repeated_substrings": 10}
 # Keys whose DuckDB oracle is skipped at amplified factors:
