@@ -238,21 +238,37 @@ def join_interval(spark, sf_dir):
 @op(
     "join_asof",
     sql="""
-    SELECT p.event_id, p.user_id, p.ts AS p_ts,
-           c.ts AS click_ts, c.value AS click_value
-    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-      ON p.user_id = c.user_id AND p.ts >= c.ts
+    WITH ranked AS (
+        SELECT p.event_id, p.user_id, p.ts AS p_ts,
+               c.ts AS c_ts, c.value AS c_value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.event_id
+                   ORDER BY c.ts DESC, c.event_id DESC
+               ) AS rn
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND c.ts <= p.ts
+    )
+    SELECT event_id, user_id, p_ts,
+           c_ts AS click_ts, c_value AS click_value
+    FROM ranked WHERE rn = 1
     """,
 )
 def join_asof(spark, sf_dir):
     """As-of join: for each purchase, the latest click at-or-before it
     per user. Spark has no native as-of, so: union both sides tagged,
-    one window pass per key ordered by (t, side), last(ignorenulls)
-    carries the most recent click forward. One shuffle, O(n log n) —
-    survives 100 TB, unlike a conditional-join + max reduction.
-    (user_id, ts) is unique in the fixture, so results are fully
-    deterministic; ties would need an extra tiebreak column.
+    one window pass per key ordered by (t, side, click id),
+    last(ignorenulls) carries the most recent click forward. One
+    shuffle, O(n log n) — survives 100 TB, unlike a conditional-join +
+    max reduction.
+
+    Tie semantics are pinned explicitly (mirroring the forward twin,
+    r5): among multiple clicks at the same (user_id, ts), BOTH sides
+    pick the LARGEST click event_id — Spark because the click id is
+    appended ascending to the window ordering and last() takes the
+    final row, the oracle by a rank-1-per-purchase window ordered
+    (c.ts DESC, c.event_id DESC) instead of DuckDB's arbitrary-tie
+    ASOF.
     """
     t = Tables(spark, sf_dir)
     ev = t.events
@@ -262,6 +278,7 @@ def join_asof(spark, sf_dir):
         F.lit(0).alias("side"),  # clicks sort before purchases at equal t (>= is inclusive)
         F.col("ts").alias("c_ts"),
         F.col("value").alias("c_value"),
+        F.col("event_id").alias("c_id"),
         F.lit(None).cast("long").alias("event_id"),
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
@@ -270,11 +287,12 @@ def join_asof(spark, sf_dir):
         F.lit(1).alias("side"),
         F.lit(None).cast(ev.schema["ts"].dataType).alias("c_ts"),
         F.lit(None).cast("double").alias("c_value"),
+        F.lit(None).cast("long").alias("c_id"),
         "event_id",
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("t", "side")
+        .orderBy("t", "side", F.asc_nulls_first("c_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
