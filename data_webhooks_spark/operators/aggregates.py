@@ -818,6 +818,7 @@ _HIST_W, _HIST_BINS = 25.0, 20  # bins over [0, 500); fixture max 490
                CAST(LEAST(FLOOR(value / {_HIST_W}), {_HIST_BINS - 1}) AS BIGINT)
                    AS bin
         FROM events
+        WHERE value IS NOT NULL
     )
     SELECT event_type, bin, COUNT(*) AS n,
            FLOOR({_HIST_W} * bin * 1000000.0 + 0.5) / 1000000.0 AS bin_lo
@@ -834,13 +835,17 @@ def agg_histogram(spark, sf_dir):
     single map-side-combining aggregate: the shuffle carries at most
     types x bins partial rows per partition regardless of input size —
     the shape that survives 100 TB trivially. The bin boundary
-    arithmetic is the identical double expression on both engines."""
+    arithmetic is the identical double expression on both engines.
+    NULL values are excluded explicitly on both sides — without the
+    filter, LEAST/F.least skip the NULL bin expression and would
+    silently count null rows in the overflow bin."""
     t = Tables(spark, sf_dir)
     bin_ = F.least(
         F.floor(F.col("value") / _HIST_W), F.lit(_HIST_BINS - 1)
     ).cast("long")
     return (
-        t.events.select(
+        t.events.filter(F.col("value").isNotNull())
+        .select(
             "event_type",
             bin_.alias("bin"),
         )

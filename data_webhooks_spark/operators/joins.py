@@ -235,6 +235,20 @@ def join_interval(spark, sf_dir):
     )
 
 
+def _click_struct_type(ev):
+    """Schema of the atomic click-lookup struct both as-of joins carry
+    (ts type mirrors the events table's materialized timestamp type)."""
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("c_ts", ev.schema["ts"].dataType),
+            T.StructField("c_value", T.DoubleType()),
+            T.StructField("c_id", T.LongType()),
+        ]
+    )
+
+
 @op(
     "join_asof",
     sql="""
@@ -272,40 +286,45 @@ def join_asof(spark, sf_dir):
     """
     t = Tables(spark, sf_dir)
     ev = t.events
+    # The click's (ts, value, id) travel as ONE nullable struct so a
+    # single last(ignorenulls) picks them atomically: two independent
+    # ignorenulls lookups would splice ts and value from DIFFERENT
+    # clicks whenever a click carries a NULL value (the lookup for
+    # value skips it, the lookup for ts doesn't).
+    cs = _click_struct_type(ev)
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id",
         F.col("ts").alias("t"),
         F.lit(0).alias("side"),  # clicks sort before purchases at equal t (>= is inclusive)
-        F.col("ts").alias("c_ts"),
-        F.col("value").alias("c_value"),
-        F.col("event_id").alias("c_id"),
+        F.struct(
+            F.col("ts").alias("c_ts"),
+            F.col("value").alias("c_value"),
+            F.col("event_id").alias("c_id"),
+        ).alias("c"),
         F.lit(None).cast("long").alias("event_id"),
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
         F.col("ts").alias("t"),
         F.lit(1).alias("side"),
-        F.lit(None).cast(ev.schema["ts"].dataType).alias("c_ts"),
-        F.lit(None).cast("double").alias("c_value"),
-        F.lit(None).cast("long").alias("c_id"),
+        F.lit(None).cast(cs).alias("c"),
         "event_id",
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("t", "side", F.asc_nulls_first("c_id"))
+        .orderBy("t", "side", F.asc_nulls_first("c.c_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
         clicks.unionByName(purchases)
-        .withColumn("click_ts", F.last("c_ts", ignorenulls=True).over(w))
-        .withColumn("click_value", F.last("c_value", ignorenulls=True).over(w))
+        .withColumn("cc", F.last("c", ignorenulls=True).over(w))
         .filter(F.col("side") == 1)
         .select(
             "event_id",
             "user_id",
             F.col("t").alias("p_ts"),
-            "click_ts",
-            "click_value",
+            F.col("cc.c_ts").alias("click_ts"),
+            F.col("cc.c_value").alias("click_value"),
         )
     )
 
@@ -339,50 +358,50 @@ def join_asof_forward(spark, sf_dir):
 
     Tie semantics are pinned explicitly: among multiple clicks at the
     same (user_id, ts), BOTH sides pick the smallest click event_id —
-    Spark by carrying the click's id in a tiebreak column (`c_id`)
-    appended to the window ordering, the oracle by a rank-1-per-
+    Spark by carrying the click's id inside the lookup struct and
+    appending it to the window ordering, the oracle by a rank-1-per-
     purchase window ordered (c.ts, c.event_id) instead of DuckDB's
-    arbitrary-tie ASOF. (The backward join_asof instead documents its
-    reliance on (user_id, ts) uniqueness in the fixture.)
+    arbitrary-tie ASOF. (The backward join_asof pins the mirrored
+    largest-id tie the same way.) The click's (ts, value, id) travel
+    as ONE nullable struct through a single first(ignorenulls) so the
+    pair is atomic even when a click's value is NULL.
     One shuffle, O(n log n), like its backward twin."""
     t = Tables(spark, sf_dir)
     ev = t.events
+    cs = _click_struct_type(ev)
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
         F.col("ts").alias("t"),
         F.lit(0).alias("side"),  # purchases sort before clicks at equal t (<= inclusive)
-        F.lit(None).cast(ev.schema["ts"].dataType).alias("c_ts"),
-        F.lit(None).cast("double").alias("c_value"),
-        F.lit(None).cast("long").alias("c_id"),
+        F.lit(None).cast(cs).alias("c"),
         "event_id",
     )
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id",
         F.col("ts").alias("t"),
         F.lit(1).alias("side"),
-        F.col("ts").alias("c_ts"),
-        F.col("value").alias("c_value"),
-        F.col("event_id").alias("c_id"),
+        F.struct(
+            F.col("ts").alias("c_ts"),
+            F.col("value").alias("c_value"),
+            F.col("event_id").alias("c_id"),
+        ).alias("c"),
         F.lit(None).cast("long").alias("event_id"),
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("t", "side", F.asc_nulls_first("c_id"))
+        .orderBy("t", "side", F.asc_nulls_first("c.c_id"))
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     return (
         purchases.unionByName(clicks)
-        .withColumn("next_click_ts", F.first("c_ts", ignorenulls=True).over(w))
-        .withColumn(
-            "next_click_value", F.first("c_value", ignorenulls=True).over(w)
-        )
+        .withColumn("cc", F.first("c", ignorenulls=True).over(w))
         .filter(F.col("side") == 0)
         .select(
             "event_id",
             "user_id",
             F.col("t").alias("p_ts"),
-            "next_click_ts",
-            "next_click_value",
+            F.col("cc.c_ts").alias("next_click_ts"),
+            F.col("cc.c_value").alias("next_click_value"),
         )
     )
 
@@ -412,6 +431,51 @@ def join_self(spark, sf_dir):
     )
 
 
+def region_first_star(t, date_lo, date_hi, region: str = "ASIA"):
+    """Shared region-first star-join construction (used by
+    `join_multiway` here and `tpch_q5` in tpch.py): BOTH fact sides
+    shrink BEFORE the fact-fact shuffle. Every surviving row must have
+    its supplier (and, transitively via c_nationkey = s_nationkey, its
+    customer) in a nation of `region`, so the restriction is pushed
+    into the broadcast dims and applied to lineitem (via l_suppkey)
+    and orders (via o_custkey) up front — ~1/|regions| of each fact
+    shuffles instead of the whole table. Catalyst cannot derive this
+    reorder without CBO stats (the semi-filter crosses the fact-fact
+    join), so the plan declares it. Returns the joined fact frame
+    carrying (n_name, l_extendedprice, l_discount); the only shuffles
+    left to the caller are the slimmed lineitem⋈orders and its final
+    agg. Same-session A/B at ×100: 7.53 s → 4.56 s (BASELINE.md r5)."""
+    reg_n = (
+        t.nation.join(
+            F.broadcast(t.region.filter(F.col("r_name") == region)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    sup = t.supplier.join(
+        F.broadcast(reg_n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    cust = t.customer.join(
+        F.broadcast(reg_n.select("n_nationkey")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "c_nationkey")
+    o = (
+        t.orders.filter(
+            (F.col("o_orderdate") >= date_lo) & (F.col("o_orderdate") < date_hi)
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "c_nationkey")
+    )
+    li = t.lineitem.join(
+        F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey")
+    ).select("l_orderkey", "l_extendedprice", "l_discount", "s_nationkey", "n_name")
+    return li.join(
+        o,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("s_nationkey") == F.col("c_nationkey")),
+    )
+
+
 @op(
     "join_multiway",
     sql=f"""
@@ -431,47 +495,11 @@ def join_self(spark, sf_dir):
     """,
 )
 def join_multiway(spark, sf_dir):
-    """TPC-H-Q5-shaped 6-table star join, planned so BOTH fact sides
-    shrink BEFORE the fact-fact shuffle: every surviving row must have
-    its supplier (and, transitively via c_nationkey = s_nationkey, its
-    customer) in an ASIA nation, so the region restriction is pushed
-    into the broadcast dims and applied to lineitem (via l_suppkey)
-    and orders (via o_custkey) up front — ~1/|regions| of each fact
-    shuffles instead of the whole table. Catalyst cannot derive this
-    reorder without CBO stats (the semi-filter crosses the fact-fact
-    join), so the plan declares it. The only shuffles left are the
-    slimmed lineitem⋈orders and the final agg."""
+    """TPC-H-Q5-shaped 6-table star join over a 2-year window, planned
+    region-first (see `region_first_star` for the strategy and its
+    measured ×100 win)."""
     t = Tables(spark, sf_dir)
-    asia_n = (
-        t.nation.join(
-            F.broadcast(t.region.filter(F.col("r_name") == "ASIA")),
-            F.col("n_regionkey") == F.col("r_regionkey"),
-        )
-        .select("n_nationkey", "n_name")
-    )
-    sup = t.supplier.join(
-        F.broadcast(asia_n), F.col("s_nationkey") == F.col("n_nationkey")
-    ).select("s_suppkey", "s_nationkey", "n_name")
-    cust = t.customer.join(
-        F.broadcast(asia_n.select("n_nationkey")),
-        F.col("c_nationkey") == F.col("n_nationkey"),
-    ).select("c_custkey", "c_nationkey")
-    o = (
-        t.orders.filter(
-            (F.col("o_orderdate") >= "1996-01-01")
-            & (F.col("o_orderdate") < "1998-01-01")
-        )
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .select("o_orderkey", "c_nationkey")
-    )
-    li = t.lineitem.join(
-        F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey")
-    ).select("l_orderkey", "l_extendedprice", "l_discount", "s_nationkey", "n_name")
-    j = li.join(
-        o,
-        (F.col("l_orderkey") == F.col("o_orderkey"))
-        & (F.col("s_nationkey") == F.col("c_nationkey")),
-    )
+    j = region_first_star(t, "1996-01-01", "1998-01-01")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return j.groupBy("n_name").agg(
         dec_sum(revenue, "revenue", 4),

@@ -940,18 +940,25 @@ def vocab_coverage(spark, sf_dir):
     coverage fraction).
 
     One word-keyed count (partial agg owns the Zipf head); the
-    rank+cumsum over the vocabulary is a RANGE-PARTITIONED TWO-PASS
+    rank+cumsum over the vocabulary is a RANGE-SHARDED TWO-PASS
     prefix sum, not a single-partition global window (the r4 verdict's
     watch item — raw web-scale word vocabularies need not fit one
     executor):
 
-    1. ``repartitionByRange`` on the global order (c DESC, word) cuts
-       the vocabulary into ``_CUM_SHARDS`` contiguous runs (Spark's
-       range sampler is deterministic per input split, and any
-       contiguous cut yields the same final answer anyway);
-    2. local row_number + running sum per materialized partition id —
-       parallelism is shard count, each window sees ~1/shards of the
-       vocabulary;
+    1. shard ids come from quantile boundaries of the count column
+       (one tiny broadcast aggregate): pid = #boundaries above a
+       word's count, a PURE row-local function — monotone in the
+       global (c DESC, ...) order and identical on every
+       recomputation of every plan branch (unlike
+       ``repartitionByRange`` + ``spark_partition_id``, whose sampled
+       boundaries are only stable if Spark happens to reuse the
+       exchange across the window and totals branches). Equal counts
+       always share a shard, so the within-shard (c DESC, word) order
+       concatenated across ascending pids IS the global order;
+    2. local row_number + running sum per pid — parallelism is shard
+       count, each window sees ~1/shards of the vocabulary (Zipf ties
+       can skew a shard; the degenerate worst case is the old single
+       partition);
     3. per-shard row/mass totals (shard-count rows) turn into
        exclusive rank/mass offsets via a triangular self-join on the
        tiny totals table (no unpartitioned window anywhere), and the
@@ -965,9 +972,18 @@ def vocab_coverage(spark, sf_dir):
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    part = freq.repartitionByRange(
-        _CUM_SHARDS, F.col("c").desc(), F.col("word")
-    ).withColumn("pid", F.spark_partition_id())
+    qsplits = [i / _CUM_SHARDS for i in range(1, _CUM_SHARDS)]
+    bounds = freq.agg(
+        F.percentile_approx("c", qsplits, 10_000).alias("bs")
+    )
+    part = freq.crossJoin(F.broadcast(bounds)).withColumn(
+        "pid",
+        F.aggregate(
+            "bs",
+            F.lit(0),
+            lambda acc, b: acc + F.when(b > F.col("c"), 1).otherwise(0),
+        ),
+    ).drop("bs")
     w_local = Window.partitionBy("pid").orderBy(F.col("c").desc(), "word")
     local = part.select(
         "pid",

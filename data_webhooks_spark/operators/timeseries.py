@@ -47,6 +47,41 @@ _SV_SCALE = 4
 SV_ORACLE = o_dec_sum("value", "sv", _SV_SCALE)
 
 
+def _hourly_grid(t):
+    """Shared dense-grid construction for the two charting resamplers
+    (`ts_resample_gapfill`, `ts_interpolate_linear`): the hourly
+    rollup plus the (type × every hour in the global [min, max] range)
+    spine.
+
+    Two events passes total (down from a naive four): the grid — type
+    set AND global spine bounds — derives from one per-type aggregate
+    over the hourly rollup (min rollup hour == trunc(min ts) by
+    construction), with the global [h0, h1] spread to the handful of
+    type rows by an unpartitioned window over that aggregate-sized
+    result. The only other pass is the rollup the grid joins against."""
+    hourly = t.events.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count("*").alias("n"), dec_sum("value", "sv", _SV_SCALE))
+    w_all = Window.partitionBy()
+    per_type = hourly.groupBy("event_type").agg(
+        F.min("hour").alias("t0"), F.max("hour").alias("t1")
+    )
+    grid = (
+        per_type.select(
+            "event_type",
+            F.min("t0").over(w_all).alias("h0"),
+            F.max("t1").over(w_all).alias("h1"),
+        )
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    return hourly, grid
+
+
 @op(
     "ts_resample_gapfill",
     sql=f"""
@@ -87,36 +122,10 @@ def ts_resample_gapfill(spark, sf_dir):
     The spine is generated from the data's own [min, max] hour range
     (`sequence` + `explode`), crossed with the distinct type set —
     both derived tables are aggregate-sized, so the cross is bounded
-    regardless of raw volume. One shuffle for the hourly rollup, one
-    tiny window over the rollup for the fill."""
+    regardless of raw volume (see `_hourly_grid`). One shuffle for the
+    hourly rollup, one tiny window over the rollup for the fill."""
     t = Tables(spark, sf_dir)
-    # Two events passes total (down from a naive four): the grid —
-    # type set AND global spine bounds — derives from one per-type
-    # aggregate over the hourly rollup (min rollup hour ==
-    # trunc(min ts) by construction), with the global [h0, h1] spread
-    # to the handful of type rows by an unpartitioned window over that
-    # aggregate-sized result. The only other pass is the rollup the
-    # grid joins against.
-    hourly = t.events.groupBy(
-        F.date_trunc("hour", "ts").alias("hour"), "event_type"
-    ).agg(F.count("*").alias("n"), dec_sum("value", "sv", _SV_SCALE))
-    w_all = Window.partitionBy()
-    per_type = hourly.groupBy("event_type").agg(
-        F.min("hour").alias("t0"), F.max("hour").alias("t1")
-    )
-    grid = (
-        per_type.select(
-            "event_type",
-            F.min("t0").over(w_all).alias("h0"),
-            F.max("t1").over(w_all).alias("h1"),
-        )
-        .select(
-            "event_type",
-            F.explode(
-                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
-            ).alias("hour"),
-        )
-    )
+    hourly, grid = _hourly_grid(t)
     w = (
         Window.partitionBy("event_type")
         .orderBy("hour")
@@ -379,25 +388,10 @@ def ts_interpolate_linear(spark, sf_dir):
     event_type. The interpolation x-axis is the dense grid's ROW INDEX
     rather than epoch arithmetic: integer-derived fractions are
     bit-identical across engines (the grid step is exactly one hour,
-    so index distance == hour distance)."""
+    so index distance == hour distance). Grid construction is shared
+    with the gapfill twin (`_hourly_grid`)."""
     t = Tables(spark, sf_dir)
-    hourly = t.events.groupBy(
-        F.date_trunc("hour", "ts").alias("hour"), "event_type"
-    ).agg(F.count("*").alias("n"), dec_sum("value", "sv", _SV_SCALE))
-    w_all = Window.partitionBy()
-    per_type = hourly.groupBy("event_type").agg(
-        F.min("hour").alias("t0"), F.max("hour").alias("t1")
-    )
-    grid = per_type.select(
-        "event_type",
-        F.min("t0").over(w_all).alias("h0"),
-        F.max("t1").over(w_all).alias("h1"),
-    ).select(
-        "event_type",
-        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias(
-            "hour"
-        ),
-    )
+    hourly, grid = _hourly_grid(t)
     wo = Window.partitionBy("event_type").orderBy("hour")
     wp = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     wf = wo.rowsBetween(Window.currentRow, Window.unboundedFollowing)

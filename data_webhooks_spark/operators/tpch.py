@@ -141,46 +141,15 @@ def tpch_q4(spark, sf_dir):
 def tpch_q5(spark, sf_dir):
     """Q5 local-supplier volume: revenue where the customer and the
     supplier share a nation inside one region. Six-table star join
-    planned region-first (same strategy as join_multiway): the ASIA
-    restriction reaches BOTH fact sides before the fact-fact shuffle —
-    lineitem is semi-filtered by the broadcast ASIA supplier set and
-    orders by the broadcast ASIA customer set (sound because the final
-    c_nationkey = s_nationkey equality forces both parties into the
-    region) — so only ~1/|regions| of each fact shuffles. Catalyst
-    cannot derive this reorder without CBO stats; the plan declares
-    it."""
+    planned region-first — the shared `region_first_star` construction
+    (operators/joins.py) semi-filters BOTH fact sides by the broadcast
+    ASIA dims before the fact-fact shuffle; see its docstring for the
+    soundness argument and the measured ×100 win."""
+    from .joins import region_first_star
+
     t = Tables(spark, sf_dir)
-    asia_n = (
-        t.nation.join(
-            F.broadcast(t.region.filter(F.col("r_name") == "ASIA")),
-            F.col("n_regionkey") == F.col("r_regionkey"),
-        )
-        .select("n_nationkey", "n_name")
-    )
-    sup = t.supplier.join(
-        F.broadcast(asia_n), F.col("s_nationkey") == F.col("n_nationkey")
-    ).select("s_suppkey", "s_nationkey", "n_name")
-    cust = t.customer.join(
-        F.broadcast(asia_n.select("n_nationkey")),
-        F.col("c_nationkey") == F.col("n_nationkey"),
-    ).select("c_custkey", "c_nationkey")
-    o = (
-        t.orders.filter(
-            (F.col("o_orderdate") >= _ts("1996-01-01"))
-            & (F.col("o_orderdate") < _ts("1997-01-01"))
-        )
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .select("o_orderkey", "c_nationkey")
-    )
-    li = t.lineitem.join(
-        F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey")
-    ).select("l_orderkey", "l_extendedprice", "l_discount", "s_nationkey", "n_name")
     return (
-        li.join(
-            o,
-            (F.col("l_orderkey") == F.col("o_orderkey"))
-            & (F.col("s_nationkey") == F.col("c_nationkey")),
-        )
+        region_first_star(t, _ts("1996-01-01"), _ts("1997-01-01"))
         .groupBy("n_name")
         .agg(
             dec_sum(

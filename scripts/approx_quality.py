@@ -62,22 +62,20 @@ def main() -> None:
     qs = registry.queries()
     out: dict = {"sf_dir": sf, "seed": 42}
 
-    brute = {
-        (r["q_id"], r["n_id"])
-        for r in qs["sim_cosine_brute"](spark, sf).collect()
-    }
+    brute_rows = qs["sim_cosine_brute"](spark, sf).collect()  # one brute pass
+    brute = {(r["q_id"], r["n_id"]) for r in brute_rows}
     lsh = {(r["q_id"], r["n_id"]) for r in qs["sim_ann_lsh"](spark, sf).collect()}
     out["sim_ann_lsh"] = {
         "recall_at_5_vs_brute": round(len(lsh & brute) / len(brute), 4),
         "n_brute_pairs": len(brute),
     }
 
-    # ann_ivf returns top-3 probing one cell; brute top-3 = first 3 of
+    # ann_ivf returns top-3 probing two cells; brute top-3 = first 3 of
     # the exact top-5 ranking (same tiebreak).
     from collections import defaultdict
 
     per_q: dict = defaultdict(list)
-    for r in qs["sim_cosine_brute"](spark, sf).collect():
+    for r in brute_rows:
         per_q[r["q_id"]].append((-r["cos_sim"], r["n_id"]))
     brute3 = {
         (q, n) for q, lst in per_q.items() for _, n in sorted(lst)[:3]

@@ -50,13 +50,14 @@ def test_oracle_not_vacuous(key, duck):
 
 def test_driver_window_is_the_round5_rotation():
     """The external driver's correctness gate reads the FIRST 50 keys
-    of queries(); round 5 rotates in the 48 keys that had no official
-    CORRECTNESS row after r1-r4 (44 SQL-oracled + the 4 rows-only
-    approximate survivors, which the driver records with the weaker
-    rows-only check) plus 2 re-verify slots for implementations
-    reworked this round. The rotation must not drop or duplicate any
-    key, and every window key outside the declared rows-only set must
-    be SQL-oracled."""
+    of queries(); round 5 rotates in the 44 SQL-oracled keys that had
+    no official CORRECTNESS row after r1-r4, the 5 rows-only
+    approximate keys (the 4 r1-r4 survivors plus r5's new
+    profile_table_approx — the driver records the weaker rows-only
+    check for these), and 1 re-verify slot for pack_sequences, whose
+    implementation was reworked this round. The rotation must not drop
+    or duplicate any key, and every window key outside the declared
+    rows-only set must be SQL-oracled."""
     from data_webhooks_spark.registry import _ROWS_ONLY, _WINDOW
 
     qs, osql = registry.queries(), registry.oracle_sql()
