@@ -1,0 +1,91 @@
+"""Property-based cross-engine determinism tests (hypothesis).
+
+The whole oracle strategy rests on two row-local primitives producing
+BIT-IDENTICAL results in Spark and DuckDB: the scaled-BIGINT exact-sum
+units (norms.py §5.3 — every money/value aggregate goes through them)
+and the md5 hash bucket (sampling.py — every sampling/split decision).
+These tests throw adversarial doubles / keys at both engines in one
+batch per example (one Spark job each, so hypothesis stays fast) and
+require exact equality — not closeness.
+"""
+
+import duckdb
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from data_webhooks_spark.norms import MONEY_SCALE, _o_units, _scaled_units
+
+# Doubles in the magnitude range every money/value column inhabits,
+# plus adversarial .xx5 half-way rounding boundaries (the sign-branched
+# FLOOR must round them away from zero identically on both engines).
+_money = st.one_of(
+    st.floats(
+        min_value=-1e9,
+        max_value=1e9,
+        allow_nan=False,
+        allow_infinity=False,
+        width=64,
+    ),
+    st.integers(min_value=-(10**9), max_value=10**9).map(
+        lambda n: n / 100 + 0.005
+    ),
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_money, min_size=1, max_size=300))
+def test_scaled_units_bit_identical_across_engines(spark, values):
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame({"x": pd.Series(values, dtype="float64")})
+    got = [
+        r["u"]
+        for r in spark.createDataFrame(pdf)
+        .select(_scaled_units(F.col("x"), MONEY_SCALE).alias("u"))
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {_o_units('x', MONEY_SCALE)} FROM t"
+        ).fetchall()
+    ]
+    assert [int(g) for g in got] == [int(w) for w in want]
+
+
+_key = st.one_of(
+    st.integers(min_value=-(2**62), max_value=2**62).map(str),
+    st.text(
+        alphabet=st.characters(min_codepoint=1, blacklist_categories=("Cs",)),
+        max_size=40,
+    ),
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_key, min_size=1, max_size=200))
+def test_hash_bucket_bit_identical_across_engines(spark, keys):
+    from pyspark.sql import functions as F
+
+    from data_webhooks_spark.operators.sampling import (
+        hash_bucket,
+        o_hash_bucket,
+    )
+
+    pdf = pd.DataFrame({"k": pd.Series(keys, dtype="object")})
+    got = [
+        r["b"]
+        for r in spark.createDataFrame(pdf)
+        .select(hash_bucket(F.col("k")).alias("b"))
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = [
+        r[0]
+        for r in con.execute(f"SELECT {o_hash_bucket('k')} FROM t").fetchall()
+    ]
+    assert got == [int(w) for w in want]
