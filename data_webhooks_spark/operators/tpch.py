@@ -671,15 +671,42 @@ def tpch_q8(spark, sf_dir):
     STEEL' needed): NATION_3's share of supplied revenue to EUROPE
     customers per order year. Both ratio operands are exact BIGINT
     unit sums over the same rows, so the share is one deterministic
-    double division per year on both engines. The nation dim joins
-    twice (customer region gate vs supplier share condition)."""
+    double division per year on both engines.
+
+    Plan shape (r5 A/B'd at ×100, BASELINE.md): supplier nation
+    resolves row-locally on lineitem via a broadcast
+    (supplier ⋈ nation) map, and the orders side is semi-reduced by
+    the broadcast EUROPE customer set BEFORE the fact-fact shuffle
+    (~1/|regions| of orders on the wire). The lineitem side has no
+    selective predicate — every supplier's revenue is a denominator
+    term — so its shuffle is irreducible; an aggregate-before-join
+    variant (per-order BIGINT partials) was measured SLOWER (5.98 s
+    vs 5.61 s old vs 5.39 s this shape) because the per-orderkey
+    groupBy is itself a full-width shuffle with ~4 rows/key of
+    combine. This is the honest floor for a single node; a cluster
+    spreads the one remaining fact exchange."""
     t = Tables(spark, sf_dir)
-    nc = t.nation.select(
-        F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_region")
-    )
-    ns = t.nation.select(
-        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
-    )
+    sup_nation = t.supplier.join(
+        F.broadcast(
+            t.nation.select(
+                F.col("n_nationkey").alias("ns_key"),
+                F.col("n_name").alias("supp_nation"),
+            )
+        ),
+        F.col("s_nationkey") == F.col("ns_key"),
+    ).select("s_suppkey", "supp_nation")
+    eur_cust = t.customer.join(
+        F.broadcast(
+            t.nation.join(
+                F.broadcast(t.region.filter(F.col("r_name") == "EUROPE")),
+                F.col("n_regionkey") == F.col("r_regionkey"),
+            ).select("n_nationkey")
+        ),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey")
+    o = t.orders.join(
+        F.broadcast(eur_cust), F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "o_orderdate")
     rev_units = _scaled_units(
         F.col("l_extendedprice") * (1 - F.col("l_discount")), REV
     )
@@ -690,13 +717,10 @@ def tpch_q8(spark, sf_dir):
         / F.sum(rev_units).cast("double")
     )
     return (
-        t.lineitem.join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(t.customer, F.col("c_custkey") == F.col("o_custkey"))
-        .join(nc, F.col("c_nationkey") == F.col("nc_key"))
-        .join(t.region, F.col("nc_region") == F.col("r_regionkey"))
-        .filter(F.col("r_name") == "EUROPE")
-        .join(t.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(ns, F.col("s_nationkey") == F.col("ns_key"))
+        t.lineitem.join(
+            F.broadcast(sup_nation), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
             (F.floor(share * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("mkt_share")
