@@ -89,3 +89,46 @@ def test_hash_bucket_bit_identical_across_engines(spark, keys):
         for r in con.execute(f"SELECT {o_hash_bucket('k')} FROM t").fetchall()
     ]
     assert got == [int(w) for w in want]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.floats(
+                min_value=-1e6,
+                max_value=1e6,
+                allow_nan=False,
+                allow_infinity=False,
+                width=64,
+            ),
+            # adversarial values straddling the 1e-6 quantization grid
+            st.integers(min_value=-(10**12), max_value=10**12).map(
+                lambda n: n / 1e6 + 5e-7
+            ),
+        ),
+        min_size=1,
+        max_size=300,
+    )
+)
+def test_qnt_bit_identical_across_engines(spark, values):
+    """The per-row quantizer (norms.qnt / o_qnt) — the third primitive
+    every float output column rests on — must produce the identical
+    double on both engines, including at half-way grid points."""
+    from pyspark.sql import functions as F
+
+    from data_webhooks_spark.norms import o_qnt, qnt
+
+    pdf = pd.DataFrame({"x": pd.Series(values, dtype="float64")})
+    got = [
+        r["q"]
+        for r in spark.createDataFrame(pdf)
+        .select(qnt(F.col("x"), "q"))
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = [
+        r[0] for r in con.execute(f"SELECT {o_qnt('x', 'q')} FROM t").fetchall()
+    ]
+    assert got == want  # exact float equality, not closeness
