@@ -187,8 +187,9 @@ def drift_psi(spark, sf_dir):
     first, which at ×100 shuffled 200 M rows keyed by 10 bin values
     (maximal skew) before the groupBy could reduce them; aggregating
     first map-side-combines each partition to ≤ bins rows and the
-    spine join happens on the 10-row result (measured 3.2 s → 1.6 s
-    at ×100). After that the PSI arithmetic touches 10 rows.
+    spine join happens on the 10-row result (same-session ×100 A/B:
+    3.2 s → 1.35 s; the op now times ~1.1× its drift_ks_test sibling
+    instead of 4.3×). After that the PSI arithmetic touches 10 rows.
     Deterministic: exact percentiles, and the heavy-tailed fixture
     keeps every decile bin populated on both sides (no ln(0) arm at
     any fixture scale — asserted by the oracle's equality itself)."""

@@ -157,8 +157,11 @@ def main() -> None:
     qs = registry.queries()
     osql = registry.oracle_sql()
     out_path = "/root/repo/.runtime/scale_sweep.json"
+    # Always merge into the existing file: a factor-restricted run
+    # (e.g. `scale_sweep.py 100` after a killed combined run) must not
+    # clobber the other factors' slots.
     results: dict = {}
-    if only and os.path.exists(out_path):
+    if os.path.exists(out_path):
         with open(out_path) as f:
             results = json.load(f)
     for factor in factors:
