@@ -858,3 +858,73 @@ def agg_histogram(spark, sf_dir):
             qnt(F.lit(_HIST_W) * F.col("bin"), "bin_lo"),
         )
     )
+
+
+_EQD_BINS = 10
+
+
+@op(
+    "agg_histogram_equidepth",
+    sql=f"""
+    WITH edges AS (
+        SELECT list(q) AS qs FROM (
+            SELECT unnest(quantile_cont(value,
+                [{", ".join(str(x / _EQD_BINS) for x in range(1, _EQD_BINS))}]))
+                AS q
+            FROM events
+        )
+    ),
+    binned AS (
+        SELECT len(list_filter(e.qs, q -> q <= v.value)) AS bin
+        FROM events v, edges e
+    )
+    SELECT b.bin, COUNT(v.bin) AS n,
+           CASE WHEN b.bin = 0 THEN NULL ELSE e.qs[b.bin] END AS lo
+    FROM range({_EQD_BINS}) b(bin)
+    LEFT JOIN binned v ON v.bin = b.bin
+    CROSS JOIN edges e
+    GROUP BY b.bin, lo
+    """,
+)
+def agg_histogram_equidepth(spark, sf_dir):
+    """EQUI-DEPTH histogram of event values: bin edges are the exact
+    deciles of the data itself, so each bin holds ~N/10 rows (the
+    optimizer-statistics/data-profiling companion to the fixed-width
+    `agg_histogram` — equi-depth is what query optimizers and drift
+    monitors actually store, because it adapts resolution to the
+    distribution's mass).
+
+    Same two-phase shape as drift_psi: one exact-percentile aggregate
+    (9 doubles) broadcast into one binning scan, aggregated map-side
+    BEFORE the 10-row bin spine joins in (never shuffle raw rows keyed
+    by 10 bin values), then each bin is labeled with its lower edge.
+    Exact percentiles and counts are deterministic on both engines;
+    the lower edge is the identical percentile double."""
+    t = Tables(spark, sf_dir)
+    edges = t.events.agg(
+        F.percentile(
+            "value",
+            F.array(*[F.lit(x / _EQD_BINS) for x in range(1, _EQD_BINS)]),
+        ).alias("qs")
+    )
+    hist = (
+        t.events.select("value")
+        .crossJoin(F.broadcast(edges))
+        .select(
+            F.size(F.filter("qs", lambda q: q <= F.col("value"))).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bins = spark.range(_EQD_BINS).select(F.col("id").cast("int").alias("bin"))
+    return (
+        bins.join(F.broadcast(hist), "bin", "left")
+        .crossJoin(F.broadcast(edges))
+        .select(
+            "bin",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.when(
+                F.col("bin") > 0, F.element_at("qs", F.col("bin"))
+            ).alias("lo"),
+        )
+    )

@@ -730,3 +730,105 @@ def dedup_repeated_substrings(spark, sf_dir):
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+@op(
+    "dedup_containment",
+    sql="""
+    WITH pos_words AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS word,
+               CAST(generate_subscripts(string_split(text, ' '), 1) AS INT)
+                   AS pos
+        FROM documents
+    ),
+    shingled AS (
+        SELECT doc_id,
+               word || ' ' || lead(word, 1) OVER w || ' '
+                    || lead(word, 2) OVER w AS shingle
+        FROM pos_words
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(word, 2) OVER w IS NOT NULL
+    ),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM shingled),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS d_contained, b.doc_id AS d_container,
+               COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle
+                           AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT p.d_contained, p.d_container,
+           p.inter / s1.n AS containment,
+           p.inter / (s1.n + s2.n - p.inter) AS jaccard
+    FROM pairs p
+    JOIN sizes s1 ON p.d_contained = s1.doc_id
+    JOIN sizes s2 ON p.d_container = s2.doc_id
+    WHERE p.inter / s1.n >= 0.8
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    """Near-SUPERSET detection via shingle containment
+    C(A -> B) = |sh(A) ∩ sh(B)| / |sh(A)|: an ordered pair is reported
+    when >= 80% of the contained document's trigram shingles appear in
+    the container. Containment is what symmetric Jaccard structurally
+    misses — a short document quoted inside a much longer one has high
+    C but low J (the sub-document dedup gate web-corpus pipelines run
+    alongside near-dup removal; cf. Broder 1997's resemblance vs
+    containment distinction).
+
+    Same inverted-index candidate generation as dedup_ngram_jaccard —
+    shingle equi-join, cost scales with collisions, never n² — with
+    both directed containments falling out of one grouped join (the
+    pair (A,B) and (B,A) carry different denominators). Both ratios
+    are exact integer divisions, bit-identical across engines."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    words = t.documents.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word")
+    )
+    shingled = (
+        words.select(
+            "doc_id",
+            "word",
+            F.lead("word", 1).over(w).alias("w1"),
+            F.lead("word", 2).over(w).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.col("word"), F.col("w1"), F.col("w2")).alias(
+                "shingle"
+            ),
+        )
+        .distinct()
+    )
+    sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = shingled.alias("a"), shingled.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("d_contained"),
+            F.col("b.doc_id").alias("d_container"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    s1, s2 = sizes.alias("s1"), sizes.alias("s2")
+    return (
+        pairs.join(s1, F.col("d_contained") == F.col("s1.doc_id"))
+        .join(s2, F.col("d_container") == F.col("s2.doc_id"))
+        .filter(F.col("inter") / F.col("s1.n") >= 0.8)
+        .select(
+            "d_contained",
+            "d_container",
+            (F.col("inter") / F.col("s1.n")).alias("containment"),
+            (
+                F.col("inter") / (F.col("s1.n") + F.col("s2.n") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
