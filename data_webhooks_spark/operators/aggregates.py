@@ -17,6 +17,7 @@ from ..norms import (
     dec_sum,
     o_dec_avg,
     o_dec_sum,
+    o_qnt,
     qnt,
 )
 from ..regutil import registrar
@@ -927,4 +928,173 @@ def agg_histogram_equidepth(spark, sf_dir):
                 F.col("bin") > 0, F.element_at("qs", F.col("bin"))
             ).alias("lo"),
         )
+    )
+
+
+# Pearson correlation components as scaled-BIGINT exact sums. corr()
+# itself is an order-sensitive float fold (Spark and DuckDB both use
+# streaming co-moment updates whose rounding depends on accumulation
+# order), so the deterministic form sums the six integer moments
+# exactly and derives r with one fixed sequence of IEEE double ops —
+# identical bits on both engines, then qnt-quantized. NULLIF guards the
+# zero-variance degenerate (constant column or single-row group):
+# r is undefined there, and ANSI Spark would otherwise raise.
+_CORR_EXPR = (
+    "(nd * sxy - sx * sy) / "
+    "nullif(sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy), 0.0)"
+)
+
+
+@op(
+    "agg_corr",
+    sql=f"""
+    WITH u AS (
+        SELECT l_returnflag,
+               CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT) AS qx,
+               CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT) AS dx
+        FROM lineitem
+    ),
+    m AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS nd,
+               COUNT(*) AS n,
+               CAST(CAST(SUM(qx) AS BIGINT) AS DOUBLE) AS sx,
+               CAST(CAST(SUM(dx) AS BIGINT) AS DOUBLE) AS sy,
+               CAST(CAST(SUM(qx * qx) AS BIGINT) AS DOUBLE) AS sxx,
+               CAST(CAST(SUM(dx * dx) AS BIGINT) AS DOUBLE) AS syy,
+               CAST(CAST(SUM(qx * dx) AS BIGINT) AS DOUBLE) AS sxy
+        FROM u GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           sx / 100 AS sum_qty, sy / 100 AS sum_disc,
+           {o_qnt(_CORR_EXPR, 'corr_qty_disc')}
+    FROM m
+    """,
+)
+def agg_corr(spark, sf_dir):
+    """Grouped Pearson correlation (quantity vs discount per return
+    flag) computed from EXACT integer moment sums: each input rounds
+    to cent units once (the norms.py scaled-BIGINT discipline), the
+    six moments (n, Σx, Σy, Σx², Σy², Σxy) sum exactly in BIGINT, and
+    r derives from them in one fixed double expression — the
+    determinism answer for the entire covariance/correlation family,
+    where built-in corr()/covar_samp() accumulate floats in engine-
+    and partition-order-dependent ways.
+
+    At 100 TB this is the textbook map-combinable aggregate: six
+    integer partials per group, one narrow shuffle, no second pass
+    (contrast the naive mean-centered two-pass form). Moment overflow
+    headroom: qx ≤ 5 000, so Σx² grows ~2.5e7/row — BIGINT wraps only
+    past ~370 G rows per group; past that, the salted two-level
+    pattern (`agg_salted_exact`) applies unchanged."""
+    t = Tables(spark, sf_dir)
+    qx = F.floor(F.col("l_quantity") * 100.0 + F.lit(0.5))
+    dx = F.floor(F.col("l_discount") * 100.0 + F.lit(0.5))
+    m = (
+        t.lineitem.select(
+            "l_returnflag", qx.alias("qx"), dx.alias("dx")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("qx").alias("isx"),
+            F.sum("dx").alias("isy"),
+            F.sum(F.col("qx") * F.col("qx")).alias("isxx"),
+            F.sum(F.col("dx") * F.col("dx")).alias("isyy"),
+            F.sum(F.col("qx") * F.col("dx")).alias("isxy"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            F.col("n").cast("double").alias("nd"),
+            F.col("isx").cast("double").alias("sx"),
+            F.col("isy").cast("double").alias("sy"),
+            F.col("isxx").cast("double").alias("sxx"),
+            F.col("isyy").cast("double").alias("syy"),
+            F.col("isxy").cast("double").alias("sxy"),
+        )
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        (F.col("sx") / 100).alias("sum_qty"),
+        (F.col("sy") / 100).alias("sum_disc"),
+        qnt(F.expr(_CORR_EXPR), "corr_qty_disc"),
+    )
+
+
+# Count-Min Sketch geometry: D independent hash rows of W counters.
+# Per-key overestimate beyond exact is bounded by ~N/W per row in
+# expectation; the min over D rows makes exceeding 4·N/W on ALL rows
+# vanishingly unlikely ((1/4)^D by Markov), and the whole estimate is
+# deterministic for fixed data + seeds (xxhash64 row index is the
+# seed), so est_ok is a stable bit, not a flaky one.
+_CMS_D, _CMS_W = 5, 1024
+
+
+@op(
+    "agg_cms_freq",
+    sql="""
+    SELECT user_id, COUNT(*) AS n_exact, TRUE AS est_ok
+    FROM events
+    WHERE user_id % 7 = 0
+    GROUP BY user_id
+    """,
+)
+def agg_cms_freq(spark, sf_dir):
+    """Count-Min Sketch frequency estimation (Cormode & Muthukrishnan
+    '05) — the point-query sketch completing the family next to HLL
+    (distinct), KLL (quantiles), Theta (set algebra) and the exact
+    bitmap: D×W integer counters built in ONE map-combined pass
+    (explode each row into its D (row, bucket) cells; the groupBy
+    collapses to ≤ D·W rows per task before the shuffle, so shuffle
+    volume is bounded by partitions × D·W regardless of input size),
+    then per-key estimates = min over rows of the landed counter.
+    Counters add associatively, so per-day/per-split sketches merge by
+    cellwise sum — the persistable-sketch property the other sketch
+    keys share.
+
+    Probed keys: every user_id ≡ 0 (mod 7) — deterministic,
+    scale-proportional. Oracle strategy is the agg_theta_overlap
+    pattern: the output carries the EXACT per-key counts (the DuckDB
+    twin recomputes them) plus est_ok — the CMS guarantees est ≥ exact
+    always, and est ≤ exact + 4·N/W with margin (see _CMS_D note); a
+    broken sketch build flips the bit and hash-mismatches."""
+    t = Tables(spark, sf_dir)
+    rows = F.explode(
+        F.sequence(F.lit(0), F.lit(_CMS_D - 1))
+    ).alias("i")
+    cells = (
+        t.events.select(F.col("user_id"), rows)
+        .groupBy(
+            "i",
+            F.pmod(F.xxhash64("user_id", "i"), F.lit(_CMS_W)).alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = t.events.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
+    probes = (
+        t.events.filter(F.col("user_id") % 7 == 0)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    probe_cells = probes.select(
+        "user_id", "n_exact", rows
+    ).withColumn("bucket", F.pmod(F.xxhash64("user_id", "i"), F.lit(_CMS_W)))
+    est = (
+        probe_cells.join(F.broadcast(cells), ["i", "bucket"])
+        .groupBy("user_id")
+        .agg(F.first("n_exact").alias("n_exact"), F.min("c").alias("est"))
+    )
+    return est.crossJoin(F.broadcast(total)).select(  # 1-row scalar attach
+        "user_id",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        (
+            (F.col("est") >= F.col("n_exact"))
+            & (
+                F.col("est")
+                <= F.col("n_exact")
+                + F.lit(4.0) * F.col("n_total") / F.lit(_CMS_W)
+            )
+        ).alias("est_ok"),
     )

@@ -361,3 +361,88 @@ def win_pattern_match(spark, sf_dir):
             F.min("ts").alias("first_match_ts"),
         )
     )
+
+
+@op(
+    "analytics_rfm",
+    sql="""
+    WITH pu AS (
+        SELECT user_id,
+               date_diff('day', DATE '1970-01-01',
+                         CAST(MAX(ts) AS DATE)) AS recency,
+               COUNT(*) AS frequency,
+               CAST(SUM(CASE WHEN value >= 0
+                    THEN CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                    ELSE -CAST(FLOOR(-value * 100.0 + 0.5) AS BIGINT) END)
+                 AS BIGINT) AS monetary
+        FROM events GROUP BY user_id
+    ),
+    e AS (
+        SELECT quantile_cont(CAST(recency AS DOUBLE), [0.2,0.4,0.6,0.8]) AS re,
+               quantile_cont(CAST(frequency AS DOUBLE), [0.2,0.4,0.6,0.8]) AS fe,
+               quantile_cont(CAST(monetary AS DOUBLE), [0.2,0.4,0.6,0.8]) AS me
+        FROM pu
+    ),
+    seg AS (
+        SELECT 1 + len(list_filter(e.re, q -> CAST(pu.recency AS DOUBLE) > q)) AS rq,
+               1 + len(list_filter(e.fe, q -> CAST(pu.frequency AS DOUBLE) > q)) AS fq,
+               1 + len(list_filter(e.me, q -> CAST(pu.monetary AS DOUBLE) > q)) AS mq,
+               pu.monetary AS monetary
+        FROM pu CROSS JOIN e
+    )
+    SELECT rq, fq, mq, COUNT(*) AS n_users,
+           CAST(CAST(SUM(monetary) AS BIGINT) AS DOUBLE) / 100 AS total_value
+    FROM seg GROUP BY rq, fq, mq
+    """,
+)
+def analytics_rfm(spark, sf_dir):
+    """RFM segmentation — the classic customer-value grid: per user,
+    Recency (last-active day), Frequency (event count) and Monetary
+    (exact value total), each mapped to its quintile, then users
+    counted per (R, F, M) cell with the cell's exact value total.
+
+    Quintile assignment deliberately avoids the textbook global
+    ``ntile(5)``: an unpartitioned rank window serializes the whole
+    per-user table through one task (the vocab_coverage lesson).
+    Instead the exact quintile EDGES reduce to one 1-row aggregate
+    (the agg_histogram_equidepth shape), broadcast onto the per-user
+    scan, and each user bins by edge comparison — fully parallel,
+    identical cells on both engines (binning is a pure function of the
+    metric value, so ties at an edge land identically, unlike rank
+    ties). Monetary follows the scaled-BIGINT exact-sum discipline at
+    both levels (per-user and per-cell). Cost: one user-keyed shuffle
+    + a 1-row edge aggregate + an aggregate-sized segment groupBy."""
+    t = Tables(spark, sf_dir)
+    units = F.when(
+        F.col("value") >= 0, F.floor(F.col("value") * 100.0 + F.lit(0.5))
+    ).otherwise(-F.floor(-F.col("value") * 100.0 + F.lit(0.5)))
+    pu = t.events.groupBy("user_id").agg(
+        F.datediff(
+            F.max("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("recency"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(units).alias("monetary"),
+    )
+    qs = F.array(*[F.lit(x / 5) for x in (1, 2, 3, 4)])
+    edges = pu.agg(
+        F.percentile(F.col("recency").cast("double"), qs).alias("re"),
+        F.percentile(F.col("frequency").cast("double"), qs).alias("fe"),
+        F.percentile(F.col("monetary").cast("double"), qs).alias("me"),
+    )
+
+    def quint(metric, edge_col):
+        m = F.col(metric).cast("double")
+        return (
+            F.lit(1) + F.size(F.filter(edge_col, lambda q: m > q))
+        ).cast("long")
+
+    seg = pu.crossJoin(F.broadcast(edges)).select(
+        quint("recency", F.col("re")).alias("rq"),
+        quint("frequency", F.col("fe")).alias("fq"),
+        quint("monetary", F.col("me")).alias("mq"),
+        "monetary",
+    )
+    return seg.groupBy("rq", "fq", "mq").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        (F.sum("monetary").cast("double") / 100).alias("total_value"),
+    )

@@ -202,3 +202,76 @@ def sample_weighted(spark, sf_dir):
         F.count(F.lit(1)).alias("n_kept"),
         (F.sum(units).cast("double") / 100).alias("kept_value"),
     )
+
+
+@op(
+    "sample_temperature",
+    sql=f"""
+    WITH c AS (
+        SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+    ),
+    thr AS (
+        SELECT lang, n_docs,
+               CAST(FLOOR(sqrt(CAST((SELECT MIN(n_docs) FROM c) AS DOUBLE)
+                               / CAST(n_docs AS DOUBLE)) * {BUCKETS})
+                    AS BIGINT) AS threshold
+        FROM c
+    ),
+    kept AS (
+        SELECT d.lang, COUNT(*) AS n_kept
+        FROM documents d JOIN thr USING (lang)
+        WHERE {o_hash_bucket('d.doc_id')} < thr.threshold
+        GROUP BY d.lang
+    )
+    SELECT thr.lang, CAST(thr.n_docs AS BIGINT) AS n_docs, thr.threshold,
+           CAST(kept.n_kept AS BIGINT) AS n_kept
+    FROM thr JOIN kept USING (lang)
+    """,
+)
+def sample_temperature(spark, sf_dir):
+    """Temperature-based multilingual rebalancing (the sampling rule
+    multilingual LLM corpora use — rates proportional to
+    ``n_lang**(alpha-1)`` with alpha = 0.5, normalized so the rarest
+    language keeps all its documents): the per-language keep rate is
+    ``sqrt(n_min / n_lang)``, flattening the language distribution
+    toward uniform while never upsampling. The keep decision is the
+    same hash-bucket-vs-threshold filter as `sample_hash`, so the kept
+    set is stable under re-runs, appends and repartitioning.
+
+    Two passes over documents — the rate table must see the counts
+    first — but the first pass is a map-combined count (tiny shuffle)
+    and the 5-row threshold table broadcasts onto the second scan, so
+    at 100 TB this is two scans, zero fact shuffles. The rate
+    arithmetic stays cross-engine exact: integer counts, one double
+    division, one IEEE sqrt (correctly rounded on both JVMs and
+    DuckDB), and an integer FLOOR threshold — no pow(), whose last-ulp
+    behavior is implementation-defined."""
+    t = Tables(spark, sf_dir)
+    counts = t.documents.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    w_all = Window.partitionBy()
+    thr = counts.select(
+        "lang",
+        "n_docs",
+        F.floor(
+            F.sqrt(
+                F.min("n_docs").over(w_all).cast("double")
+                / F.col("n_docs").cast("double")
+            )
+            * BUCKETS
+        ).alias("threshold"),
+    )
+    kept = (
+        t.documents.join(F.broadcast(thr), "lang")
+        .filter(hash_bucket(F.col("doc_id")) < F.col("threshold"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        thr.join(kept, "lang")
+        .select(
+            "lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "threshold",
+            F.col("n_kept").cast("long").alias("n_kept"),
+        )
+    )

@@ -428,3 +428,118 @@ def ts_interpolate_linear(spark, sf_dir):
         obs.alias("observed"),
         qnt(v, "v_interp"),
     )
+
+
+
+@op(
+    "ts_autocorr",
+    sql="""
+    WITH hourly AS (
+        SELECT event_type,
+               epoch_us(date_trunc('hour', ts)) // 3600000000 AS hn,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.event_type, l.lag, a.n AS x, b.n AS y
+        FROM hourly a
+        CROSS JOIN unnest([1, 2, 3]) AS l(lag)
+        JOIN hourly b
+          ON b.event_type = a.event_type AND b.hn = a.hn - l.lag
+    ),
+    m AS (
+        SELECT event_type, lag,
+               COUNT(*) AS n_pairs,
+               CAST(COUNT(*) AS DOUBLE) AS nd,
+               CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) AS sx,
+               CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE) AS sy,
+               CAST(CAST(SUM(x * x) AS BIGINT) AS DOUBLE) AS sxx,
+               CAST(CAST(SUM(y * y) AS BIGINT) AS DOUBLE) AS syy,
+               CAST(CAST(SUM(x * y) AS BIGINT) AS DOUBLE) AS sxy
+        FROM pairs GROUP BY event_type, lag
+    )
+    SELECT event_type, lag, n_pairs,
+           FLOOR(((nd * sxy - sx * sy) /
+                  nullif(sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy),
+                         0.0))
+                 * 1000000.0 + 0.5) / 1000000.0 AS acf
+    FROM m
+    """,
+)
+def ts_autocorr(spark, sf_dir):
+    """Lag-1/2/3 autocorrelation of each event type's hourly count
+    series — the seasonality/burstiness diagnostic behind anomaly
+    thresholds and forecast-model choices. A pair forms for every
+    (hn, hn - L) where BOTH hours exist, via an equi-join on the
+    integer hour index — NOT a row-based lag window, which would
+    silently require the intervening L-1 hours to exist too and drop
+    valid pairs around gaps. Pearson r per (type, lag) comes from
+    exact BIGINT moment sums + one fixed double expression — the
+    agg_corr determinism discipline applied to a time-shifted
+    self-pairing (NULLIF guards constant series).
+
+    Cost shape: one map-combined rollup shuffle (events -> type x hour,
+    spine-bounded like ts_resample_gapfill), then the lag explode and
+    self-join triple only the aggregate-sized hourly table; AQE
+    broadcasts it. Nothing downstream of the rollup ever touches raw
+    event rows, so the whole diagnostic is O(#types x #hours) past the
+    first aggregate regardless of corpus size."""
+    t = Tables(spark, sf_dir)
+    hourly = t.events.groupBy(
+        "event_type",
+        (
+            F.unix_micros(F.date_trunc("hour", "ts").cast("timestamp"))
+            / F.lit(3_600_000_000)
+        )
+        .cast("long")
+        .alias("hn"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    a = hourly.select(
+        "event_type",
+        "hn",
+        F.col("n").alias("x"),
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("lag"),
+    )
+    b = hourly.select(
+        "event_type", F.col("hn").alias("bhn"), F.col("n").alias("y")
+    )
+    pairs = a.join(
+        b,
+        (a["event_type"] == b["event_type"])
+        & (b["bhn"] == a["hn"] - a["lag"]),
+    ).select(a["event_type"], "lag", "x", "y")
+    m = (
+        pairs.groupBy("event_type", "lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("x").alias("isx"),
+            F.sum("y").alias("isy"),
+            F.sum(F.col("x") * F.col("x")).alias("isxx"),
+            F.sum(F.col("y") * F.col("y")).alias("isyy"),
+            F.sum(F.col("x") * F.col("y")).alias("isxy"),
+        )
+        .select(
+            "event_type",
+            "lag",
+            "n_pairs",
+            F.col("n_pairs").cast("double").alias("nd"),
+            F.col("isx").cast("double").alias("sx"),
+            F.col("isy").cast("double").alias("sy"),
+            F.col("isxx").cast("double").alias("sxx"),
+            F.col("isyy").cast("double").alias("syy"),
+            F.col("isxy").cast("double").alias("sxy"),
+        )
+    )
+    return m.select(
+        "event_type",
+        "lag",
+        "n_pairs",
+        qnt(
+            F.expr(
+                "(nd * sxy - sx * sy) / "
+                "nullif(sqrt(nd * sxx - sx * sx)"
+                " * sqrt(nd * syy - sy * sy), 0.0)"
+            ),
+            "acf",
+        ),
+    )

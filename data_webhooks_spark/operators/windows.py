@@ -347,3 +347,70 @@ def win_distribution(spark, sf_dir):
         F.round(F.cume_dist().over(w_val), 9).alias("cdist"),
         F.nth_value("event_type", 2).over(w_ts).alias("second_type"),
     )
+
+
+@op(
+    "win_gap_islands",
+    sql="""
+    WITH d AS (
+        SELECT DISTINCT user_id,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dayn
+        FROM events
+    ),
+    g AS (
+        SELECT user_id, dayn,
+               dayn - row_number() OVER (
+                   PARTITION BY user_id ORDER BY dayn) AS grp
+        FROM d
+    ),
+    isl AS (
+        SELECT user_id, grp, COUNT(*) AS len
+        FROM g GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           COUNT(*) AS n_streaks,
+           CAST(MAX(len) AS BIGINT) AS longest_streak
+    FROM isl
+    GROUP BY user_id
+    """,
+)
+def win_gap_islands(spark, sf_dir):
+    """Gaps-and-islands: per-user runs of CONSECUTIVE active days
+    (streak analytics — "7-day streak" badges, churn-risk gaps). The
+    classic two-step: collapse to distinct (user, day), then group
+    consecutive days by the constant ``dayn - row_number()`` — a run
+    of consecutive days shares one group id, any gap starts a new one.
+
+    Day arithmetic is integer days-since-epoch on both engines
+    (datediff vs date_diff), so island boundaries are exact — no
+    timestamp-interval or timezone arithmetic anywhere. One shuffle
+    for the distinct (user-keyed), and the row_number window plus both
+    aggregates reuse that same user_id hash partitioning, so Spark
+    plans a single exchange: dedup -> window -> two partial-combined
+    groupBys, all co-located. Parallelism is user-id cardinality — the
+    same key-cardinality discipline as win_sessionize; a 100 TB events
+    table with millions of users spreads evenly, and the distinct
+    collapses each user to at most #days rows before any window work."""
+    t = Tables(spark, sf_dir)
+    days = (
+        t.events.select(
+            "user_id",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            ).alias("dayn"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("dayn")
+    grouped = days.select(
+        "user_id", "dayn", (F.col("dayn") - F.row_number().over(w)).alias("grp")
+    )
+    islands = grouped.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return islands.groupBy("user_id").agg(
+        F.sum("len").cast("long").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").cast("long").alias("longest_streak"),
+    )

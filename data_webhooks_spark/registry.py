@@ -35,11 +35,13 @@ from pyspark.sql import DataFrame, SparkSession
 # check for them). The last slot re-verifies pack_sequences, whose
 # implementation changed this round ((lang, shard) two-level cumsum).
 # After this window lands, every key registered before r5 has an
-# official driver row. The six operators ADDED in r5 (agg_histogram,
-# agg_histogram_equidepth, ts_interpolate_linear, win_pattern_match,
-# sample_weighted, dedup_containment — all SQL-oracled, all locally
-# swept) sit outside the first 50 by design and are the seed of the
-# round-6 rotation window.
+# official driver row. The twelve operators ADDED in r5
+# (agg_histogram, agg_histogram_equidepth, ts_interpolate_linear,
+# win_pattern_match, sample_weighted, dedup_containment, plus the
+# second batch: win_gap_islands, analytics_rfm,
+# sample_temperature, agg_corr, agg_cms_freq, ts_autocorr — all
+# SQL-oracled, all locally swept) sit outside the first 50 by design
+# and are the seed of the round-6 rotation window.
 _ROWS_ONLY = {
     "ann_ivf",
     "dedup_minhash",

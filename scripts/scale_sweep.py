@@ -73,6 +73,13 @@ KEYS = [
     "ts_interpolate_linear",
     "win_pattern_match",
     "sample_weighted",
+    # r5 second batch
+    "win_gap_islands",
+    "analytics_rfm",
+    "sample_temperature",
+    "agg_corr",
+    "agg_cms_freq",
+    "ts_autocorr",
 ]
 MAX_FACTOR = {"dedup_embedding": 10, "dedup_repeated_substrings": 10}
 # Keys whose DuckDB oracle is skipped at amplified factors:

@@ -398,6 +398,9 @@ NESTED_LOOP_OK = {
     "compact_files", "dq_checks", "drift_ks_test", "drift_psi",
     "funnel_conversion", "text_tfidf", "text_unigram_logprob",
     "tpch_q11", "tpch_q22", "vocab_coverage", "zorder_layout",
+    "agg_histogram_equidepth",  # 1-row decile edges onto scan + spine
+    "agg_cms_freq",  # 1-row corpus total onto the ~|probes|-row output
+    "analytics_rfm",  # 1-row quintile edges onto the per-user scan
     # deliberately tiny cross/broadcast sides (<= dozens of rows or
     # candidate sets bounded by construction)
     "join_cross", "join_skew_salted", "knn_join", "sim_cosine_brute",
