@@ -446,3 +446,117 @@ def analytics_rfm(spark, sf_dir):
         F.count(F.lit(1)).alias("n_users"),
         (F.sum("monetary").cast("double") / 100).alias("total_value"),
     )
+
+
+# Welch's t-test derived quantities as one fixed sequence of IEEE
+# double ops over EXACT integer moments (the agg_corr discipline):
+# both engines compute these identical textual formulas on identical
+# inputs, so t and df are bit-deterministic before quantization.
+_W_VAR1 = "((ss1d - s1d * s1d / nd1) / (nd1 - 1.0))"
+_W_VAR2 = "((ss2d - s2d * s2d / nd2) / (nd2 - 1.0))"
+_W_VA = f"({_W_VAR1} / nd1)"
+_W_VB = f"({_W_VAR2} / nd2)"
+_W_SE2 = f"({_W_VA} + {_W_VB})"
+_W_MDIFF = "((s1d / nd1 - s2d / nd2) / 100.0)"
+_W_T = f"((s1d / nd1 - s2d / nd2) / sqrt({_W_SE2}))"
+_W_DF = (
+    f"(({_W_SE2} * {_W_SE2}) / "
+    f"({_W_VA} * {_W_VA} / (nd1 - 1.0) + {_W_VB} * {_W_VB} / (nd2 - 1.0)))"
+)
+
+
+@op(
+    "ab_ttest_welch",
+    sql=f"""
+    WITH u AS (
+        SELECT event_type,
+               CASE WHEN value >= 0
+                    THEN CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                    ELSE -CAST(FLOOR(-value * 100.0 + 0.5) AS BIGINT)
+               END AS ub
+        FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    m AS (
+        SELECT
+            SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n1,
+            SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n2,
+            CAST(SUM(CASE WHEN event_type = 'view' THEN ub
+                     ELSE 0 END) AS BIGINT) AS s1,
+            CAST(SUM(CASE WHEN event_type = 'purchase' THEN ub
+                     ELSE 0 END) AS BIGINT) AS s2,
+            CAST(SUM(CASE WHEN event_type = 'view' THEN ub * ub
+                     ELSE 0 END) AS BIGINT) AS ss1,
+            CAST(SUM(CASE WHEN event_type = 'purchase' THEN ub * ub
+                     ELSE 0 END) AS BIGINT) AS ss2
+        FROM u
+    ),
+    d AS (
+        SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+               CAST(n1 AS DOUBLE) AS nd1, CAST(n2 AS DOUBLE) AS nd2,
+               CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+               CAST(ss1 AS DOUBLE) AS ss1d, CAST(ss2 AS DOUBLE) AS ss2d
+        FROM m
+    )
+    SELECT n1, n2,
+           FLOOR({_W_MDIFF} * 1000000.0 + 0.5) / 1000000.0 AS mean_diff,
+           FLOOR({_W_T} * 1000000.0 + 0.5) / 1000000.0 AS t_stat,
+           FLOOR({_W_DF} * 1000000.0 + 0.5) / 1000000.0 AS df_welch
+    FROM d
+    """,
+)
+def ab_ttest_welch(spark, sf_dir):
+    """Welch's unequal-variance two-sample t-test between the 'view'
+    and 'purchase' value distributions — the A/B-testing significance
+    primitive of a product-analytics engine. Means, variances, the t
+    statistic and the Welch–Satterthwaite degrees of freedom all
+    derive from ONE conditional-aggregation pass of exact scaled-
+    BIGINT moments (n, Σx, Σx² per arm) — no second centering pass,
+    map-side combinable, one narrow shuffle carrying six integers.
+
+    Cross-engine determinism: built-in stddev/var are order-sensitive
+    float folds; here both engines evaluate the identical fixed double
+    formulas (_W_* above) on identical exact integers, then quantize.
+    At 100 TB the same six-integer partial aggregates even support
+    sequential testing — partials per day merge by addition."""
+    t = Tables(spark, sf_dir)
+    units = F.when(
+        F.col("value") >= 0, F.floor(F.col("value") * 100.0 + F.lit(0.5))
+    ).otherwise(-F.floor(-F.col("value") * 100.0 + F.lit(0.5)))
+    is1 = F.col("event_type") == "view"
+    is2 = F.col("event_type") == "purchase"
+    m = (
+        t.events.filter(F.col("event_type").isin("view", "purchase"))
+        .select(
+            "event_type",
+            units.alias("u"),
+        )
+        .agg(
+            F.sum(F.when(is1, 1).otherwise(0)).alias("n1"),
+            F.sum(F.when(is2, 1).otherwise(0)).alias("n2"),
+            F.sum(F.when(is1, F.col("u")).otherwise(0)).alias("is1"),
+            F.sum(F.when(is2, F.col("u")).otherwise(0)).alias("is2"),
+            F.sum(F.when(is1, F.col("u") * F.col("u")).otherwise(0)).alias(
+                "iss1"
+            ),
+            F.sum(F.when(is2, F.col("u") * F.col("u")).otherwise(0)).alias(
+                "iss2"
+            ),
+        )
+    )
+    d = m.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.col("n1").cast("double").alias("nd1"),
+        F.col("n2").cast("double").alias("nd2"),
+        F.col("is1").cast("double").alias("s1d"),
+        F.col("is2").cast("double").alias("s2d"),
+        F.col("iss1").cast("double").alias("ss1d"),
+        F.col("iss2").cast("double").alias("ss2d"),
+    )
+    return d.select(
+        "n1",
+        "n2",
+        qnt(F.expr(_W_MDIFF), "mean_diff"),
+        qnt(F.expr(_W_T), "t_stat"),
+        qnt(F.expr(_W_DF), "df_welch"),
+    )

@@ -1024,3 +1024,67 @@ def vocab_coverage(spark, sf_dir):
             qnt(F.col("mx") / F.col("total").cast("double"), "coverage"),
         )
     )
+
+
+@op(
+    "vocab_typo_pairs",
+    sql="""
+    WITH v AS (
+        SELECT DISTINCT unnest(string_split(p_name, ' ')) AS w
+        FROM part
+    ),
+    vv AS (SELECT w FROM v WHERE length(w) > 0)
+    SELECT a.w AS w1, b.w AS w2,
+           CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
+    FROM vv a JOIN vv b
+      ON a.w < b.w AND levenshtein(a.w, b.w) <= 1
+    """,
+)
+def vocab_typo_pairs(spark, sf_dir):
+    """Edit-distance-1 vocabulary pairing via SymSpell-style
+    deletion-neighborhood blocking (Garbe's symmetric-delete idea, cf.
+    Norvig's spell-correct formulation): a pair of words is within
+    Levenshtein 1 iff they share a key in {w} ∪ deletes1(w) —
+    substitution meets at the both-sides-deleted string, insertion/
+    deletion at the shorter word itself. Candidates come from one
+    equi-join on those keys; an exact levenshtein() then discards the
+    distance-2 collisions (both engines implement the same integer DP,
+    so the filter agrees bit-wise). This is the typo-canonicalization
+    gate an LLM-corpus vocabulary pipeline runs before frequency
+    thresholding merges counts of misspelling variants.
+
+    The 100 TB contrast is the whole point of the shape: brute force
+    is O(|V|²) levenshtein calls (the DuckDB oracle does exactly that,
+    fine at fixture vocab size); the blocked form generates ≤ len(w)+1
+    keys per word and meets only within key buckets — the same
+    inverted-index discipline as dedup_ngram_jaccard, linear in vocab
+    + collisions. Keys are generated by a codegen higher-order
+    transform (no UDF), and the candidate join is an equi-join AQE can
+    broadcast when one side is small."""
+    t = Tables(spark, sf_dir)
+    vocab = (
+        t.part.select(F.explode(F.split("p_name", " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .distinct()
+    )
+    keyed = vocab.select(
+        "w",
+        F.explode(
+            F.array_union(
+                F.array(F.col("w")),
+                F.expr(
+                    "transform(sequence(1, length(w)), i ->"
+                    " concat(substring(w, 1, i - 1),"
+                    " substring(w, i + 1, length(w))))"
+                ),
+            )
+        ).alias("k"),
+    )
+    other = keyed.select(F.col("w").alias("w2"), F.col("k").alias("k2"))
+    return (
+        keyed.join(other, (F.col("k") == F.col("k2")) & (F.col("w") < F.col("w2")))
+        .select(F.col("w").alias("w1"), "w2")
+        .distinct()
+        .filter(F.levenshtein("w1", "w2") <= 1)
+        .select("w1", "w2", F.levenshtein("w1", "w2").cast("long").alias("dist"))
+    )

@@ -35,13 +35,14 @@ from pyspark.sql import DataFrame, SparkSession
 # check for them). The last slot re-verifies pack_sequences, whose
 # implementation changed this round ((lang, shard) two-level cumsum).
 # After this window lands, every key registered before r5 has an
-# official driver row. The twelve operators ADDED in r5
+# official driver row. The fifteen operators ADDED in r5
 # (agg_histogram, agg_histogram_equidepth, ts_interpolate_linear,
-# win_pattern_match, sample_weighted, dedup_containment, plus the
-# second batch: win_gap_islands, analytics_rfm,
-# sample_temperature, agg_corr, agg_cms_freq, ts_autocorr — all
-# SQL-oracled, all locally swept) sit outside the first 50 by design
-# and are the seed of the round-6 rotation window.
+# win_pattern_match, sample_weighted, dedup_containment; second
+# batch: win_gap_islands, analytics_rfm, sample_temperature,
+# agg_corr, agg_cms_freq, ts_autocorr; third batch: graph_pagerank,
+# ab_ttest_welch, vocab_typo_pairs — all SQL-oracled, all locally
+# swept) sit outside the first 50 by design and are the seed of the
+# round-6 rotation window.
 _ROWS_ONLY = {
     "ann_ivf",
     "dedup_minhash",
@@ -139,6 +140,7 @@ _MODULES = [
     "data_webhooks_spark.operators.profiling",
     "data_webhooks_spark.operators.warehouse",
     "data_webhooks_spark.operators.drift",
+    "data_webhooks_spark.operators.graph",
     "data_webhooks_spark.streaming.queries",
     "data_webhooks_spark.streaming.webhook_query",
 ]

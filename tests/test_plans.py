@@ -401,6 +401,7 @@ NESTED_LOOP_OK = {
     "agg_histogram_equidepth",  # 1-row decile edges onto scan + spine
     "agg_cms_freq",  # 1-row corpus total onto the ~|probes|-row output
     "analytics_rfm",  # 1-row quintile edges onto the per-user scan
+    "graph_pagerank",  # 1-row (n, base) scalars onto the rank table per sweep
     # deliberately tiny cross/broadcast sides (<= dozens of rows or
     # candidate sets bounded by construction)
     "join_cross", "join_skew_salted", "knn_join", "sim_cosine_brute",

@@ -1,0 +1,117 @@
+"""Semantic invariants for the third round-5 operator batch
+(graph_pagerank, ab_ttest_welch, vocab_typo_pairs). DuckDB parity is
+in test_parity; these re-derive each result independently."""
+
+import itertools
+
+import numpy as np
+
+from data_webhooks_spark import registry
+from data_webhooks_spark.io import Tables
+
+QUERIES = registry.queries()
+
+
+def test_pagerank_conserves_mass_and_matches_float_power_method(
+    spark, sf_dir
+):
+    """Integer-unit PageRank must (a) cover every node of the
+    co-purchase graph, (b) keep total mass ≈ 1.0 (integer truncation
+    only ever loses mass, boundedly), and (c) agree with an
+    independent float power method on the same edge set to within the
+    truncation budget."""
+    pdf = QUERIES["graph_pagerank"](spark, sf_dir).toPandas()
+    t = Tables(spark, sf_dir)
+    li = t.lineitem.select("l_orderkey", "l_partkey").toPandas()
+    edges = set()
+    for _, g in li.groupby("l_orderkey"):
+        parts = g["l_partkey"].unique()
+        for a, b in itertools.permutations(parts, 2):
+            edges.add((a, b))
+    nodes = sorted({a for a, _ in edges})
+    assert set(pdf["node"]) == set(nodes)
+    total = pdf["pr_units"].sum() / 1e12
+    assert 0.999 < total <= 1.0 + 1e-9, total
+
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n)
+    for a, _ in edges:
+        deg[idx[a]] += 1
+    assert (
+        pdf.set_index("node")["degree"].reindex(nodes).to_numpy() == deg
+    ).all()
+    r = np.full(n, 1.0 / n)
+    for _ in range(3):
+        nxt = np.full(n, 0.15 / n)
+        for a, b in edges:
+            nxt[idx[b]] += 0.85 * r[idx[a]] / deg[idx[a]]
+        r = nxt
+    got = pdf.set_index("node")["pr_units"].reindex(nodes).to_numpy() / 1e12
+    assert np.abs(got - r).max() < 1e-6
+
+
+def test_welch_ttest_matches_numpy(spark, sf_dir):
+    """Re-derive Welch's t and df from the raw cent-rounded values
+    with numpy; the operator's fixed-formula results must agree to
+    within quantization."""
+    row = QUERIES["ab_ttest_welch"](spark, sf_dir).toPandas().iloc[0]
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("event_type", "value").toPandas()
+    u = np.where(
+        ev["value"] >= 0,
+        np.floor(ev["value"] * 100 + 0.5),
+        -np.floor(-ev["value"] * 100 + 0.5),
+    )
+    x = u[ev["event_type"] == "view"]
+    y = u[ev["event_type"] == "purchase"]
+    assert row["n1"] == len(x) and row["n2"] == len(y)
+    vx, vy = x.var(ddof=1), y.var(ddof=1)
+    va, vb = vx / len(x), vy / len(y)
+    t_stat = (x.mean() - y.mean()) / np.sqrt(va + vb)
+    df = (va + vb) ** 2 / (va**2 / (len(x) - 1) + vb**2 / (len(y) - 1))
+    assert abs(row["mean_diff"] - (x.mean() - y.mean()) / 100) < 1e-5
+    assert abs(row["t_stat"] - t_stat) < 1e-5
+    assert abs(row["df_welch"] - df) < 1e-3 * max(1.0, df)
+
+
+def test_typo_pairs_equal_brute_force(spark, sf_dir):
+    """The deletion-neighborhood blocking must find EXACTLY the
+    Levenshtein-1 pairs a brute-force O(V²) scan finds — blocking for
+    distance 1 is complete, so no pair may be missed."""
+
+    def lev(a, b):
+        if abs(len(a) - len(b)) > 1:
+            return 2
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(
+                        prev[j] + 1,
+                        cur[j - 1] + 1,
+                        prev[j - 1] + (ca != cb),
+                    )
+                )
+            prev = cur
+        return prev[-1]
+
+    pdf = QUERIES["vocab_typo_pairs"](spark, sf_dir).toPandas()
+    t = Tables(spark, sf_dir)
+    vocab = sorted(
+        {
+            w
+            for name in t.part.select("p_name").toPandas()["p_name"]
+            for w in name.split(" ")
+            if w
+        }
+    )
+    expect = {
+        (a, b)
+        for a, b in itertools.combinations(vocab, 2)
+        if lev(a, b) <= 1
+    }
+    got = {tuple(r) for r in pdf[["w1", "w2"]].itertuples(index=False)}
+    assert got == expect
+    assert (pdf["dist"] == 1).all()  # distinct words can't be distance 0
