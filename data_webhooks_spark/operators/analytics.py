@@ -560,3 +560,91 @@ def ab_ttest_welch(spark, sf_dir):
         qnt(F.expr(_W_T), "t_stat"),
         qnt(F.expr(_W_DF), "df_welch"),
     )
+
+
+@op(
+    "event_attribution",
+    sql="""
+    WITH p AS (
+        SELECT event_id AS pid, user_id, ts AS pts,
+               CASE WHEN value >= 0
+                    THEN CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                    ELSE -CAST(FLOOR(-value * 100.0 + 0.5) AS BIGINT)
+               END AS pu
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+        SELECT user_id, ts, event_type
+        FROM events WHERE event_type IN ('view', 'click')
+    ),
+    joined AS (
+        SELECT p.pid, p.pu, t.event_type
+        FROM p JOIN touch t
+          ON t.user_id = p.user_id
+         AND t.ts < p.pts
+         AND t.ts >= p.pts - INTERVAL 7 DAY
+    ),
+    k AS (
+        SELECT pid, COUNT(*) AS n_touch FROM joined GROUP BY pid
+    ),
+    credit AS (
+        SELECT j.event_type,
+               (j.pu * 1000) // k.n_touch AS cmu
+        FROM joined j JOIN k ON k.pid = j.pid
+    )
+    SELECT event_type AS touch_type,
+           COUNT(*) AS n_touches,
+           CAST(CAST(SUM(cmu) AS BIGINT) AS DOUBLE) / 100000 AS credited_value
+    FROM credit
+    GROUP BY event_type
+    """,
+)
+def event_attribution(spark, sf_dir):
+    """Multi-touch LINEAR attribution: each purchase's value is split
+    evenly across the user's view/click touchpoints in the preceding
+    7 days, then credited value rolls up per touchpoint type — the
+    marketing-analytics question ("how much revenue do views vs
+    clicks drive") behind every attribution dashboard; first/last-
+    touch are the k=1 degenerate of the same join.
+
+    Exactness discipline: purchase value rounds once to cent units,
+    each touch's share is the INTEGER division (units·1000) div k —
+    milli-cent credits, identical on both engines, no per-share float
+    rounding to drift (the ≤ k−1 milli-cent truncation per purchase
+    is deterministic). Shape: the touch join is user-keyed equi with
+    a time-range residual (the join_interval discipline — never a
+    time-keyed theta join), per-purchase fan-out k comes from one
+    aggregate on the join result, and the final rollup is
+    aggregate-sized. At 100 TB everything shuffles on user_id/pid
+    keys with partial aggregation; a user's 7-day touch history
+    bounds the fan-out."""
+    t = Tables(spark, sf_dir)
+    units = F.when(
+        F.col("value") >= 0, F.floor(F.col("value") * 100.0 + F.lit(0.5))
+    ).otherwise(-F.floor(-F.col("value") * 100.0 + F.lit(0.5)))
+    p = t.events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("puid"),
+        F.col("ts").alias("pts"),
+        units.alias("pu"),
+    )
+    touch = t.events.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", "ts", "event_type"
+    )
+    joined = p.join(
+        touch,
+        (touch["user_id"] == p["puid"])
+        & (touch["ts"] < p["pts"])
+        & (touch["ts"] >= p["pts"] - F.expr("INTERVAL 7 DAY")),
+    ).select("pid", "pu", "event_type")
+    k = joined.groupBy("pid").agg(F.count(F.lit(1)).alias("n_touch"))
+    credit = joined.join(k, "pid").select(
+        "event_type",
+        F.expr("(pu * 1000) div n_touch").alias("cmu"),
+    )
+    return credit.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        (F.sum("cmu").cast("double") / 100000).alias("credited_value"),
+    ).select(
+        F.col("event_type").alias("touch_type"), "n_touches", "credited_value"
+    )

@@ -40,9 +40,10 @@ from pyspark.sql import DataFrame, SparkSession
 # win_pattern_match, sample_weighted, dedup_containment; second
 # batch: win_gap_islands, analytics_rfm, sample_temperature,
 # agg_corr, agg_cms_freq, ts_autocorr; third batch: graph_pagerank,
-# ab_ttest_welch, vocab_typo_pairs — all SQL-oracled, all locally
-# swept) sit outside the first 50 by design and are the seed of the
-# round-6 rotation window.
+# ab_ttest_welch, vocab_typo_pairs; fourth batch: graph_triangle_count,
+# event_attribution — all SQL-oracled, all locally swept) sit outside
+# the first 50 by design and are the seed of the round-6 rotation
+# window.
 _ROWS_ONLY = {
     "ann_ivf",
     "dedup_minhash",

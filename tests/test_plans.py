@@ -402,6 +402,7 @@ NESTED_LOOP_OK = {
     "agg_cms_freq",  # 1-row corpus total onto the ~|probes|-row output
     "analytics_rfm",  # 1-row quintile edges onto the per-user scan
     "graph_pagerank",  # 1-row (n, base) scalars onto the rank table per sweep
+    "graph_triangle_count",  # 1-row x 1-row graph-profile scalar attaches
     # deliberately tiny cross/broadcast sides (<= dozens of rows or
     # candidate sets bounded by construction)
     "join_cross", "join_skew_salted", "knn_join", "sim_cosine_brute",

@@ -115,3 +115,75 @@ def test_typo_pairs_equal_brute_force(spark, sf_dir):
     got = {tuple(r) for r in pdf[["w1", "w2"]].itertuples(index=False)}
     assert got == expect
     assert (pdf["dist"] == 1).all()  # distinct words can't be distance 0
+
+
+def test_triangle_count_matches_brute_force(spark, sf_dir):
+    """Re-count triangles by brute force over the undirected edge set
+    (adjacency-set intersection) and require exact agreement with the
+    oriented-wedge count, plus the wedge/edge profile invariants."""
+    row = QUERIES["graph_triangle_count"](spark, sf_dir).toPandas().iloc[0]
+    t = Tables(spark, sf_dir)
+    li = t.lineitem.select("l_orderkey", "l_partkey").toPandas()
+    und = set()
+    for _, g in li.groupby("l_orderkey"):
+        parts = sorted(g["l_partkey"].unique())
+        for i, a in enumerate(parts):
+            for b in parts[i + 1 :]:
+                und.add((a, b))
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = sum(
+        len(adj[a] & adj[b]) for a, b in und
+    ) // 3  # each triangle counted once per edge
+    assert row["n_edges"] == len(und)
+    assert row["n_nodes"] == len(adj)
+    assert row["n_triangles"] == tri
+    # oriented wedges >= triangles (every triangle closes exactly one
+    # wedge under a total orientation order)
+    assert row["n_wedges"] >= row["n_triangles"]
+
+
+def test_attribution_conserves_attributable_value(spark, sf_dir):
+    """Credited value across touch types must equal (to the bounded
+    integer-truncation deficit) the total cent-exact value of
+    purchases that HAVE at least one prior-7-day touch, and the per-
+    type split must match an independent pandas re-derivation."""
+    import pandas as pd
+
+    pdf = QUERIES["event_attribution"](spark, sf_dir).toPandas()
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("event_id", "user_id", "ts", "event_type", "value").toPandas()
+    ev["ts"] = pd.to_datetime(ev["ts"])
+    ev["u"] = np.where(
+        ev["value"] >= 0,
+        np.floor(ev["value"] * 100 + 0.5),
+        -np.floor(-ev["value"] * 100 + 0.5),
+    ).astype("int64")
+    purchases = ev[ev["event_type"] == "purchase"]
+    touches = ev[ev["event_type"].isin(["view", "click"])]
+    total_mu = {"view": 0, "click": 0}
+    n_touch = {"view": 0, "click": 0}
+    attributable_mu = 0
+    for _, p in purchases.iterrows():
+        w = touches[
+            (touches["user_id"] == p["user_id"])
+            & (touches["ts"] < p["ts"])
+            & (touches["ts"] >= p["ts"] - pd.Timedelta(days=7))
+        ]
+        k = len(w)
+        if k == 0:
+            continue
+        share = (p["u"] * 1000) // k
+        attributable_mu += p["u"] * 1000
+        for et, cnt in w["event_type"].value_counts().items():
+            total_mu[et] += share * cnt
+            n_touch[et] += cnt
+    got = pdf.set_index("touch_type")
+    for et in ("view", "click"):
+        assert got.loc[et, "n_touches"] == n_touch[et]
+        assert abs(got.loc[et, "credited_value"] - total_mu[et] / 100000) < 1e-9
+    credited = sum(total_mu.values())
+    # truncation deficit < k milli-cents per purchase
+    assert 0 <= attributable_mu - credited < 1000 * len(purchases)
