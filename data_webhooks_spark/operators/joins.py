@@ -576,3 +576,114 @@ def join_lateral(spark, sf_dir):
     for name in ("customer", "orders"):
         getattr(t, name).createOrReplaceTempView(name)
     return spark.sql(_LATERAL_SQL)
+
+
+@op(
+    "join_asof_nearest",
+    sql="""
+    WITH p AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, ts, value, event_id FROM events
+        WHERE event_type = 'click'
+    ),
+    j AS (
+        SELECT p.event_id, p.user_id, p.ts AS p_ts,
+               c.ts AS c_ts, c.value AS c_value,
+               row_number() OVER (
+                   PARTITION BY p.event_id
+                   ORDER BY abs(epoch_us(p.ts) - epoch_us(c.ts)),
+                            c.ts, c.event_id DESC
+               ) AS rn
+        FROM p LEFT JOIN c ON c.user_id = p.user_id
+    )
+    SELECT event_id, user_id, p_ts,
+           c_ts AS click_ts, c_value AS click_value,
+           CASE WHEN c_ts IS NULL THEN NULL
+                WHEN c_ts <= p_ts THEN 'backward'
+                ELSE 'forward' END AS direction
+    FROM j WHERE rn = 1
+    """,
+)
+def join_asof_nearest(spark, sf_dir):
+    """NEAREST-direction as-of join (pandas ``merge_asof
+    direction='nearest'``), completing the family with `join_asof`
+    (backward) and `join_asof_forward`: each purchase pairs with the
+    click minimizing |Δts|, ties by earlier click then larger click
+    id (exact-tie semantics pinned on both engines — the oracle's
+    rank ordering (|Δus|, c.ts, c.event_id DESC) is the same total
+    order the two windows realize).
+
+    Implementation composes the two directional union-window tricks —
+    NOT a per-purchase sort over all the user's clicks: one union,
+    one user-keyed exchange, a backward last(ignorenulls) and a
+    forward first(ignorenulls) frame (different sort orders reuse the
+    exchange), then a codegen comparison of the two exact µs
+    distances picks the winner. O(n log n) in the user's events
+    versus the oracle's O(purchases × clicks) brute force; at 100 TB
+    this is one shuffle like every other as-of key. The click triple
+    rides in one nullable struct (the join_asof atomicity rule)."""
+    t = Tables(spark, sf_dir)
+    ev = t.events
+    cs = _click_struct_type(ev)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(0).alias("side"),
+        F.struct(
+            F.col("ts").alias("c_ts"),
+            F.col("value").alias("c_value"),
+            F.col("event_id").alias("c_id"),
+        ).alias("c"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast(cs).alias("c"),
+        "event_id",
+    )
+    u = clicks.unionByName(purchases)
+    # backward: latest click at or before the purchase; equal-ts ties
+    # resolve to the LARGEST click id (last row of the ascending-id
+    # run) — the join_asof convention.
+    w_b = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "side", F.asc_nulls_first("c.c_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # forward: earliest click strictly after (equal-ts clicks sort
+    # before the purchase row, so the following frame excludes them);
+    # id DESC makes the first row of an equal-ts run the largest id,
+    # matching the backward tie convention.
+    w_f = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "side", F.desc_nulls_last("c.c_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    picked = (
+        u.withColumn("cb", F.last("c", ignorenulls=True).over(w_b))
+        .withColumn("cf", F.first("c", ignorenulls=True).over(w_f))
+        .filter(F.col("side") == 1)
+    )
+    p_us = F.unix_micros(F.col("t").cast("timestamp"))
+    b_diff = p_us - F.unix_micros(F.col("cb.c_ts").cast("timestamp"))
+    f_diff = F.unix_micros(F.col("cf.c_ts").cast("timestamp")) - p_us
+    take_b = F.col("cb").isNotNull() & (
+        F.col("cf").isNull() | (b_diff <= f_diff)
+    )
+    chosen = F.when(take_b, F.col("cb")).otherwise(F.col("cf"))
+    return picked.select(
+        "event_id",
+        "user_id",
+        F.col("t").alias("p_ts"),
+        chosen["c_ts"].alias("click_ts"),
+        chosen["c_value"].alias("click_value"),
+        F.when(chosen["c_ts"].isNull(), F.lit(None).cast("string"))
+        .when(take_b, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("direction"),
+    )

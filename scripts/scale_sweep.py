@@ -87,6 +87,9 @@ KEYS = [
     # r5 fourth batch
     "graph_triangle_count",
     "event_attribution",
+    # r5 fifth batch
+    "join_asof_nearest",
+    "scan_parquet_bloom",
 ]
 MAX_FACTOR = {
     "dedup_embedding": 10,
@@ -101,7 +104,17 @@ MAX_FACTOR = {
 # dedup_embedding's oracle is an O(n^2) nested-loop self-join (400M
 # 64-dim dot products at x10) — the oracle exists for CORRECTNESS at
 # sf0.01, not as a throughput baseline.
-ORACLE_SKIP = {"dedup_embedding", "graph_pagerank", "graph_triangle_count"}
+ORACLE_SKIP = {
+    "dedup_embedding",
+    "graph_pagerank",
+    "graph_triangle_count",
+    # the nearest-asof oracle is a per-purchase rank over ALL the
+    # user's clicks — per-user-quadratic, and amplified histories are
+    # 100x deeper (filled 60 GB of spill before being killed at x100).
+    # At x10 it still finishes and LOSES to the window composition
+    # 2.8s vs 1.3s (ratio 0.48); amplified factors record Spark only.
+    "join_asof_nearest",
+}
 # graph_pagerank's oracle unrolls 3 power sweeps as chained CTEs;
 # DuckDB re-materializes the full edge list per sweep and at x100
 # (180M edges) spills past the VM's free disk. The oracle is the

@@ -187,3 +187,71 @@ def test_attribution_conserves_attributable_value(spark, sf_dir):
     credited = sum(total_mu.values())
     # truncation deficit < k milli-cents per purchase
     assert 0 <= attributable_mu - credited < 1000 * len(purchases)
+
+
+def test_asof_nearest_picks_true_minimum(spark, sf_dir):
+    """For every purchase the chosen click must minimize |Δts| over
+    ALL the user's clicks (re-derived in pandas), and direction must
+    be consistent with the sign of the difference."""
+    import pandas as pd
+
+    pdf = QUERIES["join_asof_nearest"](spark, sf_dir).toPandas()
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("event_id", "user_id", "ts", "event_type").toPandas()
+    ev["ts"] = pd.to_datetime(ev["ts"])
+    clicks = ev[ev["event_type"] == "click"]
+    by_user = {u: g["ts"].to_numpy() for u, g in clicks.groupby("user_id")}
+    pdf["p_ts"] = pd.to_datetime(pdf["p_ts"])
+    pdf["click_ts"] = pd.to_datetime(pdf["click_ts"])
+    for _, r in pdf.iterrows():
+        cts = by_user.get(r["user_id"])
+        if cts is None or len(cts) == 0:
+            assert pd.isna(r["click_ts"])
+            continue
+        best = np.abs(cts - r["p_ts"].to_datetime64()).min()
+        got = abs(r["click_ts"] - r["p_ts"])
+        assert got.to_timedelta64() == best, r["event_id"]
+        if r["click_ts"] <= r["p_ts"]:
+            assert r["direction"] == "backward"
+        else:
+            assert r["direction"] == "forward"
+
+
+def test_bloom_layout_really_writes_blooms_and_pushes_filter(
+    spark, sf_dir, tmp_path
+):
+    """The bloom layout must (a) produce strictly larger files than an
+    otherwise-identical bloom-DISABLED write of the same data (the
+    filter bitsets live in the file), and (b) plan the IN-list as a
+    pushed scan filter so the parquet reader can consult those blooms."""
+    import glob
+    import os
+
+    from data_webhooks_spark.operators.layout import bloom_events_path
+    from data_webhooks_spark.io import Tables
+
+    path = bloom_events_path(spark, sf_dir)
+    with_bloom = sum(
+        os.path.getsize(f) for f in glob.glob(f"{path}/part-*.parquet")
+    )
+    t = Tables(spark, sf_dir)
+    ctrl = str(tmp_path / "events_nobloom")
+    (
+        t.events.repartitionByRange(8, "user_id")
+        .sortWithinPartitions("user_id", "ts")
+        .write.mode("overwrite")
+        .option("parquet.block.size", str(1 << 20))
+        .parquet(ctrl)
+    )
+    without = sum(
+        os.path.getsize(f) for f in glob.glob(f"{ctrl}/part-*.parquet")
+    )
+    assert with_bloom > without + 10_000, (with_bloom, without)
+
+    plan = (
+        QUERIES["scan_parquet_bloom"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "In(user_id" in plan
