@@ -41,10 +41,12 @@ from pyspark.sql import DataFrame, SparkSession
 # batch: win_gap_islands, analytics_rfm, sample_temperature,
 # agg_corr, agg_cms_freq, ts_autocorr; third batch: graph_pagerank,
 # ab_ttest_welch, vocab_typo_pairs; fourth batch: graph_triangle_count,
-# event_attribution; fifth: join_asof_nearest, scan_parquet_bloom —
+# event_attribution; fifth: join_asof_nearest, scan_parquet_bloom,
+# and the rows-only embed_pq (product quantization) —
 # all SQL-oracled, all locally swept) sit outside the first 50 by
 # design and are the seed of the round-6 rotation window.
 _ROWS_ONLY = {
+    "embed_pq",
     "ann_ivf",
     "dedup_minhash",
     "dedup_simhash",
