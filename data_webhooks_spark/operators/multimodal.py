@@ -73,10 +73,11 @@ def multimodal_col(spark, sf_dir):
     DuckDB twin recomputes every output column from the documents table
     (fixture text is verified ASCII, so char ops == byte ops) — the
     whole binary pipeline is hash-checked, not rows-only. The sibling
-    resize/frames keys got the same treatment in r4 (their exact
-    output BYTES are DuckDB-recomputable); features stays rows-only —
-    its float32 normalized histogram has no bit-exact cross-engine
-    double form."""
+    resize/frames/features keys get the same treatment (exact output
+    bytes / micro-unit histogram values are DuckDB-recomputable), and
+    since r6 all four emit only scalar sortable columns — hex strings
+    and BIGINT micro-units, never raw binary/array cells — so the
+    driver's pandas sort canon can order every output."""
     t = Tables(spark, sf_dir)
     with_payload = t.documents.select(
         "doc_id",
@@ -126,7 +127,8 @@ def resize_stub(payload: bytes, factor: int) -> bytes:
     "multimodal_resize",
     sql="""
     SELECT doc_id,
-           encode(regexp_replace(text, '(.).{1,3}', '\\1', 'g')) AS payload,
+           lower(hex(regexp_replace(text, '(.).{1,3}', '\\1', 'g')))
+               AS payload_hex,
            CAST(strlen(text) AS BIGINT) AS orig_bytes,
            CAST(strlen(regexp_replace(text, '(.).{1,3}', '\\1', 'g'))
                 AS BIGINT) AS new_bytes
@@ -143,8 +145,13 @@ def multimodal_resize(spark, sf_dir):
     fixture text is verified ASCII (char ops == byte ops), so DuckDB
     recomputes the exact output bytes with a left-to-right greedy
     regexp ('(.).{1,3}' -> first char of each block, matching
-    payload[::4] including the partial trailing block) — the resized
-    BINARY itself is hash-compared, not just its length."""
+    payload[::4] including the partial trailing block).
+
+    Since r6 the resized bytes ship as lowercase hex (`payload_hex`)
+    instead of raw binary: the driver's pandas sort canon cannot
+    order binary cells (the r5 red row), and hex keeps the output
+    byte-exact-checkable while every column stays a sortable scalar —
+    the same treatment `multimodal_col.header_hex` has had since r4."""
     FACTOR = 4
     t = Tables(spark, sf_dir)
 
@@ -154,14 +161,15 @@ def multimodal_resize(spark, sf_dir):
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "payload": out,
+                    "payload_hex": [o.hex() for o in out],
                     "orig_bytes": [len(p) for p in pdf["payload"]],
                     "new_bytes": [len(o) for o in out],
                 }
             )
 
     return _payloads(t).mapInPandas(
-        resize_batches, "doc_id long, payload binary, orig_bytes long, new_bytes long"
+        resize_batches,
+        "doc_id long, payload_hex string, orig_bytes long, new_bytes long",
     )
 
 
@@ -169,7 +177,8 @@ def multimodal_resize(spark, sf_dir):
     "multimodal_frames",
     sql="""
     SELECT doc_id, CAST(k AS INT) AS frame_idx,
-           encode(substr(text, CAST(k * 64 + 1 AS BIGINT), 64)) AS frame
+           lower(hex(substr(text, CAST(k * 64 + 1 AS BIGINT), 64)))
+               AS frame_hex
     FROM documents,
     LATERAL (SELECT unnest(range(0,
                  CAST(ceil(strlen(text) / 64.0) AS BIGINT), 3)) AS k) t
@@ -183,8 +192,10 @@ def multimodal_frames(spark, sf_dir):
 
     SQL-oracled since r4: stride and frame size are deterministic and
     the text is verified ASCII, so DuckDB regenerates every sampled
-    frame's exact bytes with a LATERAL range + substr — frame binaries
-    hash-compared end to end."""
+    frame's exact bytes with a LATERAL range + substr. Since r6 each
+    frame ships as lowercase hex (`frame_hex`) — byte-exact checking
+    preserved, but every output column is a scalar the driver's
+    pandas sort canon can order (binary cells were the r5 red row)."""
     FRAME_BYTES, STRIDE = 64, 3  # sample every 3rd 64-byte "frame"
     t = Tables(spark, sf_dir)
 
@@ -198,13 +209,15 @@ def multimodal_frames(spark, sf_dir):
                 for k in range(0, n_frames, STRIDE):
                     ids.append(doc_id)
                     idxs.append(k)
-                    frames.append(p[k * FRAME_BYTES : (k + 1) * FRAME_BYTES])
+                    frames.append(
+                        p[k * FRAME_BYTES : (k + 1) * FRAME_BYTES].hex()
+                    )
             yield pd.DataFrame(
-                {"doc_id": ids, "frame_idx": idxs, "frame": frames}
+                {"doc_id": ids, "frame_idx": idxs, "frame_hex": frames}
             )
 
     return _payloads(t).mapInPandas(
-        frame_batches, "doc_id long, frame_idx int, frame binary"
+        frame_batches, "doc_id long, frame_idx int, frame_hex string"
     )
 
 
@@ -224,29 +237,29 @@ def multimodal_frames(spark, sf_dir):
         SELECT d.doc_id, r.range AS bin FROM documents d, range(16) r
     )
     SELECT s.doc_id,
-           list(FLOOR(COALESCE(c.c, 0) / CAST(t.t AS DOUBLE)
-                      * 1000000.0 + 0.5) / 1000000.0
-                ORDER BY s.bin) AS features
+           CAST(s.bin AS INT) AS bin,
+           CAST(FLOOR(COALESCE(c.c, 0) / CAST(t.t AS DOUBLE)
+                      * 1000000.0 + 0.5) AS BIGINT) AS feat_micro
     FROM spine s
     JOIN tot t ON s.doc_id = t.doc_id
     LEFT JOIN counts c ON s.doc_id = c.doc_id AND s.bin = c.bin
-    GROUP BY s.doc_id
     """,
 )
 def multimodal_features(spark, sf_dir):
-    """Feature extraction: binary payload -> fixed-width float vector
+    """Feature extraction: binary payload -> fixed-width feature vector
     (16-bin normalized byte histogram as the deterministic stand-in for
-    a CNN/audio embedding). Output shape is the exact input of the
-    similarity/dedup operators (sim_*, dedup_embedding), so the two
-    pipelines compose. Vectorized numpy over each Arrow batch;
-    per-partition map, no shuffle.
+    a CNN/audio embedding). Vectorized numpy over each Arrow batch;
+    per-partition map, no shuffle — exploding to 16 rows/doc inside
+    the same Arrow batch keeps it shuffle-free too.
 
-    SQL-oracled since r4: the histogram is computed in float64 and
-    quantized with the shared norms.qnt formula, so DuckDB rebuilds
-    the identical vector element-for-element (char-class counts over
-    the verified-ASCII text, a 16-bin spine for the zero bins, same
-    IEEE divide + floor quantize). canon()'s list branch compares
-    arrays per element."""
+    Since r6 the vector ships EXPLODED as (doc_id, bin, feat_micro)
+    with integer micro-units (floor(v*1e6+0.5) as BIGINT) instead of
+    one array<double> cell: the driver's pandas sort canon cannot
+    hash ndarray cells (the r5 red row), and the scaled-BIGINT
+    discipline (see memory: cross-engine-determinism) removes float
+    formatting from the compare entirely. A pipeline that wants the
+    packed vector regroups with collect_list(... ORDER BY bin) — the
+    sim_*/dedup_embedding input shape is one groupBy away."""
     import numpy as np
 
     BINS = 16
@@ -254,8 +267,8 @@ def multimodal_features(spark, sf_dir):
 
     def feat_batches(batches):
         for pdf in batches:
-            vecs = []
-            for p in pdf["payload"]:
+            ids, bins, micros = [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
                 if p is None:
                     raise NotImplementedError("featurize of NULL payload")
                 arr = np.frombuffer(p, dtype=np.uint8)
@@ -263,9 +276,14 @@ def multimodal_features(spark, sf_dir):
                 total = hist.sum()
                 v = hist / total if total else hist
                 # identical quantization to norms.qnt / the SQL oracle
-                vecs.append(np.floor(v * 1e6 + 0.5) / 1e6)
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": vecs})
+                mu = np.floor(v * 1e6 + 0.5).astype(np.int64)
+                ids.extend([doc_id] * BINS)
+                bins.extend(range(BINS))
+                micros.extend(mu.tolist())
+            yield pd.DataFrame(
+                {"doc_id": ids, "bin": bins, "feat_micro": micros}
+            )
 
     return _payloads(t).mapInPandas(
-        feat_batches, "doc_id long, features array<double>"
+        feat_batches, "doc_id long, bin int, feat_micro long"
     )

@@ -339,8 +339,8 @@ def ann_ivf(spark, sf_dir):
     )
     SELECT vec_id,
            scale,
-           list_transform(e, x -> CAST(LEAST(GREATEST(
-               FLOOR(x / scale + 0.5), -127), 127) AS INT)) AS qvec,
+           array_to_string(list_transform(e, x -> CAST(LEAST(GREATEST(
+               FLOOR(x / scale + 0.5), -127), 127) AS INT)), ',') AS qvec_csv,
            list_max(list_transform(e, x -> abs(CAST(LEAST(GREATEST(
                FLOOR(x / scale + 0.5), -127), 127) AS DOUBLE) * scale - x)))
                AS max_abs_err
@@ -360,7 +360,14 @@ def embed_quantize_int8(spark, sf_dir):
     Python; the all-zero-vector edge case pins scale=1 identically on
     both engines, and rounding is the repo-standard floor(x+0.5) (both
     engines agree on every tie, unlike ROUND's dialect-specific
-    half-even/half-up)."""
+    half-even/half-up).
+
+    The int8 vector ships as a ','-joined scalar (`qvec_csv`) rather
+    than a raw array<int>: the driver's canonicalizer sorts every
+    output column with pandas and cannot hash/sort ndarray cells (the
+    r5 red row; same fix as agg_collect in r1). Integer-to-string
+    formatting is dialect-stable, so the CSV is byte-identical on
+    both engines and the full vector stays hash-checked."""
     t = Tables(spark, sf_dir)
     e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     d = t.embeddings.select("vec_id", e.alias("e"))
@@ -385,7 +392,7 @@ def embed_quantize_int8(spark, sf_dir):
     return s.select(
         "vec_id",
         "scale",
-        q.alias("qvec"),
+        F.concat_ws(",", q.cast("array<string>")).alias("qvec_csv"),
         err.alias("max_abs_err"),
     )
 
@@ -455,6 +462,12 @@ def embed_pq(spark, sf_dir):
     return d.select(
         "vec_id",
         "label",
-        F.array(*[p["k"] for p in picks]).alias("codes"),
+        # ','-joined scalar, not array<int>: keeps every output column
+        # hashable under the driver's pandas sort canon (rows-only keys
+        # are exempt today, but the registry-wide dtype lint holds all
+        # 215 keys to the same scalar-output discipline).
+        F.concat_ws(
+            ",", F.array(*[p["k"] for p in picks]).cast("array<string>")
+        ).alias("codes_csv"),
         (total_d2 / F.lit(float(M * SUB))).alias("recon_mse"),
     )

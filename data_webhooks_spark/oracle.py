@@ -76,13 +76,58 @@ def frame_multiset(pdf: pd.DataFrame) -> Counter:
     )
 
 
-def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
-    """Return a list of human-readable mismatches (empty == match)."""
+_UNSORTABLE_TOKENS = {"a", "m", "b"}  # array / map / bytes canon tags
+
+
+def _driver_unsortable_cols(pdf: pd.DataFrame) -> list[str]:
+    """Columns whose cells the external driver's canonicalizer cannot
+    handle: it sorts every output column with pandas `sort_values`,
+    which needs hashable, mutually-orderable cells — ndarray/list,
+    dict, and bytes cells blow up there (the r5 red rows:
+    embed_quantize_int8 + multimodal_{resize,frames,features}),
+    while the local multiset canon happily compared them. Detect by
+    scanning object-dtype columns for container/bytes values."""
+    bad = []
+    for col in pdf.columns:
+        s = pdf[col]
+        if s.dtype != object and not str(s.dtype).startswith("object"):
+            continue
+        for v in s:
+            if isinstance(v, (list, tuple, dict, bytes, bytearray, np.ndarray)):
+                bad.append(col)
+                break
+    return bad
+
+
+def compare_frames(
+    spark_pdf: pd.DataFrame,
+    duck_pdf: pd.DataFrame,
+    require_driver_sortable: bool = True,
+) -> list[str]:
+    """Return a list of human-readable mismatches (empty == match).
+
+    `require_driver_sortable` (default, used for every registry
+    parity check) additionally REJECTS results with container/binary
+    cells even when both engines agree — the external driver's
+    stricter sort-based canon would error on them, and the r5 round
+    proved a local-green/driver-red divergence here is the worst kind
+    of silent failure. Ad-hoc element-wise array comparisons (not
+    part of the driver surface) may pass False explicitly."""
     problems: list[str] = []
     sc, dc = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
     if sc != dc:
         problems.append(f"column names differ: spark={sc} duckdb={dc}")
         return problems
+    if require_driver_sortable:
+        uns = _driver_unsortable_cols(spark_pdf)
+        if uns:
+            problems.append(
+                f"driver-unsortable output columns {uns}: the external "
+                "driver's pandas sort canon cannot hash/sort "
+                "array/map/binary cells — scalarize (CSV-join, hex, or "
+                "explode to rows) like agg_collect/multimodal_col"
+            )
+            return problems
     if len(spark_pdf) != len(duck_pdf):
         problems.append(f"row count differs: spark={len(spark_pdf)} duckdb={len(duck_pdf)}")
     s_ms, d_ms = frame_multiset(spark_pdf), frame_multiset(duck_pdf)

@@ -426,3 +426,31 @@ def test_registry_wide_plan_lint(spark, sf_dir, qs):
         if "BroadcastNestedLoop" in plan and key not in NESTED_LOOP_OK:
             bad.append((key, "BroadcastNestedLoop"))
     assert not bad, bad
+
+
+def test_registry_output_dtypes(spark, sf_dir, qs):
+    """Driver-canon compatibility lint (the r5 lesson): the external
+    driver canonicalizes results with a pandas sort over every output
+    column, which cannot hash/sort ndarray, bytes, or dict cells —
+    four r5 keys went red on exactly this while the looser local
+    canon stayed green. Hold ALL registry keys (rows-only included;
+    their .toPandas() flows through the same driver path) to
+    scalar-only final schemas: no ArrayType/MapType/BinaryType
+    anywhere. Vectors ship as ','-joined CSV, binaries as hex —
+    precedents: agg_collect (r1), multimodal_col (r4), and the r6
+    scalarization of embed_quantize_int8 / multimodal_* / embed_pq."""
+    from pyspark.sql.types import ArrayType, BinaryType, MapType
+
+    bad = []
+    for key, fn in sorted(qs.items()):
+        offenders = [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in fn(spark, sf_dir).schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, BinaryType))
+        ]
+        if offenders:
+            bad.append((key, offenders))
+    assert not bad, (
+        "non-scalar output columns (driver's pandas sort canon cannot "
+        f"order these — scalarize like agg_collect/multimodal_col): {bad}"
+    )

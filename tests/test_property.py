@@ -101,7 +101,31 @@ def test_frame_multiset_invariant_under_permutation(rows, rng):
     rng.shuffle(shuffled)
     b = pd.DataFrame(shuffled, columns=["x", "y"])[["y", "x"]][["x", "y"]]
     assert frame_multiset(a) == frame_multiset(b)
-    assert not compare_frames(a, b.sample(frac=1, random_state=7))
+    # _cell can generate list cells; multiset invariance is what's
+    # under test here, not the driver-sortable output lint
+    assert not compare_frames(
+        a, b.sample(frac=1, random_state=7), require_driver_sortable=False
+    )
+
+
+def test_compare_frames_rejects_driver_unsortable_columns():
+    """The r5 regression class, pinned: a result whose cells are
+    ndarray/list/bytes/dict must be REJECTED by the default
+    (driver-strict) compare even when both sides are identical —
+    the external driver's pandas sort canon would crash on it.
+    Scalar frames still pass; the opt-out flag restores the old
+    element-wise behavior for ad-hoc array checks."""
+    import numpy as np
+
+    for cell in ([1, 2], np.array([1.0, 2.0]), b"\x00\x01", {"k": 1}):
+        pdf = pd.DataFrame({"id": [1, 2], "v": [cell, cell]})
+        probs = compare_frames(pdf, pdf.copy())
+        assert probs and "driver-unsortable" in probs[0], (cell, probs)
+        assert not compare_frames(
+            pdf, pdf.copy(), require_driver_sortable=False
+        )
+    ok = pd.DataFrame({"id": [1, 2], "v": ["a,b", "c,d"]})
+    assert not compare_frames(ok, ok.copy())
 
 
 @settings(max_examples=200, deadline=None)
