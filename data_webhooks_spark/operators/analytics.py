@@ -378,9 +378,21 @@ def win_pattern_match(spark, sf_dir):
         FROM events GROUP BY user_id
     ),
     e AS (
-        SELECT quantile_cont(CAST(recency AS DOUBLE), [0.2,0.4,0.6,0.8]) AS re,
-               quantile_cont(CAST(frequency AS DOUBLE), [0.2,0.4,0.6,0.8]) AS fe,
-               quantile_cont(CAST(monetary AS DOUBLE), [0.2,0.4,0.6,0.8]) AS me
+        SELECT list_transform(
+                   quantile_cont(CAST(recency AS DOUBLE), [0.2,0.4,0.6,0.8]),
+                   q -> CASE WHEN q >= 0 THEN FLOOR(q * 1000000.0 + 0.5)
+                        ELSE -FLOOR(-q * 1000000.0 + 0.5) END / 1000000.0
+               ) AS re,
+               list_transform(
+                   quantile_cont(CAST(frequency AS DOUBLE), [0.2,0.4,0.6,0.8]),
+                   q -> CASE WHEN q >= 0 THEN FLOOR(q * 1000000.0 + 0.5)
+                        ELSE -FLOOR(-q * 1000000.0 + 0.5) END / 1000000.0
+               ) AS fe,
+               list_transform(
+                   quantile_cont(CAST(monetary AS DOUBLE), [0.2,0.4,0.6,0.8]),
+                   q -> CASE WHEN q >= 0 THEN FLOOR(q * 1000000.0 + 0.5)
+                        ELSE -FLOOR(-q * 1000000.0 + 0.5) END / 1000000.0
+               ) AS me
         FROM pu
     ),
     seg AS (
@@ -424,10 +436,32 @@ def analytics_rfm(spark, sf_dir):
         F.sum(units).alias("monetary"),
     )
     qs = F.array(*[F.lit(x / 5) for x in (1, 2, 3, 4)])
+
+    # Edge quantization (r5 ADVICE): Spark `percentile` and DuckDB
+    # `quantile_cont` interpolate the same order statistics but not
+    # provably to the same last ulp, and the metrics are integers —
+    # an edge sitting exactly ON an integer is the common case, so a
+    # 1-ulp divergence would flip whole cohorts. Snapping each edge to
+    # 1e-6 (sign-branched floor, the norms.qnt formula) collapses
+    # N±ulp to exactly N on both engines before the comparison.
+    def q6(c):
+        return (
+            F.when(c >= 0, F.floor(c * 1e6 + F.lit(0.5))).otherwise(
+                -F.floor(-c * 1e6 + F.lit(0.5))
+            )
+            / 1e6
+        )
+
     edges = pu.agg(
-        F.percentile(F.col("recency").cast("double"), qs).alias("re"),
-        F.percentile(F.col("frequency").cast("double"), qs).alias("fe"),
-        F.percentile(F.col("monetary").cast("double"), qs).alias("me"),
+        F.transform(
+            F.percentile(F.col("recency").cast("double"), qs), q6
+        ).alias("re"),
+        F.transform(
+            F.percentile(F.col("frequency").cast("double"), qs), q6
+        ).alias("fe"),
+        F.transform(
+            F.percentile(F.col("monetary").cast("double"), qs), q6
+        ).alias("me"),
     )
 
     def quint(metric, edge_col):
@@ -458,10 +492,15 @@ _W_VA = f"({_W_VAR1} / nd1)"
 _W_VB = f"({_W_VAR2} / nd2)"
 _W_SE2 = f"({_W_VA} + {_W_VB})"
 _W_MDIFF = "((s1d / nd1 - s2d / nd2) / 100.0)"
-_W_T = f"((s1d / nd1 - s2d / nd2) / sqrt({_W_SE2}))"
+# NULLIF on both denominators guards the zero-variance degenerate
+# (both arms constant): t and df are undefined there and must yield
+# NULL on BOTH engines instead of an Inf/NaN racing through FLOOR
+# with dialect-dependent results — same pattern as _CORR_EXPR.
+_W_T = f"((s1d / nd1 - s2d / nd2) / nullif(sqrt({_W_SE2}), 0.0))"
 _W_DF = (
     f"(({_W_SE2} * {_W_SE2}) / "
-    f"({_W_VA} * {_W_VA} / (nd1 - 1.0) + {_W_VB} * {_W_VB} / (nd2 - 1.0)))"
+    f"nullif({_W_VA} * {_W_VA} / (nd1 - 1.0) "
+    f"+ {_W_VB} * {_W_VB} / (nd2 - 1.0), 0.0))"
 )
 
 

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 # check for them). The last slot re-verifies pack_sequences, whose
 # implementation changed this round ((lang, shard) two-level cumsum).
 # After this window lands, every key registered before r5 has an
-# official driver row. The fifteen operators ADDED in r5
+# official driver row. The twenty operators ADDED in r5
 # (agg_histogram, agg_histogram_equidepth, ts_interpolate_linear,
 # win_pattern_match, sample_weighted, dedup_containment; second
 # batch: win_gap_islands, analytics_rfm, sample_temperature,

@@ -75,6 +75,27 @@ def test_welch_ttest_matches_numpy(spark, sf_dir):
     assert abs(row["df_welch"] - df) < 1e-3 * max(1.0, df)
 
 
+def test_welch_zero_variance_degenerate_is_null(duck):
+    """Both arms constant → se²=0 → t and df undefined. The shared
+    _W_T/_W_DF strings must NULL out (nullif guard) instead of pushing
+    Inf/NaN through FLOOR with engine-dependent results (r5 ADVICE).
+    Evaluated on DuckDB with hand-built constant-arm moments; the
+    Spark side runs the byte-identical expression strings."""
+    from data_webhooks_spark.operators.analytics import _W_DF, _W_T
+
+    row = duck.execute(
+        f"""
+        WITH d AS (
+            SELECT 3.0 AS nd1, 4.0 AS nd2,
+                   15.0 AS s1d, 28.0 AS s2d,   -- arms constant: 5,5,5 / 7,7,7,7
+                   75.0 AS ss1d, 196.0 AS ss2d
+        )
+        SELECT {_W_T} AS t_stat, {_W_DF} AS df_welch FROM d
+        """
+    ).fetchone()
+    assert row[0] is None and row[1] is None, row
+
+
 def test_typo_pairs_equal_brute_force(spark, sf_dir):
     """The deletion-neighborhood blocking must find EXACTLY the
     Levenshtein-1 pairs a brute-force O(V²) scan finds — blocking for
@@ -175,8 +196,13 @@ def test_attribution_conserves_attributable_value(spark, sf_dir):
         k = len(w)
         if k == 0:
             continue
-        share = (p["u"] * 1000) // k
-        attributable_mu += p["u"] * 1000
+        # truncate toward zero like Spark `div` and DuckDB `//` — NOT
+        # Python floor division, which differs on negative purchase
+        # values (r5 ADVICE; -7001//3 = -2334 in Python, -2333 in both
+        # engines)
+        n = int(p["u"]) * 1000
+        share = -((-n) // k) if n < 0 else n // k
+        attributable_mu += n
         for et, cnt in w["event_type"].value_counts().items():
             total_mu[et] += share * cnt
             n_touch[et] += cnt
@@ -185,8 +211,9 @@ def test_attribution_conserves_attributable_value(spark, sf_dir):
         assert got.loc[et, "n_touches"] == n_touch[et]
         assert abs(got.loc[et, "credited_value"] - total_mu[et] / 100000) < 1e-9
     credited = sum(total_mu.values())
-    # truncation deficit < k milli-cents per purchase
-    assert 0 <= attributable_mu - credited < 1000 * len(purchases)
+    # trunc-toward-zero leaves |deficit| < k milli-cents per purchase,
+    # with the deficit's sign following the purchase value's sign
+    assert abs(attributable_mu - credited) < 1000 * len(purchases)
 
 
 def test_asof_nearest_picks_true_minimum(spark, sf_dir):
