@@ -17,6 +17,16 @@ Exactly-once contract (SURVEY §7.3):
 - backpressure: when the buffer holds more than ``maxBuffer``
   uncommitted rows the server answers 429 and the client retries.
 
+Authentication (optional, ``option("secret", ...)``): HMAC-SHA256
+request signing in the GitHub/Stripe webhook style — the producer
+sends ``X-Hub-Signature-256: sha256=<hexdigest of HMAC(secret,
+raw body bytes)>``; the server recomputes over the exact received
+bytes and rejects missing/invalid signatures with 401 BEFORE the
+body can enter the offset buffer (a tampered byte changes the
+digest, so replayed-but-modified payloads are rejected too).
+Comparison is constant-time (hmac.compare_digest). With no secret
+configured the endpoint stays open — the test/dev default.
+
 Scale notes: a single-driver HTTP ingest is the reference shape
 (webhook receiver). At 100 TB/day you would front this with a durable
 log and use many partition-readers; the DataSource abstraction is the
@@ -38,6 +48,28 @@ from pyspark.sql.datasource import (
 )
 
 WEBHOOK_SCHEMA = "offset bigint, body string"
+
+SIGNATURE_HEADER = "X-Hub-Signature-256"
+
+
+def sign_body(secret: str, body: bytes) -> str:
+    """GitHub-style signature header value for a raw request body:
+    ``sha256=<hex HMAC-SHA256(secret, body)>``."""
+    import hashlib
+    import hmac
+
+    mac = hmac.new(secret.encode("utf-8"), body, hashlib.sha256)
+    return "sha256=" + mac.hexdigest()
+
+
+def signature_valid(secret: str, body: bytes, header: str | None) -> bool:
+    """Constant-time validation of the signature header against the
+    received bytes; missing or malformed headers are invalid."""
+    import hmac
+
+    if not header:
+        return False
+    return hmac.compare_digest(sign_body(secret, body), header.strip())
 
 
 def free_port() -> int:
@@ -100,6 +132,9 @@ class WebhookStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options: dict):
         self.port = int(options.get("port", 0)) or free_port()
         self.max_buffer = int(options.get("maxbuffer", 100_000))
+        # optional HMAC shared secret; DataSource options arrive
+        # lower-cased from Spark
+        self.secret = options.get("secret")
         self.buffer: _Buffer | None = None
         self.server = None
         self.thread = None
@@ -120,7 +155,17 @@ class WebhookStreamReader(SimpleDataSourceStreamReader):
 
             def do_POST(self):  # noqa: N802 (http.server API)
                 length = int(self.headers.get("Content-Length", 0))
-                body = self.rfile.read(length).decode("utf-8")
+                raw = self.rfile.read(length)
+                if reader.secret is not None and not signature_valid(
+                    reader.secret, raw, self.headers.get(SIGNATURE_HEADER)
+                ):
+                    # reject BEFORE the buffer: an unsigned/tampered
+                    # payload must never get an offset
+                    self.send_response(401)
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                    return
+                body = raw.decode("utf-8")
                 off = reader.buffer.append(body, reader.max_buffer)
                 if off is None:
                     self.send_response(429)  # buffer full — retry later
@@ -196,10 +241,20 @@ class WebhookDataSource(DataSource):
         return WebhookStreamReader(self.options)
 
 
-def post_events(port: int, bodies: list[str], timeout_s: float = 60.0) -> int:
+def post_events(
+    port: int,
+    bodies: list[str],
+    timeout_s: float = 60.0,
+    secret: str | None = None,
+    tamper: bool = False,
+) -> int:
     """Test/client helper: POST each body over one keep-alive
     connection; retries on 429 backpressure and on server-not-up;
-    returns number of accepted posts."""
+    returns number of accepted posts. With ``secret`` each request
+    carries the HMAC signature header; ``tamper=True`` signs a
+    DIFFERENT byte string than the one sent (the
+    modified-in-transit case — the server must 401, which is
+    terminal, not retried)."""
     import http.client
     import time
 
@@ -211,14 +266,19 @@ def post_events(port: int, bodies: list[str], timeout_s: float = 60.0) -> int:
         try:
             if conn is None:
                 conn = http.client.HTTPConnection("127.0.0.1", port, timeout=5)
-            conn.request(
-                "POST", "/", body=bodies[i].encode(), headers={"Content-Type": "application/json"}
-            )
+            payload = bodies[i].encode()
+            headers = {"Content-Type": "application/json"}
+            if secret is not None:
+                signed = payload + b"X" if tamper else payload
+                headers[SIGNATURE_HEADER] = sign_body(secret, signed)
+            conn.request("POST", "/", body=payload, headers=headers)
             resp = conn.getresponse()
             resp.read()
             if resp.status == 200:
                 accepted += 1
                 i += 1
+            elif resp.status == 401:
+                i += 1  # rejected by signature check — terminal, skip
             elif resp.status == 429:
                 time.sleep(0.05)
         except (ConnectionError, OSError):

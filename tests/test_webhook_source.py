@@ -60,6 +60,43 @@ def test_webhook_reader_replay_contract():
     reader.stop()
 
 
+def test_webhook_hmac_signature_validation():
+    """Production webhook receivers (GitHub/Stripe style) authenticate
+    every POST with an HMAC of the raw body. With option("secret"):
+    correctly-signed posts land in the buffer; unsigned posts and
+    posts whose body was tampered after signing are rejected with 401
+    and must NOT receive an offset. Without a secret the endpoint
+    stays open (dev default)."""
+    from data_webhooks_spark.sources.webhook import (
+        WebhookStreamReader,
+        free_port,
+        post_events,
+        sign_body,
+        signature_valid,
+    )
+
+    # pure-function sanity: valid round-trip, tamper and wrong-secret fail
+    assert signature_valid("s3cr3t", b"abc", sign_body("s3cr3t", b"abc"))
+    assert not signature_valid("s3cr3t", b"abcX", sign_body("s3cr3t", b"abc"))
+    assert not signature_valid("other", b"abc", sign_body("s3cr3t", b"abc"))
+    assert not signature_valid("s3cr3t", b"abc", None)
+
+    port = free_port()
+    reader = WebhookStreamReader({"port": str(port), "secret": "s3cr3t"})
+    assert reader.initialOffset() == {"offset": 0}  # binds the server
+
+    assert post_events(port, ['{"a":1}'], secret="s3cr3t") == 1  # signed: in
+    assert post_events(port, ['{"a":2}']) == 0  # unsigned: 401
+    assert post_events(port, ['{"a":3}'], secret="s3cr3t", tamper=True) == 0
+    assert post_events(port, ['{"a":4}'], secret="wrong") == 0
+    assert post_events(port, ['{"a":5}'], secret="s3cr3t") == 1
+
+    rows, end = reader.read({"offset": 0})
+    assert end == {"offset": 2}  # only the two signed posts got offsets
+    assert list(rows) == [(0, '{"a":1}'), (1, '{"a":5}')]
+    reader.stop()
+
+
 def test_webhook_backpressure_and_buffer():
     from data_webhooks_spark.sources.webhook import _Buffer
 
