@@ -1098,3 +1098,59 @@ def agg_cms_freq(spark, sf_dir):
             )
         ).alias("est_ok"),
     )
+
+
+@op(
+    "agg_minmax_by",
+    sql="""
+    WITH mx AS (
+        SELECT event_type, value, user_id, event_id,
+               row_number() OVER (PARTITION BY event_type
+                   ORDER BY value DESC, user_id DESC, event_id DESC) AS rn
+        FROM events
+    ),
+    fs AS (
+        SELECT event_type, ts, event_id,
+               row_number() OVER (PARTITION BY event_type
+                   ORDER BY ts ASC, event_id ASC) AS rn
+        FROM events
+    )
+    SELECT m.event_type,
+           m.value AS top_value,
+           m.user_id AS top_user,
+           m.event_id AS top_event,
+           f.ts AS first_ts,
+           f.event_id AS first_event
+    FROM mx m
+    JOIN fs f ON m.event_type = f.event_type AND f.rn = 1
+    WHERE m.rn = 1
+    """,
+)
+def agg_minmax_by(spark, sf_dir):
+    """Argmin/argmax aggregation ("which row holds the extreme?"):
+    per event type, the user/event carrying the highest value and the
+    event that arrived first — the max_by/min_by/arg_max surface every
+    SQL analytics engine exposes.
+
+    Built-in max_by/min_by leave TIES unspecified on both engines, so
+    the plan uses the lexicographic-struct idiom instead:
+    max(struct(value, user_id, event_id)) resolves every tie
+    deterministically (value, then user_id, then event_id) and stays
+    a plain hash aggregate — map-side combinable, one narrow shuffle
+    of |event_type| structs, NO window/sort of the full table. The
+    oracle spells the identical tiebreak as row_number orderings.
+    At 100 TB this is the difference between an O(n) agg and a
+    per-group global sort."""
+    t = Tables(spark, sf_dir)
+    g = t.events.groupBy("event_type").agg(
+        F.max(F.struct("value", "user_id", "event_id")).alias("mx"),
+        F.min(F.struct("ts", "event_id")).alias("fs"),
+    )
+    return g.select(
+        "event_type",
+        F.col("mx.value").alias("top_value"),
+        F.col("mx.user_id").alias("top_user"),
+        F.col("mx.event_id").alias("top_event"),
+        F.col("fs.ts").alias("first_ts"),
+        F.col("fs.event_id").alias("first_event"),
+    )

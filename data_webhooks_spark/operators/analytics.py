@@ -687,3 +687,266 @@ def event_attribution(spark, sf_dir):
     ).select(
         F.col("event_type").alias("touch_type"), "n_touches", "credited_value"
     )
+
+
+# Pearson chi-square for a 2x2 contingency table, as ONE fixed IEEE
+# double expression over exact BIGINT cell counts (the _W_T/_CORR_EXPR
+# discipline): chi2 = N*(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)), df=1.
+# NULLIF guards the degenerate margins (an empty row/column makes the
+# test undefined -> NULL on both engines, never Inf through FLOOR).
+_CHI2 = (
+    "((na + nb + nc + ndd) * (na * ndd - nb * nc) * (na * ndd - nb * nc) / "
+    "nullif((na + nb) * (nc + ndd) * (na + nc) * (nb + ndd), 0.0))"
+)
+_CHI2_CUT = 50.0  # success = event value >= this
+
+
+@op(
+    "ab_chi2",
+    sql=f"""
+    WITH m AS (
+        SELECT
+            SUM(CASE WHEN event_type = 'view' AND value >= {_CHI2_CUT!r}
+                     THEN 1 ELSE 0 END) AS a,
+            SUM(CASE WHEN event_type = 'view' AND value < {_CHI2_CUT!r}
+                     THEN 1 ELSE 0 END) AS b,
+            SUM(CASE WHEN event_type = 'click' AND value >= {_CHI2_CUT!r}
+                     THEN 1 ELSE 0 END) AS c,
+            SUM(CASE WHEN event_type = 'click' AND value < {_CHI2_CUT!r}
+                     THEN 1 ELSE 0 END) AS d
+        FROM events WHERE event_type IN ('view', 'click')
+    ),
+    dd AS (
+        SELECT CAST(a AS BIGINT) AS n11, CAST(b AS BIGINT) AS n10,
+               CAST(c AS BIGINT) AS n01, CAST(d AS BIGINT) AS n00,
+               CAST(a AS DOUBLE) AS na, CAST(b AS DOUBLE) AS nb,
+               CAST(c AS DOUBLE) AS nc, CAST(d AS DOUBLE) AS ndd
+        FROM m
+    )
+    SELECT n11, n10, n01, n00,
+           FLOOR({_CHI2} * 1000000.0 + 0.5) / 1000000.0 AS chi2_stat
+    FROM dd
+    """,
+)
+def ab_chi2(spark, sf_dir):
+    """Pearson chi-square independence test on a 2x2 contingency
+    table (view-vs-click arm x value>=50 outcome) — the categorical
+    counterpart to `ab_ttest_welch`: conversion-rate A/B tests compare
+    proportions, not means, and chi-square (df=1) is their standard
+    significance primitive.
+
+    One conditional-aggregation pass produces the four exact BIGINT
+    cells (map-side combinable; at 100 TB the same four integers merge
+    by addition across days/shards — sequential testing for free);
+    chi2 derives in ONE fixed double formula both engines evaluate on
+    identical integers, then quantizes. NULLIF nulls the degenerate
+    empty-margin case on both engines."""
+    t = Tables(spark, sf_dir)
+    is_v = F.col("event_type") == "view"
+    is_c = F.col("event_type") == "click"
+    hit = F.col("value") >= _CHI2_CUT
+    m = (
+        t.events.filter(F.col("event_type").isin("view", "click"))
+        .agg(
+            F.sum(F.when(is_v & hit, 1).otherwise(0)).alias("a"),
+            F.sum(F.when(is_v & ~hit, 1).otherwise(0)).alias("b"),
+            F.sum(F.when(is_c & hit, 1).otherwise(0)).alias("c"),
+            F.sum(F.when(is_c & ~hit, 1).otherwise(0)).alias("d"),
+        )
+    )
+    dd = m.select(
+        F.col("a").cast("long").alias("n11"),
+        F.col("b").cast("long").alias("n10"),
+        F.col("c").cast("long").alias("n01"),
+        F.col("d").cast("long").alias("n00"),
+        F.col("a").cast("double").alias("na"),
+        F.col("b").cast("double").alias("nb"),
+        F.col("c").cast("double").alias("nc"),
+        F.col("d").cast("double").alias("ndd"),
+    )
+    return dd.select(
+        "n11", "n10", "n01", "n00", qnt(F.expr(_CHI2), "chi2_stat")
+    )
+
+
+@op(
+    "analytics_churn",
+    sql="""
+    WITH am AS (
+        SELECT DISTINCT user_id,
+               CAST(date_diff('day', DATE '1970-01-05',
+                              CAST(date_trunc('week', ts) AS DATE)) // 7
+                    AS BIGINT) AS midx,
+               date_trunc('week', ts) AS period
+        FROM events
+    ),
+    cls AS (
+        SELECT user_id, midx, period,
+               MIN(midx) OVER (PARTITION BY user_id) AS first_idx,
+               lag(midx) OVER (PARTITION BY user_id ORDER BY midx) AS prev_idx
+        FROM am
+    ),
+    g AS (
+        SELECT period, midx,
+               COUNT(*) AS n_active,
+               CAST(SUM(CASE WHEN midx = first_idx THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_new,
+               CAST(SUM(CASE WHEN prev_idx = midx - 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_retained,
+               CAST(SUM(CASE WHEN midx > first_idx
+                         AND (prev_idx IS NULL OR prev_idx < midx - 1)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        FROM cls GROUP BY period, midx
+    )
+    SELECT period, n_active, n_new, n_retained, n_resurrected,
+           COALESCE(lag(n_active) OVER (ORDER BY midx), 0) - n_retained
+               AS n_churned
+    FROM g
+    """,
+)
+def analytics_churn(spark, sf_dir):
+    """Weekly growth-accounting: every active user in every week is
+    exactly one of NEW (first week ever), RETAINED (also active the
+    previous calendar week) or RESURRECTED (returning after a gap),
+    and CHURNED(w) = active(w-1) − retained(w) — the subscription-
+    analytics identity every growth dashboard reports (active =
+    new + retained + resurrected is asserted as the invariant test).
+    Weekly because the fixture event stream spans one 30-day month —
+    the period column generalizes to any date_trunc grain.
+
+    One distinct over (user, week) — same user_id shuffle the other
+    analytics keys reuse — then two per-user window columns (first
+    week, previous week; weeks as a linear days-since-epoch//7 index
+    so calendar adjacency is integer adjacency), a per-week aggregate,
+    and the churn lag over the aggregate-sized week frame. The final
+    window is single-partition but runs over |weeks| rows, not the
+    raw table — the vocab_coverage lesson applied."""
+    t = Tables(spark, sf_dir)
+    # linear week index: days since Monday 1970-01-05 // 7, so calendar
+    # adjacency is integer adjacency (both engines truncate weeks to
+    # Monday — the retention_cohort precedent)
+    wk = F.date_trunc("week", "ts")
+    midx = F.floor(
+        F.datediff(wk.cast("date"), F.lit("1970-01-05").cast("date")) / 7
+    ).cast("long")
+    am = t.events.select(
+        "user_id",
+        midx.alias("midx"),
+        wk.alias("period"),
+    ).distinct()
+    wu = Window.partitionBy("user_id")
+    cls = am.select(
+        "user_id",
+        "midx",
+        "period",
+        F.min("midx").over(wu).alias("first_idx"),
+        F.lag("midx").over(wu.orderBy("midx")).alias("prev_idx"),
+    )
+    g = cls.groupBy("period", "midx").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum(F.when(F.col("midx") == F.col("first_idx"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+        F.sum(F.when(F.col("prev_idx") == F.col("midx") - 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_retained"),
+        F.sum(
+            F.when(
+                (F.col("midx") > F.col("first_idx"))
+                & (
+                    F.col("prev_idx").isNull()
+                    | (F.col("prev_idx") < F.col("midx") - 1)
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_resurrected"),
+    )
+    wm = Window.orderBy("midx")
+    return g.select(
+        "period",
+        "n_active",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        (
+            F.coalesce(F.lag("n_active").over(wm), F.lit(0))
+            - F.col("n_retained")
+        ).alias("n_churned"),
+    )
+
+
+@op(
+    "event_cooccurrence",
+    sql="""
+    WITH u AS (SELECT DISTINCT user_id, event_type FROM events),
+    k AS (SELECT event_type, COUNT(*) AS n FROM u GROUP BY event_type),
+    tot AS (SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS nu FROM u),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*) AS n_both
+        FROM u a JOIN u b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.n_both,
+           FLOOR(p.n_both / t.nu * 1000000.0 + 0.5) / 1000000.0 AS support,
+           FLOOR(p.n_both * t.nu / (ka.n * CAST(kb.n AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS lift
+    FROM pairs p
+    JOIN k ka ON ka.event_type = p.type_a
+    JOIN k kb ON kb.event_type = p.type_b
+    CROSS JOIN tot t
+    """,
+)
+def event_cooccurrence(spark, sf_dir):
+    """Event-type co-occurrence with support and lift — the
+    market-basket association primitive over user behavior: for each
+    unordered pair of event types, how many users do both, what
+    fraction of all users that is, and how far it deviates from
+    independence (lift = P(a,b) / (P(a)·P(b)); >1 means doing A makes
+    B more likely).
+
+    Per-user distinct types first (≤|event_type| rows per user — the
+    explode is bounded by the type vocabulary, never by event volume),
+    pair generation as a self-equi-join ON user_id with the a<b
+    canonical ordering, then an aggregate over ≤|types|² keys with the
+    tiny marginals broadcast back. All counts exact BIGINTs; support
+    and lift are single fixed double expressions, quantized."""
+    t = Tables(spark, sf_dir)
+    u = t.events.select("user_id", "event_type").distinct()
+    k = u.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = u.agg(F.countDistinct("user_id").cast("double").alias("nu"))
+    a, b = u.alias("a"), u.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ka = k.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    kb = k.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(F.broadcast(ka), "type_a")
+        .join(F.broadcast(kb), "type_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            qnt(F.col("n_both") / F.col("nu"), "support"),
+            qnt(
+                F.col("n_both")
+                * F.col("nu")
+                / (F.col("na") * F.col("nb").cast("double")),
+                "lift",
+            ),
+        )
+    )

@@ -708,3 +708,70 @@ def join_asof_nearest(spark, sf_dir):
         .otherwise(F.lit("forward"))
         .alias("direction"),
     )
+
+
+_IB_BIN_S = 600  # bin width == interval length (10 min) -> <=2 bins/interval
+
+
+@op(
+    "join_interval_binned",
+    sql=f"""
+    SELECT e.event_id AS incident_id,
+           COUNT(*) AS n_purchases,
+           {o_dec_sum('p.value', 'sum_value')}
+    FROM events e
+    JOIN events p
+      ON p.event_type = 'purchase'
+     AND p.ts >= e.ts
+     AND p.ts < e.ts + INTERVAL 10 MINUTE
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id
+    """,
+)
+def join_interval_binned(spark, sf_dir):
+    """Pure time-range join WITHOUT an equi key — each error event
+    opens a 10-minute incident window; count/sum the purchases whose
+    timestamp falls inside it ("revenue at risk per incident"). Unlike
+    `join_interval` (which rides its orderkey equi-join), there is no
+    shared key here, and the naive plan is a cartesian
+    BroadcastNestedLoopJoin — quadratic death at any real scale.
+
+    The scale shape is range-join BINNING (what Databricks' range-join
+    optimization and KDB's window joins do under the hood): quantize
+    time into fixed bins of exactly the interval length, so every
+    interval overlaps at most 2 bins; explode each interval to those
+    two bin keys, equi-join points on their single bin, then apply the
+    exact residual predicate. Catalyst gets a plain shuffled equi-join
+    — partitionable, AQE-skew-splittable, NO nested loop (pinned in
+    the plan test) — at the cost of a bounded 2x duplication of the
+    (much smaller) interval side. The oracle states the same join as
+    a declarative range predicate, which DuckDB's IEJoin handles
+    natively — both engines' scalable path, one semantics."""
+    t = Tables(spark, sf_dir)
+    ev = t.events
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("t0"),
+        # unix_timestamp truncates to seconds, which is safe here: the
+        # window is exactly _IB_BIN_S long, so second-truncated epochs
+        # still place every matching point within bins {b0, b0+1}
+        F.floor(F.unix_timestamp("ts") / _IB_BIN_S).alias("b0"),
+    )
+    intervals = err.select(
+        "incident_id",
+        "t0",
+        F.explode(F.array(F.col("b0"), F.col("b0") + 1)).alias("bin"),
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("ts").alias("p_ts"),
+        "value",
+        F.floor(F.unix_timestamp("ts") / _IB_BIN_S).alias("bin"),
+    )
+    j = intervals.join(pur, "bin").filter(
+        (F.col("p_ts") >= F.col("t0"))
+        & (F.col("p_ts") < F.col("t0") + F.expr("INTERVAL 10 MINUTES"))
+    )
+    return j.groupBy("incident_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        dec_sum("value", "sum_value"),
+    )

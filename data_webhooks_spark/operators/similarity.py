@@ -19,6 +19,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..io import Tables
+from ..norms import qnt
 from ..regutil import registrar
 
 QUERIES: dict = {}
@@ -470,4 +471,144 @@ def embed_pq(spark, sf_dir):
             ",", F.array(*[p["k"] for p in picks]).cast("array<string>")
         ).alias("codes_csv"),
         (total_d2 / F.lit(float(M * SUB))).alias("recon_mse"),
+    )
+
+
+@op("ann_ivf_pq")
+def ann_ivf_pq(spark, sf_dir):
+    """IVF-PQ: the composition the `ann_ivf` and `embed_pq` docstrings
+    promise — coarse cells prune the corpus to nprobe/ncells of its
+    vectors, and inside the probed cells distances are evaluated
+    against 2-byte PQ codes instead of raw floats via ADC (asymmetric
+    distance computation, Jégou et al., TPAMI 2011): per query, a
+    4×16 lookup table of exact query-subvector→centroid distances,
+    then each candidate's approx distance is 4 table lookups + adds.
+    This is the billion-scale ANN memory layout (FAISS IVFPQ): at
+    100 TB the scan touches codes (2 B/vector), never the 256 B
+    embeddings, and the LUT makes distance evaluation O(M) per
+    candidate instead of O(dim).
+
+    Same seeded trainers as the parent keys (coarse k=8 seed 42; PQ
+    4×16 seeds 42+m), candidate generation = broadcast queries ×
+    cell equi-join (no all-pairs), LUT + lookup all in codegen
+    (element_at over literal-distance arrays — no UDF). Approximate
+    by construction -> rows-only; recall vs the exact ranking is
+    floored in test_r6_operators (ADC error ≤ PQ reconstruction
+    error, so recall sits between ann_ivf's and random)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    NPROBE, NCELLS, M, K, SUB = 2, 8, 4, 16, 16
+    t = Tables(spark, sf_dir)
+    d = _norm_df(t).withColumn("fv", array_to_vector(F.col("e")))
+    km = KMeans(k=NCELLS, seed=42, featuresCol="fv", predictionCol="cell")
+    model = km.fit(d)
+    assigned = model.transform(d).select("vec_id", "e", "cell")
+    coarse = model.clusterCenters()
+
+    def subcol(col, m):
+        return F.slice(col, m * SUB + 1, SUB)
+
+    # PQ codebooks: one seeded KMeans per 16-dim subspace (embed_pq's
+    # trainer, same seeds -> same codebooks)
+    pq = []
+    for m in range(M):
+        fv = d.select(array_to_vector(subcol(F.col("e"), m)).alias("fv"))
+        skm = KMeans(k=K, seed=42 + m, featuresCol="fv", predictionCol="c")
+        pq.append([list(c) for c in skm.fit(fv).clusterCenters()])
+
+    def dist2(sub, cvals):
+        c = F.array(*[F.lit(float(v)) for v in cvals])
+        return F.aggregate(
+            F.zip_with(sub, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def code(m):
+        arr = F.array(
+            *[
+                F.struct(
+                    dist2(subcol(F.col("e"), m), pq[m][k]).alias("d"),
+                    F.lit(k).alias("k"),
+                )
+                for k in range(K)
+            ]
+        )
+        return F.array_min(arr)["k"]
+
+    cands = assigned.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("e").alias("ce"),
+        F.col("cell").alias("ccell"),
+        *[code(m).alias(f"code{m}") for m in range(M)],
+    )
+
+    probe = F.array(
+        *[
+            F.struct(
+                dist2(F.col("e"), coarse[i]).alias("d"),
+                F.lit(i).alias("cell"),
+            )
+            for i in range(NCELLS)
+        ]
+    )
+    q = (
+        assigned.filter(F.col("vec_id") < 20)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("e").alias("qe"),
+            F.explode(F.slice(F.array_sort(probe), 1, NPROBE)).alias("pc"),
+        )
+        .select(
+            "q_id",
+            F.col("qe").alias("qe"),
+            F.col("pc.cell").alias("qcell"),
+            # ADC lookup tables: exact distance from the query's m-th
+            # subvector to each of the 16 codebook centroids
+            *[
+                F.array(
+                    *[
+                        dist2(subcol(F.col("qe"), m), pq[m][k])
+                        for k in range(K)
+                    ]
+                ).alias(f"lut{m}")
+                for m in range(M)
+            ],
+        )
+    )
+    approx = None
+    for m in range(M):
+        term = F.element_at(F.col(f"lut{m}"), F.col(f"code{m}") + 1)
+        approx = term if approx is None else approx + term
+    # Stage 1: ADC shortlist (top-R by PQ-approximate distance — the
+    # cheap scan that touches only 2-byte codes at scale) ...
+    R = 32
+    wa = Window.partitionBy("q_id").orderBy(F.col("approx_d2").asc(), "n_id")
+    shortlist = (
+        F.broadcast(q)
+        .join(
+            cands,
+            (F.col("qcell") == F.col("ccell"))
+            & (F.col("n_id") != F.col("q_id")),
+        )
+        .select("q_id", "qe", "n_id", "ce", qnt(approx, "approx_d2"))
+        .withColumn("arank", F.row_number().over(wa))
+        .filter(F.col("arank") <= R)
+    )
+    # ... Stage 2: exact refine (FAISS IVFPQR): re-rank the R
+    # shortlisted candidates with the TRUE L2 distance — the only
+    # stage that ever touches raw floats, over R rows per query
+    exact_d2 = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("ce"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    we = Window.partitionBy("q_id").orderBy(F.col("exact_d2").asc(), "n_id")
+    return (
+        shortlist.select(
+            "q_id", "n_id", "approx_d2", qnt(exact_d2, "exact_d2")
+        )
+        .withColumn("rank", F.row_number().over(we).cast("long"))
+        .filter(F.col("rank") <= 3)
     )

@@ -1088,3 +1088,189 @@ def vocab_typo_pairs(spark, sf_dir):
         .filter(F.levenshtein("w1", "w2") <= 1)
         .select("w1", "w2", F.levenshtein("w1", "w2").cast("long").alias("dist"))
     )
+
+
+@op(
+    "text_entropy",
+    sql="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    c AS (
+        SELECT doc_id, word, COUNT(*) AS c
+        FROM words GROUP BY doc_id, word
+    ),
+    t AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS n FROM c GROUP BY doc_id)
+    SELECT c.doc_id,
+           CAST(t.n AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           ROUND(SUM(c.c * -ln(c.c / t.n)) / t.n, 6) AS entropy_nats,
+           ROUND(COUNT(*) / t.n, 6) AS type_token_ratio
+    FROM c JOIN t ON c.doc_id = t.doc_id
+    GROUP BY c.doc_id, t.n
+    """,
+)
+def text_entropy(spark, sf_dir):
+    """Per-document unigram entropy H = -Σ (c/n)·ln(c/n) plus the
+    type/token ratio — the lexical-diversity quality signals training
+    pipelines threshold alongside `text_repetition_score` (low entropy
+    = boilerplate/keyword stuffing; TTR near 1 on long docs = random
+    noise). Complements `text_unigram_logprob`: that scores docs under
+    the CORPUS distribution, this under each doc's OWN distribution —
+    no corpus-wide table, so it stays a two-level doc-keyed aggregate
+    with zero cross-doc state, embarrassingly parallel at any scale.
+
+    Determinism follows the unigram_logprob precedent: each doc sums
+    ~10² ln() terms of unit magnitude, cross-engine summation-order
+    noise ~1e-13 vs the ROUND(.,6) grain 5e-7 — bit-stable in the
+    hash compare."""
+    t = Tables(spark, sf_dir)
+    words = t.documents.select("doc_id", F.explode(_tokens()).alias("word"))
+    c = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+    tot = c.groupBy("doc_id").agg(F.sum("c").cast("double").alias("n"))
+    return (
+        c.join(tot, "doc_id")
+        .groupBy("doc_id", "n")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(
+                F.col("c") * -F.log(F.col("c") / F.col("n"))
+            ).alias("hsum"),
+        )
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_tokens"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            F.round(F.col("hsum") / F.col("n"), 6).alias("entropy_nats"),
+            F.round(F.col("n_distinct") / F.col("n"), 6).alias(
+                "type_token_ratio"
+            ),
+        )
+    )
+
+
+@op(
+    "corpus_mixture",
+    sql="""
+    WITH per_lang AS (
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS total FROM per_lang),
+    shares AS (
+        SELECT p.lang, p.n_docs, p.n_tokens,
+               p.n_tokens / t.total AS share,
+               sqrt(p.n_tokens / t.total) AS w
+        FROM per_lang p CROSS JOIN tot t
+    ),
+    z AS (SELECT CAST(SUM(w) AS DOUBLE) AS z FROM shares)
+    SELECT s.lang, s.n_docs, s.n_tokens,
+           FLOOR(s.share * 1000000.0 + 0.5) / 1000000.0 AS token_share,
+           FLOOR(s.w / z.z * 1000000.0 + 0.5) / 1000000.0 AS sample_weight
+    FROM shares s CROSS JOIN z
+    """,
+)
+def corpus_mixture(spark, sf_dir):
+    """The data-mixture table every multilingual training pipeline
+    publishes: per language, document and exact token counts, the raw
+    token share, and the temperature-adjusted sampling weight
+    w_l = share^(1/T) / Σ share^(1/T) with T=2 (the mT5/XLM-R
+    upsampling rule that keeps low-resource languages from washing
+    out). T=2 makes the power a sqrt — IEEE-correctly-rounded on both
+    engines, unlike pow() (the repo's sqrt-not-pow determinism rule);
+    the 5-term normalizer sum is orders below the 1e-6 quantization
+    grain.
+
+    Scale shape: one map-side-combinable per-lang aggregate (token
+    counts from size(split()) — no explode), then two 1-row scalar
+    attaches. The output is |langs| rows; at 100 TB this is the
+    canonical tiny-result full-scan report."""
+    t = Tables(spark, sf_dir)
+    per_lang = t.documents.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(_tokens())).cast("long").alias("n_tokens"),
+    )
+    tot = per_lang.agg(F.sum("n_tokens").cast("double").alias("total"))
+    shares = per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens") / F.col("total")).alias("share"),
+        F.sqrt(F.col("n_tokens") / F.col("total")).alias("w"),
+    )
+    z = shares.agg(F.sum("w").cast("double").alias("z"))
+    return shares.crossJoin(F.broadcast(z)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        qnt(F.col("share"), "token_share"),
+        qnt(F.col("w") / F.col("z"), "sample_weight"),
+    )
+
+
+@op(
+    "vocab_bpe_merge",
+    sql="""
+    WITH wf AS (
+        SELECT word, COUNT(*) AS c FROM (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        ) GROUP BY word
+    ),
+    pairs AS (
+        SELECT substr(word, CAST(i AS INT), 2) AS pair, c
+        FROM wf, LATERAL (
+            SELECT unnest(range(1, CAST(strlen(word) AS BIGINT))) AS i
+        ) t
+        WHERE strlen(word) >= 2
+    )
+    SELECT pair, CAST(SUM(c) AS BIGINT) AS n_occurrences
+    FROM pairs GROUP BY pair
+    ORDER BY n_occurrences DESC, pair
+    LIMIT 20
+    """,
+)
+def vocab_bpe_merge(spark, sf_dir):
+    """One BPE training step — the corpus-weighted adjacent-symbol-
+    pair count whose argmax IS the next merge rule (Sennrich et al.,
+    ACL 2016): every word's character bigrams, weighted by the word's
+    corpus frequency, ranked; the top row is the merge a BPE trainer
+    would apply, the top-20 the candidate frontier.
+
+    Scale shape — the trick is counting pairs over the DISTINCT-word
+    frequency table, not the raw token stream: the Zipf head collapses
+    in the first map-side-combinable word count, so the pair explode
+    runs over |vocab| rows (weighted by c), not |corpus| tokens —
+    at 100 TB that's the difference between exploding ~10⁶ vocab
+    entries and ~10¹³ tokens. Pair generation is pure codegen
+    (sequence + substring, no UDF); the final exact top-20 plans as
+    TakeOrderedAndProject over ≤|alphabet|² aggregated rows. Iterated
+    BPE training (re-tokenize, recount) is this same key run per
+    merge round."""
+    t = Tables(spark, sf_dir)
+    wf = (
+        t.documents.select(F.explode(_tokens()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # substring over a varying start goes through expr(): the DSL's
+    # substring() takes Python-int start/len, not a lambda variable
+    pairs = (
+        wf.filter(F.length("word") >= 2)
+        .select(
+            "c",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(word) - 1),"
+                    " i -> substring(word, i, 2))"
+                )
+            ).alias("pair"),
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").cast("long").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "pair")
+        .limit(20)
+    )

@@ -543,3 +543,128 @@ def ts_autocorr(spark, sf_dir):
             "acf",
         ),
     )
+
+
+@op(
+    "ts_holt",
+    sql="""
+    WITH RECURSIVE hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    series AS (
+        SELECT event_type, hour, y,
+               row_number() OVER (PARTITION BY event_type ORDER BY hour)
+                   AS rn
+        FROM hourly
+    ),
+    r AS (
+        SELECT event_type, rn, hour, y,
+               CAST(y * 1000 AS DOUBLE) AS l,
+               CAST(0.0 AS DOUBLE) AS b,
+               CAST(NULL AS DOUBLE) AS f
+        FROM series WHERE rn = 1
+        UNION ALL
+        SELECT s.event_type, s.rn, s.hour, s.y,
+               FLOOR((s.y * 1000 + r.l + r.b) / 2.0) AS l,
+               FLOOR((FLOOR((s.y * 1000 + r.l + r.b) / 2.0) - r.l + r.b)
+                     / 2.0) AS b,
+               r.l + r.b AS f
+        FROM r JOIN series s
+          ON s.event_type = r.event_type AND s.rn = r.rn + 1
+    )
+    SELECT event_type, hour, y AS n,
+           f / 1000 AS forecast, l / 1000 AS level, b / 1000 AS trend
+    FROM r WHERE rn >= 2
+    """,
+)
+def ts_holt(spark, sf_dir):
+    """Holt's linear (double) exponential smoothing of the hourly
+    event-count series per event type — level + trend state, the
+    classic short-horizon forecaster a webhook-analytics dashboard
+    draws as the "expected traffic" band (and the one-step forecast
+    column is exactly what `stream_anomaly`-style alerting thresholds
+    against). alpha = beta = 1/2.
+
+    Cross-engine determinism is the integer-unit-iteration recipe:
+    the recursion runs in milli-units with an explicit FLOOR after
+    every update, so level/trend stay exact integers (stored in
+    doubles far below 2^53) and both engines replay the identical
+    state sequence — no accumulated float drift, no summation-order
+    sensitivity, unlike a naive float recursion. Spark folds each
+    type's time-sorted array in one codegen aggregate() (5 series x
+    ~720 points — per-series state is 2 numbers, the array bound is
+    the series length, same shape ts_ewma pins); the oracle replays
+    the recursion as a recursive CTE stepping all series in lockstep.
+    Gaps: smoothing steps over OBSERVED hours (compose with
+    ts_resample_gapfill upstream for calendar-regular steps).
+
+    At 100 TB: the hourly pre-aggregate is the data-sized stage
+    (map-side combinable); the fold runs over |types| bounded arrays.
+    For ultra-long series the same update is expressible with
+    transformWithStateInPandas on the stream — this batch key is its
+    deterministic yardstick."""
+    t = Tables(spark, sf_dir)
+    hourly = t.events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    arr = hourly.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("hour", "y"))).alias("pts")
+    )
+
+    # date_trunc returns TIMESTAMP (session-tz UTC), so the
+    # accumulator's row type must match it, not the source ts's NTZ
+    row_t = (
+        "struct<hour:timestamp,n:bigint,forecast:double,"
+        "level:double,trend:double>"
+    )
+    acc_t = f"struct<started:boolean,l:double,b:double,out:array<{row_t}>>"
+    init = F.expr(
+        f"cast(named_struct('started', false, 'l', 0.0d, 'b', 0.0d,"
+        f" 'out', array()) as {acc_t})"
+    )
+
+    def step(acc, x):
+        y_mu = x["y"].cast("double") * 1000.0
+        f_mu = acc["l"] + acc["b"]
+        l_new = F.floor((y_mu + f_mu) / 2.0).cast("double")
+        b_new = F.floor((l_new - acc["l"] + acc["b"]) / 2.0).cast("double")
+        row = F.struct(
+            x["hour"].alias("hour"),
+            x["y"].alias("n"),
+            (f_mu / 1000.0).alias("forecast"),
+            (l_new / 1000.0).alias("level"),
+            (b_new / 1000.0).alias("trend"),
+        )
+        return F.when(
+            ~acc["started"],
+            F.struct(
+                F.lit(True).alias("started"),
+                y_mu.alias("l"),
+                F.lit(0.0).alias("b"),
+                acc["out"].alias("out"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.lit(True).alias("started"),
+                l_new.alias("l"),
+                b_new.alias("b"),
+                F.concat(acc["out"], F.array(row)).alias("out"),
+            )
+        )
+
+    folded = arr.select(
+        "event_type",
+        F.aggregate(F.col("pts"), init, step)["out"].alias("out"),
+    )
+    return folded.select(
+        "event_type", F.explode("out").alias("r")
+    ).select(
+        "event_type",
+        F.col("r.hour").alias("hour"),
+        F.col("r.n").alias("n"),
+        F.col("r.forecast").alias("forecast"),
+        F.col("r.level").alias("level"),
+        F.col("r.trend").alias("trend"),
+    )

@@ -23,30 +23,37 @@ from pyspark.sql import DataFrame, SparkSession
 # pass the round-3 judge sweep; rotation only reorders — every key
 # stays registered and locally tested either way.
 #
-# ROUND-5 WINDOW (the plan the r4 verdict signed off on, executed):
-# the 48 keys that had no official CORRECTNESS row after r1-r4 — the
-# 44 SQL-oracled ones (every r4 addition: timeseries, profiling/DQ,
-# warehouse/CDC, layout maintenance, lateral + forward-asof joins,
-# drift, dedup-repetition/vocab, snapshot scan, training-pipeline
-# text keys, and the heavier protocol-oracled streaming composites)
-# plus the 5 rows-only approximate keys (ann_ivf, dedup_minhash,
-# dedup_simhash, sim_ann_lsh, and r5's new profile_table_approx —
-# approximate by design; the driver records the weaker rows-only
-# check for them). The last slot re-verifies pack_sequences, whose
-# implementation changed this round ((lang, shard) two-level cumsum).
-# After this window lands, every key registered before r5 has an
-# official driver row. The twenty operators ADDED in r5
-# (agg_histogram, agg_histogram_equidepth, ts_interpolate_linear,
-# win_pattern_match, sample_weighted, dedup_containment; second
-# batch: win_gap_islands, analytics_rfm, sample_temperature,
-# agg_corr, agg_cms_freq, ts_autocorr; third batch: graph_pagerank,
-# ab_ttest_welch, vocab_typo_pairs; fourth batch: graph_triangle_count,
-# event_attribution; fifth: join_asof_nearest, scan_parquet_bloom,
-# and the rows-only embed_pq (product quantization) —
-# all SQL-oracled, all locally swept) sit outside the first 50 by
-# design and are the seed of the round-6 rotation window.
+# ROUND-6 WINDOW (the plan the r5 verdict prescribed, executed):
+# no key's newest official record may stay red or absent. Slots:
+# - the 20 operators ADDED in r5 (agg_histogram,
+#   agg_histogram_equidepth, ts_interpolate_linear, win_pattern_match,
+#   sample_weighted, dedup_containment, win_gap_islands, analytics_rfm,
+#   sample_temperature, agg_corr, agg_cms_freq, ts_autocorr,
+#   graph_pagerank, ab_ttest_welch, vocab_typo_pairs,
+#   graph_triangle_count, event_attribution, join_asof_nearest,
+#   scan_parquet_bloom, and rows-only embed_pq) — deliberately kept
+#   out of the r5 window; never driver-recorded before.
+# - the 4 keys RED in CORRECTNESS_r05 (embed_quantize_int8,
+#   multimodal_resize/frames/features), fixed this round by
+#   scalarizing their array/binary output columns.
+# - the 12 keys whose newest official record is the since-fixed r2
+#   loader error (green in r1 and locally ever since): filter_simple,
+#   case_when, agg_cube, agg_conditional, agg_mode, agg_pivot,
+#   agg_string, dedup_exact, join_full_outer, topk, ts_funcs, unpivot.
+# - the 10 operators ADDED in r6 (agg_minmax_by, ab_chi2,
+#   text_entropy, corpus_mixture, analytics_churn, event_cooccurrence,
+#   vocab_bpe_merge, join_interval_binned, ts_holt, and rows-only
+#   ann_ivf_pq) — all locally swept + invariant-tested this round.
+# - 4 re-verify slots for keys whose code changed in r6:
+#   join_multiway + tpch_q5 (probe-then-broadcast replan) and
+#   source_webhook + sink_webhook (HMAC signing added to their
+#   source module; query path unchanged, record refreshed anyway).
+# analytics_rfm and ab_ttest_welch also changed in r6 (edge
+# quantization / NULLIF guards) and are already covered by the
+# r5-additions block above.
 _ROWS_ONLY = {
     "embed_pq",
+    "ann_ivf_pq",
     "ann_ivf",
     "dedup_minhash",
     "dedup_simhash",
@@ -54,71 +61,61 @@ _ROWS_ONLY = {
     "profile_table_approx",
 }
 _WINDOW = [
-    # training-pipeline text keys (added r4)
-    "text_ngram_freq",
-    "contamination_ngram",
-    "text_unigram_logprob",
-    "text_heavy_hitters",
-    "text_repetition_score",
-    "vocab_coverage",
-    "dedup_repeated_substrings",
+    # --- the 20 r5 additions (first driver record) ---
+    "agg_histogram",
+    "agg_histogram_equidepth",
+    "ts_interpolate_linear",
+    "win_pattern_match",
+    "sample_weighted",
+    "dedup_containment",
+    "win_gap_islands",
+    "analytics_rfm",
+    "sample_temperature",
+    "agg_corr",
+    "agg_cms_freq",
+    "ts_autocorr",
+    "graph_pagerank",
+    "ab_ttest_welch",
+    "vocab_typo_pairs",
+    "graph_triangle_count",
+    "event_attribution",
+    "join_asof_nearest",
+    "scan_parquet_bloom",
+    "embed_pq",
+    # --- the 4 r5-red keys, scalarized in r6 ---
     "embed_quantize_int8",
-    # joins added r4
-    "join_asof_forward",
-    "join_lateral",
-    # scans / layout / maintenance
-    "scan_parquet_evolve",
-    "scan_snapshot_manifest",
-    "compact_files",
-    "zorder_layout",
-    # UDF surface straggler
-    "map_in_pandas",
-    # multimodal plumbing
     "multimodal_resize",
     "multimodal_frames",
     "multimodal_features",
-    # analytics capstone
-    "pipeline_events_prep",
-    # time-series family
-    "ts_resample_gapfill",
-    "ts_ewma",
-    "ts_anomaly_mad",
-    "ts_moving_median",
-    # profiling / data quality
-    "profile_table",
-    "dq_checks",
-    # warehouse / CDC
-    "merge_upsert",
-    "dim_scd2",
-    # drift monitoring
-    "drift_ks_test",
-    "drift_psi",
-    # streaming: remaining protocol-oracled keys
-    "stream_session_agg",
-    "stream_watermark",
-    "stream_output_modes",
-    "stream_triggers",
-    "source_rate",
-    "sink_memory",
-    "sink_foreach_batch",
-    "join_stream_stream",
-    "stream_funnel",
-    "stream_rollup_upsert",
-    "stream_quantile",
-    "stream_topk",
-    "join_stream_stream_outer",
-    "stream_late_drops",
-    "stream_anomaly",
-    # rows-only approximate keys (weaker rows-only driver record);
-    # profile_table_approx is new in r5 (the Expand-free scale twin)
-    "ann_ivf",
-    "dedup_minhash",
-    "dedup_simhash",
-    "sim_ann_lsh",
-    "profile_table_approx",
-    # re-verify: implementation reworked in round 5 ((lang, shard)
-    # two-level cumsum)
-    "pack_sequences",
+    # --- the 12 stale-r2-loader-error keys (green r1 + locally) ---
+    "filter_simple",
+    "case_when",
+    "agg_cube",
+    "agg_conditional",
+    "agg_mode",
+    "agg_pivot",
+    "agg_string",
+    "dedup_exact",
+    "join_full_outer",
+    "topk",
+    "ts_funcs",
+    "unpivot",
+    # --- the 10 r6 additions ---
+    "agg_minmax_by",
+    "ab_chi2",
+    "text_entropy",
+    "corpus_mixture",
+    "analytics_churn",
+    "event_cooccurrence",
+    "vocab_bpe_merge",
+    "join_interval_binned",
+    "ts_holt",
+    "ann_ivf_pq",
+    # --- re-verify: code changed in r6 ---
+    "join_multiway",
+    "tpch_q5",
+    "source_webhook",
+    "sink_webhook",
 ]
 
 _MODULES = [

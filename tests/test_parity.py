@@ -48,15 +48,16 @@ def test_oracle_not_vacuous(key, duck):
     )
 
 
-def test_driver_window_is_the_round5_rotation():
+def test_driver_window_is_the_round6_rotation():
     """The external driver's correctness gate reads the FIRST 50 keys
-    of queries(); round 5 rotates in the 44 SQL-oracled keys that had
-    no official CORRECTNESS row after r1-r4, the 5 rows-only
-    approximate keys (the 4 r1-r4 survivors plus r5's new
-    profile_table_approx — the driver records the weaker rows-only
-    check for these), and 1 re-verify slot for pack_sequences, whose
-    implementation was reworked this round. The rotation must not drop
-    or duplicate any key, and every window key outside the declared
+    of queries(); round 6 rotates in the 20 r5 additions (never
+    driver-recorded), the 4 keys red in CORRECTNESS_r05 (scalarized
+    this round), the 12 keys whose newest official record is the
+    since-fixed r2 loader error, the 10 r6 additions, and 4 re-verify
+    slots for r6-replanned/changed code (join_multiway, tpch_q5,
+    source_webhook, sink_webhook) — after which no key's newest
+    official record is red or absent. The rotation must not drop or
+    duplicate any key, and every window key outside the declared
     rows-only set must be SQL-oracled."""
     from data_webhooks_spark.registry import _ROWS_ONLY, _WINDOW
 

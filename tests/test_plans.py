@@ -403,6 +403,8 @@ NESTED_LOOP_OK = {
     "analytics_rfm",  # 1-row quintile edges onto the per-user scan
     "graph_pagerank",  # 1-row (n, base) scalars onto the rank table per sweep
     "graph_triangle_count",  # 1-row x 1-row graph-profile scalar attaches
+    "corpus_mixture",  # two 1-row scalar attaches (total tokens, Σ sqrt-share)
+    "event_cooccurrence",  # 1-row distinct-user total onto ≤|types|² pairs
     # deliberately tiny cross/broadcast sides (<= dozens of rows or
     # candidate sets bounded by construction)
     "join_cross", "join_skew_salted", "knn_join", "sim_cosine_brute",

@@ -80,3 +80,265 @@ def test_containment_matches_brute_force_on_subset(spark, sf_dir):
                 sh[r.d_contained]
             )
             assert abs(r.containment - c) < 1e-9
+
+
+def test_minmax_by_matches_pandas_argmax(spark, sf_dir):
+    """Re-derive the per-type argmax/argmin in pandas with the exact
+    documented tiebreaks (value,user_id,event_id desc / ts,event_id
+    asc) — the struct-max idiom must pick the identical rows."""
+    from data_webhooks_spark.io import Tables
+
+    got = (
+        QUERIES["agg_minmax_by"](spark, sf_dir)
+        .toPandas()
+        .set_index("event_type")
+    )
+    ev = Tables(spark, sf_dir).events.select(
+        "event_type", "value", "user_id", "event_id", "ts"
+    ).toPandas()
+    for et, g in ev.groupby("event_type"):
+        top = g.sort_values(
+            ["value", "user_id", "event_id"], ascending=False
+        ).iloc[0]
+        first = g.sort_values(["ts", "event_id"]).iloc[0]
+        assert got.loc[et, "top_value"] == top["value"]
+        assert got.loc[et, "top_user"] == top["user_id"]
+        assert got.loc[et, "top_event"] == top["event_id"]
+        assert got.loc[et, "first_event"] == first["event_id"]
+
+
+def test_chi2_matches_numpy_formula(spark, sf_dir):
+    """Recompute chi-square from the reported exact cells with an
+    independent numpy formula (expected-counts form, not the ad-bc
+    shortcut the operator uses) — algebraically equal, so any cell or
+    formula bug diverges."""
+    import numpy as np
+
+    row = QUERIES["ab_chi2"](spark, sf_dir).toPandas().iloc[0]
+    obs = np.array(
+        [[row["n11"], row["n10"]], [row["n01"], row["n00"]]], dtype=float
+    )
+    rs, cs, n = obs.sum(1), obs.sum(0), obs.sum()
+    exp = np.outer(rs, cs) / n
+    chi2 = ((obs - exp) ** 2 / exp).sum()
+    assert abs(row["chi2_stat"] - chi2) < 1e-4
+    assert obs.sum() > 0
+
+
+def test_entropy_bounds_and_python_rederivation(spark, sf_dir):
+    """H must sit in [0, ln(n_distinct)] (uniform bound), TTR in
+    (0, 1]; and for a sample of docs the Python re-derivation from the
+    raw text must agree to the quantization grain."""
+    import math
+    from collections import Counter
+
+    from data_webhooks_spark.io import Tables
+
+    pdf = QUERIES["text_entropy"](spark, sf_dir).toPandas()
+    assert len(pdf) == 500
+    assert (pdf["entropy_nats"] >= 0).all()
+    bound = pdf.apply(lambda r: math.log(max(r["n_distinct"], 1)), axis=1)
+    # ROUND(.,6) can land up to 5e-7 above the exact bound when a doc
+    # is perfectly uniform (H == ln K exactly)
+    assert (pdf["entropy_nats"] <= bound + 1e-6).all()
+    assert ((pdf["type_token_ratio"] > 0) & (pdf["type_token_ratio"] <= 1)).all()
+
+    docs = Tables(spark, sf_dir).documents.filter("doc_id < 20").collect()
+    by_id = pdf.set_index("doc_id")
+    for r in docs:
+        c = Counter(r["text"].split(" "))
+        n = sum(c.values())
+        h = -sum(v / n * math.log(v / n) for v in c.values())
+        assert abs(by_id.loc[r["doc_id"], "entropy_nats"] - h) < 1e-5
+
+
+def test_corpus_mixture_is_a_temperature_flattened_distribution(
+    spark, sf_dir
+):
+    """Shares and weights must each sum to 1 (within quantization),
+    and T=2 must FLATTEN: every below-average-share language gets
+    upweighted (weight > share), every above-average one downweighted
+    — the defining property of temperature sampling."""
+    pdf = QUERIES["corpus_mixture"](spark, sf_dir).toPandas()
+    assert set(pdf["lang"]) == {"de", "en", "es", "fr", "zh"}
+    assert abs(pdf["token_share"].sum() - 1.0) < 1e-4
+    assert abs(pdf["sample_weight"].sum() - 1.0) < 1e-4
+    for r in pdf.itertuples():
+        if r.token_share < 0.2:  # below uniform over 5 langs
+            assert r.sample_weight > r.token_share
+        elif r.token_share > 0.2:
+            assert r.sample_weight < r.token_share
+
+
+def test_churn_identity_and_pandas_rederivation(spark, sf_dir):
+    """Growth accounting must satisfy active = new + retained +
+    resurrected in every week, and the whole table must equal a
+    from-scratch pandas re-derivation over raw events."""
+    from data_webhooks_spark.io import Tables
+
+    pdf = (
+        QUERIES["analytics_churn"](spark, sf_dir)
+        .toPandas()
+        .sort_values("period")
+        .reset_index(drop=True)
+    )
+    assert (
+        pdf["n_active"]
+        == pdf["n_new"] + pdf["n_retained"] + pdf["n_resurrected"]
+    ).all()
+
+    ev = Tables(spark, sf_dir).events.select("user_id", "ts").toPandas()
+    ev["week"] = ev["ts"].dt.to_period("W-SUN").dt.start_time  # Monday start
+    am = ev[["user_id", "week"]].drop_duplicates()
+    am["widx"] = (am["week"] - pd.Timestamp("1970-01-05")).dt.days // 7
+    first = am.groupby("user_id")["widx"].min()
+    weeks = sorted(am["widx"].unique())
+    active_by_w = {w: set(am[am.widx == w]["user_id"]) for w in weeks}
+    for i, w in enumerate(weeks):
+        row = pdf.iloc[i]
+        act = active_by_w[w]
+        new = {u for u in act if first[u] == w}
+        prev = active_by_w.get(w - 1, set())
+        ret = act & prev
+        assert row["n_active"] == len(act)
+        assert row["n_new"] == len(new)
+        assert row["n_retained"] == len(ret)
+        prev_total = len(active_by_w.get(weeks[i - 1], set())) if i else 0
+        assert row["n_churned"] == (prev_total - len(ret) if i else -0)
+
+
+def test_cooccurrence_matches_pandas(spark, sf_dir):
+    """Exact pair counts and the lift formula re-derived in pandas."""
+    from data_webhooks_spark.io import Tables
+
+    pdf = QUERIES["event_cooccurrence"](spark, sf_dir).toPandas()
+    ev = Tables(spark, sf_dir).events.select("user_id", "event_type").toPandas()
+    u = ev.drop_duplicates()
+    n_users = u["user_id"].nunique()
+    per_type = u.groupby("event_type")["user_id"].apply(set)
+    for r in pdf.itertuples():
+        assert r.type_a < r.type_b
+        both = per_type[r.type_a] & per_type[r.type_b]
+        assert r.n_both == len(both)
+        lift = len(both) * n_users / (
+            len(per_type[r.type_a]) * len(per_type[r.type_b])
+        )
+        assert abs(r.lift - lift) < 1e-5
+        assert abs(r.support - len(both) / n_users) < 1e-5
+
+
+def test_bpe_merge_matches_python_counter(spark, sf_dir):
+    """The top-20 weighted bigram counts re-derived with a plain
+    Python Counter over the same corpus."""
+    from collections import Counter
+
+    from data_webhooks_spark.io import Tables
+
+    pdf = QUERIES["vocab_bpe_merge"](spark, sf_dir).toPandas()
+    docs = Tables(spark, sf_dir).documents.select("text").toPandas()
+    wf = Counter()
+    for txt in docs["text"]:
+        wf.update(txt.split(" "))
+    pairs = Counter()
+    for w, c in wf.items():
+        for i in range(len(w) - 1):
+            pairs[w[i : i + 2]] += c
+    want = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = list(zip(pdf["pair"], pdf["n_occurrences"]))
+    assert got == want
+
+
+def test_interval_binned_matches_pandas_range_join(spark, sf_dir):
+    """The binned equi-join must be LOSSLESS vs a brute-force pandas
+    range join (binning is an optimization, not an approximation):
+    identical incident sets, counts, and cent-exact sums."""
+    import numpy as np
+
+    from data_webhooks_spark.io import Tables
+
+    pdf = QUERIES["join_interval_binned"](spark, sf_dir).toPandas()
+    ev = Tables(spark, sf_dir).events.select(
+        "event_id", "ts", "event_type", "value"
+    ).toPandas()
+    err = ev[ev.event_type == "error"]
+    pur = ev[ev.event_type == "purchase"]
+    want = {}
+    for r in err.itertuples():
+        m = pur[(pur.ts >= r.ts) & (pur.ts < r.ts + pd.Timedelta(minutes=10))]
+        if len(m):
+            cents = np.where(
+                m["value"] >= 0,
+                np.floor(m["value"] * 100 + 0.5),
+                -np.floor(-m["value"] * 100 + 0.5),
+            ).astype("int64")
+            want[r.event_id] = (len(m), cents.sum() / 100.0)
+    got = {
+        r.incident_id: (r.n_purchases, r.sum_value) for r in pdf.itertuples()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], k
+        assert abs(got[k][1] - want[k][1]) < 1e-9, k
+
+
+def test_holt_matches_python_recursion(spark, sf_dir):
+    """Replay the integer-milli-unit Holt recursion in plain Python
+    for every event type and require exact equality — the third way
+    that catches a shared-formula bug between the fold and the
+    recursive-CTE oracle."""
+    import math
+
+    from data_webhooks_spark.io import Tables
+
+    pdf = QUERIES["ts_holt"](spark, sf_dir).toPandas()
+    hourly = (
+        Tables(spark, sf_dir)
+        .events.toPandas()
+        .assign(hour=lambda d: d["ts"].dt.floor("h"))
+        .groupby(["event_type", "hour"])
+        .size()
+        .reset_index(name="y")
+        .sort_values(["event_type", "hour"])
+    )
+    for et, g in hourly.groupby("event_type"):
+        rows = pdf[pdf.event_type == et].sort_values("hour").reset_index(drop=True)
+        ys = list(g["y"])
+        l, b = ys[0] * 1000, 0
+        for i, y in enumerate(ys[1:]):
+            f = l + b
+            l_new = math.floor((y * 1000 + l + b) / 2.0)
+            b_new = math.floor((l_new - l + b) / 2.0)
+            r = rows.iloc[i]
+            assert r["n"] == y
+            assert r["forecast"] == f / 1000.0
+            assert r["level"] == l_new / 1000.0
+            assert r["trend"] == b_new / 1000.0
+            l, b = l_new, b_new
+
+
+def test_ivf_pq_recall_floor_and_structure(spark, sf_dir):
+    """IVF-PQ with exact refine: 3 ranked neighbors per query, exact
+    distances positive, and recall@3 vs the true L2 top-3 at least
+    0.35 (measured 0.43; the nprobe=2 cell ceiling — ann_ivf's exact
+    scan of the same cells — is 0.52, so refine recovers most of what
+    the coarse quantizer admits)."""
+    import numpy as np
+
+    from data_webhooks_spark.io import Tables
+
+    pdf = QUERIES["ann_ivf_pq"](spark, sf_dir).toPandas()
+    assert pdf.groupby("q_id")["rank"].apply(
+        lambda s: sorted(s) == [1, 2, 3]
+    ).all()
+    assert (pdf["exact_d2"] > 0).all() and (pdf["approx_d2"] > 0).all()
+
+    emb = Tables(spark, sf_dir).embeddings.select("vec_id", "embedding").toPandas()
+    E = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.itertuples()}
+    ids = sorted(E)
+    hits = tot = 0
+    for q in sorted(pdf["q_id"].unique()):
+        d2 = sorted((float(np.sum((E[i] - E[q]) ** 2)), i) for i in ids if i != q)
+        exact3 = {i for _, i in d2[:3]}
+        hits += len(exact3 & set(pdf[pdf.q_id == q]["n_id"]))
+        tot += 3
+    assert hits / tot >= 0.35, hits / tot
