@@ -90,6 +90,17 @@ KEYS = [
     # r5 fifth batch
     "join_asof_nearest",
     "scan_parquet_bloom",
+    # r6 additions
+    "agg_minmax_by",
+    "ab_chi2",
+    "text_entropy",
+    "corpus_mixture",
+    "analytics_churn",
+    "event_cooccurrence",
+    "vocab_bpe_merge",
+    "join_interval_binned",
+    "ts_holt",
+    "ann_ivf_pq",
 ]
 MAX_FACTOR = {
     "dedup_embedding": 10,
