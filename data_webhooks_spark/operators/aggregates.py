@@ -1154,3 +1154,102 @@ def agg_minmax_by(spark, sf_dir):
         F.col("fs.ts").alias("first_ts"),
         F.col("fs.event_id").alias("first_event"),
     )
+
+
+# Higher standardized moments from exact integer power sums, derived
+# in ONE fixed IEEE sequence (the agg_corr/_W_* discipline). mu and
+# the central moments expand algebraically from the raw sums so no
+# second centering pass is needed; NULLIF guards the zero-variance
+# degenerate on both engines.
+_SK_MU = "(s1d / nd)"
+_SK_M2 = f"(s2d / nd - {_SK_MU} * {_SK_MU})"
+_SK_M3 = (
+    f"(s3d / nd - 3.0 * {_SK_MU} * s2d / nd"
+    f" + 2.0 * {_SK_MU} * {_SK_MU} * {_SK_MU})"
+)
+_SK_M4 = (
+    f"(s4d / nd - 4.0 * {_SK_MU} * s3d / nd"
+    f" + 6.0 * {_SK_MU} * {_SK_MU} * s2d / nd"
+    f" - 3.0 * {_SK_MU} * {_SK_MU} * {_SK_MU} * {_SK_MU})"
+)
+# sqrt-not-pow: m2^1.5 = m2 * sqrt(m2)
+_SK_SKEW = f"({_SK_M3} / nullif({_SK_M2} * sqrt({_SK_M2}), 0.0))"
+_SK_KURT = f"({_SK_M4} / nullif({_SK_M2} * {_SK_M2}, 0.0) - 3.0)"
+
+
+@op(
+    "agg_skew_kurtosis",
+    sql=f"""
+    WITH u AS (
+        SELECT l_returnflag,
+               CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS x
+        FROM lineitem
+    ),
+    m AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(x) AS BIGINT) AS s1,
+               CAST(SUM(x * x) AS BIGINT) AS s2,
+               CAST(SUM(x * x * x) AS BIGINT) AS s3,
+               CAST(SUM(x * x * x * x) AS BIGINT) AS s4
+        FROM u GROUP BY l_returnflag
+    ),
+    d AS (
+        SELECT l_returnflag, n,
+               CAST(n AS DOUBLE) AS nd,
+               CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+               CAST(s3 AS DOUBLE) AS s3d, CAST(s4 AS DOUBLE) AS s4d
+        FROM m
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           {o_qnt(_SK_MU, "mean_qty")},
+           {o_qnt(_SK_SKEW, "skewness")},
+           {o_qnt(_SK_KURT, "excess_kurtosis")}
+    FROM d
+    """,
+)
+def agg_skew_kurtosis(spark, sf_dir):
+    """Distribution-shape statistics — skewness and excess kurtosis of
+    quantity per return flag — the 3rd/4th-moment extension of
+    `agg_stats`, and the shape diagnostics drift monitors keep next to
+    mean/stddev (a KS/PSI alarm usually shows up here first).
+
+    Built-in skewness()/kurtosis() are order-sensitive float folds;
+    here the quantity (integer-valued in the fixture, pinned by
+    rounding once) contributes EXACT BIGINT power sums Σx..Σx⁴ —
+    map-side combinable, mergeable by addition across shards/days —
+    and the standardized moments derive in one fixed shared double
+    formula (sqrt-not-pow for m2^1.5). Σx⁴ stays far under 2^63 for
+    unit-scale integers up to ~10¹³ rows; past that the accumulators
+    swap to DECIMAL(38,0) with no shape change."""
+    t = Tables(spark, sf_dir)
+    x = F.floor(F.col("l_quantity") + 0.5).cast("long")
+    m = (
+        t.lineitem.select("l_returnflag", x.alias("x"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("s1"),
+            F.sum(F.col("x") * F.col("x")).alias("s2"),
+            F.sum(F.col("x") * F.col("x") * F.col("x")).alias("s3"),
+            F.sum(F.col("x") * F.col("x") * F.col("x") * F.col("x")).alias(
+                "s4"
+            ),
+        )
+    )
+    d = m.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.col("n").cast("double").alias("nd"),
+        F.col("s1").cast("double").alias("s1d"),
+        F.col("s2").cast("double").alias("s2d"),
+        F.col("s3").cast("double").alias("s3d"),
+        F.col("s4").cast("double").alias("s4d"),
+    )
+    return d.select(
+        "l_returnflag",
+        "n",
+        qnt(F.expr(_SK_MU), "mean_qty"),
+        qnt(F.expr(_SK_SKEW), "skewness"),
+        qnt(F.expr(_SK_KURT), "excess_kurtosis"),
+    )

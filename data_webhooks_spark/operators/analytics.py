@@ -950,3 +950,98 @@ def event_cooccurrence(spark, sf_dir):
             ),
         )
     )
+
+
+@op(
+    "win_pattern_var",
+    sql="""
+    WITH seq AS (
+        SELECT user_id, event_type, ts, event_id,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS seq
+        FROM events
+    ),
+    clicks AS (
+        SELECT user_id, seq,
+               seq - row_number() OVER (
+                   PARTITION BY user_id ORDER BY seq
+               ) AS island
+        FROM seq WHERE event_type = 'click'
+    ),
+    runs AS (
+        SELECT user_id, MIN(seq) AS s, MAX(seq) AS e,
+               COUNT(*) AS run_len
+        FROM clicks GROUP BY user_id, island
+    )
+    SELECT r.user_id,
+           COUNT(*) AS n_matches,
+           CAST(SUM(r.run_len) AS BIGINT) AS total_clicks,
+           CAST(MAX(r.run_len) AS BIGINT) AS longest_run
+    FROM runs r
+    JOIN seq v ON v.user_id = r.user_id AND v.seq = r.s - 1
+              AND v.event_type = 'view'
+    JOIN seq p ON p.user_id = r.user_id AND p.seq = r.e + 1
+              AND p.event_type = 'purchase'
+    GROUP BY r.user_id
+    """,
+)
+def win_pattern_var(spark, sf_dir):
+    """VARIABLE-LENGTH pattern matching — `view click+ purchase` per
+    user, the `B+` quantifier `win_pattern_match`'s fixed-length
+    lead() chain cannot express (its documented "lite" scope; this key
+    closes that gap declaratively). A MATCH_RECOGNIZE
+    `PATTERN (V C+ P)` with greedy runs: every maximal consecutive
+    click run whose immediate predecessor is a view and immediate
+    successor is a purchase counts as one match.
+
+    The quantifier compiles to GAP-ISLANDS instead of an NFA: maximal
+    click runs are islands (seq − rank over clicks), and the V/P
+    anchors are two equi-joins back to the sequence table on
+    (user, seq±1) — all user-keyed, sharing ONE exchange with the
+    sequence window; no variable-length self-join blowup, no state
+    machine, no per-row Python. At 100 TB every stage is partitioned
+    by user; run lengths are bounded by per-user history, not corpus
+    size."""
+    t = Tables(spark, sf_dir)
+    ws = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t.events.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(ws).alias("seq"),
+    )
+    wc = Window.partitionBy("user_id").orderBy("seq")
+    clicks = seq.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "seq",
+        (F.col("seq") - F.row_number().over(wc)).alias("island"),
+    )
+    runs = clicks.groupBy("user_id", "island").agg(
+        F.min("seq").alias("s"),
+        F.max("seq").alias("e"),
+        F.count(F.lit(1)).alias("run_len"),
+    )
+    v = seq.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"), F.col("seq").alias("vseq")
+    )
+    p = seq.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("seq").alias("pseq")
+    )
+    return (
+        runs.join(
+            v,
+            (F.col("user_id") == F.col("vu"))
+            & (F.col("vseq") == F.col("s") - 1),
+        )
+        .join(
+            p,
+            (F.col("user_id") == F.col("pu"))
+            & (F.col("pseq") == F.col("e") + 1),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.sum("run_len").cast("long").alias("total_clicks"),
+            F.max("run_len").cast("long").alias("longest_run"),
+        )
+    )

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..io import Tables
+from ..norms import o_qnt, qnt
 from ..regutil import registrar
 
 QUERIES: dict = {}
@@ -216,3 +217,80 @@ def dq_checks(spark, sf_dir):
         for r in rules
     ]
     return wide.select(F.explode(F.array(*entries)).alias("r")).select("r.*")
+
+
+_PN_COLS = ["qty", "disc", "tax", "lnum"]
+_PN_PAIRS = [(a, b) for i, a in enumerate(_PN_COLS) for b in _PN_COLS[i + 1:]]
+
+
+def _pn_corr(a: str, b: str) -> str:
+    """Pearson r for one column pair from the shared exact moments —
+    the _CORR_EXPR pattern with textual substitution, so Spark and
+    DuckDB evaluate byte-identical formulas per pair."""
+    return (
+        f"((nd * s_{a}_{b} - s_{a} * s_{b}) / "
+        f"nullif(sqrt(nd * s_{a}_{a} - s_{a} * s_{a})"
+        f" * sqrt(nd * s_{b}_{b} - s_{b} * s_{b}), 0.0))"
+    )
+
+
+@op(
+    "profile_numeric_corr",
+    sql=f"""
+    WITH u AS (
+        SELECT CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT) AS qty,
+               CAST(FLOOR(l_discount * 10000.0 + 0.5) AS BIGINT) AS disc,
+               CAST(FLOOR(l_tax * 10000.0 + 0.5) AS BIGINT) AS tax,
+               CAST(l_linenumber AS BIGINT) AS lnum
+        FROM lineitem
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+               {", ".join(f"CAST(SUM({c}) AS DOUBLE) AS s_{c}" for c in _PN_COLS)},
+               {", ".join(f"CAST(SUM({a} * {b}) AS DOUBLE) AS s_{a}_{b}" for a in _PN_COLS for b in _PN_COLS if _PN_COLS.index(a) <= _PN_COLS.index(b))}
+        FROM u
+    )
+    {" UNION ALL ".join(
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+        + o_qnt(_pn_corr(a, b), "corr") + " FROM m"
+        for a, b in _PN_PAIRS
+    )}
+    """,
+)
+def profile_numeric_corr(spark, sf_dir):
+    """Pairwise Pearson correlation MATRIX over four numeric lineitem
+    columns (quantity, discount, tax, linenumber) — the numeric-
+    profiling companion to `profile_table`: feature-redundancy and
+    leakage screens want the whole matrix, not one pair.
+
+    ONE scan computes every moment the 6 pairs need (4 sums, 4 square
+    sums, 6 cross sums — all exact BIGINT in per-column units sized so
+    no product can overflow, summed map-side); the matrix itself is a
+    6-row epilogue over the single 1-row aggregate. This is the
+    agg_corr discipline generalized: at 100 TB the cost is one
+    map-combinable pass regardless of how many pairs the matrix has,
+    and the per-day moment partials merge by addition."""
+    t = Tables(spark, sf_dir)
+    u = t.lineitem.select(
+        F.floor(F.col("l_quantity") * 100.0 + 0.5).cast("long").alias("qty"),
+        F.floor(F.col("l_discount") * 10000.0 + 0.5).cast("long").alias("disc"),
+        F.floor(F.col("l_tax") * 10000.0 + 0.5).cast("long").alias("tax"),
+        F.col("l_linenumber").cast("long").alias("lnum"),
+    )
+    aggs = [F.count(F.lit(1)).cast("double").alias("nd")]
+    aggs += [F.sum(c).cast("double").alias(f"s_{c}") for c in _PN_COLS]
+    aggs += [
+        F.sum(F.col(a) * F.col(b)).cast("double").alias(f"s_{a}_{b}")
+        for i, a in enumerate(_PN_COLS)
+        for b in _PN_COLS[i:]
+    ]
+    m = u.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            qnt(F.expr(_pn_corr(a, b)), "corr"),
+        )
+        for a, b in _PN_PAIRS
+    ]
+    return m.select(F.explode(F.array(*rows)).alias("r")).select("r.*")

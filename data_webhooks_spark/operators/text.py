@@ -1274,3 +1274,119 @@ def vocab_bpe_merge(spark, sf_dir):
         .orderBy(F.col("n_occurrences").desc(), "pair")
         .limit(20)
     )
+
+
+@op(
+    "text_top_terms",
+    sql="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY doc_id, word
+    ),
+    df AS (
+        SELECT word, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY word
+    ),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.word,
+               round(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf
+        FROM tf JOIN df ON tf.word = df.word CROSS JOIN n
+    )
+    SELECT doc_id, CAST(rn AS BIGINT) AS rank, word, tfidf
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, word
+        ) AS rn FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def text_top_terms(spark, sf_dir):
+    """Keyword extraction: the top-3 tf-idf terms of every document —
+    the per-doc topical summary search/tagging pipelines store (the
+    doc-keyed top-k composition of `text_tfidf` + `topn_per_group`).
+
+    Same single-pass plan as text_tfidf (tf agg, df as a word-window
+    over the compacted tf rows, 1-row corpus-size attach) plus one
+    doc-partitioned rank window — every stage keyed by doc or word,
+    fully parallel; ties (equal tf-idf) break on the word, so the
+    extracted keywords are bit-stable across engines and runs."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    words = t.documents.select("doc_id", F.explode(_tokens()).alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    nd = t.documents.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("word"))
+        )
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    wr = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("word")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "word", "tfidf")
+    )
+
+
+@op(
+    "contamination_matrix",
+    sql="""
+    WITH fp AS (
+        SELECT DISTINCT
+               array_to_string(string_split(text, ' ')[1:8], ' ') AS fp,
+               source
+        FROM documents
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           COUNT(*) AS n_shared_fp
+    FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def contamination_matrix(spark, sf_dir):
+    """Cross-SOURCE content-overlap matrix: for every pair of sources,
+    how many distinct 8-word document prefixes they share — the
+    provenance screen that tells a corpus curator which feeds mirror
+    each other (and which eval source leaked into a train source;
+    `contamination_ngram` answers the train/test question, this one
+    the source×source question). The prefix fingerprint is the cheap
+    canonical key; swap in minhash signatures (`dedup_minhash`) for
+    the fuzzy version of the same matrix shape.
+
+    Distinct (fingerprint, source) first — output of that dedup is at
+    most |corpus| rows and usually far smaller — then a fingerprint-
+    keyed self-equi-join with the a<b canonicalization and a pair
+    groupBy. Equi-join on the fingerprint, never all-pairs of
+    documents; hot boilerplate prefixes are exactly the AQE-skew-split
+    case."""
+    t = Tables(spark, sf_dir)
+    fp = t.documents.select(
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 8)).alias(
+            "fp"
+        ),
+        "source",
+    ).distinct()
+    a = fp.select(F.col("fp"), F.col("source").alias("src_a"))
+    b = fp.select(F.col("fp").alias("fpb"), F.col("source").alias("src_b"))
+    return (
+        a.join(
+            b,
+            (F.col("fp") == F.col("fpb"))
+            & (F.col("src_a") < F.col("src_b")),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_fp"))
+    )

@@ -668,3 +668,84 @@ def ts_holt(spark, sf_dir):
         F.col("r.level").alias("level"),
         F.col("r.trend").alias("trend"),
     )
+
+
+@op(
+    "ts_changepoint_cusum",
+    sql="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS h,
+               CAST(SUM(y) AS BIGINT) AS total
+        FROM hourly GROUP BY event_type
+    ),
+    dev AS (
+        SELECT hh.event_type, hh.hour, hh.y,
+               hh.y * t.h - t.total AS dev_scaled, t.h
+        FROM hourly hh JOIN tot t ON hh.event_type = t.event_type
+    ),
+    cs AS (
+        SELECT event_type, hour, y, h,
+               CAST(SUM(dev_scaled) OVER (
+                   PARTITION BY event_type ORDER BY hour
+               ) AS BIGINT) AS cusum_scaled
+        FROM dev
+    )
+    SELECT event_type, hour AS cp_hour, CAST(h AS BIGINT) AS n_hours,
+           cusum_scaled AS cusum_scaled
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY event_type
+            ORDER BY abs(cusum_scaled) DESC, hour
+        ) AS rn FROM cs
+    ) WHERE rn = 1
+    """,
+)
+def ts_changepoint_cusum(spark, sf_dir):
+    """CUSUM change-point detection on each type's hourly count
+    series: the hour where the cumulative deviation from the series
+    mean peaks in magnitude — the classic single-change estimator
+    (Page 1954; the offline argmax-|CUSUM| form), i.e. where the
+    traffic level most plausibly shifted. Pairs with `ts_anomaly_mad`
+    (point outliers) and `drift_ks_test` (distribution drift): this
+    one localizes WHEN a level change happened.
+
+    Determinism is pure integers: deviations are scaled by the series
+    length (dev = y·H − total) so the mean never becomes a float, the
+    running sum is an exact BIGINT prefix (one per-type window over
+    the aggregate-sized hourly table — never the raw events), and the
+    argmax tiebreak is (|cusum| desc, hour asc) on both engines.
+    `cusum_scaled` is in count·H units; divide by H for the
+    mean-deviation reading."""
+    t = Tables(spark, sf_dir)
+    hourly = t.events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    tot = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("h"),
+        F.sum("y").cast("long").alias("total"),
+    )
+    dev = hourly.join(F.broadcast(tot), "event_type").withColumn(
+        "dev_scaled", F.col("y") * F.col("h") - F.col("total")
+    )
+    wcs = Window.partitionBy("event_type").orderBy("hour")
+    cs = dev.withColumn(
+        "cusum_scaled", F.sum("dev_scaled").over(wcs).cast("long")
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum_scaled")).desc(), F.col("hour")
+    )
+    return (
+        cs.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("hour").alias("cp_hour"),
+            F.col("h").alias("n_hours"),
+            "cusum_scaled",
+        )
+    )

@@ -399,6 +399,7 @@ NESTED_LOOP_OK = {
     "funnel_conversion", "text_tfidf", "text_unigram_logprob",
     "tpch_q11", "tpch_q22", "vocab_coverage", "zorder_layout",
     "agg_histogram_equidepth",  # 1-row decile edges onto scan + spine
+    "text_top_terms",  # 1-row corpus-size scalar onto the tf rows (as text_tfidf)
     "agg_cms_freq",  # 1-row corpus total onto the ~|probes|-row output
     "analytics_rfm",  # 1-row quintile edges onto the per-user scan
     "graph_pagerank",  # 1-row (n, base) scalars onto the rank table per sweep

@@ -342,3 +342,163 @@ def test_ivf_pq_recall_floor_and_structure(spark, sf_dir):
         hits += len(exact3 & set(pdf[pdf.q_id == q]["n_id"]))
         tot += 3
     assert hits / tot >= 0.35, hits / tot
+
+
+def test_skew_kurtosis_matches_scipy_formulas(spark, sf_dir):
+    """Population skewness/kurtosis re-derived with numpy central
+    moments over the rounded quantities."""
+    import numpy as np
+
+    from data_webhooks_spark.io import Tables
+
+    got = (
+        QUERIES["agg_skew_kurtosis"](spark, sf_dir)
+        .toPandas()
+        .set_index("l_returnflag")
+    )
+    li = Tables(spark, sf_dir).lineitem.select(
+        "l_returnflag", "l_quantity"
+    ).toPandas()
+    li["x"] = np.floor(li["l_quantity"] + 0.5).astype("int64")
+    for rf, g in li.groupby("l_returnflag"):
+        x = g["x"].to_numpy(dtype=float)
+        m2 = ((x - x.mean()) ** 2).mean()
+        m3 = ((x - x.mean()) ** 3).mean()
+        m4 = ((x - x.mean()) ** 4).mean()
+        assert got.loc[rf, "n"] == len(x)
+        assert abs(got.loc[rf, "mean_qty"] - x.mean()) < 1e-5
+        assert abs(got.loc[rf, "skewness"] - m3 / m2**1.5) < 1e-5
+        assert abs(got.loc[rf, "excess_kurtosis"] - (m4 / m2**2 - 3)) < 1e-4
+
+
+def test_numeric_corr_matrix_matches_numpy(spark, sf_dir):
+    """All six Pearson pairs re-derived with numpy corrcoef over the
+    same integer units; matrix must be symmetric-complete (every
+    unordered pair exactly once) and within quantization of numpy."""
+    import numpy as np
+
+    from data_webhooks_spark.io import Tables
+
+    pdf = QUERIES["profile_numeric_corr"](spark, sf_dir).toPandas()
+    assert len(pdf) == 6
+    assert len(set(map(tuple, pdf[["col_a", "col_b"]].values))) == 6
+    li = Tables(spark, sf_dir).lineitem.toPandas()
+    u = {
+        "qty": np.floor(li["l_quantity"] * 100 + 0.5),
+        "disc": np.floor(li["l_discount"] * 10000 + 0.5),
+        "tax": np.floor(li["l_tax"] * 10000 + 0.5),
+        "lnum": li["l_linenumber"].astype(float),
+    }
+    for r in pdf.itertuples():
+        want = np.corrcoef(u[r.col_a], u[r.col_b])[0, 1]
+        assert abs(r.corr - want) < 1e-5, (r.col_a, r.col_b)
+
+
+def test_cusum_changepoint_matches_python(spark, sf_dir):
+    """Re-derive the scaled CUSUM argmax per type in plain Python
+    (integer arithmetic, same tiebreak)."""
+    from data_webhooks_spark.io import Tables
+
+    got = (
+        QUERIES["ts_changepoint_cusum"](spark, sf_dir)
+        .toPandas()
+        .set_index("event_type")
+    )
+    hourly = (
+        Tables(spark, sf_dir)
+        .events.toPandas()
+        .assign(hour=lambda d: d["ts"].dt.floor("h"))
+        .groupby(["event_type", "hour"])
+        .size()
+        .reset_index(name="y")
+        .sort_values(["event_type", "hour"])
+    )
+    for et, g in hourly.groupby("event_type"):
+        ys = list(g["y"])
+        hours = list(g["hour"])
+        H, total = len(ys), sum(ys)
+        cs, best = 0, None
+        for h, y in zip(hours, ys):
+            cs += y * H - total
+            if best is None or abs(cs) > abs(best[1]):
+                best = (h, cs)
+        assert got.loc[et, "cp_hour"] == best[0]
+        assert got.loc[et, "cusum_scaled"] == best[1]
+        assert got.loc[et, "n_hours"] == H
+        # telescoping: total scaled deviation sums to zero
+        assert sum(y * H - total for y in ys) == 0
+
+
+def test_pattern_var_matches_python_scan(spark, sf_dir):
+    """Brute-force regex-style scan of each user's event-type sequence
+    for view click+ purchase runs — match count, total and longest run
+    must agree with the gap-islands compilation."""
+    from data_webhooks_spark.io import Tables
+
+    pdf = QUERIES["win_pattern_var"](spark, sf_dir).toPandas().set_index(
+        "user_id"
+    )
+    ev = (
+        Tables(spark, sf_dir)
+        .events.select("user_id", "event_type", "ts", "event_id")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    import re
+
+    want = {}
+    for uid, g in ev.groupby("user_id"):
+        s = "".join(
+            {"view": "v", "click": "c", "purchase": "p"}.get(t, "x")
+            for t in g["event_type"]
+        )
+        runs = [len(m.group(1)) for m in re.finditer(r"v(c+)p", s)]
+        if runs:
+            want[uid] = (len(runs), sum(runs), max(runs))
+    assert set(pdf.index) == set(want)
+    for uid, (n, tot, mx) in want.items():
+        assert pdf.loc[uid, "n_matches"] == n
+        assert pdf.loc[uid, "total_clicks"] == tot
+        assert pdf.loc[uid, "longest_run"] == mx
+
+
+def test_top_terms_are_the_tfidf_argmax(spark, sf_dir):
+    """Exactly 3 ranked terms per doc, and each doc's rank-1 term must
+    be the true argmax of the full text_tfidf table (shared upstream,
+    independent ranking path)."""
+    pdf = QUERIES["text_top_terms"](spark, sf_dir).toPandas()
+    g = pdf.groupby("doc_id")
+    assert (g["rank"].apply(lambda s: sorted(s) == [1, 2, 3])).all()
+    full = QUERIES["text_tfidf"](spark, sf_dir).toPandas()
+    best = (
+        full.sort_values(
+            ["doc_id", "tfidf", "word"], ascending=[True, False, True]
+        )
+        .groupby("doc_id")
+        .first()
+    )
+    r1 = pdf[pdf["rank"] == 1].set_index("doc_id")
+    assert (r1["word"] == best["word"]).all()
+    assert (r1["tfidf"] == best["tfidf"]).all()
+
+
+def test_contamination_matrix_matches_pandas(spark, sf_dir):
+    """Cross-source shared-fingerprint counts re-derived in pandas;
+    pairs canonical (a<b), counts exact, no self-pairs."""
+    from collections import Counter
+
+    from data_webhooks_spark.io import Tables
+
+    pdf = QUERIES["contamination_matrix"](spark, sf_dir).toPandas()
+    docs = Tables(spark, sf_dir).documents.select("text", "source").toPandas()
+    docs["fp"] = docs["text"].str.split(" ").str[:8].str.join(" ")
+    fp = docs[["fp", "source"]].drop_duplicates()
+    srcs_by_fp = fp.groupby("fp")["source"].apply(sorted)
+    want = Counter()
+    for srcs in srcs_by_fp:
+        for i, a in enumerate(srcs):
+            for b in srcs[i + 1 :]:
+                want[(a, b)] += 1
+    got = {(r.src_a, r.src_b): r.n_shared_fp for r in pdf.itertuples()}
+    assert got == dict(want)
+    assert all(a < b for a, b in got)
