@@ -86,6 +86,39 @@ def main() -> None:
         "n_brute_pairs": len(brute3),
     }
 
+    # ann_ivf_pq ranks by exact L2 after the ADC shortlist, so its
+    # ground truth is the exact L2 top-3 (computed in numpy — cosine
+    # and L2 orderings differ slightly on the not-exactly-unit
+    # fixture vectors).
+    import numpy as np
+
+    from data_webhooks_spark.io import Tables
+
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in Tables(spark, sf)
+        .embeddings.select("vec_id", "embedding")
+        .collect()
+    }
+    ids = sorted(emb)
+    l2_top3 = set()
+    for q in sorted({p[0] for p in brute3}):
+        d2 = sorted(
+            (float(np.sum((emb[i] - emb[q]) ** 2)), i)
+            for i in ids
+            if i != q
+        )
+        l2_top3 |= {(q, i) for _, i in d2[:3]}
+    ivfpq = {
+        (r["q_id"], r["n_id"]) for r in qs["ann_ivf_pq"](spark, sf).collect()
+    }
+    out["ann_ivf_pq"] = {
+        "recall_at_3_vs_exact_l2": round(
+            len(ivfpq & l2_top3) / len(l2_top3), 4
+        ),
+        "n_exact_pairs": len(l2_top3),
+    }
+
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM "

@@ -101,6 +101,13 @@ KEYS = [
     "join_interval_binned",
     "ts_holt",
     "ann_ivf_pq",
+    # r6 second wave (r7 window seed)
+    "agg_skew_kurtosis",
+    "profile_numeric_corr",
+    "ts_changepoint_cusum",
+    "win_pattern_var",
+    "text_top_terms",
+    "contamination_matrix",
 ]
 MAX_FACTOR = {
     "dedup_embedding": 10,
