@@ -502,3 +502,27 @@ def test_contamination_matrix_matches_pandas(spark, sf_dir):
     got = {(r.src_a, r.src_b): r.n_shared_fp for r in pdf.itertuples()}
     assert got == dict(want)
     assert all(a < b for a, b in got)
+
+
+def test_custom_state_matches_pandas_argmax(spark, sf_dir):
+    """Third-way check for the custom stateful processor: per-user
+    (count, max, argmax-with-smallest-id-tiebreak) re-derived in
+    pandas from the raw events; the streamed state machine's final
+    update must agree exactly for every user."""
+    from data_webhooks_spark.io import Tables
+
+    pdf = (
+        QUERIES["stream_custom_state"](spark, sf_dir)
+        .toPandas()
+        .set_index("user_id")
+    )
+    ev = Tables(spark, sf_dir).events.select(
+        "user_id", "value", "event_id"
+    ).toPandas()
+    for uid, g in ev.groupby("user_id"):
+        mx = g["value"].max()
+        arg = g[g["value"] == mx]["event_id"].min()
+        assert pdf.loc[uid, "n_events"] == len(g)
+        assert pdf.loc[uid, "max_value"] == mx
+        assert pdf.loc[uid, "argmax_event"] == arg
+    assert set(pdf.index) == set(ev["user_id"].unique())
