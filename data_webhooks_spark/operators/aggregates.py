@@ -1253,3 +1253,84 @@ def agg_skew_kurtosis(spark, sf_dir):
         qnt(F.expr(_SK_SKEW), "skewness"),
         qnt(F.expr(_SK_KURT), "excess_kurtosis"),
     )
+
+
+@op(
+    "agg_weighted_median",
+    sql="""
+    WITH u AS (
+        SELECT l_returnflag,
+               CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS price_c,
+               CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS w
+        FROM lineitem
+    ),
+    lvl AS (
+        SELECT l_returnflag, price_c, CAST(SUM(w) AS BIGINT) AS w
+        FROM u GROUP BY l_returnflag, price_c
+    ),
+    cum AS (
+        SELECT l_returnflag, price_c, w,
+               CAST(SUM(w) OVER (
+                   PARTITION BY l_returnflag ORDER BY price_c
+               ) AS BIGINT) AS cw,
+               CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS BIGINT)
+                   AS w_total
+        FROM lvl
+    )
+    SELECT l_returnflag, w_total,
+           CAST(MIN(price_c) AS DOUBLE) / 100 AS weighted_median_price
+    FROM cum
+    WHERE 2 * cw >= w_total
+    GROUP BY l_returnflag, w_total
+    """,
+)
+def agg_weighted_median(spark, sf_dir):
+    """WEIGHTED median — the smallest price x with cumulative weight
+    ≥ half the total (quantity-weighted median extended price per
+    return flag): "the price point below which half the UNITS sell",
+    which the plain median (per-row) cannot answer and no builtin
+    percentile supports (percentile/quantile are unweighted on both
+    engines — hence an operator, not a function call).
+
+    Exact and deterministic: prices round once to cent-unit BIGINTs,
+    weights to integer quantities; weight collapses per distinct
+    price level FIRST (the cumsum window then runs over |price
+    levels| rows, not raw rows — the vocab_coverage two-level
+    discipline), the definition is a pure integer inequality
+    (2·cum ≥ total, no midpoint interpolation to diverge on), and the
+    group-partitioned windows keep every stage parallel at 100 TB."""
+    t = Tables(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    u = t.lineitem.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100.0 + 0.5)
+        .cast("long")
+        .alias("price_c"),
+        F.floor(F.col("l_quantity") + 0.5).cast("long").alias("w"),
+    )
+    lvl = u.groupBy("l_returnflag", "price_c").agg(
+        F.sum("w").cast("long").alias("w")
+    )
+    wc = (
+        W.partitionBy("l_returnflag")
+        .orderBy("price_c")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wt = W.partitionBy("l_returnflag")
+    cum = lvl.select(
+        "l_returnflag",
+        "price_c",
+        F.sum("w").over(wc).cast("long").alias("cw"),
+        F.sum("w").over(wt).cast("long").alias("w_total"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("w_total"))
+        .groupBy("l_returnflag", "w_total")
+        .agg(
+            (F.min("price_c").cast("double") / 100).alias(
+                "weighted_median_price"
+            )
+        )
+        .select("l_returnflag", "w_total", "weighted_median_price")
+    )

@@ -775,3 +775,82 @@ def join_interval_binned(spark, sf_dir):
         F.count(F.lit(1)).alias("n_purchases"),
         dec_sum("value", "sum_value"),
     )
+
+
+@op(
+    "join_asof_tolerance",
+    sql="""
+    WITH ranked AS (
+        SELECT p.event_id, p.user_id, p.ts AS p_ts,
+               c.ts AS c_ts, c.value AS c_value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.event_id
+                   ORDER BY c.ts DESC, c.event_id DESC
+               ) AS rn
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND c.ts <= p.ts
+    )
+    SELECT event_id, user_id, p_ts,
+           CASE WHEN c_ts >= p_ts - INTERVAL 1 HOUR THEN c_ts END
+               AS click_ts,
+           CASE WHEN c_ts >= p_ts - INTERVAL 1 HOUR THEN c_value END
+               AS click_value,
+           COALESCE(c_ts >= p_ts - INTERVAL 1 HOUR, FALSE) AS fresh
+    FROM ranked WHERE rn = 1
+    """,
+)
+def join_asof_tolerance(spark, sf_dir):
+    """As-of join with a STALENESS BOUND — pandas `merge_asof`'s
+    `tolerance` parameter: the latest click at-or-before each
+    purchase, but only if it happened within the last hour; older
+    matches are nulled (a stale context row is worse than none for
+    attribution/feature pipelines). Completes the as-of family:
+    backward (`join_asof`), forward, nearest, and now bounded.
+
+    Same union + single-window machinery and pinned tie semantics as
+    `join_asof` (one user-keyed shuffle, O(n log n)); the tolerance is
+    a pure post-window CASE, so the scale shape is unchanged — the
+    naive alternative (conditional join with the band in the ON
+    clause) would re-introduce the per-purchase candidate scan the
+    window form exists to avoid."""
+    t = Tables(spark, sf_dir)
+    ev = t.events
+    cs = _click_struct_type(ev)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(0).alias("side"),
+        F.struct(
+            F.col("ts").alias("c_ts"),
+            F.col("value").alias("c_value"),
+            F.col("event_id").alias("c_id"),
+        ).alias("c"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast(cs).alias("c"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "side", F.asc_nulls_first("c.c_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fresh = F.col("cc.c_ts") >= F.col("t") - F.expr("INTERVAL 1 HOUR")
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("cc", F.last("c", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("t").alias("p_ts"),
+            F.when(fresh, F.col("cc.c_ts")).alias("click_ts"),
+            F.when(fresh, F.col("cc.c_value")).alias("click_value"),
+            F.coalesce(fresh, F.lit(False)).alias("fresh"),
+        )
+    )

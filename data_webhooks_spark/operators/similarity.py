@@ -612,3 +612,136 @@ def ann_ivf_pq(spark, sf_dir):
         .withColumn("rank", F.row_number().over(we).cast("long"))
         .filter(F.col("rank") <= 3)
     )
+
+
+# Seed-pinned hyperplanes for pipeline_embed_prep's LSH bucket stage —
+# module-level literals so the Spark expression and the DuckDB oracle
+# inline the IDENTICAL doubles (repr round-trips exactly).
+import random as _random
+
+_PEP_RND = _random.Random(707)
+_PEP_PLANES = [
+    [_PEP_RND.gauss(0.0, 1.0) for _ in range(64)] for _ in range(4)
+]
+
+
+def _pep_plane_sql(p):
+    return "[" + ", ".join(repr(v) for v in p) + "]"
+
+
+@op(
+    "pipeline_embed_prep",
+    sql="""
+    WITH d AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, label, e,
+               -- quantize the norm BEFORE dividing: the raw sqrt(dot)
+               -- differs between engines in the last ulp (different
+               -- summation micro-order), which flips FLOOR at unit
+               -- boundaries; the 1e-6-quantized norm is bit-identical
+               -- on both, so every division below is too
+               FLOOR(sqrt(list_dot_product(e, e)) * 1000000.0 + 0.5)
+                   / 1000000.0 AS nrm,
+               CASE WHEN list_max(list_transform(e, x -> abs(x))) = 0
+                    THEN 1.0
+                    ELSE list_max(list_transform(e, x -> abs(x))) / 127
+               END AS scale
+        FROM d
+    )
+    SELECT vec_id, label,
+           nrm,
+           array_to_string(list_transform(e, x ->
+               CAST(CASE WHEN x >= 0
+                    THEN FLOOR(x / nrm * 1000000.0 + 0.5)
+                    ELSE -FLOOR(-x / nrm * 1000000.0 + 0.5)
+               END AS BIGINT)), ',') AS unit_csv,
+           array_to_string(list_transform(e, x -> CAST(LEAST(GREATEST(
+               FLOOR(x / scale + 0.5), -127), 127) AS INT)), ',') AS qvec_csv,
+           FLOOR(scale * 1000000.0 + 0.5) / 1000000.0 AS scale,
+           CAST(BUCKET_EXPR AS INT) AS lsh_bucket
+    FROM n WHERE nrm > 0
+    """.replace("BUCKET_EXPR", " + ".join(
+        f"(CASE WHEN FLOOR(list_dot_product(e, {_pep_plane_sql(_PEP_PLANES[b])})"
+        f" * 1000000.0 + 0.5) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(4)
+    )),
+)
+def pipeline_embed_prep(spark, sf_dir):
+    """END-TO-END embedding-prep capstone — the third pipeline bookend
+    beside `pipeline_text_prep` (documents) and `pipeline_events_prep`
+    (events): one declarative plan takes the raw embedding table to
+    index-ready form — zero-vector filter, L2 norm, unit-normalized
+    vector (micro-unit CSV, sign-branched), absmax int8 codes
+    (`embed_quantize_int8`'s discipline), and a 4-bit seeded-
+    hyperplane LSH bucket (`sim_ann_lsh`'s shape, here SQL-oracled:
+    the planes inline as shared literals and each dot product is
+    1e-6-quantized before the sign test, so both engines derive the
+    identical bucket).
+
+    Everything is higher-order codegen over one scan — no UDF, no
+    shuffle, no join: at 100 TB this runs as a pure map over the
+    vector table, the exact preprocessing job that feeds the
+    ann_ivf/embed_pq/ann_ivf_pq index builders downstream. Every
+    output column is a driver-sortable scalar (CSV/hex discipline)."""
+    t = Tables(spark, sf_dir)
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    d = t.embeddings.select("vec_id", "label", e.alias("e"))
+    nrm = F.sqrt(
+        F.aggregate(F.col("e"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    amax = F.array_max(F.transform(F.col("e"), lambda x: F.abs(x)))
+    # quantize the norm BEFORE dividing (see oracle comment): the
+    # quantized value is bit-identical across engines, the raw sqrt
+    # fold is not
+    n = d.select(
+        "vec_id",
+        "label",
+        "e",
+        (F.floor(nrm * 1e6 + F.lit(0.5)) / 1e6).alias("nrm"),
+        F.when(amax == 0, F.lit(1.0)).otherwise(amax / 127).alias("scale"),
+    ).filter(F.col("nrm") > 0)
+
+    unit = F.transform(
+        F.col("e"),
+        lambda x: F.when(
+            x >= 0, F.floor(x / F.col("nrm") * 1e6 + F.lit(0.5))
+        )
+        .otherwise(-F.floor(-x / F.col("nrm") * 1e6 + F.lit(0.5)))
+        .cast("long"),
+    )
+    q = F.transform(
+        F.col("e"),
+        lambda x: F.least(
+            F.greatest(F.floor(x / F.col("scale") + 0.5), F.lit(-127)),
+            F.lit(127),
+        ).cast("int"),
+    )
+
+    def dot_plane(b):
+        plane = F.array(*[F.lit(float(v)) for v in _PEP_PLANES[b]])
+        return F.aggregate(
+            F.zip_with(F.col("e"), plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    bucket = None
+    for b in range(4):
+        bit = F.when(
+            F.floor(dot_plane(b) * 1e6 + F.lit(0.5)) > 0, F.lit(1 << b)
+        ).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+
+    return n.select(
+        "vec_id",
+        "label",
+        "nrm",
+        F.concat_ws(",", unit.cast("array<string>")).alias("unit_csv"),
+        F.concat_ws(",", q.cast("array<string>")).alias("qvec_csv"),
+        qnt(F.col("scale"), "scale"),
+        bucket.cast("int").alias("lsh_bucket"),
+    )

@@ -749,3 +749,76 @@ def ts_changepoint_cusum(spark, sf_dir):
             "cusum_scaled",
         )
     )
+
+
+@op(
+    "ts_seasonal_profile",
+    sql="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS slot,
+               CAST(hour(ts) AS INT) AS hod,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2, 3
+    ),
+    per_hod AS (
+        SELECT event_type, hod,
+               CAST(COUNT(*) AS BIGINT) AS n_slots,
+               CAST(SUM(y) AS BIGINT) AS s
+        FROM hourly GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type,
+               CAST(SUM(n_slots) AS BIGINT) AS nn,
+               CAST(SUM(s) AS BIGINT) AS ss
+        FROM per_hod GROUP BY event_type
+    )
+    SELECT p.event_type, p.hod, p.n_slots,
+           FLOOR(CAST(p.s AS DOUBLE) / p.n_slots * 1000000.0 + 0.5)
+               / 1000000.0 AS mean_count,
+           FLOOR(CAST(p.s AS DOUBLE) * t.nn
+                 / (CAST(p.n_slots AS DOUBLE) * t.ss) * 1000000.0 + 0.5)
+               / 1000000.0 AS seasonal_index
+    FROM per_hod p JOIN tot t ON p.event_type = t.event_type
+    """,
+)
+def ts_seasonal_profile(spark, sf_dir):
+    """Hour-of-day seasonality profile per event type: the mean hourly
+    count in each of the 24 daily slots and its ratio to the type's
+    overall hourly mean (seasonal index; >1 = peak hour) — the
+    additive-decomposition seasonal component every traffic dashboard
+    overlays, and the normalizer `ts_holt`-style forecasts multiply
+    back in. Means are over OBSERVED slots (hours with ≥1 event),
+    stated in the contract so both engines derive the identical
+    denominator.
+
+    All counts are exact BIGINTs from two nested rollups of the
+    hourly aggregate (map-side combinable; the raw table is touched
+    once); index = s·N / (n·S) is one fixed double expression over
+    four exact integers, quantized. The per-type totals broadcast —
+    output is ≤ |types|·24 rows at any corpus size."""
+    t = Tables(spark, sf_dir)
+    hourly = t.events.groupBy(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("slot"),
+        F.hour("ts").alias("hod"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    per_hod = hourly.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).cast("long").alias("n_slots"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    tot = per_hod.groupBy("event_type").agg(
+        F.sum("n_slots").cast("long").alias("nn"),
+        F.sum("s").cast("long").alias("ss"),
+    )
+    return per_hod.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "hod",
+        "n_slots",
+        qnt(F.col("s").cast("double") / F.col("n_slots"), "mean_count"),
+        qnt(
+            F.col("s").cast("double")
+            * F.col("nn")
+            / (F.col("n_slots").cast("double") * F.col("ss")),
+            "seasonal_index",
+        ),
+    )

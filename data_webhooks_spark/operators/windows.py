@@ -414,3 +414,63 @@ def win_gap_islands(spark, sf_dir):
         F.count(F.lit(1)).alias("n_streaks"),
         F.max("len").cast("long").alias("longest_streak"),
     )
+
+
+@op(
+    "win_running_distinct",
+    sql="""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN ROW_NUMBER() OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id
+               ) = 1 THEN 1 ELSE 0 END AS first_of_type
+        FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(first_of_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS BIGINT) AS n_types_so_far
+    FROM flagged
+    """,
+)
+def win_running_distinct(spark, sf_dir):
+    """Running COUNT DISTINCT over a window — how many distinct event
+    types each user has touched as of every event (the engagement-
+    breadth curve; also the classic "distinct is not a window
+    aggregate" workaround interview question). Spark and most engines
+    reject count(distinct) over a running frame outright; the
+    standard rewrite marks each row that is the FIRST occurrence of
+    its (user, type) and running-sums the flags.
+
+    Two windows, both on the same user-keyed exchange (Spark reuses
+    the hash partitioning; the second window only re-sorts). Fully
+    deterministic: both orderings end in event_id. At 100 TB this is
+    one shuffle + two sorts per partition — the naive per-row
+    distinct-scan alternative is per-user-quadratic."""
+    t = Tables(spark, sf_dir)
+    wf = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.events.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "event_type",
+            F.when(F.row_number().over(wf) == 1, 1).otherwise(0).alias(
+                "first_of_type"
+            ),
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.sum("first_of_type").over(wr).cast("long").alias(
+                "n_types_so_far"
+            ),
+        )
+    )

@@ -108,6 +108,12 @@ KEYS = [
     "win_pattern_var",
     "text_top_terms",
     "contamination_matrix",
+    # r6 third wave (r7 window seed)
+    "join_asof_tolerance",
+    "win_running_distinct",
+    "ts_seasonal_profile",
+    "agg_weighted_median",
+    "pipeline_embed_prep",
 ]
 MAX_FACTOR = {
     "dedup_embedding": 10,

@@ -526,3 +526,124 @@ def test_custom_state_matches_pandas_argmax(spark, sf_dir):
         assert pdf.loc[uid, "max_value"] == mx
         assert pdf.loc[uid, "argmax_event"] == arg
     assert set(pdf.index) == set(ev["user_id"].unique())
+
+
+def test_asof_tolerance_vs_unbounded_asof(spark, sf_dir):
+    """The tolerance variant must agree with plain join_asof wherever
+    the match is fresh (≤1 h) and null out exactly the stale ones —
+    and pandas merge_asof with tolerance must reproduce the fresh
+    set."""
+    tol = QUERIES["join_asof_tolerance"](spark, sf_dir).toPandas().set_index(
+        "event_id"
+    )
+    base = QUERIES["join_asof"](spark, sf_dir).toPandas().set_index("event_id")
+    assert set(tol.index) == set(base.index)
+    for eid in tol.index:
+        b_ts = base.loc[eid, "click_ts"]
+        fresh = pd.notna(b_ts) and (
+            base.loc[eid, "p_ts"] - b_ts <= pd.Timedelta(hours=1)
+        )
+        assert bool(tol.loc[eid, "fresh"]) == bool(fresh)
+        if fresh:
+            assert tol.loc[eid, "click_ts"] == b_ts
+            assert tol.loc[eid, "click_value"] == base.loc[eid, "click_value"]
+        else:
+            assert pd.isna(tol.loc[eid, "click_ts"])
+            assert pd.isna(tol.loc[eid, "click_value"])
+
+
+def test_running_distinct_is_monotone_and_final_equals_nunique(
+    spark, sf_dir
+):
+    """Per user the running distinct-type count must be monotone
+    non-decreasing, start at 1, and end exactly at the user's true
+    nunique(event_type); each increment is ≤1."""
+    from data_webhooks_spark.io import Tables
+
+    pdf = QUERIES["win_running_distinct"](spark, sf_dir).toPandas()
+    ev = Tables(spark, sf_dir).events.select(
+        "user_id", "event_id", "event_type", "ts"
+    ).toPandas()
+    order = ev.sort_values(["user_id", "ts", "event_id"])
+    merged = order.merge(pdf, on=["user_id", "event_id"])
+    for uid, g in merged.groupby("user_id"):
+        seq = g["n_types_so_far"].to_numpy()
+        assert seq[0] == 1
+        assert ((seq[1:] - seq[:-1] >= 0) & (seq[1:] - seq[:-1] <= 1)).all()
+        assert seq[-1] == g["event_type"].nunique()
+
+
+def test_seasonal_profile_weighted_mean_is_one(spark, sf_dir):
+    """The slot-weighted mean of the seasonal index must be exactly 1
+    per type (definition of a multiplicative seasonal profile), and
+    per-type slots must cover all 24 hours with Σ n_slots·mean_count
+    equal to the type's event total."""
+    from data_webhooks_spark.io import Tables
+
+    pdf = QUERIES["ts_seasonal_profile"](spark, sf_dir).toPandas()
+    ev = Tables(spark, sf_dir).events.toPandas()
+    totals = ev.groupby("event_type").size()
+    for et, g in pdf.groupby("event_type"):
+        assert sorted(g["hod"]) == list(range(24))
+        wmean = (g["seasonal_index"] * g["n_slots"]).sum() / g["n_slots"].sum()
+        assert abs(wmean - 1.0) < 1e-4
+        assert abs((g["mean_count"] * g["n_slots"]).sum() - totals[et]) < 0.5
+
+
+def test_weighted_median_definition_holds(spark, sf_dir):
+    """Re-derive the weighted median from raw rows: at the reported
+    price, cumulative weight first reaches half the total; one cent
+    below it does not."""
+    import numpy as np
+
+    from data_webhooks_spark.io import Tables
+
+    got = (
+        QUERIES["agg_weighted_median"](spark, sf_dir)
+        .toPandas()
+        .set_index("l_returnflag")
+    )
+    li = Tables(spark, sf_dir).lineitem.select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    ).toPandas()
+    li["p"] = np.floor(li["l_extendedprice"] * 100 + 0.5).astype("int64")
+    li["w"] = np.floor(li["l_quantity"] + 0.5).astype("int64")
+    for rf, g in li.groupby("l_returnflag"):
+        W = g["w"].sum()
+        med_c = int(round(got.loc[rf, "weighted_median_price"] * 100))
+        assert got.loc[rf, "w_total"] == W
+        assert 2 * g[g["p"] <= med_c]["w"].sum() >= W
+        assert 2 * g[g["p"] <= med_c - 1]["w"].sum() < W
+
+
+def test_embed_prep_pipeline_consistency(spark, sf_dir):
+    """The capstone's stages must be mutually consistent: unit vector
+    micro-components give ~unit norm, int8 codes stay in range and
+    reconstruct within scale/2 per element, the bucket is a 4-bit
+    int, and the norm matches numpy."""
+    import numpy as np
+
+    from data_webhooks_spark.io import Tables
+
+    pdf = QUERIES["pipeline_embed_prep"](spark, sf_dir).toPandas()
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in Tables(spark, sf_dir)
+        .embeddings.select("vec_id", "embedding")
+        .collect()
+        .__iter__()
+    }
+    assert len(pdf) == len(emb)  # no zero vectors in the fixture
+    assert pdf["lsh_bucket"].between(0, 15).all()
+    for r in pdf.sample(n=50, random_state=7).itertuples():
+        v = emb[r.vec_id]
+        assert abs(r.nrm - np.linalg.norm(v)) < 2e-6
+        u = np.array([int(x) for x in r.unit_csv.split(",")]) / 1e6
+        assert abs(np.linalg.norm(u) - 1.0) < 1e-3
+        q = np.array([int(x) for x in r.qvec_csv.split(",")])
+        assert q.min() >= -127 and q.max() <= 127
+        # the reported scale is 1e-6-quantized; reconstruct with the
+        # TRUE absmax scale and allow |q|·Δscale ≤ 127·5e-7 slack
+        true_scale = np.abs(v).max() / 127
+        assert np.abs(q * true_scale - v).max() <= true_scale / 2 + 127 * 5e-7
+        assert abs(r.scale - true_scale) <= 5e-7
