@@ -1045,3 +1045,205 @@ def win_pattern_var(spark, sf_dir):
             F.max("run_len").cast("long").alias("longest_run"),
         )
     )
+
+
+@op(
+    "event_markov_transitions",
+    sql="""
+    WITH seq AS (
+        SELECT event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT prev_type, CAST(SUM(n) AS BIGINT) AS row_total
+        FROM pairs GROUP BY 1
+    )
+    SELECT p.prev_type, p.event_type, p.n,
+           FLOOR(CAST(p.n AS DOUBLE) / t.row_total * 1000000.0 + 0.5)
+               / 1000000.0 AS prob
+    FROM pairs p JOIN tot t ON p.prev_type = t.prev_type
+    """,
+)
+def event_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix of the event stream: for
+    every (previous type → next type) pair, the transition count over
+    all users' time-ordered streams and the row-normalized transition
+    probability P(next | prev). The |types|² matrix is what
+    next-action prediction baselines, anomaly scoring (improbable
+    transitions) and the `event_paths` n-gram view all start from.
+
+    One user-keyed window (lag over (ts, event_id) — the same single
+    exchange every per-user operator here rides), then a
+    |types|²-sized hash aggregate and a broadcast join to the row
+    totals. Counts are exact BIGINTs; the probability is one fixed
+    double division, 1e-6-quantized on both engines. Each user's
+    first event has no predecessor and is excluded on both sides, so
+    the invariant Σ counts = |events| − |users| pins the matrix
+    against the raw table (test_r6_operators)."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        t.events.select(
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = pairs.groupBy("prev_type").agg(
+        F.sum("n").cast("long").alias("row_total")
+    )
+    return pairs.join(F.broadcast(tot), "prev_type").select(
+        "prev_type",
+        "event_type",
+        "n",
+        qnt(F.col("n").cast("double") / F.col("row_total"), "prob"),
+    )
+
+
+# Revenue concentration shards: like vocab_coverage, the global
+# rank+cumsum runs as a range-sharded two-pass prefix sum, never a
+# single-partition window. Shard ids come from approx-quantile
+# boundaries of the per-user revenue (broadcast); the boundary set only
+# routes rows — every output value is reconstructed exactly from local
+# ranks + per-shard offsets, so the oracle can use a plain window.
+_PARETO_SHARDS = 8
+
+
+@op(
+    "analytics_pareto",
+    sql="""
+    WITH rev AS (
+        SELECT user_id,
+               CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev_c
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT rev_c,
+               row_number() OVER (ORDER BY rev_c DESC, user_id) AS rk
+        FROM rev
+    ),
+    cum AS (
+        SELECT rk,
+               CAST(SUM(rev_c) OVER (ORDER BY rk
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_c
+        FROM ranked
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(rev_c) AS BIGINT) AS c
+        FROM rev
+    )
+    SELECT (cum.rk * 10 + tot.n - 1) // tot.n AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(MAX(cum.rk) AS BIGINT) AS cum_users,
+           CAST(max_by(cum.cum_c, cum.rk) AS DOUBLE) / 100.0
+               AS cum_revenue,
+           FLOOR(max_by(cum.cum_c, cum.rk) / CAST(tot.c AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS cum_share
+    FROM cum CROSS JOIN tot
+    GROUP BY decile, tot.n, tot.c
+    """,
+)
+def analytics_pareto(spark, sf_dir):
+    """Revenue concentration (Pareto / Lorenz curve by decile): rank
+    purchasers by total purchase revenue, cut into 10 equal-count
+    deciles, and report each decile's user count plus the CUMULATIVE
+    users/revenue/revenue-share at its boundary — the "top 10% of
+    customers drive X% of revenue" table behind every account-tiering
+    and whale-risk dashboard.
+
+    Per-user revenue is an exact BIGINT cent sum (round-half-up per
+    row, then integer addition — no float accumulation order anywhere).
+    The global rank+cumsum over the user aggregate is the
+    `vocab_coverage` RANGE-SHARDED TWO-PASS prefix sum: approx-quantile
+    boundaries broadcast as shard router, local row_number+running sum
+    per shard, per-shard totals turned into exclusive offsets via a
+    triangular join on the shard-count-sized totals table — no
+    single-partition window even when "users" means billions. Deciles
+    are exact integer arithmetic (ceil(rk·10/n) via (rk·10+n−1) div n);
+    the only doubles are the final /100 and the 1e-6-quantized share."""
+    t = Tables(spark, sf_dir)
+    rev = (
+        t.events.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+            ).cast("long").alias("rev_c")
+        )
+    )
+    qsplits = [i / _PARETO_SHARDS for i in range(1, _PARETO_SHARDS)]
+    bounds = rev.agg(F.percentile_approx("rev_c", qsplits, 10_000).alias("bs"))
+    part = (
+        rev.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "pid",
+            F.aggregate(
+                "bs",
+                F.lit(0),
+                lambda acc, b: acc + F.when(b > F.col("rev_c"), 1).otherwise(0),
+            ),
+        )
+        .drop("bs")
+    )
+    w_local = Window.partitionBy("pid").orderBy(
+        F.col("rev_c").desc(), "user_id"
+    )
+    local = part.select(
+        "pid",
+        "rev_c",
+        F.row_number().over(w_local).cast("long").alias("lrk"),
+        F.sum("rev_c")
+        .over(w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("lcum"),
+    )
+    tots = part.groupBy("pid").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rev_c").cast("long").alias("s"),
+    )
+    offs = (
+        tots.alias("a")
+        .join(tots.alias("b"), F.col("b.pid") < F.col("a.pid"), "left")
+        .groupBy(F.col("a.pid").alias("pid"))
+        .agg(
+            F.coalesce(F.sum("b.n"), F.lit(0)).cast("long").alias("rk_off"),
+            F.coalesce(F.sum("b.s"), F.lit(0)).cast("long").alias("c_off"),
+        )
+    )
+    grand = tots.agg(
+        F.sum("n").cast("long").alias("tot_n"),
+        F.sum("s").cast("long").alias("tot_c"),
+    )
+    g = (
+        local.join(F.broadcast(offs), "pid")
+        .select(
+            (F.col("lrk") + F.col("rk_off")).alias("rk"),
+            (F.col("lcum") + F.col("c_off")).cast("long").alias("cum_c"),
+        )
+        .crossJoin(F.broadcast(grand))
+        .withColumn(
+            "decile",
+            F.expr("(rk * 10 + tot_n - 1) div tot_n"),
+        )
+    )
+    return g.groupBy("decile", "tot_n", "tot_c").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.max("rk").alias("cum_users"),
+        F.max(F.struct("rk", "cum_c")).alias("bx"),
+    ).select(
+        "decile",
+        "n_users",
+        "cum_users",
+        (F.col("bx.cum_c").cast("double") / 100.0).alias("cum_revenue"),
+        qnt(F.col("bx.cum_c") / F.col("tot_c").cast("double"), "cum_share"),
+    )

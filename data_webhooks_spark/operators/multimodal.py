@@ -18,6 +18,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from ..io import Tables
+from ..norms import qnt
 from ..regutil import registrar
 
 QUERIES: dict = {}
@@ -286,4 +287,86 @@ def multimodal_features(spark, sf_dir):
 
     return _payloads(t).mapInPandas(
         feat_batches, "doc_id long, bin int, feat_micro long"
+    )
+
+
+_FRAME_BYTES = 256
+
+
+@op(
+    "multimodal_audio_energy",
+    sql=f"""
+    WITH idx AS (
+        SELECT doc_id, text,
+               unnest(range(1, CAST(n_chars AS BIGINT) + 1)) AS i
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id,
+               (i - 1) // {_FRAME_BYTES} AS frame,
+               unicode(substr(text, CAST(i AS INT), 1)) AS b
+        FROM idx
+    )
+    SELECT doc_id, frame,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(b * b) AS BIGINT) AS energy,
+           CAST(MAX(b) AS BIGINT) AS peak,
+           FLOOR(sqrt(CAST(SUM(b * b) AS DOUBLE)
+                      / CAST(COUNT(*) AS DOUBLE)) * 1000000.0 + 0.5)
+               / 1000000.0 AS rms
+    FROM pos GROUP BY doc_id, frame
+    """,
+)
+def multimodal_audio_energy(spark, sf_dir):
+    """Windowed energy profile of a binary payload treated as 8-bit PCM
+    audio — the framing + per-frame energy/peak/RMS pass that VAD
+    (voice-activity detection), silence trimming and loudness
+    normalization all run before any model sees a training clip. Frames
+    are 256 samples; per (doc, frame): sample count, exact energy Σb²,
+    peak amplitude, and RMS.
+
+    The decode/frame step is the real multimodal plumbing — an
+    Arrow-batched ``mapInPandas`` over the payload bytes emitting
+    integer frame rows (a production build swaps the byte view for
+    soundfile PCM decode at the same seam; cf. `decode_stub`). All
+    Python outputs are exact BIGINTs; RMS is derived ENGINE-side from
+    those integers (sqrt of one double division, 1e-6-quantized), so
+    the float discipline lives in the two engines' identical IEEE
+    sequence, not in numpy. The oracle recomputes every frame from the
+    documents table via generate_series + unicode() (fixture text is
+    verified ASCII, so char ops == byte ops — the `multimodal_col`
+    contract). Frame rows scale as bytes/256 and partition by doc —
+    embarrassingly parallel at 100 TB."""
+    t = Tables(spark, sf_dir)
+    with_payload = _payloads(t)
+
+    def frame_batches(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "frame": [], "n_samples": [],
+                    "energy": [], "peak": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for fi in range(0, (len(b) + _FRAME_BYTES - 1) // _FRAME_BYTES):
+                    fr = b[fi * _FRAME_BYTES:(fi + 1) * _FRAME_BYTES]
+                    rows["doc_id"].append(doc_id)
+                    rows["frame"].append(fi)
+                    rows["n_samples"].append(len(fr))
+                    rows["energy"].append(sum(x * x for x in fr))
+                    rows["peak"].append(max(fr))
+            yield pd.DataFrame(rows)
+
+    frames = with_payload.mapInPandas(
+        frame_batches,
+        "doc_id long, frame long, n_samples long, energy long, peak long",
+    )
+    return frames.select(
+        "doc_id",
+        "frame",
+        "n_samples",
+        "energy",
+        "peak",
+        qnt(
+            F.sqrt(F.col("energy").cast("double") / F.col("n_samples").cast("double")),
+            "rms",
+        ),
     )

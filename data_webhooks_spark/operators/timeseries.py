@@ -822,3 +822,107 @@ def ts_seasonal_profile(spark, sf_dir):
             "seasonal_index",
         ),
     )
+
+
+# M4 pixel buckets: 6-hour wall-clock cells. Integer microseconds with
+# truncating division (timestamps are positive, so Spark `div` and
+# DuckDB `//` agree); the bucket id is exact on both engines.
+_M4_WIDTH_US = 6 * 3600 * 1_000_000
+
+
+@op(
+    "ts_downsample_m4",
+    sql=f"""
+    WITH e AS (
+        SELECT event_type,
+               epoch_us(ts) // {_M4_WIDTH_US} AS bucket,
+               ts, event_id, value
+        FROM events
+    ),
+    fs AS (
+        SELECT *, row_number() OVER (PARTITION BY event_type, bucket
+                   ORDER BY ts ASC, event_id ASC) AS rn FROM e
+    ),
+    ls AS (
+        SELECT *, row_number() OVER (PARTITION BY event_type, bucket
+                   ORDER BY ts DESC, event_id DESC) AS rn FROM e
+    ),
+    mn AS (
+        SELECT *, row_number() OVER (PARTITION BY event_type, bucket
+                   ORDER BY value ASC, ts ASC, event_id ASC) AS rn FROM e
+    ),
+    mx AS (
+        SELECT *, row_number() OVER (PARTITION BY event_type, bucket
+                   ORDER BY value DESC, ts DESC, event_id DESC) AS rn FROM e
+    ),
+    cnt AS (
+        SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS n
+        FROM e GROUP BY 1, 2
+    )
+    SELECT c.event_type, c.bucket, c.n,
+           f.ts AS first_ts, f.value AS first_val,
+           l.ts AS last_ts,  l.value AS last_val,
+           n2.value AS min_val, n2.ts AS min_ts,
+           x.value AS max_val, x.ts AS max_ts
+    FROM cnt c
+    JOIN fs f ON f.event_type = c.event_type AND f.bucket = c.bucket
+             AND f.rn = 1
+    JOIN ls l ON l.event_type = c.event_type AND l.bucket = c.bucket
+             AND l.rn = 1
+    JOIN mn n2 ON n2.event_type = c.event_type AND n2.bucket = c.bucket
+              AND n2.rn = 1
+    JOIN mx x ON x.event_type = c.event_type AND x.bucket = c.bucket
+             AND x.rn = 1
+    """,
+)
+def ts_downsample_m4(spark, sf_dir):
+    """M4 chart downsampling (Jugel et al., VLDB 2014): per
+    (event_type, 6-hour pixel bucket) the four rows a line chart
+    actually renders — first, last, min and max of `value`, each with
+    its timestamp — plus the bucket row count. This is THE published
+    error-free downsampling for line visualization: a width-w pixel
+    column drawn from {first,last,min,max} is pixel-identical to one
+    drawn from all points, so a dashboard over a 100 TB event table
+    ships |types|·|pixels| rows to the browser instead of the table.
+
+    One hash aggregate, map-side combinable, no window/sort of the raw
+    table: every extreme is a lexicographic struct-min/max (the
+    `agg_minmax_by` idiom) so ties resolve deterministically
+    ((ts,event_id) for first/last; (value,ts,event_id) for min/max)
+    and the shuffle carries |types|·|buckets| structs. The oracle
+    spells the identical tiebreaks as row_number orderings. No float
+    arithmetic anywhere — outputs are existing rows' values."""
+    t = Tables(spark, sf_dir)
+    e = t.events.select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "ts",
+        "event_id",
+        "value",
+    ).select(
+        "event_type",
+        F.expr(f"us div {_M4_WIDTH_US}").alias("bucket"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    g = e.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min(F.struct("ts", "event_id", "value")).alias("fs"),
+        F.max(F.struct("ts", "event_id", "value")).alias("ls"),
+        F.min(F.struct("value", "ts", "event_id")).alias("mn"),
+        F.max(F.struct("value", "ts", "event_id")).alias("mx"),
+    )
+    return g.select(
+        "event_type",
+        "bucket",
+        "n",
+        F.col("fs.ts").alias("first_ts"),
+        F.col("fs.value").alias("first_val"),
+        F.col("ls.ts").alias("last_ts"),
+        F.col("ls.value").alias("last_val"),
+        F.col("mn.value").alias("min_val"),
+        F.col("mn.ts").alias("min_ts"),
+        F.col("mx.value").alias("max_val"),
+        F.col("mx.ts").alias("max_ts"),
+    )

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DecimalType
 
 from ..io import Tables
+from ..norms import qnt
 from ..regutil import registrar
 
 QUERIES: dict = {}
@@ -473,4 +474,98 @@ def win_running_distinct(spark, sf_dir):
                 "n_types_so_far"
             ),
         )
+    )
+
+
+# Rolling-OLS integer discipline: x = whole seconds since 2020-01-01
+# UTC (fixture events are 2024+, so x is positive and truncating µs→s
+# division agrees across engines), y = half-up-rounded 1e-4 micro-units
+# of `value`. With the 8-row frame every moment sum is bounded well
+# inside BIGINT (x ≤ ~2e8 ⇒ Σx² ≤ 8·4e16; the critical (Σx)² ≤ 2.6e18
+# < 2^63) — exact integer arithmetic until one final double division.
+_ROLL_REG_BASE_S = 1_577_836_800  # epoch seconds of 2020-01-01T00:00Z
+_ROLL_REG_FRAME = 8
+
+
+@op(
+    "win_rolling_regression",
+    sql=f"""
+    WITH e AS (
+        SELECT user_id, event_id, ts,
+               epoch_us(ts) // 1000000 - {_ROLL_REG_BASE_S} AS x,
+               CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT) AS y
+        FROM events
+    ),
+    m AS (
+        SELECT user_id, event_id, ts,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n,
+               CAST(SUM(x) OVER w AS BIGINT) AS sx,
+               CAST(SUM(y) OVER w AS BIGINT) AS sy,
+               CAST(SUM(x * y) OVER w AS BIGINT) AS sxy,
+               CAST(SUM(x * x) OVER w AS BIGINT) AS sxx
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN {_ROLL_REG_FRAME - 1} PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT user_id, event_id, ts, n,
+           FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0.0)
+                 * 8.64 * 1000000.0 + 0.5) / 1000000.0 AS slope_day
+    FROM m
+    """,
+)
+def win_rolling_regression(spark, sf_dir):
+    """Rolling OLS trend per user: the least-squares slope of `value`
+    against time over the user's trailing 8-event frame, reported in
+    value-units per DAY — the local trend line monitoring UIs draw and
+    alerting rules threshold ("spend accelerating ≥ X/day"), and the
+    regression upgrade of `win_sliding_rows`' moving mean (a mean says
+    where the level is; the slope says where it is going).
+
+    slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) over FOUR window sums —
+    every moment accumulates exact BIGINTs (see the module-level bounds
+    note) on one user-keyed exchange shared by all five frames; the
+    division is the single float op, nullif-guarded for the degenerate
+    frames (n=1, or all events in the same second — both engines null
+    there), then 1e-6-quantized. µ-unit/second → unit/day rescale is
+    the exact constant 8.64 = 86400/10⁴ applied before quantization in
+    the same fixed IEEE sequence on both engines."""
+    t = Tables(spark, sf_dir)
+    e = t.events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.floor(F.col("value") * 10000.0 + 0.5).cast("long").alias("y"),
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.expr("us div 1000000") - F.lit(_ROLL_REG_BASE_S)).alias("x"),
+        "y",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_ROLL_REG_FRAME - 1), Window.currentRow)
+    )
+    m = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.count(F.lit(1)).over(w).cast("long").alias("n"),
+        F.sum("x").over(w).cast("long").alias("sx"),
+        F.sum("y").over(w).cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("long").alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return m.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "n",
+        qnt(num / F.nullif(den, F.lit(0.0)) * 8.64, "slope_day"),
     )

@@ -114,6 +114,12 @@ KEYS = [
     "ts_seasonal_profile",
     "agg_weighted_median",
     "pipeline_embed_prep",
+    # r6 fourth wave (r7 window seed)
+    "ts_downsample_m4",
+    "event_markov_transitions",
+    "analytics_pareto",
+    "win_rolling_regression",
+    "multimodal_audio_energy",
 ]
 MAX_FACTOR = {
     "dedup_embedding": 10,

@@ -406,6 +406,7 @@ NESTED_LOOP_OK = {
     "graph_triangle_count",  # 1-row x 1-row graph-profile scalar attaches
     "corpus_mixture",  # two 1-row scalar attaches (total tokens, Σ sqrt-share)
     "event_cooccurrence",  # 1-row distinct-user total onto ≤|types|² pairs
+    "analytics_pareto",  # 1-row shard-boundary + grand-total scalars onto the user aggregate
     # deliberately tiny cross/broadcast sides (<= dozens of rows or
     # candidate sets bounded by construction)
     "join_cross", "join_skew_salted", "knn_join", "sim_cosine_brute",

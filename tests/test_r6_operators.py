@@ -647,3 +647,157 @@ def test_embed_prep_pipeline_consistency(spark, sf_dir):
         true_scale = np.abs(v).max() / 127
         assert np.abs(q * true_scale - v).max() <= true_scale / 2 + 127 * 5e-7
         assert abs(r.scale - true_scale) <= 5e-7
+
+
+def test_m4_partitions_rows_and_bounds_extremes(spark, sf_dir):
+    """ts_downsample_m4 third-way: bucket counts must partition the
+    raw table exactly; within every bucket min ≤ first/last ≤ max and
+    first_ts ≤ last_ts; every extreme's timestamp must lie inside its
+    6-hour bucket."""
+    from data_webhooks_spark.io import Tables
+
+    pdf = QUERIES["ts_downsample_m4"](spark, sf_dir).toPandas()
+    n_rows = Tables(spark, sf_dir).events.count()
+    assert pdf["n"].sum() == n_rows
+    assert (pdf["min_val"] <= pdf["first_val"]).all()
+    assert (pdf["min_val"] <= pdf["last_val"]).all()
+    assert (pdf["max_val"] >= pdf["first_val"]).all()
+    assert (pdf["max_val"] >= pdf["last_val"]).all()
+    assert (pdf["first_ts"] <= pdf["last_ts"]).all()
+    width_us = 6 * 3600 * 1_000_000
+    for col in ("first_ts", "last_ts", "min_ts", "max_ts"):
+        us = pdf[col].astype("int64") // 1000  # pandas ns -> us
+        assert ((us // width_us) == pdf["bucket"]).all(), col
+
+
+def test_markov_counts_partition_and_rows_normalize(spark, sf_dir):
+    """event_markov_transitions third-way: pair counts must sum to
+    |events| − |users| (every event except each user's first is
+    exactly one transition's target), and each prev row's
+    probabilities must sum to 1 within quantization slack."""
+    from data_webhooks_spark.io import Tables
+
+    t = Tables(spark, sf_dir)
+    pdf = QUERIES["event_markov_transitions"](spark, sf_dir).toPandas()
+    n_events = t.events.count()
+    n_users = t.events.select("user_id").distinct().count()
+    assert pdf["n"].sum() == n_events - n_users
+    sums = pdf.groupby("prev_type")["prob"].sum()
+    # each row is <= |types| quantized terms, each off by <= 1e-6/2
+    assert ((sums - 1.0).abs() <= 5e-6).all()
+
+
+def test_pareto_monotone_and_exact_totals(spark, sf_dir):
+    """analytics_pareto third-way: deciles are 1..10, user counts sum
+    to the purchaser count, cumulative users/share are strictly
+    increasing, the last decile's share is exactly 1.0, and the final
+    cumulative revenue equals the exact cent total of all purchase
+    rows re-derived with the same half-up rounding."""
+    from pyspark.sql import functions as F
+
+    from data_webhooks_spark.io import Tables
+
+    t = Tables(spark, sf_dir)
+    pdf = (
+        QUERIES["analytics_pareto"](spark, sf_dir)
+        .toPandas()
+        .sort_values("decile")
+        .reset_index(drop=True)
+    )
+    purchasers = (
+        t.events.where(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert list(pdf["decile"]) == list(range(1, 11))
+    assert pdf["n_users"].sum() == purchasers
+    assert pdf["cum_users"].is_monotonic_increasing
+    assert pdf["cum_share"].is_monotonic_increasing
+    assert pdf["cum_share"].iloc[-1] == 1.0
+    cents = (
+        t.events.where(F.col("event_type") == "purchase")
+        .select(F.sum(F.floor(F.col("value") * 100.0 + 0.5)).alias("c"))
+        .collect()[0]["c"]
+    )
+    assert pdf["cum_revenue"].iloc[-1] == cents / 100.0
+
+
+def test_rolling_regression_matches_integer_rederivation(spark, sf_dir):
+    """win_rolling_regression third-way: mirror the engines' exact
+    integer-moment arithmetic in plain Python for a user subset
+    (BIGINT x/y, one float division, 1e-6 floor-quantize) and require
+    bit-equal slopes; constant-time frames (n=1) must be NULL."""
+    import math
+
+    from data_webhooks_spark.io import Tables
+
+    pdf = QUERIES["win_rolling_regression"](spark, sf_dir).toPandas()
+    t = Tables(spark, sf_dir)
+    raw = (
+        t.events.filter("user_id < 30")
+        .select("user_id", "event_id", "ts", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    base = 1_577_836_800
+    for uid, grp in raw.groupby("user_id"):
+        xs = [int(v) // 1_000_000 - base for v in grp["ts"].astype("int64") // 1000]
+        ys = [math.floor(v * 10000.0 + 0.5) for v in grp["value"]]
+        eids = list(grp["event_id"])
+        for i in range(len(xs)):
+            lo = max(0, i - 7)
+            wx, wy = xs[lo : i + 1], ys[lo : i + 1]
+            n = len(wx)
+            sx, sy = sum(wx), sum(wy)
+            sxy = sum(a * b for a, b in zip(wx, wy))
+            sxx = sum(a * a for a in wx)
+            den = n * sxx - sx * sx
+            got = pdf[(pdf["user_id"] == uid) & (pdf["event_id"] == eids[i])]
+            assert len(got) == 1
+            got_slope = got["slope_day"].iloc[0]
+            if den == 0:
+                assert pd.isna(got_slope)
+            else:
+                want = (
+                    math.floor(
+                        (n * sxy - sx * sy) / float(den) * 8.64 * 1000000.0 + 0.5
+                    )
+                    / 1000000.0
+                )
+                assert got_slope == want, (uid, eids[i])
+
+
+def test_audio_energy_matches_python_bytes(spark, sf_dir):
+    """multimodal_audio_energy third-way: recompute frames from the
+    raw utf-8 bytes for a document subset — frame count, sample
+    count, exact energy and peak must all match, and the total frame
+    rows must equal Σ ceil(n_bytes/256) over all documents."""
+    from data_webhooks_spark.io import Tables
+
+    pdf = QUERIES["multimodal_audio_energy"](spark, sf_dir).toPandas()
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text").filter("doc_id < 80").collect()
+    for r in docs:
+        b = r["text"].encode("utf-8")
+        mine = [
+            (fi, len(fr), sum(x * x for x in fr), max(fr))
+            for fi, fr in (
+                (k, b[k * 256 : (k + 1) * 256])
+                for k in range((len(b) + 255) // 256)
+            )
+        ]
+        got = pdf[pdf["doc_id"] == r["doc_id"]].sort_values("frame")
+        assert len(got) == len(mine)
+        for (fi, n, en, pk), (_, row) in zip(mine, got.iterrows()):
+            assert row["frame"] == fi
+            assert row["n_samples"] == n
+            assert row["energy"] == en
+            assert row["peak"] == pk
+    total = sum(
+        (r["n"] + 255) // 256
+        for r in t.documents.selectExpr(
+            "octet_length(text) as n"
+        ).collect()
+    )
+    assert len(pdf) == total
