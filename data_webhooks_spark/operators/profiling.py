@@ -294,3 +294,67 @@ def profile_numeric_corr(spark, sf_dir):
         for a, b in _PN_PAIRS
     ]
     return m.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+@op(
+    "dq_freshness",
+    sql="""
+    WITH g AS (SELECT MAX(ts) AS gmax FROM events),
+    per AS (
+        SELECT event_type,
+               MAX(ts) AS last_ts,
+               CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN ts >= (SELECT gmax FROM g)
+                                        - INTERVAL 24 HOUR
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_last_24h
+        FROM events GROUP BY event_type
+    )
+    SELECT p.event_type, p.last_ts,
+           (epoch_us(g.gmax) - epoch_us(p.last_ts)) // 60000000
+               AS staleness_min,
+           p.n_total, p.n_last_24h
+    FROM per p CROSS JOIN g
+    """,
+)
+def dq_freshness(spark, sf_dir):
+    """Feed-freshness gate (the first panel of every webhook ingest
+    dashboard, and the SLA check `dq_checks` doesn't cover): per event
+    type, the last event's timestamp, its staleness in whole minutes
+    behind the newest event ANYWHERE in the table (wall-clock "now" is
+    nondeterministic — the global max is the reproducible reference,
+    stated in the contract), total rows, and rows in the trailing 24 h
+    window before that reference — a dead or lagging webhook source
+    shows up as staleness_min > 0 with a collapsing n_last_24h.
+
+    One map-combinable groupBy over events plus a 1-row global-max
+    aggregate broadcast onto the |types|-row result; staleness is
+    exact integer µs arithmetic floored to minutes (µs deltas are
+    non-negative, so truncating division agrees across engines)."""
+    t = Tables(spark, sf_dir)
+    g = t.events.agg(F.max("ts").alias("gmax"))
+    per = (
+        t.events.crossJoin(F.broadcast(g))
+        .groupBy("event_type", "gmax")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.sum(
+                F.when(
+                    F.col("ts") >= F.col("gmax") - F.expr("INTERVAL 24 HOURS"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_last_24h"),
+        )
+    )
+    return per.select(
+        "event_type",
+        "last_ts",
+        F.expr(
+            "(unix_micros(cast(gmax as timestamp))"
+            " - unix_micros(cast(last_ts as timestamp))) div 60000000"
+        ).alias("staleness_min"),
+        "n_total",
+        "n_last_24h",
+    )

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..io import Tables
+from ..norms import dec_sum, o_dec_sum
 from ..regutil import registrar
 from ..sources.derived import (
     BLOB_DOCS,
@@ -223,4 +224,59 @@ def scan_parquet_evolve(spark, sf_dir):
         spark.read.option("mergeSchema", "true")
         .parquet(path)
         .select("event_id", "user_id", "value", "event_type")
+    )
+
+
+@op(
+    "scan_json_corrupt",
+    sql=f"""
+    WITH marked AS (
+        SELECT CASE WHEN event_id % 13 = 0 THEN '__corrupt__'
+                    ELSE event_type END AS bucket,
+               CASE WHEN event_id % 13 = 0 THEN NULL
+                    ELSE value END AS value
+        FROM events
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           {o_dec_sum('value', 'value_sum')}
+    FROM marked GROUP BY bucket
+    """,
+)
+def scan_json_corrupt(spark, sf_dir):
+    """Malformed-record ingest (the production webhook-replay reality:
+    truncated POST bodies, half-written log lines): a JSONL input in
+    which every 13th record is cut mid-object is read in PERMISSIVE
+    mode with an explicit `_corrupt_record` column — bad lines become
+    quarantine rows instead of failing the job, good lines parse
+    exactly. Output: per-event-type row counts + exact value sums,
+    with the corrupt bucket counted under '__corrupt__'.
+
+    The corrupt twin is derived deterministically from the parquet
+    fixture (corruption keys off the parsed event_id — see
+    sources/derived.py), so the oracle reproduces the exact good/
+    corrupt split from the ORIGINAL table: the parity check proves
+    Spark's PERMISSIVE parser recovers every non-corrupt row
+    bit-exactly and quarantines precisely the mutilated ones — the
+    recovery contract, not just "doesn't crash". Scale: schema-on-read
+    line parsing is embarrassingly parallel; the quarantine count is
+    the dead-letter metric every ingest SLA monitors."""
+    path = derived_path(sf_dir, "events_corrupt.jsonl")
+    raw = (
+        spark.read.schema(EVENTS_JSON_SPARK_SCHEMA + ", _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    return (
+        raw.select(
+            F.when(F.col("_corrupt_record").isNotNull(), F.lit("__corrupt__"))
+            .otherwise(F.col("event_type"))
+            .alias("bucket"),
+            "value",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            dec_sum("value", "value_sum"),
+        )
     )

@@ -59,7 +59,7 @@ def ensure_derived(sf_dir: str) -> str:
     scale factor."""
     sfname = os.path.basename(sf_dir.rstrip("/"))
     out = f"{DERIVED_DIR}/{sfname}"
-    marker = f"{out}/.complete_v3"
+    marker = f"{out}/.complete_v4"
     if os.path.exists(marker):
         return out
     os.makedirs(out, exist_ok=True)
@@ -117,6 +117,21 @@ def ensure_derived(sf_dir: str) -> str:
         f"TO '{evolve_dir}/v2.parquet' (FORMAT PARQUET)"
     )
     con.close()
+    # malformed-ingest twin for scan_json_corrupt: same events.jsonl,
+    # but every line whose event_id % 13 == 0 is truncated to its
+    # first 30 bytes (invalid JSON — cut mid-record, no closing
+    # brace). Corruption keys off the PARSED id, so the oracle can
+    # reproduce the exact good/corrupt split from the parquet table.
+    with open(f"{out}/events.jsonl", encoding="utf-8") as fin, open(
+        f"{out}/events_corrupt.jsonl", "w", encoding="utf-8"
+    ) as fout:
+        import json as _json
+
+        for line in fin:
+            if _json.loads(line)["event_id"] % 13 == 0:
+                fout.write(line[:30] + "\n")
+            else:
+                fout.write(line)
     with open(marker, "w") as f:
         f.write("ok\n")
     return out
@@ -133,4 +148,5 @@ ensure_derived(ORACLE_SF_DIR)
 ORACLE_EVENTS_JSONL = f"{DERIVED_DIR}/sf0.01/events.jsonl"
 ORACLE_CUSTOMER_CSV = f"{DERIVED_DIR}/sf0.01/customer.csv"
 ORACLE_EVENTS_EVOLVE = f"{DERIVED_DIR}/sf0.01/events_evolve"
+ORACLE_EVENTS_CORRUPT_JSONL = f"{DERIVED_DIR}/sf0.01/events_corrupt.jsonl"
 

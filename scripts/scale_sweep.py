@@ -120,6 +120,10 @@ KEYS = [
     "analytics_pareto",
     "win_rolling_regression",
     "multimodal_audio_energy",
+    # r6 fifth wave (r7 window seed). scan_json_corrupt is not swept:
+    # like scan_json/scan_csv it reads a derived single-file twin,
+    # which the multi-file amplified dirs cannot regenerate.
+    "dq_freshness",
 ]
 MAX_FACTOR = {
     "dedup_embedding": 10,
@@ -138,6 +142,7 @@ ORACLE_SKIP = {
     "dedup_embedding",
     "graph_pagerank",
     "graph_triangle_count",
+    # see ORACLE_MAX_FACTOR for per-factor caps
     # the nearest-asof oracle is a per-purchase rank over ALL the
     # user's clicks — per-user-quadratic, and amplified histories are
     # 100x deeper (filled 60 GB of spill before being killed at x100).
@@ -152,6 +157,15 @@ ORACLE_SKIP = {
 # it LOSES to the Spark loop 13.5s vs 9.0s); x100 records Spark only.
 # graph_triangle_count's oracle spills the same way (wedge CTE
 # re-materialization) from x10 up — Spark-only at amplified factors.
+# Per-key ORACLE factor caps: the tolerance-asof oracle is the same
+# per-purchase rank-over-all-user-clicks twin as join_asof_nearest's —
+# per-user-quadratic, and x100 histories are 100x deeper (the first
+# x100 attempt died in a DuckDB bad-allocation there). x10 still
+# finishes and LOSES to the window composition; x100 records Spark
+# only.
+ORACLE_MAX_FACTOR = {
+    "join_asof_tolerance": 10,
+}
 # Tables the amplified queries touch. Keyed tables get their ids
 # shifted per replica so cardinalities scale like real data (orders/
 # lineitem/customer/documents/embeddings grow; nation/region stay
@@ -251,7 +265,11 @@ def main() -> None:
                 qs[k](spark, sf_dir).toPandas()
                 best = min(best, time.perf_counter() - t0)
             per[k] = round(best, 3)
-            if k in osql and k not in ORACLE_SKIP:
+            if (
+                k in osql
+                and k not in ORACLE_SKIP
+                and factor <= ORACLE_MAX_FACTOR.get(k, 10**9)
+            ):
                 con.execute(osql[k]).df()  # warm (page cache + plan)
                 dbest = float("inf")
                 for _ in range(2):
@@ -269,8 +287,9 @@ def main() -> None:
         slot["total_s"] = round(sum(slot["queries"].values()), 3)
         slot["duck_total_s"] = round(sum(slot["duckdb"].values()), 3)
         print(json.dumps({f"x{factor}": results[f"x{factor}"]}), flush=True)
-    with open(out_path, "w") as f:
-        json.dump(results, f, indent=1)
+        # persist per factor: a crash at x100 must not lose x1/x10
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=1)
 
 
 if __name__ == "__main__":

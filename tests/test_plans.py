@@ -407,6 +407,7 @@ NESTED_LOOP_OK = {
     "corpus_mixture",  # two 1-row scalar attaches (total tokens, Σ sqrt-share)
     "event_cooccurrence",  # 1-row distinct-user total onto ≤|types|² pairs
     "analytics_pareto",  # 1-row shard-boundary + grand-total scalars onto the user aggregate
+    "dq_freshness",  # 1-row global-max-ts scalar onto the events scan
     # deliberately tiny cross/broadcast sides (<= dozens of rows or
     # candidate sets bounded by construction)
     "join_cross", "join_skew_salted", "knn_join", "sim_cosine_brute",

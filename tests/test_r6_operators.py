@@ -801,3 +801,52 @@ def test_audio_energy_matches_python_bytes(spark, sf_dir):
         ).collect()
     )
     assert len(pdf) == total
+
+
+def test_corrupt_scan_quarantines_exactly_the_mutilated_lines(
+    spark, sf_dir
+):
+    """scan_json_corrupt third-way: the quarantine count must equal
+    the number of event_id % 13 == 0 rows in the ORIGINAL parquet,
+    the per-type good counts must equal the parquet counts minus
+    their corrupted members, all buckets together must partition the
+    table, and the corrupt bucket's value sum must be NULL (nothing
+    salvaged from a truncated record)."""
+    from data_webhooks_spark.io import Tables
+
+    pdf = QUERIES["scan_json_corrupt"](spark, sf_dir).toPandas()
+    t = Tables(spark, sf_dir)
+    raw = t.events.selectExpr("event_id", "event_type").toPandas()
+    n_corrupt = (raw["event_id"] % 13 == 0).sum()
+    got = dict(zip(pdf["bucket"], pdf["n"]))
+    assert got["__corrupt__"] == n_corrupt
+    assert pdf["n"].sum() == len(raw)
+    good = raw[raw["event_id"] % 13 != 0].groupby("event_type").size()
+    for typ, n in good.items():
+        assert got[typ] == n, typ
+    assert pd.isna(
+        pdf.loc[pdf["bucket"] == "__corrupt__", "value_sum"]
+    ).all()
+
+
+def test_freshness_reference_type_is_zero_stale(spark, sf_dir):
+    """dq_freshness third-way: exactly the type owning the global max
+    ts has staleness 0; totals partition the table; the 24 h counts
+    are bounded by totals and re-derivable from the raw table."""
+    from data_webhooks_spark.io import Tables
+
+    pdf = QUERIES["dq_freshness"](spark, sf_dir).toPandas()
+    t = Tables(spark, sf_dir)
+    raw = t.events.select("event_type", "ts").toPandas()
+    gmax = raw["ts"].max()
+    owner = raw.loc[raw["ts"] == gmax, "event_type"].iloc[0]
+    zero = pdf[pdf["staleness_min"] == 0]["event_type"].tolist()
+    assert owner in zero
+    assert (pdf["staleness_min"] >= 0).all()
+    assert pdf["n_total"].sum() == len(raw)
+    assert (pdf["n_last_24h"] <= pdf["n_total"]).all()
+    cutoff = gmax - pd.Timedelta(hours=24)
+    want = raw[raw["ts"] >= cutoff].groupby("event_type").size()
+    got = dict(zip(pdf["event_type"], pdf["n_last_24h"]))
+    for typ, n in want.items():
+        assert got[typ] == n, typ
