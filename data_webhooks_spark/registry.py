@@ -117,6 +117,18 @@ _WINDOW = [
     "source_webhook",
     "sink_webhook",
 ]
+# R7 WINDOW SEED — the 19 operators added in r6 AFTER this window was
+# frozen (waves 2-5), deliberately kept out of the first 50 until
+# their rotation round (the same discipline the r5 additions
+# followed): agg_skew_kurtosis, profile_numeric_corr,
+# ts_changepoint_cusum, win_pattern_var, text_top_terms,
+# contamination_matrix, stream_custom_state, join_asof_tolerance,
+# agg_weighted_median, win_running_distinct, ts_seasonal_profile,
+# pipeline_embed_prep, ts_downsample_m4, event_markov_transitions,
+# analytics_pareto, win_rolling_regression, multimodal_audio_energy,
+# scan_json_corrupt, dq_freshness. All are locally oracle-swept,
+# invariant-tested and scale-swept this round; none has an official
+# driver record yet.
 
 _MODULES = [
     "data_webhooks_spark.operators.windows",
