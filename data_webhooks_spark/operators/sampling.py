@@ -25,6 +25,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..io import Tables
+from ..norms import qnt
 from ..regutil import registrar
 
 QUERIES: dict = {}
@@ -273,5 +274,122 @@ def sample_temperature(spark, sf_dir):
             F.col("n_docs").cast("long").alias("n_docs"),
             "threshold",
             F.col("n_kept").cast("long").alias("n_kept"),
+        )
+    )
+
+
+# Target corpus mixture (web/books/code-style domains mapped from the
+# fixture's src0..src19 by source index mod 3), integer tenth-shares
+# summing to 10 — kept integral so every threshold below is exact
+# BIGINT arithmetic on both engines.
+_MIX_SHARES = {"web": 5, "books": 3, "code": 2}
+_MIX_CASE = (
+    "CASE CAST(substr(source, 4) AS INT) % 3 WHEN 0 THEN 'web' "
+    "WHEN 1 THEN 'books' ELSE 'code' END"
+)
+
+
+@op(
+    "sample_mixture_target",
+    sql=f"""
+    WITH dom AS (
+        SELECT doc_id, {_MIX_CASE} AS domain FROM documents
+    ),
+    shares(domain, s) AS (VALUES ('web', 5), ('books', 3), ('code', 2)),
+    cnt AS (
+        SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM dom GROUP BY domain
+    ),
+    cap AS (
+        SELECT MIN(n_docs * 1000000 // s) AS t_units
+        FROM cnt JOIN shares USING (domain)
+    ),
+    thr AS (
+        SELECT c.domain, sh.s, c.n_docs,
+               (cap.t_units * sh.s // 1000000) AS k_target,
+               ((cap.t_units * sh.s // 1000000) * {BUCKETS}) // c.n_docs
+                   AS threshold
+        FROM cnt c JOIN shares sh USING (domain) CROSS JOIN cap
+    ),
+    kept AS (
+        SELECT d.domain, CAST(COUNT(*) AS BIGINT) AS n_kept
+        FROM dom d JOIN thr USING (domain)
+        WHERE {o_hash_bucket('d.doc_id')} < thr.threshold
+        GROUP BY d.domain
+    ),
+    tot AS (SELECT CAST(SUM(n_kept) AS BIGINT) AS total_kept FROM kept)
+    SELECT thr.domain, thr.s AS share_tenths, thr.n_docs, thr.k_target,
+           thr.threshold, kept.n_kept,
+           FLOOR(CAST(kept.n_kept AS DOUBLE) / tot.total_kept
+                 * 1000000.0 + 0.5) / 1000000.0 AS achieved_share
+    FROM thr JOIN kept USING (domain) CROSS JOIN tot
+    """,
+)
+def sample_mixture_target(spark, sf_dir):
+    """Deterministic mixture-targeted downsampling: hit a declared
+    domain mixture (web 50 % / books 30 % / code 20 %) exactly as far
+    as the corpus allows WITHOUT upsampling — the epoch-construction
+    step that turns "whatever crawl ratios we got" into "the mixture
+    the training recipe specifies". `sample_temperature` FLATTENS a
+    skewed distribution; this key STEERS one to declared targets.
+
+    Exact integer derivation, no RNG and no floats until the display
+    column: capacity T = min_d floor(n_d*1e6 / s_d) (the binding
+    domain fully kept), per-domain target k_d = floor(T*s_d/1e6),
+    acceptance threshold floor(k_d*BUCKETS/n_d) over the md5 hash
+    bucket of doc_id — reproducible row-locally across runs, engines
+    and partitionings (`hash_bucket` discipline). Positive operands,
+    so Spark `div` == DuckDB `//`.
+
+    Scale: one count per domain (map-side combine), a 3-row broadcast
+    of thresholds, one filtered recount — the decision is a per-row
+    hash compare with no shuffle of the corpus itself; the two 1-row
+    scalar attaches (capacity, kept total) are aggregate-sized
+    broadcasts. At 100 TB the only data-sized cost is two scans (or
+    one, caching the domain column)."""
+    t = Tables(spark, sf_dir)
+    dom = t.documents.select(
+        "doc_id", F.expr(_MIX_CASE).alias("domain")
+    )
+    shares = spark.createDataFrame(
+        [(d, s) for d, s in _MIX_SHARES.items()], "domain string, s int"
+    )
+    cnt = dom.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    j = cnt.join(F.broadcast(shares), "domain")
+    cap = j.agg(
+        F.min(F.expr("n_docs * 1000000 div s")).alias("t_units")
+    )
+    thr = j.crossJoin(F.broadcast(cap)).select(
+        "domain",
+        F.col("s").alias("share_tenths"),
+        "n_docs",
+        F.expr("t_units * s div 1000000").alias("k_target"),
+        F.expr(f"((t_units * s div 1000000) * {BUCKETS}) div n_docs").alias(
+            "threshold"
+        ),
+    )
+    kept = (
+        dom.join(F.broadcast(thr), "domain")
+        .filter(hash_bucket(F.col("doc_id")) < F.col("threshold"))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+    )
+    tot = kept.agg(F.sum("n_kept").cast("long").alias("total_kept"))
+    return (
+        thr.join(kept, "domain")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "domain",
+            "share_tenths",
+            "n_docs",
+            "k_target",
+            "threshold",
+            "n_kept",
+            qnt(
+                F.col("n_kept").cast("double") / F.col("total_kept"),
+                "achieved_share",
+            ),
         )
     )

@@ -1390,3 +1390,256 @@ def contamination_matrix(spark, sf_dir):
         .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).alias("n_shared_fp"))
     )
+
+
+# Gopher-rule thresholds (Rae et al. 2021, "Scaling Language Models:
+# ... Gopher", table A1 — the MassiveText quality heuristics). All
+# ratio rules are evaluated as exact integer cross-multiplications so
+# neither engine ever compares floats: `top1/n_words <= 0.2` becomes
+# `5*top1 <= n_words`.
+_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS = 50, 100_000
+
+
+@op(
+    "quality_gopher_rules",
+    sql=f"""
+    WITH base AS (
+        SELECT doc_id,
+               string_split(text, ' ') AS parts,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(string_split(text, ' '),
+                    x -> strlen(x))) AS BIGINT) AS chars_in_words,
+               CAST(len(list_filter(string_split(text, ' '),
+                    x -> x IN {_STOPWORDS})) AS BIGINT) AS n_stop,
+               CAST(len(list_filter(string_split(text, ' '),
+                    x -> strlen(x) <= 2)) AS BIGINT) AS n_short
+        FROM documents
+    ),
+    w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ),
+    top1 AS (
+        SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top1 FROM (
+            SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY 1, 2
+        ) GROUP BY doc_id
+    ),
+    bg AS (
+        SELECT b.doc_id, b.parts[i] || ' ' || b.parts[i + 1] AS bigram
+        FROM base b, LATERAL (
+            SELECT unnest(range(1, CAST(len(b.parts) AS BIGINT))) AS i
+        )
+    ),
+    top2 AS (
+        SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top2 FROM (
+            SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2
+        ) GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_words, b.chars_in_words, b.n_stop, b.n_short,
+           t1.top1, t2.top2,
+           b.n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+               AS r_word_count,
+           3 * b.n_words <= b.chars_in_words
+               AND b.chars_in_words <= 10 * b.n_words AS r_mean_word_len,
+           b.n_stop >= 2 AS r_stopwords,
+           20 * b.n_short <= 3 * b.n_words AS r_short_words,
+           5 * t1.top1 <= b.n_words AS r_top_unigram,
+           50 * t2.top2 <= 9 * (b.n_words - 1) AS r_top_bigram,
+           (b.n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS})
+               AND 3 * b.n_words <= b.chars_in_words
+               AND b.chars_in_words <= 10 * b.n_words
+               AND b.n_stop >= 2
+               AND 20 * b.n_short <= 3 * b.n_words
+               AND 5 * t1.top1 <= b.n_words
+               AND 50 * t2.top2 <= 9 * (b.n_words - 1) AS gopher_pass
+    FROM base b
+    JOIN top1 t1 USING (doc_id)
+    JOIN top2 t2 USING (doc_id)
+    """,
+)
+def quality_gopher_rules(spark, sf_dir):
+    """Gopher/MassiveText-style quality gate (Rae et al. 2021, A1):
+    per-document rule booleans + the conjunction. The rules that
+    survive a single-line fixture (no newlines in the corpus, so the
+    bullet/ellipsis LINE rules are honestly out of scope here; the
+    word-shape rules are the load-bearing ones):
+
+    - word count in [50, 100 000];
+    - mean word length in [3, 10] chars;
+    - >= 2 stopword occurrences (fixture stopword list);
+    - short words (<= 2 chars) at most 15 % of tokens;
+    - most frequent unigram at most 20 % of tokens;
+    - most frequent bigram at most 18 % of bigrams.
+
+    Every ratio threshold is an exact integer cross-multiplication
+    (5*top1 <= n_words, never top1/n_words <= 0.2) so the booleans are
+    bit-identical across engines with zero float math. `text_quality`
+    reports the descriptive ratios; this key is the published
+    accept/reject recipe over them.
+
+    Scale: the per-doc metrics are higher-order functions over one
+    documents scan (codegen, no explode); top-unigram/top-bigram each
+    explode once and aggregate on (doc_id, gram) — doc-keyed, uniform,
+    map-side combinable; both reduce to |docs| rows before the 3-way
+    doc_id join. No corpus-global state at all, so the operator is
+    embarrassingly parallel at 100 TB."""
+    t = Tables(spark, sf_dir)
+    tok = _tokens()
+    base = t.documents.select(
+        "doc_id",
+        tok.alias("parts"),
+        F.size(tok).cast("long").alias("n_words"),
+        F.aggregate(
+            F.transform(tok, lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("chars_in_words"),
+        F.size(F.filter(tok, lambda x: x.isin(*_STOPWORDS)))
+        .cast("long")
+        .alias("n_stop"),
+        F.size(F.filter(tok, lambda x: F.length(x) <= 2))
+        .cast("long")
+        .alias("n_short"),
+    )
+    words = t.documents.select(
+        "doc_id", F.explode(tok).alias("word")
+    )
+    top1 = (
+        words.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").cast("long").alias("top1"))
+    )
+    # size >= 2 guard: Spark's sequence(1, 0) would DESCEND for a
+    # 1-word doc (DuckDB's range(1, 1) is empty) — filter first so both
+    # engines drop bigram-less docs identically at the final join.
+    bigrams = t.documents.filter(F.size(tok) >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tok) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(tok, i), F.element_at(tok, i + 1)
+                ),
+            )
+        ).alias("bigram"),
+    )
+    top2 = (
+        bigrams.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").cast("long").alias("top2"))
+    )
+    j = base.join(top1, "doc_id").join(top2, "doc_id")
+    r_wc = F.col("n_words").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+    r_len = (3 * F.col("n_words") <= F.col("chars_in_words")) & (
+        F.col("chars_in_words") <= 10 * F.col("n_words")
+    )
+    r_stop = F.col("n_stop") >= 2
+    r_short = 20 * F.col("n_short") <= 3 * F.col("n_words")
+    r_t1 = 5 * F.col("top1") <= F.col("n_words")
+    r_t2 = 50 * F.col("top2") <= 9 * (F.col("n_words") - 1)
+    return j.select(
+        "doc_id",
+        "n_words",
+        "chars_in_words",
+        "n_stop",
+        "n_short",
+        "top1",
+        "top2",
+        r_wc.alias("r_word_count"),
+        r_len.alias("r_mean_word_len"),
+        r_stop.alias("r_stopwords"),
+        r_short.alias("r_short_words"),
+        r_t1.alias("r_top_unigram"),
+        r_t2.alias("r_top_bigram"),
+        (r_wc & r_len & r_stop & r_short & r_t1 & r_t2).alias("gopher_pass"),
+    )
+
+
+@op(
+    "text_bigram_logprob",
+    sql="""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS parts FROM documents
+    ),
+    bg AS (
+        SELECT b.doc_id, b.parts[i] AS w1, b.parts[i + 1] AS w2
+        FROM base b, LATERAL (
+            SELECT unnest(range(1, CAST(len(b.parts) AS BIGINT))) AS i
+        )
+    ),
+    uni AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS c1 FROM (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        ) GROUP BY word
+    ),
+    bi AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2
+    ),
+    vocab AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni)
+    SELECT bg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(-ln((CAST(bi.c2 AS DOUBLE) + 1.0)
+                         / (CAST(uni.c1 AS DOUBLE) + vocab.v))), 6)
+               AS avg_neg_logprob
+    FROM bg
+    JOIN uni ON bg.w1 = uni.word
+    JOIN bi ON bg.w1 = bi.w1 AND bg.w2 = bi.w2
+    CROSS JOIN vocab
+    GROUP BY bg.doc_id
+    """,
+)
+def text_bigram_logprob(spark, sf_dir):
+    """Add-one-smoothed bigram language-model score per document:
+    avg over the doc's bigrams of -ln((c(w1,w2)+1) / (c(w1)+V)),
+    where counts come from the corpus itself — the second-order
+    fluency/perplexity proxy next to `text_unigram_logprob` (which
+    cannot see word ORDER; a shuffled doc scores identically there but
+    is heavily penalized here). High scores flag word-salad docs for
+    the training-data quality gate.
+
+    Determinism: counts and V are exact BIGINTs; each term is one
+    fixed double formula evaluated identically on both engines, and
+    the per-doc mean is ROUND(..., 6) — the text_unigram_logprob
+    discipline (ln is sub-ulp stable across both engines' libm at
+    this digit budget, driver-green since r5).
+
+    Scale: the bigram/unigram count tables are bounded by vocab and
+    vocab^2, not corpus size, so both join sides broadcast; the only
+    big-data shuffle is the per-doc aggregate (doc-keyed, uniform).
+    With a 100 k-type vocab the bigram table outgrows broadcast:
+    switch that join to a shuffle equi-join on (w1, w2) and let AQE
+    skew-split the Zipf head — the plan shape is otherwise unchanged."""
+    t = Tables(spark, sf_dir)
+    tok = _tokens()
+    bg = t.documents.filter(F.size(tok) >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tok) - 1),
+                lambda i: F.struct(
+                    F.element_at(tok, i).alias("w1"),
+                    F.element_at(tok, i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    words = t.documents.select(F.explode(tok).alias("word"))
+    uni = words.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    bi = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    vocab = uni.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    term = -F.log(
+        (F.col("c2").cast("double") + F.lit(1.0))
+        / (F.col("c1").cast("double") + F.col("v"))
+    )
+    return (
+        bg.join(F.broadcast(uni), bg["w1"] == uni["word"])
+        .join(F.broadcast(bi), ["w1", "w2"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.avg(term), 6).alias("avg_neg_logprob"),
+        )
+    )

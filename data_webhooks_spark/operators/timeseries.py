@@ -926,3 +926,76 @@ def ts_downsample_m4(spark, sf_dir):
         F.col("mx.value").alias("max_val"),
         F.col("mx.ts").alias("max_ts"),
     )
+
+
+@op(
+    "ts_period_delta",
+    sql=f"""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sv_units
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, n,
+           lag(n) OVER w AS prev_n,
+           n - lag(n) OVER w AS delta_n,
+           FLOOR(CAST(n - lag(n) OVER w AS DOUBLE)
+                 / NULLIF(lag(n) OVER w, 0) * 1000000.0 + 0.5)
+               / 1000000.0 AS pct_change_n,
+           CAST(sv_units AS DOUBLE) / 10000.0 AS sum_value,
+           CAST(sv_units - lag(sv_units) OVER w AS DOUBLE) / 10000.0
+               AS delta_value
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    """,
+)
+def ts_period_delta(spark, sf_dir):
+    """Period-over-period dashboard deltas: per event type and DAY,
+    the event count and value total next to yesterday's, the absolute
+    delta, and the percent change — the day-over-day growth row every
+    webhook-analytics overview page leads with.
+
+    Determinism: counts are BIGINTs; value totals are summed as exact
+    1e-4-unit BIGINTs (events.value is non-negative in this corpus,
+    stated contract — the sign-branched norms rounding reduces to one
+    FLOOR) and the unit DIFFERENCE is taken in BIGINT before the one
+    display division, so delta_value is bit-exact even though two
+    quantized doubles differing by an ulp would not be. pct_change is
+    one quantized double ratio with a NULLIF(prev, 0) guard; first day
+    per type is NULL on both engines.
+
+    Scale: one map-side-combinable groupBy collapses the raw stream to
+    |types| x |days| rows; the lag window runs over that aggregate-
+    sized table partitioned by type — per-type days are wall-clock-
+    bounded (365/yr), so the window state is trivially small at any
+    corpus size and the heavy input is touched exactly once."""
+    t = Tables(spark, sf_dir)
+    daily = t.events.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.floor(F.col("value") * 10000.0 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("sv_units"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev_n = F.lag("n").over(w)
+    prev_sv = F.lag("sv_units").over(w)
+    return daily.select(
+        "event_type",
+        "day",
+        "n",
+        prev_n.alias("prev_n"),
+        (F.col("n") - prev_n).alias("delta_n"),
+        qnt(
+            (F.col("n") - prev_n).cast("double")
+            / F.nullif(prev_n, F.lit(0)).cast("double"),
+            "pct_change_n",
+        ),
+        (F.col("sv_units").cast("double") / 10000.0).alias("sum_value"),
+        (
+            (F.col("sv_units") - prev_sv).cast("double") / 10000.0
+        ).alias("delta_value"),
+    )
