@@ -146,6 +146,12 @@ def o_rnd(expr: str, alias: str, digits: int = 2) -> str:
 
 
 def o_qnt(expr: str, alias: str, digits: int = 6) -> str:
-    """DuckDB twin of qnt(): the identical IEEE float expression."""
-    scale = float(10**digits)
+    """DuckDB twin of qnt(): the identical IEEE float expression.
+
+    The scale is emitted in exponent form (`1e6`) — both DuckDB and
+    Spark SQL type exponent literals as DOUBLE, whereas `1000000.0`
+    types as DECIMAL(8,1) under spark.sql, turning the final division
+    DECIMAL and breaking the three-way parity check on dtype (the
+    r6 ts_period_delta lesson)."""
+    scale = f"1e{digits}"
     return f"FLOOR(({expr}) * {scale} + 0.5) / {scale} AS {alias}"

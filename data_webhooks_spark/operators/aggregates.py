@@ -822,7 +822,7 @@ _HIST_W, _HIST_BINS = 25.0, 20  # bins over [0, 500); fixture max 490
         WHERE value IS NOT NULL
     )
     SELECT event_type, bin, COUNT(*) AS n,
-           FLOOR({_HIST_W} * bin * 1000000.0 + 0.5) / 1000000.0 AS bin_lo
+           FLOOR({_HIST_W} * bin * 1e6 + 0.5) / 1e6 AS bin_lo
     FROM binned
     GROUP BY 1, 2
     """,

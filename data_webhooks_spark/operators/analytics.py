@@ -235,7 +235,7 @@ def event_paths(spark, sf_dir):
            CAST(SUM(n_events) AS BIGINT) AS n_events,
            CAST(FLOOR(SUM(span_us) / COUNT(*)) AS BIGINT) AS avg_span_us,
            FLOOR(SUM(has_purchase) / CAST(COUNT(*) AS DOUBLE)
-                 * 1000000.0 + 0.5) / 1000000.0 AS purchase_session_rate,
+                 * 1e6 + 0.5) / 1e6 AS purchase_session_rate,
            CAST(SUM(k_sum) AS BIGINT) AS k_total
     FROM sessions GROUP BY user_id
     """,
@@ -380,18 +380,18 @@ def win_pattern_match(spark, sf_dir):
     e AS (
         SELECT list_transform(
                    quantile_cont(CAST(recency AS DOUBLE), [0.2,0.4,0.6,0.8]),
-                   q -> CASE WHEN q >= 0 THEN FLOOR(q * 1000000.0 + 0.5)
-                        ELSE -FLOOR(-q * 1000000.0 + 0.5) END / 1000000.0
+                   q -> CASE WHEN q >= 0 THEN FLOOR(q * 1e6 + 0.5)
+                        ELSE -FLOOR(-q * 1e6 + 0.5) END / 1e6
                ) AS re,
                list_transform(
                    quantile_cont(CAST(frequency AS DOUBLE), [0.2,0.4,0.6,0.8]),
-                   q -> CASE WHEN q >= 0 THEN FLOOR(q * 1000000.0 + 0.5)
-                        ELSE -FLOOR(-q * 1000000.0 + 0.5) END / 1000000.0
+                   q -> CASE WHEN q >= 0 THEN FLOOR(q * 1e6 + 0.5)
+                        ELSE -FLOOR(-q * 1e6 + 0.5) END / 1e6
                ) AS fe,
                list_transform(
                    quantile_cont(CAST(monetary AS DOUBLE), [0.2,0.4,0.6,0.8]),
-                   q -> CASE WHEN q >= 0 THEN FLOOR(q * 1000000.0 + 0.5)
-                        ELSE -FLOOR(-q * 1000000.0 + 0.5) END / 1000000.0
+                   q -> CASE WHEN q >= 0 THEN FLOOR(q * 1e6 + 0.5)
+                        ELSE -FLOOR(-q * 1e6 + 0.5) END / 1e6
                ) AS me
         FROM pu
     ),
@@ -537,9 +537,9 @@ _W_DF = (
         FROM m
     )
     SELECT n1, n2,
-           FLOOR({_W_MDIFF} * 1000000.0 + 0.5) / 1000000.0 AS mean_diff,
-           FLOOR({_W_T} * 1000000.0 + 0.5) / 1000000.0 AS t_stat,
-           FLOOR({_W_DF} * 1000000.0 + 0.5) / 1000000.0 AS df_welch
+           FLOOR({_W_MDIFF} * 1e6 + 0.5) / 1e6 AS mean_diff,
+           FLOOR({_W_T} * 1e6 + 0.5) / 1e6 AS t_stat,
+           FLOOR({_W_DF} * 1e6 + 0.5) / 1e6 AS df_welch
     FROM d
     """,
 )
@@ -724,7 +724,7 @@ _CHI2_CUT = 50.0  # success = event value >= this
         FROM m
     )
     SELECT n11, n10, n01, n00,
-           FLOOR({_CHI2} * 1000000.0 + 0.5) / 1000000.0 AS chi2_stat
+           FLOOR({_CHI2} * 1e6 + 0.5) / 1e6 AS chi2_stat
     FROM dd
     """,
 )
@@ -891,9 +891,9 @@ def analytics_churn(spark, sf_dir):
         GROUP BY 1, 2
     )
     SELECT p.type_a, p.type_b, p.n_both,
-           FLOOR(p.n_both / t.nu * 1000000.0 + 0.5) / 1000000.0 AS support,
+           FLOOR(p.n_both / t.nu * 1e6 + 0.5) / 1e6 AS support,
            FLOOR(p.n_both * t.nu / (ka.n * CAST(kb.n AS DOUBLE))
-                 * 1000000.0 + 0.5) / 1000000.0 AS lift
+                 * 1e6 + 0.5) / 1e6 AS lift
     FROM pairs p
     JOIN k ka ON ka.event_type = p.type_a
     JOIN k kb ON kb.event_type = p.type_b
@@ -1065,8 +1065,8 @@ def win_pattern_var(spark, sf_dir):
         FROM pairs GROUP BY 1
     )
     SELECT p.prev_type, p.event_type, p.n,
-           FLOOR(CAST(p.n AS DOUBLE) / t.row_total * 1000000.0 + 0.5)
-               / 1000000.0 AS prob
+           FLOOR(CAST(p.n AS DOUBLE) / t.row_total * 1e6 + 0.5)
+               / 1e6 AS prob
     FROM pairs p JOIN tot t ON p.prev_type = t.prev_type
     """,
 )
@@ -1149,7 +1149,7 @@ _PARETO_SHARDS = 8
            CAST(max_by(cum.cum_c, cum.rk) AS DOUBLE) / 100.0
                AS cum_revenue,
            FLOOR(max_by(cum.cum_c, cum.rk) / CAST(tot.c AS DOUBLE)
-                 * 1000000.0 + 0.5) / 1000000.0 AS cum_share
+                 * 1e6 + 0.5) / 1e6 AS cum_share
     FROM cum CROSS JOIN tot
     GROUP BY decile, tot.n, tot.c
     """,

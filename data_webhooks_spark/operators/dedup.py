@@ -532,11 +532,11 @@ _EMB_SIM_THRESHOLD = 0.45
         SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM d
     )
     SELECT a.vec_id AS v1, b.vec_id AS v2,
-           FLOOR(list_dot_product(a.e, b.e) / (a.nrm * b.nrm) * 1000000.0 + 0.5)
-               / 1000000.0 AS cos_sim
+           FLOOR(list_dot_product(a.e, b.e) / (a.nrm * b.nrm) * 1e6 + 0.5)
+               / 1e6 AS cos_sim
     FROM n a JOIN n b ON a.vec_id < b.vec_id
-    WHERE FLOOR(list_dot_product(a.e, b.e) / (a.nrm * b.nrm) * 1000000.0 + 0.5)
-               / 1000000.0 >= {_EMB_SIM_THRESHOLD!r}
+    WHERE FLOOR(list_dot_product(a.e, b.e) / (a.nrm * b.nrm) * 1e6 + 0.5)
+               / 1e6 >= {_EMB_SIM_THRESHOLD!r}
     """,
 )
 def dedup_embedding(spark, sf_dir):

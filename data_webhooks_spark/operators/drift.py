@@ -65,7 +65,7 @@ _KS_B = "click"
     SELECT CAST(n.na AS BIGINT) AS n_a, CAST(n.nb AS BIGINT) AS n_b,
            FLOOR(MAX(abs(gaps.ca / CAST(n.na AS DOUBLE)
                          - gaps.cb / CAST(n.nb AS DOUBLE)))
-                 * 1000000.0 + 0.5) / 1000000.0 AS ks_stat
+                 * 1e6 + 0.5) / 1e6 AS ks_stat
     FROM gaps, n
     GROUP BY n.na, n.nb
     """,
@@ -166,7 +166,7 @@ _PSI_BINS = 10
     SELECT FLOOR(SUM((nc / CAST(tc AS DOUBLE) - nb / CAST(tb AS DOUBLE))
                      * ln((nc / CAST(tc AS DOUBLE))
                           / (nb / CAST(tb AS DOUBLE))))
-                 * 1000000.0 + 0.5) / 1000000.0 AS psi,
+                 * 1e6 + 0.5) / 1e6 AS psi,
            CAST(COUNT(*) AS BIGINT) AS n_bins
     FROM counts, tot
     GROUP BY tot.tb, tot.tc

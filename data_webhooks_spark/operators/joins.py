@@ -23,7 +23,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..io import Tables
-from ..norms import dec_sum, o_dec_sum
+from ..norms import MONEY_SCALE, _scaled_units, dec_sum, o_dec_sum
 from ..regutil import registrar
 
 QUERIES: dict = {}
@@ -737,43 +737,97 @@ def join_interval_binned(spark, sf_dir):
     BroadcastNestedLoopJoin — quadratic death at any real scale.
 
     The scale shape is range-join BINNING (what Databricks' range-join
-    optimization and KDB's window joins do under the hood): quantize
-    time into fixed bins of exactly the interval length, so every
-    interval overlaps at most 2 bins; explode each interval to those
-    two bin keys, equi-join points on their single bin, then apply the
-    exact residual predicate. Catalyst gets a plain shuffled equi-join
-    — partitionable, AQE-skew-splittable, NO nested loop (pinned in
-    the plan test) — at the cost of a bounded 2x duplication of the
-    (much smaller) interval side. The oracle states the same join as
-    a declarative range predicate, which DuckDB's IEJoin handles
-    natively — both engines' scalable path, one semantics."""
+    optimization and KDB's window joins do under the hood) PLUS
+    point-side PRE-AGGREGATION (the r7 density fix): the r6 ×100
+    sweep showed that when both sides densify in a fixed span, the
+    candidate-pair count — and the true-match count itself — grows
+    quadratically (~900 M residual checks), and no bin width can
+    shrink true matches. What CAN shrink is the unit of matching:
+    purchases are first collapsed to one exact partial aggregate per
+    WHOLE SECOND (count + BIGINT value units — the norms.py exact-sum
+    discipline, so totals stay bit-identical), after which each
+    incident can pair with at most ~1 200 second-rows regardless of
+    corpus density. Exactness at the window edges is preserved by
+    splitting the window [t0, t0+600 s) into (a) the 599 fully-covered
+    interior seconds — every purchase in them is provably inside the
+    window, joined via the 2-bin explode + equi-join + residual — and
+    (b) the two boundary seconds s0 and s0+600, where raw purchases
+    are equi-joined on their exact second key (2 seconds of data, a
+    vanishing fraction at any density) and filtered by the exact
+    timestamp predicate. Catalyst gets plain shuffled equi-joins —
+    partitionable, AQE-skew-splittable, NO nested loop (pinned in the
+    plan test). The oracle states the same join as a declarative
+    range predicate, which DuckDB's IEJoin handles natively — both
+    engines' scalable path, one semantics."""
     t = Tables(spark, sf_dir)
     ev = t.events
     err = ev.filter(F.col("event_type") == "error").select(
         F.col("event_id").alias("incident_id"),
         F.col("ts").alias("t0"),
-        # unix_timestamp truncates to seconds, which is safe here: the
-        # window is exactly _IB_BIN_S long, so second-truncated epochs
-        # still place every matching point within bins {b0, b0+1}
-        F.floor(F.unix_timestamp("ts") / _IB_BIN_S).alias("b0"),
-    )
-    intervals = err.select(
-        "incident_id",
-        "t0",
-        F.explode(F.array(F.col("b0"), F.col("b0") + 1)).alias("bin"),
+        # unix_timestamp truncates to whole seconds (floor, positive
+        # epochs) — the basis for the interior/boundary split
+        F.unix_timestamp("ts").alias("s0"),
     )
     pur = ev.filter(F.col("event_type") == "purchase").select(
         F.col("ts").alias("p_ts"),
-        "value",
-        F.floor(F.unix_timestamp("ts") / _IB_BIN_S).alias("bin"),
+        F.unix_timestamp("ts").alias("psec"),
+        _scaled_units(F.col("value"), MONEY_SCALE).alias("units"),
     )
-    j = intervals.join(pur, "bin").filter(
-        (F.col("p_ts") >= F.col("t0"))
-        & (F.col("p_ts") < F.col("t0") + F.expr("INTERVAL 10 MINUTES"))
+    # (a) interior seconds [s0+1, s0+599]: per-second partials, then
+    # the 2-bin equi-join — fan-out bounded by seconds, not rows
+    pur_sec = pur.groupBy("psec").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("units").cast("long").alias("units"),
     )
-    return j.groupBy("incident_id").agg(
-        F.count(F.lit(1)).alias("n_purchases"),
-        dec_sum("value", "sum_value"),
+    intervals = err.select(
+        "incident_id",
+        "s0",
+        F.explode(
+            F.array(
+                F.expr(f"s0 div {_IB_BIN_S}"),
+                F.expr(f"s0 div {_IB_BIN_S}") + 1,
+            )
+        ).alias("bin"),
+    )
+    interior = (
+        intervals.join(
+            pur_sec.withColumn("bin", F.expr(f"psec div {_IB_BIN_S}")),
+            "bin",
+        )
+        .filter(
+            (F.col("psec") > F.col("s0"))
+            & (F.col("psec") < F.col("s0") + _IB_BIN_S)
+        )
+        .select("incident_id", "n", "units")
+    )
+    # (b) boundary seconds {s0, s0+600}: raw rows, exact-second
+    # equi-join + the exact timestamp predicate
+    boundary = (
+        err.select(
+            "incident_id",
+            "t0",
+            F.explode(
+                F.array(F.col("s0"), F.col("s0") + _IB_BIN_S)
+            ).alias("psec"),
+        )
+        .join(pur, "psec")
+        .filter(
+            (F.col("p_ts") >= F.col("t0"))
+            & (F.col("p_ts") < F.col("t0") + F.expr("INTERVAL 10 MINUTES"))
+        )
+        .select(
+            "incident_id", F.lit(1).cast("long").alias("n"), "units"
+        )
+    )
+    return (
+        interior.unionByName(boundary)
+        .groupBy("incident_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_purchases"),
+            (
+                F.sum("units").cast("double") / F.lit(10**MONEY_SCALE)
+            ).alias("sum_value"),
+        )
     )
 
 

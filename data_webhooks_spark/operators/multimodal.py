@@ -240,7 +240,7 @@ def multimodal_frames(spark, sf_dir):
     SELECT s.doc_id,
            CAST(s.bin AS INT) AS bin,
            CAST(FLOOR(COALESCE(c.c, 0) / CAST(t.t AS DOUBLE)
-                      * 1000000.0 + 0.5) AS BIGINT) AS feat_micro
+                      * 1e6 + 0.5) AS BIGINT) AS feat_micro
     FROM spine s
     JOIN tot t ON s.doc_id = t.doc_id
     LEFT JOIN counts c ON s.doc_id = c.doc_id AND s.bin = c.bin
@@ -312,8 +312,8 @@ _FRAME_BYTES = 256
            CAST(SUM(b * b) AS BIGINT) AS energy,
            CAST(MAX(b) AS BIGINT) AS peak,
            FLOOR(sqrt(CAST(SUM(b * b) AS DOUBLE)
-                      / CAST(COUNT(*) AS DOUBLE)) * 1000000.0 + 0.5)
-               / 1000000.0 AS rms
+                      / CAST(COUNT(*) AS DOUBLE)) * 1e6 + 0.5)
+               / 1e6 AS rms
     FROM pos GROUP BY doc_id, frame
     """,
 )

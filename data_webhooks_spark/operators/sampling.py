@@ -321,7 +321,7 @@ _MIX_CASE = (
     SELECT thr.domain, thr.s AS share_tenths, thr.n_docs, thr.k_target,
            thr.threshold, kept.n_kept,
            FLOOR(CAST(kept.n_kept AS DOUBLE) / tot.total_kept
-                 * 1000000.0 + 0.5) / 1000000.0 AS achieved_share
+                 * 1e6 + 0.5) / 1e6 AS achieved_share
     FROM thr JOIN kept USING (domain) CROSS JOIN tot
     """,
 )

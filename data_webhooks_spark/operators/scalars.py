@@ -146,10 +146,10 @@ def ts_funcs(spark, sf_dir):
            abs(l_extendedprice - 30000.0) AS price_dev,
            CAST(ceil(l_quantity / 7.0) AS BIGINT) AS qty_ceil,
            CAST(floor(l_quantity / 7.0) AS BIGINT) AS qty_floor,
-           FLOOR(sqrt(l_extendedprice) * 1000000.0 + 0.5) / 1000000.0 AS price_sqrt,
-           FLOOR(ln(l_extendedprice) * 1000000.0 + 0.5) / 1000000.0 AS price_ln,
-           FLOOR(log10(l_extendedprice) * 1000000.0 + 0.5) / 1000000.0 AS price_log10,
-           FLOOR(pow(1.0 + l_discount, 2) * 10000000000.0 + 0.5) / 10000000000.0 AS disc_sq,
+           FLOOR(sqrt(l_extendedprice) * 1e6 + 0.5) / 1e6 AS price_sqrt,
+           FLOOR(ln(l_extendedprice) * 1e6 + 0.5) / 1e6 AS price_ln,
+           FLOOR(log10(l_extendedprice) * 1e6 + 0.5) / 1e6 AS price_log10,
+           FLOOR(pow(1.0 + l_discount, 2) * 1e10 + 0.5) / 1e10 AS disc_sq,
            CAST(l_orderkey % 7 AS BIGINT) AS key_mod,
            greatest(l_tax, l_discount) AS max_rate,
            least(l_tax, l_discount) AS min_rate,

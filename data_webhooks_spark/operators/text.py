@@ -798,8 +798,8 @@ _MG_K = 199  # counters per partition: guarantees words > N/200 (0.5%) survive
     tot AS (SELECT COUNT(*) AS total FROM words)
     SELECT word,
            CAST(COUNT(*) AS BIGINT) AS n_occurrences,
-           FLOOR(COUNT(*) / CAST(total AS DOUBLE) * 1000000.0 + 0.5)
-               / 1000000.0 AS freq
+           FLOOR(COUNT(*) / CAST(total AS DOUBLE) * 1e6 + 0.5)
+               / 1e6 AS freq
     FROM words, tot
     GROUP BY word, total
     HAVING COUNT(*) * 100 >= total
@@ -867,7 +867,7 @@ def text_heavy_hitters(spark, sf_dir):
            CAST(COUNT(*) AS BIGINT) AS n_ngrams,
            CAST(COUNT(DISTINCT ngram) AS BIGINT) AS n_distinct,
            FLOOR((1.0 - COUNT(DISTINCT ngram) / CAST(COUNT(*) AS DOUBLE))
-                 * 1000000.0 + 0.5) / 1000000.0 AS rep_score
+                 * 1e6 + 0.5) / 1e6 AS rep_score
     FROM ngrams GROUP BY doc_id
     """,
 )
@@ -925,7 +925,7 @@ _CUM_SHARDS = 16
     SELECT CAST(v.v AS INT) AS vocab_size,
            CAST(MAX(cum.cum_c) AS BIGINT) AS n_covered,
            FLOOR(MAX(cum.cum_c) / CAST(tot.total AS DOUBLE)
-                 * 1000000.0 + 0.5) / 1000000.0 AS coverage
+                 * 1e6 + 0.5) / 1e6 AS coverage
     FROM (VALUES {", ".join(f"({v})" for v in _VOCAB_SIZES)}) v(v)
     JOIN cum ON cum.rk <= v.v
     CROSS JOIN tot
@@ -1167,8 +1167,8 @@ def text_entropy(spark, sf_dir):
     ),
     z AS (SELECT CAST(SUM(w) AS DOUBLE) AS z FROM shares)
     SELECT s.lang, s.n_docs, s.n_tokens,
-           FLOOR(s.share * 1000000.0 + 0.5) / 1000000.0 AS token_share,
-           FLOOR(s.w / z.z * 1000000.0 + 0.5) / 1000000.0 AS sample_weight
+           FLOOR(s.share * 1e6 + 0.5) / 1e6 AS token_share,
+           FLOOR(s.w / z.z * 1e6 + 0.5) / 1e6 AS sample_weight
     FROM shares s CROSS JOIN z
     """,
 )

@@ -108,7 +108,7 @@ def _hourly_grid(t):
            FLOOR(last_value(h.sv / h.n IGNORE NULLS) OVER (
                      PARTITION BY g.event_type ORDER BY g.hour
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                 ) * 1000000.0 + 0.5) / 1000000.0 AS avg_fill
+                 ) * 1e6 + 0.5) / 1e6 AS avg_fill
     FROM grid g LEFT JOIN hourly h
       ON g.hour = h.hour AND g.event_type = h.event_type
     """,
@@ -371,7 +371,7 @@ def ts_moving_median(spark, sf_dir):
                WHEN pval IS NULL OR nval IS NULL THEN NULL
                ELSE pval + (nval - pval)
                     * ((idx - pidx) / CAST(nidx - pidx AS DOUBLE))
-           END) * 1000000.0 + 0.5) / 1000000.0 AS v_interp
+           END) * 1e6 + 0.5) / 1e6 AS v_interp
     FROM joined
     """,
 )
@@ -462,7 +462,7 @@ def ts_interpolate_linear(spark, sf_dir):
            FLOOR(((nd * sxy - sx * sy) /
                   nullif(sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy),
                          0.0))
-                 * 1000000.0 + 0.5) / 1000000.0 AS acf
+                 * 1e6 + 0.5) / 1e6 AS acf
     FROM m
     """,
 )
@@ -773,11 +773,11 @@ def ts_changepoint_cusum(spark, sf_dir):
         FROM per_hod GROUP BY event_type
     )
     SELECT p.event_type, p.hod, p.n_slots,
-           FLOOR(CAST(p.s AS DOUBLE) / p.n_slots * 1000000.0 + 0.5)
-               / 1000000.0 AS mean_count,
+           FLOOR(CAST(p.s AS DOUBLE) / p.n_slots * 1e6 + 0.5)
+               / 1e6 AS mean_count,
            FLOOR(CAST(p.s AS DOUBLE) * t.nn
-                 / (CAST(p.n_slots AS DOUBLE) * t.ss) * 1000000.0 + 0.5)
-               / 1000000.0 AS seasonal_index
+                 / (CAST(p.n_slots AS DOUBLE) * t.ss) * 1e6 + 0.5)
+               / 1e6 AS seasonal_index
     FROM per_hod p JOIN tot t ON p.event_type = t.event_type
     """,
 )
@@ -942,8 +942,8 @@ def ts_downsample_m4(spark, sf_dir):
            lag(n) OVER w AS prev_n,
            n - lag(n) OVER w AS delta_n,
            FLOOR(CAST(n - lag(n) OVER w AS DOUBLE)
-                 / NULLIF(lag(n) OVER w, 0) * 1000000.0 + 0.5)
-               / 1000000.0 AS pct_change_n,
+                 / NULLIF(lag(n) OVER w, 0) * 1e6 + 0.5)
+               / 1e6 AS pct_change_n,
            CAST(sv_units AS DOUBLE) / 10000.0 AS sum_value,
            CAST(sv_units - lag(sv_units) OVER w AS DOUBLE) / 10000.0
                AS delta_value

@@ -373,7 +373,7 @@ def tpch_q13(spark, sf_dir):
             CASE WHEN (l.l_extendedprice * (1 - l.l_discount)) >= 0
                  THEN CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount)) * 10000.0 + 0.5) AS BIGINT)
                  ELSE -CAST(FLOOR(-(l.l_extendedprice * (1 - l.l_discount)) * 10000.0 + 0.5) AS BIGINT) END
-          ) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS promo_revenue_pct
+          ) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS promo_revenue_pct
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
       AND l.l_shipdate < TIMESTAMP '1997-10-01'
@@ -462,7 +462,7 @@ def tpch_q15(spark, sf_dir):
         CAST(SUM(CASE WHEN l.l_extendedprice >= 0
              THEN CAST(FLOOR(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)
              ELSE -CAST(FLOOR(-l.l_extendedprice * 100.0 + 0.5) AS BIGINT) END)
-          AS DOUBLE) / 100.0 / 7.0) * 1000000.0 + 0.5) / 1000000.0
+          AS DOUBLE) / 100.0 / 7.0) * 1e6 + 0.5) / 1e6
         AS avg_yearly
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
@@ -654,7 +654,7 @@ def tpch_q22(spark, sf_dir):
                  CASE WHEN (l.l_extendedprice * (1 - l.l_discount)) >= 0
                       THEN CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount)) * 10000.0 + 0.5) AS BIGINT)
                       ELSE -CAST(FLOOR(-(l.l_extendedprice * (1 - l.l_discount)) * 10000.0 + 0.5) AS BIGINT) END
-               ) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS mkt_share
+               ) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mkt_share
     FROM lineitem l
     JOIN orders o ON o.o_orderkey = l.l_orderkey
     JOIN customer c ON c.c_custkey = o.o_custkey

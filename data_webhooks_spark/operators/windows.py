@@ -511,7 +511,7 @@ _ROLL_REG_FRAME = 8
     SELECT user_id, event_id, ts, n,
            FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
                  / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0.0)
-                 * 8.64 * 1000000.0 + 0.5) / 1000000.0 AS slope_day
+                 * 8.64 * 1e6 + 0.5) / 1e6 AS slope_day
     FROM m
     """,
 )

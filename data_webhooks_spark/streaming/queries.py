@@ -1231,7 +1231,7 @@ def stream_late_drops(spark, sf_dir):
     )
     SELECT d.event_id, d.event_type, d.value,
            FLOOR((d.value - d.med) / ({1.4826!r} * m.mad)
-                 * 1000000.0 + 0.5) / 1000000.0 AS robust_z
+                 * 1e6 + 0.5) / 1e6 AS robust_z
     FROM dev d JOIN mad m ON d.event_type = m.event_type
     WHERE d.adev > {3.0 * 1.4826!r} * m.mad
     """,

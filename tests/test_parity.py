@@ -48,17 +48,19 @@ def test_oracle_not_vacuous(key, duck):
     )
 
 
-def test_driver_window_is_the_round6_rotation():
+def test_driver_window_is_the_round7_rotation():
     """The external driver's correctness gate reads the FIRST 50 keys
-    of queries(); round 6 rotates in the 20 r5 additions (never
-    driver-recorded), the 4 keys red in CORRECTNESS_r05 (scalarized
-    this round), the 12 keys whose newest official record is the
-    since-fixed r2 loader error, the 10 r6 additions, and 4 re-verify
-    slots for r6-replanned/changed code (join_multiway, tpch_q5,
-    source_webhook, sink_webhook) — after which no key's newest
-    official record is red or absent. The rotation must not drop or
-    duplicate any key, and every window key outside the declared
-    rows-only set must be SQL-oracled."""
+    of queries(); round 7 rotates in the 23 keys that have NEVER had
+    an official driver record (the 19 r6 wave-2..5 seeds plus the 4
+    r6 snapshot-wave keys), then fills the remaining 27 slots with
+    re-verifies of every key whose oracle text changed in the r7
+    1e6-literal portability sweep or whose code changed this round —
+    after which EVERY registry key has an official driver record and
+    no key's newest record is red. The rotation must not drop or
+    duplicate any key, every window key outside the declared
+    rows-only set must be SQL-oracled, and the 23 never-recorded keys
+    must lead the window (the driver records in order; if the window
+    were ever trimmed, the never-recorded keys must survive first)."""
     from data_webhooks_spark.registry import _ROWS_ONLY, _WINDOW
 
     qs, osql = registry.queries(), registry.oracle_sql()
@@ -68,6 +70,59 @@ def test_driver_window_is_the_round6_rotation():
     assert all(k in osql for k in first50 if k not in _ROWS_ONLY)
     assert _ROWS_ONLY == set(qs) - set(osql)
     assert len(set(qs)) == len(qs)
+    never_recorded = {
+        "agg_skew_kurtosis", "profile_numeric_corr",
+        "ts_changepoint_cusum", "win_pattern_var", "text_top_terms",
+        "contamination_matrix", "stream_custom_state",
+        "join_asof_tolerance", "agg_weighted_median",
+        "win_running_distinct", "ts_seasonal_profile",
+        "pipeline_embed_prep", "ts_downsample_m4",
+        "event_markov_transitions", "analytics_pareto",
+        "win_rolling_regression", "multimodal_audio_energy",
+        "scan_json_corrupt", "dq_freshness", "quality_gopher_rules",
+        "sample_mixture_target", "text_bigram_logprob",
+        "ts_period_delta",
+    }
+    assert set(first50[:23]) == never_recorded
+
+
+PORTABLE_ORACLES = frozenset({
+    "ab_chi2", "ab_ttest_welch", "agg_approx_count_distinct", "agg_bitmap_distinct",
+    "agg_cms_freq", "agg_conditional", "agg_corr", "agg_count_distinct",
+    "agg_cube", "agg_global", "agg_groupby", "agg_grouping_sets",
+    "agg_having", "agg_histogram", "agg_hll_sketch", "agg_minmax_by",
+    "agg_mode", "agg_pivot", "agg_rollup", "agg_salted_exact",
+    "agg_skew_kurtosis", "agg_stats", "agg_theta_overlap", "agg_weighted_median",
+    "case_when", "cast_decimal", "cogrouped_map", "compact_files",
+    "dedup_exact", "dim_scd2", "dq_checks", "drift_ks_test",
+    "event_cooccurrence", "event_markov_transitions", "event_paths", "filter_compound",
+    "filter_like", "filter_null_safe_eq", "filter_simple", "funnel_conversion",
+    "graph_triangle_count", "grouped_map", "join_asof", "join_asof_forward",
+    "join_asof_tolerance", "join_bucketed", "join_cross", "join_full_outer",
+    "join_inner_equi", "join_interval_binned", "join_lateral", "join_left_anti",
+    "join_left_outer", "join_left_semi", "join_multiway", "join_right_outer",
+    "join_self", "join_skew_salted", "join_stream_static", "join_stream_stream",
+    "join_theta_range", "limit", "map_in_pandas", "math_funcs",
+    "merge_upsert", "null_funcs", "profile_numeric_corr", "profile_table",
+    "project", "scan_json_corrupt", "scan_orc", "scan_parquet",
+    "scan_parquet_bloom", "scan_snapshot_manifest", "scan_text", "set_except",
+    "set_except_all", "set_intersect", "set_intersect_all", "set_union_all",
+    "set_union_distinct", "sink_foreach_batch", "sink_memory", "sink_parquet",
+    "sink_partitioned_parquet", "sink_webhook", "sort_multi", "source_file_stream",
+    "source_webhook", "sql_passthrough", "stream_custom_state", "stream_dedup",
+    "stream_funnel", "stream_output_modes", "stream_rollup_upsert", "stream_stateful",
+    "stream_topk", "stream_triggers", "topk", "topn_per_group",
+    "tpch_q1", "tpch_q10", "tpch_q11", "tpch_q12",
+    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16",
+    "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q2",
+    "tpch_q20", "tpch_q21", "tpch_q22", "tpch_q3",
+    "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
+    "tpch_q8", "tpch_q9", "ts_changepoint_cusum", "ts_period_delta",
+    "ts_seasonal_profile", "udaf_pandas", "udf_pandas_scalar", "udf_python",
+    "win_distribution", "win_first_last", "win_pattern_match", "win_pattern_var",
+    "win_ranking", "win_running", "win_running_distinct", "win_sliding_rows",
+    "zorder_layout",
+})
 
 
 def test_three_way_agreement_sparksql_vs_dataframe(spark, sf_dir, duck):
@@ -97,7 +152,15 @@ def test_three_way_agreement_sparksql_vs_dataframe(spark, sf_dir, duck):
         ran.append(k)
         if probs:
             disagreements.append((k, probs))
-    assert len(ran) >= 20, f"portable subset too small: {ran}"
+    # Membership is PINNED (r6 verdict item 4): a key silently falling
+    # out of the portable subset — e.g. an oracle edit introducing a
+    # DuckDB-only construct — must be a visible, deliberate change
+    # here, not a silent loss of three-way coverage. New portable keys
+    # are equally visible (set must match exactly, not superset).
+    assert set(ran) == PORTABLE_ORACLES, {
+        "lost": sorted(PORTABLE_ORACLES - set(ran)),
+        "gained": sorted(set(ran) - PORTABLE_ORACLES),
+    }
     assert not disagreements, disagreements
 
 

@@ -408,6 +408,8 @@ NESTED_LOOP_OK = {
     "event_cooccurrence",  # 1-row distinct-user total onto ≤|types|² pairs
     "analytics_pareto",  # 1-row shard-boundary + grand-total scalars onto the user aggregate
     "dq_freshness",  # 1-row global-max-ts scalar onto the events scan
+    "sample_mixture_target",  # 1-row capacity + 1-row kept-total scalars onto a 3-row domain table
+    "text_bigram_logprob",  # 1-row vocab-size scalar onto the bigram rows (as text_tfidf)
     # deliberately tiny cross/broadcast sides (<= dozens of rows or
     # candidate sets bounded by construction)
     "join_cross", "join_skew_salted", "knn_join", "sim_cosine_brute",
