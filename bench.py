@@ -47,6 +47,16 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    # Concurrent host load inflates wall-clock (BENCH_r06 recorded
+    # 10.89 s under end-of-round activity vs 8.94 s idle on the same
+    # tree — judged a fake regression). Stamp the 1-minute load
+    # average before starting so any inflated record is
+    # self-diagnosing.
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:
+        load1 = None
+
     spark = get_spark("dws-bench")
     qs = registry.queries()
     keys = [k for k in HEADLINE if k in qs]
@@ -76,6 +86,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": sf,
+                "load1_at_start": load1,
             }
         )
     )

@@ -1247,3 +1247,182 @@ def analytics_pareto(spark, sf_dir):
         (F.col("bx.cum_c").cast("double") / 100.0).alias("cum_revenue"),
         qnt(F.col("bx.cum_c") / F.col("tot_c").cast("double"), "cum_share"),
     )
+
+
+@op(
+    "analytics_dau_mau",
+    sql="""
+    WITH ad AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ad),
+    dau AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ad GROUP BY day
+    ),
+    mau AS (
+        SELECT d.day, CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS mau28
+        FROM days d
+        JOIN ad a
+          ON a.day <= d.day AND a.day > d.day - INTERVAL 28 DAY
+        GROUP BY d.day
+    )
+    SELECT dau.day, dau.dau, mau.mau28,
+           FLOOR(CAST(dau.dau AS DOUBLE) / mau.mau28 * 1e6 + 0.5) / 1e6
+               AS stickiness
+    FROM dau JOIN mau ON dau.day = mau.day
+    """,
+)
+def analytics_dau_mau(spark, sf_dir):
+    """DAU / trailing-28-day MAU / stickiness per day — the
+    engagement headline ("what fraction of the monthly audience shows
+    up daily") every product-analytics overview leads with, next to
+    `analytics_churn`'s weekly growth accounting.
+
+    Exactness: DAU and MAU are exact BIGINT distinct counts (no HLL;
+    the sketch swap is `agg_approx_count_distinct`'s); stickiness is
+    the one quantized double ratio, MAU >= DAU > 0 by construction so
+    no zero guard is needed.
+
+    Scale: the raw stream collapses FIRST to the distinct (user, day)
+    activity table — aggregate-sized, |users| x |days| at worst — and
+    the 28-day sliding membership is an explode of that table to the
+    <=28 window-end days each activity row supports, then one distinct
+    count per day. The oracle states the same window as a declarative
+    range join (DuckDB IEJoin); the Spark side deliberately avoids the
+    range join because the explode's fan-out is a CONSTANT 28 on an
+    aggregate-sized input — a plain equi-shuffle Catalyst can
+    partition, vs a broadcast range join it cannot. The heavy input is
+    scanned exactly once."""
+    t = Tables(spark, sf_dir)
+    ad = (
+        t.events.select(
+            "user_id", F.date_trunc("day", "ts").alias("day")
+        )
+        .distinct()
+    )
+    days = ad.select("day").distinct()
+    dau = ad.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    support = ad.select(
+        "user_id",
+        F.explode(
+            F.expr("sequence(day, day + INTERVAL 27 DAYS, INTERVAL 1 DAY)")
+        ).alias("day"),
+    )
+    mau = (
+        support.join(days, "day", "left_semi")  # only days that exist
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").cast("long").alias("mau28"))
+    )
+    return (
+        dau.join(mau, "day")
+        .select(
+            "day",
+            "dau",
+            "mau28",
+            qnt(
+                F.col("dau").cast("double") / F.col("mau28"), "stickiness"
+            ),
+        )
+    )
+
+
+@op(
+    "analytics_ltv_cohort",
+    sql="""
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    cells AS (
+        SELECT f.cohort_week,
+               CAST(datediff('day', f.cohort_week,
+                             date_trunc('week', e.ts)) / 7 AS BIGINT)
+                   AS age_week,
+               CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active,
+               CAST(SUM(CASE WHEN e.event_type = 'purchase'
+                             THEN CAST(FLOOR(e.value * 100.0 + 0.5)
+                                       AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS rev_units
+        FROM events e JOIN firsts f USING (user_id)
+        GROUP BY 1, 2
+    ),
+    sizes AS (
+        SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_users
+        FROM firsts GROUP BY cohort_week
+    )
+    SELECT c.cohort_week, c.age_week, s.cohort_users, c.n_active,
+           CAST(c.rev_units AS DOUBLE) / 100 AS revenue,
+           CAST(SUM(c.rev_units) OVER w AS DOUBLE) / 100 AS cum_revenue,
+           FLOOR(CAST(SUM(c.rev_units) OVER w AS DOUBLE)
+                 / (100 * s.cohort_users) * 1e6 + 0.5) / 1e6
+               AS ltv_per_user
+    FROM cells c JOIN sizes s ON c.cohort_week = s.cohort_week
+    WINDOW w AS (PARTITION BY c.cohort_week ORDER BY c.age_week)
+    """,
+)
+def analytics_ltv_cohort(spark, sf_dir):
+    """Cohort LTV curve: users grouped by first-seen week; per
+    (cohort, age-in-weeks) the active count, purchase revenue, running
+    cumulative revenue, and cumulative LTV per cohort member — the
+    payback/monetization table `retention_cohort` (presence only)
+    feeds, and the curve every growth model fits its LTV:CAC ratio on.
+
+    Determinism: revenue rides the exact cent-unit BIGINT discipline
+    (events.value is non-negative in this corpus — stated contract,
+    as ts_period_delta pins), the running sum accumulates BIGINT
+    units BEFORE the one display division, and weeks truncate to
+    Monday on both engines with exact /7 offsets (retention_cohort's
+    proof).
+
+    Scale: one user-keyed first-seen aggregate, one join back on the
+    same key (bucketed events make it shuffle-free), one cell rollup;
+    the LTV window runs over the aggregate-sized cohort x age table.
+    The heavy stream is touched twice on one key — or once if the
+    first-seen table is maintained incrementally (merge_upsert's
+    job)."""
+    t = Tables(spark, sf_dir)
+    firsts = t.events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    cents = F.when(
+        F.col("event_type") == "purchase",
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long"),
+    ).otherwise(F.lit(0))
+    cells = (
+        t.events.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", "ts"), F.col("cohort_week"))
+                / 7
+            )
+            .cast("long")
+            .alias("age_week"),
+        )
+        .agg(
+            F.count_distinct("user_id").cast("long").alias("n_active"),
+            F.sum(cents).cast("long").alias("rev_units"),
+        )
+    )
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_users")
+    )
+    w = Window.partitionBy("cohort_week").orderBy("age_week")
+    cum_units = F.sum("rev_units").over(w)
+    return (
+        cells.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "age_week",
+            "cohort_users",
+            "n_active",
+            (F.col("rev_units").cast("double") / 100).alias("revenue"),
+            (cum_units.cast("double") / 100).alias("cum_revenue"),
+            qnt(
+                cum_units.cast("double") / (100 * F.col("cohort_users")),
+                "ltv_per_user",
+            ),
+        )
+    )

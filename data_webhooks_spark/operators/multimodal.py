@@ -370,3 +370,124 @@ def multimodal_audio_energy(spark, sf_dir):
             "rms",
         ),
     )
+
+
+# 56-bit dHash geometry: 7 rows x 8 difference bits; sample index
+# i = k + k//8 spreads 63 sample points over the payload. 56 bits (not
+# the classic 64) keeps the packed hash strictly positive in a signed
+# BIGINT on both engines; bands are 4 x 14 bits.
+_PH_BITS, _PH_BANDS, _PH_BAND_BITS = 56, 4, 14
+_PH_NEAR = 14  # <=25% differing bits -> flag as near-duplicate
+
+
+def _phash_terms(byte_at) -> list[str]:
+    """The 56 comparison terms as engine-SQL strings; `byte_at(expr)`
+    renders a 0-based byte accessor in the target dialect."""
+    terms = []
+    for k in range(_PH_BITS):
+        i = f"({k + k // 8} * (n - 1)) {{div}} 62"
+        j = f"({k + k // 8 + 1} * (n - 1)) {{div}} 62"
+        terms.append(
+            f"(CASE WHEN {byte_at(i)} > {byte_at(j)}"
+            f" THEN CAST({1 << k} AS BIGINT) ELSE 0 END)"
+        )
+    return terms
+
+
+@op(
+    "multimodal_phash",
+    sql=f"""
+    WITH h AS (
+        SELECT doc_id,
+               ({" + ".join(
+                   t.replace("{div}", "//")
+                   for t in _phash_terms(
+                       lambda p: f"ascii(substr(text, ({p}) + 1, 1))"
+                   )
+               )}) AS ph
+        FROM (SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS n
+              FROM documents)
+    ),
+    bands AS (
+        SELECT doc_id, ph, b.band_idx,
+               (ph >> (14 * b.band_idx)) & 16383 AS band_val
+        FROM h CROSS JOIN (
+            SELECT unnest(range(0, {_PH_BANDS})) AS band_idx
+        ) b
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming,
+           bit_count(xor(a.ph, b.ph)) <= {_PH_NEAR} AS near_dup
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+    """,
+)
+def multimodal_phash(spark, sf_dir):
+    """Perceptual-hash near-duplicate BLOCKING over binary payloads —
+    the image-dedup shape (pHash/dHash + banded LSH) every multimodal
+    training pipeline runs before pixel-level comparison: a 56-bit
+    difference hash (adjacent sampled bytes compared, the dHash
+    gradient trick) packs per payload, 4 x 14-bit bands block
+    candidates (band-key equi-join, never all-pairs — the
+    dedup_simhash discipline), and each candidate pair gets its exact
+    Hamming distance plus a near-dup flag at <= {_PH_NEAR} bits. On a
+    real image table the byte sampler is the stubbed decode step
+    (grayscale 8x8 thumbnail); here it samples the documents' utf-8
+    payload bytes, so the oracle recomputes every bit from SQL
+    (ascii/substr) and the whole pipeline is hash-checked, not
+    rows-only — the multimodal_col discipline.
+
+    Determinism: integer-only — sample positions are exact integer
+    division, the hash is a sum of 56 CASE powers of two, Hamming is
+    bit_count(xor). No floats anywhere.
+
+    Scale: one payload scan computes hashes (codegen), the 4-row band
+    explode is constant fan-out, and candidates come from an
+    equi-join on (band_idx, band_val) — at 100 TB band width grows
+    with log(corpus) to hold bucket cardinality, exactly the
+    sim_ann_lsh knob."""
+    t = Tables(spark, sf_dir)
+    terms = " + ".join(
+        tt.replace("{div}", "div")
+        for tt in _phash_terms(
+            lambda p: f"ascii(substring(text, ({p}) + 1, 1))"
+        )
+    )
+    h = t.documents.select(
+        "doc_id", F.length("text").cast("long").alias("n"), "text"
+    ).select("doc_id", F.expr(terms).alias("ph"))
+    bands = h.select(
+        "doc_id",
+        "ph",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(_PH_BANDS)])
+        ).alias("band_idx"),
+    ).withColumn(
+        "band_val",
+        F.expr(f"(ph >> (14 * band_idx)) & 16383"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("ph").alias("ha"),
+        "band_idx",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("ph").alias("hb"),
+        "band_idx",
+        "band_val",
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            ham.cast("long").alias("hamming"),
+            (ham <= _PH_NEAR).alias("near_dup"),
+        )
+        .distinct()
+    )

@@ -358,3 +358,201 @@ def dq_freshness(spark, sf_dir):
         "n_total",
         "n_last_24h",
     )
+
+
+# Format-mask classes for profile_string_patterns, most-specific
+# first: a value lands in exactly ONE class (CASE stops at the first
+# match). Anchored POSIX classes only — identical regex semantics in
+# Spark's rlike (Java) and DuckDB's regexp_matches (RE2) for this
+# meta-character-free subset.
+_PATTERN_CLASSES = [
+    ("empty", r"^$"),
+    ("int_like", r"^-?[0-9]+$"),
+    ("float_like", r"^-?[0-9]+\.[0-9]+$"),
+    ("alpha_lower", r"^[a-z]+$"),
+    ("json_object", r"^\{.*\}$"),
+]
+
+
+def _pattern_case_sql(val: str) -> str:
+    arms = " ".join(
+        f"WHEN regexp_matches({val}, '{rx}') THEN '{name}'"
+        for name, rx in _PATTERN_CLASSES
+    )
+    return f"CASE {arms} ELSE 'other' END"
+
+
+@op(
+    "profile_string_patterns",
+    sql=f"""
+    WITH vals(col_name, v) AS (
+        SELECT 'event_id', CAST(event_id AS VARCHAR) FROM events
+        UNION ALL SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+        UNION ALL SELECT 'event_type', event_type FROM events
+        UNION ALL SELECT 'value', CAST(value AS VARCHAR) FROM events
+        UNION ALL SELECT 'props', props FROM events
+    ),
+    cls AS (
+        SELECT col_name, {_pattern_case_sql('v')} AS pattern,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM vals GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT col_name, CAST(SUM(n) AS BIGINT) AS n_col
+        FROM cls GROUP BY col_name
+    )
+    SELECT c.col_name, c.pattern, c.n,
+           FLOOR(CAST(c.n AS DOUBLE) / t.n_col * 1e6 + 0.5) / 1e6
+               AS share
+    FROM cls c JOIN tot t USING (col_name)
+    """,
+)
+def profile_string_patterns(spark, sf_dir):
+    """Format-mask profiling (the Deequ/Great-Expectations "what does
+    this column LOOK like" report): every column's values, stringified
+    the way a schema-on-read ingest would see them, classified into
+    anchored pattern classes (int, float, lowercase word, JSON object,
+    empty, other) with per-class counts and shares — the check that
+    catches a feed suddenly shipping "N/A" in a numeric column or
+    un-parsed JSON in a scalar one, BEFORE types blow up downstream.
+
+    Cross-engine note: classes are matched most-specific-first in one
+    CASE so each value lands in exactly one class; the regex subset
+    (anchors + POSIX classes + literal braces) means Java regex and
+    RE2 agree. DOUBLE->VARCHAR rendering differs across engines for
+    scientific notation, but every events.value is a plain 2-decimal
+    double that both engines print as [0-9]+.[0-9]+ -> float_like;
+    the CLASSIFICATION (not the string) is compared.
+
+    Scale: the unpivot is Spark's stack() — one scan, the Expand
+    feeds a map-combinable (col, class) count, so shuffle volume is
+    #cols x #classes rows per task regardless of input size."""
+    t = Tables(spark, sf_dir)
+    # Spark SQL string literals eat one level of backslash escaping
+    # (rlike '\{' reaches Java as bare '{' = illegal repetition), so
+    # re-escape; DuckDB's single-quoted literals pass backslashes raw.
+    arms = " ".join(
+        "WHEN v rlike '{}' THEN '{}'".format(rx.replace("\\", "\\\\"), name)
+        for name, rx in _PATTERN_CLASSES
+    )
+    stacked = t.events.select(
+        F.expr(
+            "stack(5,"
+            " 'event_id', CAST(event_id AS STRING),"
+            " 'user_id', CAST(user_id AS STRING),"
+            " 'event_type', event_type,"
+            " 'value', CAST(value AS STRING),"
+            " 'props', props) AS (col_name, v)"
+        )
+    )
+    cls = stacked.select(
+        "col_name",
+        F.expr(f"CASE {arms} ELSE 'other' END").alias("pattern"),
+    ).groupBy("col_name", "pattern").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    from pyspark.sql import Window
+
+    w_tot = F.sum("n").over(Window.partitionBy("col_name"))
+    return cls.select(
+        "col_name",
+        "pattern",
+        "n",
+        qnt(F.col("n").cast("double") / w_tot, "share"),
+    )
+
+
+# Candidate keys for dq_uniqueness: (label, spark expr, duckdb expr).
+# Timestamps enter as epoch microseconds (BIGINT) — string-rendering a
+# timestamp differs across engines (fraction-digit trimming), integer
+# micros do not (the dq_freshness precedent).
+_UNIQ_KEYS = [
+    ("event_id", "CAST(event_id AS STRING)", "CAST(event_id AS VARCHAR)"),
+    (
+        "user_id+ts",
+        "concat(CAST(user_id AS STRING), '|',"
+        " CAST(unix_micros(CAST(ts AS TIMESTAMP)) AS STRING))",
+        "concat(CAST(user_id AS VARCHAR), '|',"
+        " CAST(epoch_us(ts) AS VARCHAR))",
+    ),
+    (
+        "event_type+day",
+        "concat(event_type, '|',"
+        " CAST(unix_micros(CAST(date_trunc('DAY', ts) AS TIMESTAMP)) AS STRING))",
+        "concat(event_type, '|',"
+        " CAST(epoch_us(date_trunc('day', ts)) AS VARCHAR))",
+    ),
+]
+
+
+def _uniq_arm_sql(label: str, expr: str) -> str:
+    return f"""
+    SELECT '{label}' AS candidate_key,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (WHERE c = 1) AS BIGINT) AS n_unique_keys,
+           CAST(SUM(c) FILTER (WHERE c > 1) AS BIGINT) AS n_dup_rows,
+           CAST(MAX(c) AS BIGINT) AS max_group,
+           FLOOR(CAST(COUNT(*) AS DOUBLE) / SUM(c) * 1e6 + 0.5) / 1e6
+               AS key_ratio
+    FROM (SELECT {expr} AS k, CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY 1)
+    """
+
+
+@op(
+    "dq_uniqueness",
+    sql=" UNION ALL ".join(
+        _uniq_arm_sql(lbl, dk) for lbl, _, dk in _UNIQ_KEYS
+    ),
+)
+def dq_uniqueness(spark, sf_dir):
+    """Key-uniqueness profiling (the Deequ `isUnique`/`uniqueness`
+    check): for each CANDIDATE key — the declared primary key
+    event_id, the natural key (user_id, ts), and the deliberately
+    non-unique (event_type, day) — the distinct-key count, rows
+    involved in duplicate groups, worst group size, and keys-per-row
+    ratio. The report that validates "this column really is a key"
+    before a merge_upsert relies on it, and quantifies the blast
+    radius when it is not.
+
+    n_rows counts GROUPS here reads wrong — to be precise: n_rows is
+    the number of DISTINCT key values; n_unique_keys of them are
+    singletons; n_dup_rows is the total raw rows trapped in >1-sized
+    groups; key_ratio = distinct keys / raw rows (1.0 = perfect key).
+
+    Determinism: pure integer counts; the one ratio quantizes.
+    Timestamps participate as epoch-microsecond BIGINTs because
+    string-rendered fractional seconds trim differently across
+    engines (dq_freshness precedent).
+
+    Scale: each candidate is a two-level aggregation (map-combinable
+    count per key, then a bounded rollup); the three arms union to 3
+    rows. At 100 TB swap exact counts for HLL per the
+    profile_table_approx twin."""
+    t = Tables(spark, sf_dir)
+    arms = []
+    for label, sk, _ in _UNIQ_KEYS:
+        per_key = t.events.select(F.expr(sk).alias("k")).groupBy("k").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        arms.append(
+            per_key.agg(
+                F.lit(label).alias("candidate_key"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.count(F.when(F.col("c") == 1, 1))
+                .cast("long")
+                .alias("n_unique_keys"),
+                F.sum(F.when(F.col("c") > 1, F.col("c")))
+                .cast("long")
+                .alias("n_dup_rows"),
+                F.max("c").cast("long").alias("max_group"),
+                qnt(
+                    F.count(F.lit(1)).cast("double") / F.sum("c"),
+                    "key_ratio",
+                ),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out

@@ -393,3 +393,71 @@ def sample_mixture_target(spark, sf_dir):
             ),
         )
     )
+
+
+_KFOLDS = 5
+
+
+@op(
+    "split_kfold",
+    sql=f"""
+    WITH assigned AS (
+        SELECT lang, {o_hash_bucket('doc_id')} % {_KFOLDS} AS fold
+        FROM documents
+    ),
+    cells AS (
+        SELECT fold, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM assigned GROUP BY 1, 2
+    ),
+    per_fold AS (
+        SELECT fold, CAST(SUM(n_docs) AS BIGINT) AS n_fold
+        FROM cells GROUP BY fold
+    ),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_all FROM cells)
+    SELECT c.fold, c.lang, c.n_docs, f.n_fold,
+           FLOOR(CAST(f.n_fold AS DOUBLE) / t.n_all * 1e6 + 0.5) / 1e6
+               AS fold_share
+    FROM cells c
+    JOIN per_fold f ON c.fold = f.fold
+    CROSS JOIN tot t
+    """,
+)
+def split_kfold(spark, sf_dir):
+    """Deterministic k-fold cross-validation assignment (k=5): every
+    document lands in exactly one fold via the md5 hash bucket — the
+    same row-local, RNG-free decision as `split_train_test`, so folds
+    are reproducible across runs, engines and partitionings, and a
+    document NEVER migrates between folds when the corpus grows (the
+    leakage guarantee re-runs of random splits can't give). Reported
+    per (fold, lang): cell count, fold size, and fold share — the
+    balance sheet that validates both the 1/k split and per-language
+    stratification before a CV sweep.
+
+    Scale: one scan, one map-combinable (fold, lang) count; the fold
+    and grand totals are aggregate-sized broadcasts."""
+    t = Tables(spark, sf_dir)
+    assigned = t.documents.select(
+        "lang",
+        (hash_bucket(F.col("doc_id")) % _KFOLDS).alias("fold"),
+    )
+    cells = assigned.groupBy("fold", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    per_fold = cells.groupBy("fold").agg(
+        F.sum("n_docs").cast("long").alias("n_fold")
+    )
+    tot = cells.agg(F.sum("n_docs").cast("long").alias("n_all"))
+    return (
+        cells.join(F.broadcast(per_fold), "fold")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "fold",
+            "lang",
+            "n_docs",
+            "n_fold",
+            qnt(
+                F.col("n_fold").cast("double") / F.col("n_all"),
+                "fold_share",
+            ),
+        )
+    )

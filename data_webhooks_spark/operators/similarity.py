@@ -830,3 +830,132 @@ def pipeline_embed_prep(spark, sf_dir):
         qnt(F.col("scale"), "scale"),
         bucket.cast("int").alias("lsh_bucket"),
     )
+
+
+_MRL_DIMS = [8, 16, 32, 64]
+
+
+@op(
+    "embed_matryoshka_eval",
+    sql=f"""
+    WITH d AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    dims(dim) AS (VALUES {", ".join(f"({m})" for m in _MRL_DIMS)}),
+    ranked AS (
+        SELECT dim, q_id, n_id, rn FROM (
+            SELECT dims.dim, q.vec_id AS q_id, c.vec_id AS n_id,
+                   row_number() OVER (
+                       PARTITION BY dims.dim, q.vec_id
+                       ORDER BY round(
+                           list_dot_product(list_slice(q.e, 1, dims.dim),
+                                            list_slice(c.e, 1, dims.dim))
+                           / (sqrt(list_dot_product(
+                                  list_slice(q.e, 1, dims.dim),
+                                  list_slice(q.e, 1, dims.dim)))
+                              * sqrt(list_dot_product(
+                                  list_slice(c.e, 1, dims.dim),
+                                  list_slice(c.e, 1, dims.dim)))), 6
+                       ) DESC, c.vec_id
+                   ) AS rn
+            FROM d q
+            JOIN d c ON q.vec_id < 20 AND c.vec_id <> q.vec_id
+            CROSS JOIN dims
+        ) WHERE rn <= 5
+    ),
+    ref AS (SELECT q_id, n_id FROM ranked WHERE dim = 64)
+    SELECT r.dim,
+           CAST(COUNT(ref.n_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(DISTINCT r.q_id) AS BIGINT) AS n_queries,
+           FLOOR(CAST(COUNT(ref.n_id) AS DOUBLE)
+                 / (5 * COUNT(DISTINCT r.q_id)) * 1e6 + 0.5) / 1e6
+               AS mean_recall5
+    FROM ranked r
+    LEFT JOIN ref ON r.q_id = ref.q_id AND r.n_id = ref.n_id
+    GROUP BY r.dim
+    """,
+)
+def embed_matryoshka_eval(spark, sf_dir):
+    """Matryoshka-truncation evaluation (Kusupati et al., NeurIPS'22
+    MRL — the "how many dims can we drop" question behind every
+    shortened-embedding deployment): for each prefix length in
+    {8, 16, 32, 64}, the exact top-5 cosine neighbors under the
+    TRUNCATED embedding are compared against the full-dimension top-5,
+    and recall@5 is averaged over the 20 query vectors — the curve
+    that tells an index owner what a 8x memory cut costs in retrieval
+    quality. dim=64 recalls 1.0 by construction (self-sanity row).
+
+    Determinism: the sim_cosine_brute discipline — double-promoted
+    dot products reduced in list order, cosine rounded to 6, ties by
+    vec_id; hit counts are exact BIGINTs and the mean is one quantized
+    ratio.
+
+    Scale: this is an EVALUATION op, run over a sampled query set —
+    the brute per-dim rank is the measurement instrument (exact by
+    design, like sim_cosine_brute as recall oracle); the production
+    serving path for truncated vectors is ann_ivf/ann_ivf_pq over the
+    sliced column. Query side broadcasts; corpus side never
+    re-shuffles."""
+    t = Tables(spark, sf_dir)
+    d = _norm_df(t)
+    q = d.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("e").alias("qe"),
+        F.explode(F.array(*[F.lit(m) for m in _MRL_DIMS])).alias("dim"),
+    )
+    c = d.select(F.col("vec_id").alias("n_id"), F.col("e").alias("ce"))
+
+    def pdot(a, b, dim):
+        return F.aggregate(
+            F.zip_with(
+                F.slice(a, 1, dim), F.slice(b, 1, dim), lambda x, y: x * y
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    dim = F.col("dim")
+    cos = F.round(
+        pdot(F.col("qe"), F.col("ce"), dim)
+        / (
+            F.sqrt(pdot(F.col("qe"), F.col("qe"), dim))
+            * F.sqrt(pdot(F.col("ce"), F.col("ce"), dim))
+        ),
+        6,
+    )
+    w = Window.partitionBy("dim", "q_id").orderBy(
+        F.col("cos").desc(), "n_id"
+    )
+    ranked = (
+        F.broadcast(q)
+        .join(c, F.col("n_id") != F.col("q_id"))
+        .select("dim", "q_id", "n_id", cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("dim", "q_id", "n_id")
+    )
+    # materialize fresh aliases: ref derives from ranked, and Spark's
+    # ambiguous-self-join check needs the lineages separated
+    ref = (
+        ranked.filter(F.col("dim") == 64)
+        .select(
+            F.col("q_id").alias("rq_id"), F.col("n_id").alias("ref_id")
+        )
+    )
+    hits = ranked.join(
+        F.broadcast(ref),
+        (F.col("q_id") == F.col("rq_id"))
+        & (F.col("n_id") == F.col("ref_id")),
+        "left",
+    ).select("dim", "q_id", "ref_id")
+    return hits.groupBy("dim").agg(
+        F.count("ref_id").cast("long").alias("n_hits"),
+        F.count_distinct("q_id").cast("long").alias("n_queries"),
+        qnt(
+            F.count("ref_id").cast("double")
+            / (5 * F.count_distinct("q_id")),
+            "mean_recall5",
+        ),
+    )

@@ -1643,3 +1643,103 @@ def text_bigram_logprob(spark, sf_dir):
             F.round(F.avg(term), 6).alias("avg_neg_logprob"),
         )
     )
+
+
+@op(
+    "text_collocations_pmi",
+    sql="""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS parts FROM documents
+    ),
+    bg AS (
+        SELECT b.parts[i] AS w1, b.parts[i + 1] AS w2
+        FROM base b, LATERAL (
+            SELECT unnest(range(1, CAST(len(b.parts) AS BIGINT))) AS i
+        )
+    ),
+    uni AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS c1 FROM (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        ) GROUP BY word
+    ),
+    bi AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+        FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= 5
+    ),
+    tot AS (
+        SELECT CAST(SUM(c1) AS BIGINT) AS nu,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM bg) AS nb
+        FROM uni
+    )
+    SELECT w1, w2, c2 AS n_pair,
+           FLOOR((ln(CAST(c2 AS DOUBLE)) + 2 * ln(CAST(nu AS DOUBLE))
+                  - ln(CAST(nb AS DOUBLE)) - ln(CAST(a.c1 AS DOUBLE))
+                  - ln(CAST(b.c1 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS pmi
+    FROM bi
+    JOIN uni a ON bi.w1 = a.word
+    JOIN uni b ON bi.w2 = b.word
+    CROSS JOIN tot
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 20
+    """,
+)
+def text_collocations_pmi(spark, sf_dir):
+    """Collocation extraction: the top-20 adjacent word pairs by
+    pointwise mutual information, PMI = ln(p(w1,w2) / (p(w1)p(w2))),
+    with a min-count-5 support floor (the Church & Hanks 1990 word-
+    association measure) — surfaces the corpus's fixed phrases, which
+    feed tokenizer merge candidates (beside `vocab_bpe_merge`'s
+    frequency argmax — PMI prefers STICKY pairs over merely frequent
+    ones) and boilerplate detection.
+
+    Determinism: all counts exact BIGINT; PMI evaluates as a SUM OF
+    LOGS (ln c2 + 2 ln Nu − ln Nb − ln c1a − ln c1b) rather than the
+    ln-of-ratio — overflow-proof at any corpus size (the BIGINT
+    product c2·Nu² would wrap at ~10⁹ tokens) and one fixed double
+    expression on both engines, quantized at 6; ties broken (w1, w2).
+
+    Scale: unigram and surviving-bigram tables are vocab-bounded, so
+    the two count joins broadcast; the only corpus-sized work is the
+    bigram explode feeding one map-combinable count. Top-20 is a
+    TakeOrdered, never a full sort."""
+    t = Tables(spark, sf_dir)
+    tok = _tokens()
+    bg = t.documents.filter(F.size(tok) >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tok) - 1),
+                lambda i: F.struct(
+                    F.element_at(tok, i).alias("w1"),
+                    F.element_at(tok, i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    uni = t.documents.select(F.explode(tok).alias("word")).groupBy(
+        "word"
+    ).agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    bi = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c2"))
+        .filter(F.col("c2") >= 5)
+    )
+    tot = uni.agg(F.sum("c1").cast("long").alias("nu")).crossJoin(
+        bg.agg(F.count(F.lit(1)).cast("long").alias("nb"))
+    )
+    a = uni.select(F.col("word").alias("w1"), F.col("c1").alias("c1a"))
+    b = uni.select(F.col("word").alias("w2"), F.col("c1").alias("c1b"))
+    pmi = (
+        F.log(F.col("c2").cast("double"))
+        + 2 * F.log(F.col("nu").cast("double"))
+        - F.log(F.col("nb").cast("double"))
+        - F.log(F.col("c1a").cast("double"))
+        - F.log(F.col("c1b").cast("double"))
+    )
+    return (
+        bi.join(F.broadcast(a), "w1")
+        .join(F.broadcast(b), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", F.col("c2").alias("n_pair"), qnt(pmi, "pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(20)
+    )

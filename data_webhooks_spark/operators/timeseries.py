@@ -999,3 +999,257 @@ def ts_period_delta(spark, sf_dir):
             (F.col("sv_units") - prev_sv).cast("double") / 10000.0
         ).alias("delta_value"),
     )
+
+
+@op(
+    "ts_stl_decompose",
+    sql=f"""
+    WITH b AS (
+        SELECT date_trunc('hour', min(ts)) AS h0,
+               date_trunc('hour', max(ts)) AS h1
+        FROM events
+    ),
+    spine AS (
+        SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        FROM b
+    ),
+    grid AS (
+        SELECT hour, event_type
+        FROM spine CROSS JOIN (SELECT DISTINCT event_type FROM events)
+    ),
+    hourly AS (
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    dense AS (
+        SELECT g.event_type, g.hour,
+               CAST(COALESCE(h.n, 0) AS BIGINT) AS y
+        FROM grid g LEFT JOIN hourly h
+          ON g.hour = h.hour AND g.event_type = h.event_type
+    ),
+    w AS (
+        SELECT event_type, hour,
+               CAST(EXTRACT(hour FROM hour) AS BIGINT) AS hod, y,
+               CASE WHEN COUNT(*) OVER w25 = 25
+                    THEN CAST(SUM(y) OVER w25 AS BIGINT) END AS sum25
+        FROM dense
+        WINDOW w25 AS (PARTITION BY event_type ORDER BY hour
+                       ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ),
+    seas AS (
+        SELECT event_type, hod,
+               CAST(SUM(25 * y - sum25) AS BIGINT) AS s,
+               CAST(COUNT(sum25) AS BIGINT) AS nh
+        FROM w GROUP BY 1, 2
+    ),
+    overall AS (
+        SELECT event_type,
+               CAST(SUM(25 * y - sum25) AS BIGINT) AS g,
+               CAST(COUNT(sum25) AS BIGINT) AS ng
+        FROM w GROUP BY 1
+    )
+    SELECT w.event_type, w.hour, w.y,
+           FLOOR(CAST(w.sum25 AS DOUBLE) / 25 * 1e6 + 0.5) / 1e6 AS trend,
+           FLOOR((CAST(s.s AS DOUBLE) / (25 * s.nh)
+                  - CAST(o.g AS DOUBLE) / (25 * o.ng)) * 1e6 + 0.5) / 1e6
+               AS seasonal,
+           FLOOR((CAST(25 * w.y - w.sum25 AS DOUBLE) / 25
+                  - (CAST(s.s AS DOUBLE) / (25 * s.nh)
+                     - CAST(o.g AS DOUBLE) / (25 * o.ng))) * 1e6 + 0.5) / 1e6
+               AS resid
+    FROM w
+    JOIN seas s ON w.event_type = s.event_type AND w.hod = s.hod
+    JOIN overall o ON w.event_type = o.event_type
+    """,
+)
+def ts_stl_decompose(spark, sf_dir):
+    """STL-style additive decomposition of each type's hourly count
+    series: y = trend + seasonal + resid, with trend the centered
+    25-hour moving average (NULL at the 12-row edges — full windows
+    only), seasonal the hour-of-day mean of the detrended series
+    re-centered to sum to ~0, and resid the remainder — the
+    decomposition `ts_seasonal_profile` (multiplicative index) and
+    `ts_anomaly_mad` (un-deseasonalized outliers) bracket, and the
+    standard pre-pass before anomaly thresholds on strongly daily
+    traffic (Cleveland et al. 1990's STL, one loess pass replaced by
+    the moving average — the classical-decomposition variant).
+
+    Determinism (the BIGINT-moments discipline): y and the 25-hour
+    window sum are exact BIGINTs, so the detrended series is carried
+    as EXACT 25ths-units (25*y − sum25, BIGINT); the hour-of-day and
+    global means divide once each, and every output is one fixed
+    double expression quantized at 6 — no accumulation of
+    engine-ordered float sums anywhere. Centering subtracts the
+    GLOBAL detrended mean (observation-weighted) rather than the
+    mean-of-hod-means: exact in integer units, and zero-sum over
+    observations by construction.
+
+    Scale: the dense grid is |types| x |hours| (aggregate-sized,
+    wall-clock-bounded); one rollup shuffle of the raw stream, one
+    window over the grid, two aggregate-sized joins back (AQE
+    broadcasts both). The heavy input is touched once."""
+    t = Tables(spark, sf_dir)
+    hourly, grid = _hourly_grid(t)
+    dense = grid.join(
+        hourly.select("event_type", "hour", "n"),
+        ["event_type", "hour"],
+        "left",
+    ).select(
+        "event_type",
+        "hour",
+        F.coalesce("n", F.lit(0)).cast("long").alias("y"),
+    )
+    w25 = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-12, 12)
+    )
+    w = dense.select(
+        "event_type",
+        "hour",
+        F.hour("hour").cast("long").alias("hod"),
+        "y",
+        F.when(
+            F.count(F.lit(1)).over(w25) == 25,
+            F.sum("y").over(w25).cast("long"),
+        ).alias("sum25"),
+    )
+    det = (25 * F.col("y") - F.col("sum25")).cast("long")
+    seas = w.groupBy("event_type", "hod").agg(
+        F.sum(det).cast("long").alias("s"),
+        F.count("sum25").cast("long").alias("nh"),
+    )
+    glob = w.groupBy("event_type").agg(
+        F.sum(det).cast("long").alias("g"),
+        F.count("sum25").cast("long").alias("ng"),
+    )
+    seasonal = F.col("s").cast("double") / (25 * F.col("nh")) - F.col(
+        "g"
+    ).cast("double") / (25 * F.col("ng"))
+    return (
+        w.join(seas, ["event_type", "hod"])
+        .join(glob, "event_type")
+        .select(
+            "event_type",
+            "hour",
+            "y",
+            qnt(F.col("sum25").cast("double") / 25, "trend"),
+            qnt(seasonal, "seasonal"),
+            qnt(
+                (25 * F.col("y") - F.col("sum25")).cast("double") / 25
+                - seasonal,
+                "resid",
+            ),
+        )
+    )
+
+
+@op(
+    "ts_holt_backtest",
+    sql=f"""
+    WITH RECURSIVE hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    series AS (
+        SELECT event_type, hour, y,
+               row_number() OVER (PARTITION BY event_type ORDER BY hour)
+                   AS rn
+        FROM hourly
+    ),
+    r AS (
+        SELECT event_type, rn, hour, y,
+               CAST(y * 1000 AS DOUBLE) AS l,
+               CAST(0.0 AS DOUBLE) AS b,
+               CAST(NULL AS DOUBLE) AS f
+        FROM series WHERE rn = 1
+        UNION ALL
+        SELECT s.event_type, s.rn, s.hour, s.y,
+               FLOOR((s.y * 1000 + r.l + r.b) / 2.0) AS l,
+               FLOOR((FLOOR((s.y * 1000 + r.l + r.b) / 2.0) - r.l + r.b)
+                     / 2.0) AS b,
+               r.l + r.b AS f
+        FROM r JOIN series s
+          ON s.event_type = r.event_type AND s.rn = r.rn + 1
+    ),
+    h AS (SELECT event_type, hour, y AS n,
+           f / 1000 AS forecast, l / 1000 AS level, b / 1000 AS trend
+    FROM r WHERE rn >= 2),
+    w AS (
+        SELECT event_type, hour, n, forecast,
+               lag(n) OVER (PARTITION BY event_type ORDER BY hour)
+                   AS prev_n
+        FROM h
+    ),
+    e AS (
+        SELECT event_type,
+               1000 * n - CAST(FLOOR(forecast * 1000 + 0.5) AS BIGINT)
+                   AS err_m,
+               1000 * (n - prev_n) AS naive_m
+        FROM w WHERE prev_n IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           FLOOR(CAST(SUM(ABS(err_m)) AS DOUBLE) / (1000 * COUNT(*))
+                 * 1e6 + 0.5) / 1e6 AS mae,
+           FLOOR(sqrt(CAST(SUM(err_m * err_m) AS DOUBLE) / COUNT(*))
+                 / 1000 * 1e6 + 0.5) / 1e6 AS rmse,
+           FLOOR(CAST(SUM(ABS(naive_m)) AS DOUBLE) / (1000 * COUNT(*))
+                 * 1e6 + 0.5) / 1e6 AS naive_mae,
+           FLOOR((1.0 - CAST(SUM(ABS(err_m)) AS DOUBLE)
+                        / NULLIF(SUM(ABS(naive_m)), 0)) * 1e6 + 0.5) / 1e6
+               AS skill
+    FROM e GROUP BY event_type
+    """,
+)
+def ts_holt_backtest(spark, sf_dir):
+    """Forecast backtest for `ts_holt`: per event type, the MAE, RMSE
+    and naive-baseline MAE of the one-step-ahead forecasts over the
+    whole hourly history, plus the skill score 1 − MAE/naive-MAE
+    (positive = beats the "tomorrow == today" baseline) — the
+    evaluation row that decides whether the dashboard's expected-
+    traffic band is trustworthy, and the standard acceptance gate
+    before any forecaster feeds alerting thresholds.
+
+    Determinism rides ts_holt's integer milli-unit recursion: the
+    forecast column is an exact integer count of milli-units, so the
+    per-hour error 1000·n − f recovers as an exact BIGINT (the
+    FLOOR(+0.5) merely undoes the display division), absolute and
+    squared errors sum exactly, and each output is one quantized
+    double. Naive errors are pure BIGINT count differences. Rows
+    where the in-output lag is undefined (each type's first emitted
+    hour) are excluded from BOTH metrics so the comparison is
+    apples-to-apples.
+
+    Scale: inherits ts_holt's shape — per-type state is 2 numbers
+    over a wall-clock-bounded hourly series; the backtest adds one
+    lag window and one aggregate over the same aggregate-sized
+    table."""
+    h = ts_holt(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("hour")
+    prev_n = F.lag("n").over(w)
+    e = h.select(
+        "event_type",
+        (
+            1000 * F.col("n")
+            - F.floor(F.col("forecast") * 1000 + F.lit(0.5)).cast("long")
+        ).alias("err_m"),
+        (1000 * (F.col("n") - prev_n)).alias("naive_m"),
+    ).filter(F.col("naive_m").isNotNull())
+    cnt = F.count(F.lit(1))
+    sum_abs = F.sum(F.abs(F.col("err_m")))
+    sum_sq = F.sum(F.col("err_m") * F.col("err_m"))
+    sum_naive = F.sum(F.abs(F.col("naive_m")))
+    return e.groupBy("event_type").agg(
+        cnt.cast("long").alias("n_hours"),
+        qnt(sum_abs.cast("double") / (1000 * cnt), "mae"),
+        qnt(F.sqrt(sum_sq.cast("double") / cnt) / 1000, "rmse"),
+        qnt(sum_naive.cast("double") / (1000 * cnt), "naive_mae"),
+        qnt(
+            1.0
+            - sum_abs.cast("double") / F.nullif(sum_naive, F.lit(0)),
+            "skill",
+        ),
+    )

@@ -199,3 +199,114 @@ def dim_scd2(spark, sf_dir):
         F.lead("version").over(w).alias("valid_to"),
         F.lead("version").over(w).isNull().alias("is_current"),
     )
+
+
+@op(
+    "warehouse_snapshot_diff",
+    sql=f"""
+    WITH v2 AS (
+        SELECT c_custkey AS k, {_SEG2} AS segment, ROUND({_BAL2}, 2) AS bal
+        FROM customer
+    ),
+    v3 AS (
+        SELECT c_custkey AS k, {_SEG3} AS segment, ROUND({_BAL3}, 2) AS bal
+        FROM customer WHERE c_custkey % 17 <> 0
+        UNION ALL
+        SELECT c_custkey + 1000000, {_SEG3}, ROUND({_BAL3}, 2)
+        FROM customer WHERE c_custkey % 11 = 0
+    )
+    SELECT COALESCE(a.k, b.k) AS c_custkey,
+           CASE WHEN b.k IS NULL THEN 'D'
+                WHEN a.k IS NULL THEN 'I'
+                WHEN a.segment <> b.segment OR a.bal <> b.bal THEN 'U'
+                ELSE 'N' END AS change,
+           a.segment AS seg_before, b.segment AS seg_after,
+           a.bal AS bal_before, b.bal AS bal_after,
+           COALESCE(a.segment <> b.segment, FALSE) AS seg_changed,
+           COALESCE(a.bal <> b.bal, FALSE) AS bal_changed
+    FROM v2 a FULL OUTER JOIN v3 b ON a.k = b.k
+    """,
+)
+def warehouse_snapshot_diff(spark, sf_dir):
+    """CDC snapshot diff: compare two dimension snapshots (the v2/v3
+    derivations `merge_upsert`/`dim_scd2` already pin, plus synthetic
+    deletes key%17==0 and the same key%11 late-arriving inserts) and
+    emit one row per key with change type I/U/D/N, before/after
+    values, and per-column changed flags — the change feed a
+    snapshot-based warehouse derives when the source system ships no
+    CDC log (the Delta/Iceberg MERGE "source minus target" step, and
+    the input `dim_scd2` would consume incrementally).
+
+    Determinism: balances compare after the shared ROUND(,2); change
+    classification is pure column equality — no floats beyond the
+    already-rounded money values.
+
+    Scale: BOTH snapshots here derive from one customer scan (the
+    struct-array explode trick), and the diff itself is expressed as a
+    single groupBy(key) over the exploded (version, row) stream — a
+    map-combinable aggregation, NOT a join, which is the cheapest diff
+    shape when both snapshots live in the same storage layout. With
+    independently-stored snapshots the same plan becomes a sort-merge
+    full-outer equi-join on the key — partitionable and
+    AQE-skew-splittable either way; nothing is driver-side."""
+    t = Tables(spark, sf_dir)
+    c = t.customer
+    rows = F.array(
+        # version-2 presence row (every key)
+        F.struct(
+            F.col("c_custkey").cast("long").alias("k"),
+            F.lit(2).alias("version"),
+            F.expr(_SEG2).alias("segment"),
+            F.round(F.expr(_BAL2), 2).alias("bal"),
+        ),
+        # version-3 row unless deleted
+        F.when(
+            F.col("c_custkey") % 17 != 0,
+            F.struct(
+                F.col("c_custkey").cast("long").alias("k"),
+                F.lit(3).alias("version"),
+                F.expr(_SEG3).alias("segment"),
+                F.round(F.expr(_BAL3), 2).alias("bal"),
+            ),
+        ),
+        # version-3 insert twin for key%11
+        F.when(
+            F.col("c_custkey") % 11 == 0,
+            F.struct(
+                (F.col("c_custkey") + 1000000).cast("long").alias("k"),
+                F.lit(3).alias("version"),
+                F.expr(_SEG3).alias("segment"),
+                F.round(F.expr(_BAL3), 2).alias("bal"),
+            ),
+        ),
+    )
+    exploded = (
+        c.select(F.explode(rows).alias("r"))
+        .filter(F.col("r").isNotNull())
+        .select("r.k", "r.version", "r.segment", "r.bal")
+    )
+    agg = exploded.groupBy("k").agg(
+        F.max(F.when(F.col("version") == 2, F.struct("segment", "bal"))).alias("a"),
+        F.max(F.when(F.col("version") == 3, F.struct("segment", "bal"))).alias("b"),
+    )
+    changed = (F.col("a.segment") != F.col("b.segment")) | (
+        F.col("a.bal") != F.col("b.bal")
+    )
+    return agg.select(
+        F.col("k").alias("c_custkey"),
+        F.when(F.col("b").isNull(), "D")
+        .when(F.col("a").isNull(), "I")
+        .when(changed, "U")
+        .otherwise("N")
+        .alias("change"),
+        F.col("a.segment").alias("seg_before"),
+        F.col("b.segment").alias("seg_after"),
+        F.col("a.bal").alias("bal_before"),
+        F.col("b.bal").alias("bal_after"),
+        F.coalesce(
+            F.col("a.segment") != F.col("b.segment"), F.lit(False)
+        ).alias("seg_changed"),
+        F.coalesce(F.col("a.bal") != F.col("b.bal"), F.lit(False)).alias(
+            "bal_changed"
+        ),
+    )

@@ -124,6 +124,20 @@ KEYS = [
     # like scan_json/scan_csv it reads a derived single-file twin,
     # which the multi-file amplified dirs cannot regenerate.
     "dq_freshness",
+    # r7 wave A
+    "analytics_dau_mau",
+    "profile_string_patterns",
+    "warehouse_snapshot_diff",
+    # r7 wave B/C
+    "ts_stl_decompose",
+    "text_collocations_pmi",
+    "multimodal_phash",
+    "embed_matryoshka_eval",
+    "split_kfold",
+    # r7 wave D
+    "ts_holt_backtest",
+    "analytics_ltv_cohort",
+    "dq_uniqueness",
 ]
 MAX_FACTOR = {
     "dedup_embedding": 10,

@@ -410,6 +410,9 @@ NESTED_LOOP_OK = {
     "dq_freshness",  # 1-row global-max-ts scalar onto the events scan
     "sample_mixture_target",  # 1-row capacity + 1-row kept-total scalars onto a 3-row domain table
     "text_bigram_logprob",  # 1-row vocab-size scalar onto the bigram rows (as text_tfidf)
+    "text_collocations_pmi",  # 1-row (Nu, Nb) corpus-total scalar onto the surviving bigrams
+    "split_kfold",  # 1-row grand-total scalar onto the k x |langs| cells
+    "embed_matryoshka_eval",  # broadcast 80-row query side x corpus (sim_cosine_brute shape)
     # deliberately tiny cross/broadcast sides (<= dozens of rows or
     # candidate sets bounded by construction)
     "join_cross", "join_skew_salted", "knn_join", "sim_cosine_brute",
