@@ -1743,3 +1743,95 @@ def text_collocations_pmi(spark, sf_dir):
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(20)
     )
+
+
+_FFD_BUDGET = 2048
+
+
+@op("pack_sequences_ffd")
+def pack_sequences_ffd(spark, sf_dir):
+    """HARD-BUDGET sequence packing via First-Fit-Decreasing — the
+    packing-efficiency upgrade over `pack_sequences`' streaming
+    semantic (which lets a sequence overrun by one document): here no
+    bin ever exceeds the 2048-token budget, and FFD's sort-then-place
+    (Johnson 1973; ≤ 11/9·OPT + 1 bins) recovers most of the tokens
+    the naive in-order packer wastes as tail fragmentation. This is
+    the bin-packing step real pretraining pipelines run when truncation
+    is unacceptable and padding is the cost to minimize.
+
+    FFD is inherently sequential WITHIN a bin set, so it runs
+    shard-locally: documents shard into PACK_SHARDS contiguous doc_id
+    ranges per language (pack_sequences' two-level discipline), each
+    (lang, shard) group packs independently inside one Arrow-batched
+    applyInPandas call (bounded group size by construction), and bins
+    never span shards — the packing is embarrassingly parallel at
+    langs x shards, trading ≤1 fragmented bin per shard for
+    distribution. Deterministic: groups are hash-partitioned by key
+    (order within a group is irrelevant after the in-UDF sort by
+    (n_tokens desc, doc_id)), so the result is partitioning-invariant.
+
+    Rows-only by design: a sequential packing loop is not
+    SQL-expressible; correctness is pinned by an exact Python FFD
+    replay plus capacity/conservation invariants in
+    tests/test_r7_operators.py. Oversized documents (> budget) would
+    get a flagged singleton bin (none exist in the fixtures)."""
+    import pandas as pd
+
+    t = Tables(spark, sf_dir)
+    sized = t.documents.select(
+        "lang", "doc_id", F.size(_tokens()).cast("long").alias("n_tokens")
+    )
+    bounds = sized.groupBy("lang").agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    )
+    shard = F.least(
+        F.lit(PACK_SHARDS - 1),
+        F.floor(
+            (F.col("doc_id") - F.col("lo"))
+            * PACK_SHARDS
+            / (F.col("hi") - F.col("lo") + 1)
+        ),
+    ).cast("long")
+    sharded = (
+        sized.join(F.broadcast(bounds), "lang")
+        .withColumn("shard", shard)
+        .select("lang", "shard", "doc_id", "n_tokens")
+    )
+
+    def ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        )
+        lang = pdf["lang"].iloc[0]
+        sh = int(pdf["shard"].iloc[0])
+        bins: list[list[int]] = []  # [remaining, n_docs, total]
+        for r in pdf.itertuples():
+            for b in bins:
+                if r.n_tokens <= b[0]:
+                    b[0] -= r.n_tokens
+                    b[1] += 1
+                    b[2] += r.n_tokens
+                    break
+            else:
+                bins.append(
+                    [_FFD_BUDGET - int(r.n_tokens), 1, int(r.n_tokens)]
+                )
+        return pd.DataFrame(
+            {
+                "lang": lang,
+                "shard": sh,
+                "bin_id": range(len(bins)),
+                "n_docs": [b[1] for b in bins],
+                "total_tokens": [b[2] for b in bins],
+                "fill_ratio": [
+                    round(b[2] * 1000000 // _FFD_BUDGET / 1e6, 6)
+                    for b in bins
+                ],
+            }
+        )
+
+    return sharded.groupBy("lang", "shard").applyInPandas(
+        ffd,
+        "lang string, shard long, bin_id long, n_docs long,"
+        " total_tokens long, fill_ratio double",
+    )

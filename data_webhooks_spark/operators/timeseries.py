@@ -1253,3 +1253,94 @@ def ts_holt_backtest(spark, sf_dir):
             "skill",
         ),
     )
+
+
+def _stl_as_cte() -> str:
+    """ts_stl_decompose's oracle re-packaged as a CTE list ending in
+    `stl AS (...)` so composing operators prepend it — the ts_holt /
+    ts_holt_backtest splice pattern, done programmatically."""
+    sql = ORACLE["ts_stl_decompose"]
+    k = sql.rindex("    SELECT w.event_type, w.hour, w.y,")
+    ctes = sql[:k].strip()
+    assert ctes.startswith("WITH ") and ctes.endswith(")")
+    final_select = sql[k:].strip()
+    return f"{ctes[5:]},\n    stl AS ({final_select})"
+
+
+@op(
+    "ts_anomaly_stl",
+    sql=f"""
+    WITH {_stl_as_cte()},
+    med AS (
+        SELECT event_type, quantile_cont(resid, 0.5) AS med
+        FROM stl WHERE resid IS NOT NULL GROUP BY event_type
+    ),
+    dev AS (
+        SELECT s.event_type, s.hour, s.y, s.trend, s.seasonal, s.resid,
+               abs(s.resid - m.med) AS adev, m.med
+        FROM stl s JOIN med m ON s.event_type = m.event_type
+        WHERE s.resid IS NOT NULL
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type, d.hour, d.y, d.trend, d.seasonal, d.resid,
+           FLOOR((d.resid - d.med) / (1.4826 * m.mad) * 1e6 + 0.5) / 1e6
+               AS robust_z
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    WHERE d.adev > 3.0 * 1.4826 * m.mad
+    """,
+)
+def ts_anomaly_stl(spark, sf_dir):
+    """Seasonally-adjusted anomaly detection — the composition the
+    `ts_anomaly_mad` docstring's raw z-score can't deliver on strongly
+    daily traffic (a normal 9 am peak looks anomalous against the
+    whole-day distribution; a genuinely dead 9 am looks normal): run
+    the robust MAD z-score on ts_stl_decompose's RESIDUAL series,
+    after trend and hour-of-day seasonality are removed. This is the
+    standard production traffic-alerting shape (STL + robust
+    threshold, e.g. Twitter's AnomalyDetection / Netflix RAD lineage,
+    Cleveland et al. 1990 + Hampel identifier).
+
+    Determinism: resid arrives already quantized from the STL twin;
+    medians are exact percentiles over those quantized values
+    (identical interpolation both engines — the ts_anomaly_mad
+    proof), and the z-score is one quantized expression. Edge hours
+    (NULL trend) are excluded on both engines.
+
+    Scale: inherits ts_stl_decompose's single rollup; the two
+    percentile passes run over the aggregate-sized residual table
+    (≤ types x hours rows) with tiny per-type stats broadcast back —
+    at 100 TB of raw events this stage's input is still just the
+    hourly grid. KLL sketches swap in if the grid itself ever grows
+    past memory (agg_kll_quantile)."""
+    stl = ts_stl_decompose(spark, sf_dir).filter(
+        F.col("resid").isNotNull()
+    )
+    med = stl.groupBy("event_type").agg(
+        F.percentile("resid", F.lit(0.5)).alias("med")
+    )
+    dev = stl.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("resid") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("adev") > 3.0 * 1.4826 * F.col("mad"))
+        .select(
+            "event_type",
+            "hour",
+            "y",
+            "trend",
+            "seasonal",
+            "resid",
+            qnt(
+                (F.col("resid") - F.col("med"))
+                / (1.4826 * F.col("mad")),
+                "robust_z",
+            ),
+        )
+    )

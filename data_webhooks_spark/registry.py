@@ -54,6 +54,7 @@ from pyspark.sql import DataFrame, SparkSession
 #   ann_ivf_pq, ann_ivf, sim_ann_lsh, dedup_minhash, plus
 #   join_interval_binned (density-adaptive bin width).
 _ROWS_ONLY = {
+    "pack_sequences_ffd",
     "embed_pq",
     "ann_ivf_pq",
     "ann_ivf",

@@ -138,6 +138,9 @@ KEYS = [
     "ts_holt_backtest",
     "analytics_ltv_cohort",
     "dq_uniqueness",
+    # r7 wave E
+    "ts_anomaly_stl",
+    "pack_sequences_ffd",
 ]
 MAX_FACTOR = {
     "dedup_embedding": 10,

@@ -697,3 +697,84 @@ def test_uniqueness_matches_pandas_value_counts(spark, sf_dir):
         assert abs(row["key_ratio"] - round(len(vc) / len(ev), 6)) < 2e-6
     assert got.loc["event_id", "key_ratio"] == 1.0
     assert got.loc["event_type+day", "key_ratio"] < 1.0
+
+
+def test_anomaly_stl_matches_mad_on_resid(spark, sf_dir):
+    """Recompute the robust threshold from the STL residuals directly
+    (numpy medians) and check the flagged set and z-scores agree; the
+    flagged hours must be a strict subset of all residual hours and
+    every |z| must exceed 3."""
+    import numpy as np
+
+    stl = (
+        QUERIES["ts_stl_decompose"](spark, sf_dir)
+        .toPandas()
+        .dropna(subset=["resid"])
+    )
+    got = QUERIES["ts_anomaly_stl"](spark, sf_dir).toPandas()
+    assert 0 < len(got) < len(stl)
+    assert (got["robust_z"].abs() > 3).all()
+    for et, g in stl.groupby("event_type"):
+        med = np.median(g["resid"])
+        mad = np.median((g["resid"] - med).abs())
+        flagged = g[(g["resid"] - med).abs() > 3 * 1.4826 * mad]
+        sub = got[got.event_type == et]
+        assert set(sub["hour"]) == set(flagged["hour"]), et
+        merged = sub.merge(flagged[["hour", "resid"]], on="hour")
+        for r in merged.itertuples():
+            want = round((r.resid_x - med) / (1.4826 * mad), 6)
+            assert abs(r.robust_z - want) < 2e-6
+
+
+def test_ffd_packing_matches_python_replay(spark, sf_dir):
+    """Replay First-Fit-Decreasing per (lang, shard) in pure Python
+    and require identical bins; plus the hard invariants — no bin over
+    budget, token conservation, and every bin except possibly the last
+    opened holds >= 1 doc."""
+    from data_webhooks_spark.io import Tables
+    from data_webhooks_spark.operators.text import (
+        _FFD_BUDGET,
+        PACK_SHARDS,
+        _tokens,  # noqa: F401  (documenting the shared tokenizer)
+    )
+
+    got = (
+        QUERIES["pack_sequences_ffd"](spark, sf_dir)
+        .toPandas()
+        .sort_values(["lang", "shard", "bin_id"])
+    )
+    assert (got["total_tokens"] <= _FFD_BUDGET).all()
+    docs = _docs(spark, sf_dir)
+    docs["n_tokens"] = docs["text"].str.split(" ").str.len()
+    lo = docs.groupby("lang")["doc_id"].transform("min")
+    hi = docs.groupby("lang")["doc_id"].transform("max")
+    docs["shard"] = (
+        ((docs["doc_id"] - lo) * PACK_SHARDS // (hi - lo + 1))
+        .clip(upper=PACK_SHARDS - 1)
+        .astype(int)
+    )
+    assert got["total_tokens"].sum() == docs["n_tokens"].sum()
+    for (lang, sh), g in docs.groupby(["lang", "shard"]):
+        g = g.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        )
+        bins = []
+        for r in g.itertuples():
+            for b in bins:
+                if r.n_tokens <= b[0]:
+                    b[0] -= r.n_tokens
+                    b[1] += 1
+                    b[2] += r.n_tokens
+                    break
+            else:
+                bins.append(
+                    [_FFD_BUDGET - int(r.n_tokens), 1, int(r.n_tokens)]
+                )
+        sub = got[(got.lang == lang) & (got.shard == sh)]
+        assert list(sub["n_docs"]) == [b[1] for b in bins], (lang, sh)
+        assert list(sub["total_tokens"]) == [b[2] for b in bins]
+        for r in sub.itertuples():
+            assert abs(
+                r.fill_ratio
+                - (r.total_tokens * 1000000 // _FFD_BUDGET) / 1e6
+            ) < 1e-9
