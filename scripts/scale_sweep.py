@@ -150,6 +150,14 @@ MAX_FACTOR = {
     # nodes too); at x100 the wedge set is ~1e11 and measures the
     # artifact, not the operator. x10 (~2e9 wedges) is the honest cap.
     "graph_triangle_count": 10,
+    # ×100 amplification makes every document 100 exact replicas, so
+    # all replicas share all 4 phash bands -> candidate pairs grow
+    # O(replicas²) (~25M pairs) — the dedup_embedding artifact class.
+    "multimodal_phash": 10,
+    # output is one row per dimension-table key: ×100 = 1.5M-row
+    # toPandas (driver maxResultSize), measuring result transfer, not
+    # the diff. ×10 (150k rows) is the honest cap.
+    "warehouse_snapshot_diff": 10,
 }
 # Keys whose DuckDB oracle is skipped at amplified factors:
 # dedup_embedding's oracle is an O(n^2) nested-loop self-join (400M
