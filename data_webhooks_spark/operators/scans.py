@@ -280,3 +280,47 @@ def scan_json_corrupt(spark, sf_dir):
             dec_sum("value", "value_sum"),
         )
     )
+
+
+@op(
+    "scan_xml",
+    sql="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+)
+def scan_xml(spark, sf_dir):
+    """XML scan — Spark 4 ships the XML data source natively (the
+    spark-xml package folded into core in 4.0), which is the
+    enterprise-feed format webhook providers still emit (SOAP-era
+    partners, RSS/sitemap ingestion). The supplier fixture is written
+    once as row-tagged XML under .runtime (derived 1:1 from the
+    driver's parquet, deterministic) and read back with an explicit
+    schema + rowTag. The oracle reads the original parquet view —
+    same rows, proving the XML round-trip is lossless (the scan_orc
+    treatment; DuckDB has no XML reader, so parity runs through
+    content).
+
+    Scale: the XML reader splits by row tag and runs the same
+    schema-on-read projection as JSON — embarrassingly parallel; at
+    100 TB the real cost knob is multiline documents, which this
+    row-per-record layout avoids by construction."""
+    import os
+
+    from ..sources.derived import DERIVED_DIR
+
+    sfname = os.path.basename(sf_dir.rstrip("/"))
+    path = f"{DERIVED_DIR}/{sfname}/supplier_xml"
+    marker = f"{path}/_SUCCESS"
+    t = Tables(spark, sf_dir)
+    cols = ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]
+    if not os.path.exists(marker):
+        t.supplier.select(*cols).write.mode("overwrite").format(
+            "xml"
+        ).option("rowTag", "supplier").save(path)
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "supplier")
+        .schema(
+            "s_suppkey LONG, s_name STRING, s_nationkey INT, "
+            "s_acctbal DOUBLE"
+        )
+        .load(path)
+    )

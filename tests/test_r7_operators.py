@@ -778,3 +778,36 @@ def test_ffd_packing_matches_python_replay(spark, sf_dir):
                 r.fill_ratio
                 - (r.total_tokens * 1000000 // _FFD_BUDGET) / 1e6
             ) < 1e-9
+
+
+def test_scan_xml_roundtrip_matches_elementtree(spark, sf_dir):
+    """Third-way check for scan_xml: parse the derived XML files with
+    Python's ElementTree (a completely independent XML stack) and
+    require the exact row multiset Spark's native reader returns."""
+    import glob
+    import os
+    import xml.etree.ElementTree as ET
+
+    from data_webhooks_spark.sources.derived import DERIVED_DIR
+
+    got = QUERIES["scan_xml"](spark, sf_dir).toPandas()
+    sfname = os.path.basename(sf_dir.rstrip("/"))
+    rows = []
+    for f in glob.glob(f"{DERIVED_DIR}/{sfname}/supplier_xml/*.xml"):
+        root = ET.parse(f).getroot()
+        for s in root.iter("supplier"):
+            rows.append(
+                (
+                    int(s.find("s_suppkey").text),
+                    s.find("s_name").text,
+                    int(s.find("s_nationkey").text),
+                    float(s.find("s_acctbal").text),
+                )
+            )
+    want = sorted(rows)
+    have = sorted(
+        (int(r.s_suppkey), r.s_name, int(r.s_nationkey), float(r.s_acctbal))
+        for r in got.itertuples()
+    )
+    assert len(want) > 0
+    assert have == want
