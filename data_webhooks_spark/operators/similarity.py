@@ -958,12 +958,6 @@ def embed_matryoshka_eval(spark, sf_dir):
     re-shuffles."""
     t = Tables(spark, sf_dir)
     d = _norm_df(t)
-    q = d.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("e").alias("qe"),
-        F.explode(F.array(*[F.lit(m) for m in _MRL_DIMS])).alias("dim"),
-    )
-    c = d.select(F.col("vec_id").alias("n_id"), F.col("e").alias("ce"))
 
     def pdot(a, b, dim):
         return F.aggregate(
@@ -974,14 +968,40 @@ def embed_matryoshka_eval(spark, sf_dir):
             lambda acc, x: acc + x,
         )
 
+    # prefix norms are hoisted OUT of the pair loop: computed once per
+    # (query, dim) and once per (candidate, dim) in the scan stages —
+    # inside the join each candidate's ||ce[:d]|| would otherwise be
+    # re-evaluated per query row (~3x the pair-stage flops, measured)
+    q = (
+        d.filter(F.col("vec_id") < 20)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("e").alias("qe"),
+            F.explode(
+                F.array(*[F.lit(m) for m in _MRL_DIMS])
+            ).alias("dim"),
+        )
+        .withColumn("qn", F.sqrt(pdot(F.col("qe"), F.col("qe"), F.col("dim"))))
+    )
+    c = d.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("e").alias("ce"),
+        *[
+            F.sqrt(pdot(F.col("e"), F.col("e"), F.lit(m))).alias(f"cn{m}")
+            for m in _MRL_DIMS
+        ],
+    )
+
     dim = F.col("dim")
-    cos = F.round(
-        pdot(F.col("qe"), F.col("ce"), dim)
-        / (
-            F.sqrt(pdot(F.col("qe"), F.col("qe"), dim))
-            * F.sqrt(pdot(F.col("ce"), F.col("ce"), dim))
+    cn = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(m) for m in _MRL_DIMS]),
+            F.array(*[F.col(f"cn{m}") for m in _MRL_DIMS]),
         ),
-        6,
+        dim,
+    )
+    cos = F.round(
+        pdot(F.col("qe"), F.col("ce"), dim) / (F.col("qn") * cn), 6
     )
     w = Window.partitionBy("dim", "q_id").orderBy(
         F.col("cos").desc(), "n_id"
