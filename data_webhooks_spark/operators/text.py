@@ -1484,25 +1484,28 @@ def quality_gopher_rules(spark, sf_dir):
     doc_id join. No corpus-global state at all, so the operator is
     embarrassingly parallel at 100 TB."""
     t = Tables(spark, sf_dir)
-    tok = _tokens()
-    base = t.documents.select(
+    # pre-project the split once (the text_collocations_pmi lesson:
+    # the split() subtree repeated per higher-order call is not CSE'd)
+    tk = t.documents.select("doc_id", _tokens().alias("parts"))
+    p = F.col("parts")
+    base = tk.select(
         "doc_id",
-        tok.alias("parts"),
-        F.size(tok).cast("long").alias("n_words"),
+        "parts",
+        F.size(p).cast("long").alias("n_words"),
         F.aggregate(
-            F.transform(tok, lambda x: F.length(x).cast("long")),
+            F.transform(p, lambda x: F.length(x).cast("long")),
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         ).alias("chars_in_words"),
-        F.size(F.filter(tok, lambda x: x.isin(*_STOPWORDS)))
+        F.size(F.filter(p, lambda x: x.isin(*_STOPWORDS)))
         .cast("long")
         .alias("n_stop"),
-        F.size(F.filter(tok, lambda x: F.length(x) <= 2))
+        F.size(F.filter(p, lambda x: F.length(x) <= 2))
         .cast("long")
         .alias("n_short"),
     )
-    words = t.documents.select(
-        "doc_id", F.explode(tok).alias("word")
+    words = tk.select(
+        "doc_id", F.explode(p).alias("word")
     )
     top1 = (
         words.groupBy("doc_id", "word")
@@ -1513,14 +1516,15 @@ def quality_gopher_rules(spark, sf_dir):
     # size >= 2 guard: Spark's sequence(1, 0) would DESCEND for a
     # 1-word doc (DuckDB's range(1, 1) is empty) — filter first so both
     # engines drop bigram-less docs identically at the final join.
-    bigrams = t.documents.filter(F.size(tok) >= 2).select(
+    bigrams = tk.filter(F.size(p) >= 2).select(
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.size(tok) - 1),
-                lambda i: F.concat_ws(
-                    " ", F.element_at(tok, i), F.element_at(tok, i + 1)
+                F.arrays_zip(
+                    F.slice(p, 1, F.size(p) - 1),
+                    F.slice(p, 2, F.size(p) - 1),
                 ),
+                lambda z: F.concat_ws(" ", z["0"], z["1"]),
             )
         ).alias("bigram"),
     )
@@ -1612,20 +1616,24 @@ def text_bigram_logprob(spark, sf_dir):
     switch that join to a shuffle equi-join on (w1, w2) and let AQE
     skew-split the Zipf head — the plan shape is otherwise unchanged."""
     t = Tables(spark, sf_dir)
-    tok = _tokens()
-    bg = t.documents.filter(F.size(tok) >= 2).select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size(tok) - 1),
-                lambda i: F.struct(
-                    F.element_at(tok, i).alias("w1"),
-                    F.element_at(tok, i + 1).alias("w2"),
-                ),
-            )
-        ).alias("p"),
-    ).select("doc_id", "p.w1", "p.w2")
-    words = t.documents.select(F.explode(tok).alias("word"))
+    # pre-project the split once (the text_collocations_pmi lesson:
+    # the optimizer does not CSE the split() subtree through
+    # generators — 10x on the ×100 corpus)
+    tk = t.documents.select("doc_id", _tokens().alias("tk"))
+    sz = F.size(F.col("tk"))
+    pair = F.arrays_zip(
+        F.slice(F.col("tk"), 1, sz - 1), F.slice(F.col("tk"), 2, sz - 1)
+    )
+    bg = (
+        tk.filter(sz >= 2)
+        .select("doc_id", F.explode(pair).alias("p"))
+        .select(
+            "doc_id",
+            F.col("p")["0"].alias("w1"),
+            F.col("p")["1"].alias("w2"),
+        )
+    )
+    words = tk.select(F.explode(F.col("tk")).alias("word"))
     uni = words.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("c1"))
     bi = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c2"))
     vocab = uni.agg(F.count(F.lit(1)).cast("long").alias("v"))
@@ -1703,19 +1711,21 @@ def text_collocations_pmi(spark, sf_dir):
     bigram explode feeding one map-combinable count. Top-20 is a
     TakeOrdered, never a full sort."""
     t = Tables(spark, sf_dir)
-    tok = _tokens()
-    bg = t.documents.filter(F.size(tok) >= 2).select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size(tok) - 1),
-                lambda i: F.struct(
-                    F.element_at(tok, i).alias("w1"),
-                    F.element_at(tok, i + 1).alias("w2"),
-                ),
-            )
-        ).alias("p")
-    ).select("p.w1", "p.w2")
-    uni = t.documents.select(F.explode(tok).alias("word")).groupBy(
+    # pre-project the split ONCE: inlining _tokens() repeats the
+    # split() subtree inside every element_at/transform call and the
+    # optimizer does not always CSE it through generators — measured
+    # 10x on the ×100 corpus (15.2 s -> 1.5 s for the bigram count)
+    tk = t.documents.select(_tokens().alias("tk"))
+    sz = F.size(F.col("tk"))
+    pair = F.arrays_zip(
+        F.slice(F.col("tk"), 1, sz - 1), F.slice(F.col("tk"), 2, sz - 1)
+    )
+    bg = (
+        tk.filter(sz >= 2)
+        .select(F.explode(pair).alias("p"))
+        .select(F.col("p")["0"].alias("w1"), F.col("p")["1"].alias("w2"))
+    )
+    uni = tk.select(F.explode(F.col("tk")).alias("word")).groupBy(
         "word"
     ).agg(F.count(F.lit(1)).cast("long").alias("c1"))
     bi = (
@@ -1723,8 +1733,11 @@ def text_collocations_pmi(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("c2"))
         .filter(F.col("c2") >= 5)
     )
+    # Nb needs no second explode: every size>=2 doc contributes
+    # exactly size-1 bigrams
     tot = uni.agg(F.sum("c1").cast("long").alias("nu")).crossJoin(
-        bg.agg(F.count(F.lit(1)).cast("long").alias("nb"))
+        tk.filter(sz >= 2)
+        .agg(F.sum(sz - 1).cast("long").alias("nb"))
     )
     a = uni.select(F.col("word").alias("w1"), F.col("c1").alias("c1a"))
     b = uni.select(F.col("word").alias("w2"), F.col("c1").alias("c1b"))
