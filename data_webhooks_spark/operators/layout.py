@@ -437,3 +437,74 @@ def scan_parquet_bloom(spark, sf_dir):
             (F.sum(units).cast("double") / 100).alias("sum_value"),
         )
     )
+
+
+@op(
+    "sink_snapshot_commit",
+    sql="""
+    SELECT 1 AS version, event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events WHERE event_id % 3 <> 0 GROUP BY event_type
+    UNION ALL
+    SELECT 2, event_type, CAST(COUNT(*) AS BIGINT)
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 3, event_type, CAST(COUNT(*) AS BIGINT)
+    FROM events WHERE event_type <> 'error' GROUP BY event_type
+    """,
+)
+def sink_snapshot_commit(spark, sf_dir):
+    """The WRITE side of the snapshot-manifest mechanism
+    `scan_snapshot_manifest` reads: perform commit v3 — a
+    COPY-ON-WRITE row-level DELETE (drop every 'error' event) — and
+    prove snapshot isolation across it by reading all three versions
+    back through their manifests. This is the Delta/Iceberg
+    delete-flow from first principles: rewrite the affected data
+    files without the deleted rows, then publish a new manifest
+    listing the rewritten files, ATOMICALLY (temp-file + os.replace —
+    a reader either sees v2's complete manifest or v3's, never a
+    half-commit); old files stay on disk untouched, so v1/v2 reads
+    are bit-stable and time travel keeps working after the delete.
+
+    On this un-partitioned fixture layout every file contains error
+    rows, so the rewrite touches all of them; with the
+    `sink_partitioned_parquet` layout only partitions whose min/max
+    stats admit the predicate would rewrite — the standard COW
+    amplification trade (MOR deletion vectors are the alternative
+    when rewrite amplification dominates).
+
+    Output: per (version, event_type) counts AS OF v1, v2, v3 —
+    hash-checked against the key-arithmetic definition of the three
+    commits. The deleted type is absent from v3 and untouched in
+    v1/v2."""
+    import glob
+    import json
+
+    path = versioned_events_path(spark, sf_dir)
+    v3_manifest = f"{path}/_manifests/v3.json"
+    if not os.path.exists(v3_manifest):
+        with open(f"{path}/_manifests/v2.json") as f:
+            v2_files = json.load(f)["files"]
+        (
+            spark.read.parquet(*v2_files)
+            .filter(F.col("event_type") != "error")
+            .repartition(2)
+            .write.mode("overwrite")
+            .parquet(f"{path}/data_v3")
+        )
+        v3_files = sorted(glob.glob(f"{path}/data_v3/part-*.parquet"))
+        tmp = v3_manifest + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": 3, "files": v3_files}, f)
+        os.replace(tmp, v3_manifest)  # the atomic commit point
+    out = None
+    for v in (1, 2, 3):
+        with open(f"{path}/_manifests/v{v}.json") as f:
+            files = json.load(f)["files"]
+        df = (
+            spark.read.parquet(*files)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .select(F.lit(v).alias("version"), "event_type", "n")
+        )
+        out = df if out is None else out.unionByName(df)
+    return out

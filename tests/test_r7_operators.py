@@ -811,3 +811,47 @@ def test_scan_xml_roundtrip_matches_elementtree(spark, sf_dir):
     )
     assert len(want) > 0
     assert have == want
+
+
+def test_snapshot_commit_isolation_and_atomicity(spark, sf_dir):
+    """The write-side manifest invariants, independent of the oracle:
+    (a) v3 contains no deleted type while v1/v2 still do; (b) v1 and
+    v2 counts are IDENTICAL to scan_snapshot_manifest's (the delete
+    commit did not disturb prior snapshots); (c) the v3 manifest lists
+    only data_v3 files, every one existing on disk, and no .tmp
+    manifest is left behind (the atomic-publish contract)."""
+    import glob
+    import json
+    import os
+
+    from data_webhooks_spark.operators.layout import (
+        versioned_events_path,
+    )
+
+    got = QUERIES["sink_snapshot_commit"](spark, sf_dir).toPandas()
+    v3 = got[got.version == 3]
+    assert "error" not in set(v3["event_type"])
+    assert len(v3) > 0
+    prior = QUERIES["scan_snapshot_manifest"](spark, sf_dir).toPandas()
+    for v in (1, 2):
+        a = (
+            got[got.version == v]
+            .set_index("event_type")["n"]
+            .sort_index()
+        )
+        b = (
+            prior[prior.version == v]
+            .set_index("event_type")["n"]
+            .sort_index()
+        )
+        assert (a == b).all(), v
+        assert "error" in set(a.index)
+    path = versioned_events_path(spark, sf_dir)
+    with open(f"{path}/_manifests/v3.json") as f:
+        files = json.load(f)["files"]
+    assert files and all("data_v3" in f for f in files)
+    assert all(os.path.exists(f) for f in files)
+    assert not glob.glob(f"{path}/_manifests/*.tmp")
+    # v3 row total equals v2 minus the deleted type's v2 count
+    v2c = got[got.version == 2].set_index("event_type")["n"]
+    assert v3["n"].sum() == v2c.sum() - v2c["error"]
