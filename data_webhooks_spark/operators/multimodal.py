@@ -491,3 +491,134 @@ def multimodal_phash(spark, sf_dir):
         )
         .distinct()
     )
+
+
+@op(
+    "pipeline_media_prep",
+    sql=f"""
+    WITH meta AS (
+        SELECT doc_id,
+               CAST(strlen(text) AS BIGINT) AS n_bytes,
+               CAST(CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT)
+                    AS BIGINT) AS checksum
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               ({" + ".join(
+                   t.replace("{div}", "//")
+                   for t in _phash_terms(
+                       lambda p: f"ascii(substr(text, ({p}) + 1, 1))"
+                   )
+               )}) AS ph
+        FROM (SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS n
+              FROM documents)
+    ),
+    bands AS (
+        SELECT doc_id, ph, b.band_idx,
+               (ph >> (14 * b.band_idx)) & 16383 AS band_val
+        FROM h CROSS JOIN (
+            SELECT unnest(range(0, {_PH_BANDS})) AS band_idx
+        ) b
+    ),
+    dup AS (
+        SELECT DISTINCT b.doc_id
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.ph, b.ph)) <= {_PH_NEAR}
+    )
+    SELECT m.doc_id, m.n_bytes, m.checksum, h.ph AS phash,
+           d.doc_id IS NOT NULL AS is_near_dup,
+           d.doc_id IS NULL AND m.n_bytes >= 64 AS keep
+    FROM meta m
+    JOIN h ON m.doc_id = h.doc_id
+    LEFT JOIN dup d ON m.doc_id = d.doc_id
+    """,
+)
+def pipeline_media_prep(spark, sf_dir):
+    """END-TO-END media-prep capstone — the multimodal bookend beside
+    `pipeline_text_prep` / `pipeline_events_prep` /
+    `pipeline_embed_prep`: every payload flows through metadata
+    extraction (size + checksum, the decode_stub features) →
+    perceptual fingerprint (the 56-bit dHash) → banded near-dup
+    detection (hamming <= {_PH_NEAR} against any smaller-id payload —
+    the pairwise min-id survivorship rule; transitive closure is
+    `dedup_cluster`'s job) → the keep/drop gate (not a near-dup AND
+    at least 64 payload bytes), as ONE Catalyst plan whose only
+    corpus-shuffle is the band-key equi-join. This is the ingest gate
+    a multimodal training pipeline runs before expensive decode:
+    cheap bytes-level features decide survivorship first.
+
+    Determinism: integer-only (hash bits, byte counts, md5-prefix
+    checksum, Hamming); booleans derive from integer comparisons.
+
+    Scale: metadata + fingerprint are one codegen payload scan; the
+    near-dup probe is the `multimodal_phash` banded equi-join (never
+    all-pairs); the final joins are doc-keyed. At 100 TB the decode
+    stub behind `multimodal_col` swaps to a real thumbnailer and the
+    byte sampler reads its output — the plan shape is unchanged."""
+    t = Tables(spark, sf_dir)
+    terms = " + ".join(
+        tt.replace("{div}", "div")
+        for tt in _phash_terms(
+            lambda p: f"ascii(substring(text, ({p}) + 1, 1))"
+        )
+    )
+    meta = t.documents.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_bytes"),
+        F.expr(
+            "CAST(conv(substring(md5(text), 1, 8), 16, 10) AS BIGINT)"
+        ).alias("checksum"),
+    )
+    h = t.documents.select(
+        "doc_id", F.length("text").cast("long").alias("n"), "text"
+    ).select("doc_id", F.expr(terms).alias("ph"))
+    bands = h.select(
+        "doc_id",
+        "ph",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(_PH_BANDS)])
+        ).alias("band_idx"),
+    ).withColumn("band_val", F.expr("(ph >> (14 * band_idx)) & 16383"))
+    a = bands.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("ph").alias("ha"),
+        "band_idx",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_id"),
+        F.col("ph").alias("hb"),
+        "band_idx",
+        "band_val",
+    )
+    dup = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(
+            (F.col("a_id") < F.col("doc_id"))
+            & (
+                F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+                <= _PH_NEAR
+            )
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        meta.join(h, "doc_id")
+        .join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_bytes",
+            "checksum",
+            F.col("ph").alias("phash"),
+            F.coalesce("is_dup", F.lit(False)).alias("is_near_dup"),
+            (
+                F.coalesce("is_dup", F.lit(False)).eqNullSafe(False)
+                & (F.col("n_bytes") >= 64)
+            ).alias("keep"),
+        )
+    )

@@ -141,6 +141,7 @@ KEYS = [
     # r7 wave E
     "ts_anomaly_stl",
     "pack_sequences_ffd",
+    "pipeline_media_prep",
 ]
 MAX_FACTOR = {
     "dedup_embedding": 10,
@@ -158,6 +159,7 @@ MAX_FACTOR = {
     # toPandas (driver maxResultSize), measuring result transfer, not
     # the diff. ×10 (150k rows) is the honest cap.
     "warehouse_snapshot_diff": 10,
+    "pipeline_media_prep": 10,  # same replica-band artifact as multimodal_phash
 }
 # Keys whose DuckDB oracle is skipped at amplified factors:
 # dedup_embedding's oracle is an O(n^2) nested-loop self-join (400M

@@ -855,3 +855,35 @@ def test_snapshot_commit_isolation_and_atomicity(spark, sf_dir):
     # v3 row total equals v2 minus the deleted type's v2 count
     v2c = got[got.version == 2].set_index("event_type")["n"]
     assert v3["n"].sum() == v2c.sum() - v2c["error"]
+
+
+def test_media_prep_consistent_with_phash_and_python(spark, sf_dir):
+    """pipeline_media_prep must agree with its parts: is_near_dup
+    exactly marks docs appearing as the LARGER id of a <=threshold
+    pair in multimodal_phash's output; n_bytes/checksum re-derive in
+    Python; keep == not near-dup and >= 64 bytes."""
+    import hashlib as _hl
+
+    got = (
+        QUERIES["pipeline_media_prep"](spark, sf_dir)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    pairs = QUERIES["multimodal_phash"](spark, sf_dir).toPandas()
+    near_larger = set(
+        pairs[pairs.near_dup]["doc_b"].astype(int)
+    )
+    assert set(got[got.is_near_dup].index) == near_larger
+    docs = _docs(spark, sf_dir).set_index("doc_id")
+    assert len(got) == len(docs)
+    for doc_id in list(got.index)[:50]:
+        text = docs.loc[doc_id, "text"]
+        assert got.loc[doc_id, "n_bytes"] == len(text.encode())
+        want_ck = int(_hl.md5(text.encode()).hexdigest()[:8], 16)
+        assert got.loc[doc_id, "checksum"] == want_ck
+    assert (
+        got["keep"]
+        == (~got["is_near_dup"] & (got["n_bytes"] >= 64))
+    ).all()
+    assert got["keep"].sum() > 0
