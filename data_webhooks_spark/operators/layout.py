@@ -508,3 +508,69 @@ def sink_snapshot_commit(spark, sf_dir):
         )
         out = df if out is None else out.unionByName(df)
     return out
+
+
+@op(
+    "scan_partition_pruned_dynamic",
+    sql="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN value >= 0
+                         THEN CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                         ELSE -CAST(FLOOR(-value * 100.0 + 0.5) AS BIGINT)
+                    END) AS DOUBLE) / 100 AS sum_value
+    FROM events
+    WHERE dayofweek(CAST(ts AS DATE)) IN (0, 6)
+    GROUP BY event_type
+    """,
+)
+def scan_partition_pruned_dynamic(spark, sf_dir):
+    """DYNAMIC partition pruning — the runtime sibling of
+    `sink_partitioned_parquet`'s static pruning, and one of the
+    marquee mechanisms a 100 TB date-partitioned fact table lives by:
+    when the pruning predicate sits on a JOINED dimension (here a
+    derived calendar dimension flagging weekends) rather than on the
+    partition column itself, Catalyst injects a dynamicpruning#
+    subquery into the fact scan's PartitionFilters, so only the
+    partitions whose keys survive the dim filter are ever listed or
+    read — decided at RUNTIME from the broadcast dim, not at plan
+    time. The invariant test asserts the marker is present in the
+    physical plan and that the answer equals the plain predicate
+    restatement.
+
+    The calendar dim derives from the partitioned layout's own
+    partition values (aggregate-sized — one row per day), flagged by
+    day-of-week; the fact side is the hive-partitioned events layout.
+    At 100 TB this is exactly the "fact JOIN dim WHERE
+    dim.is_weekend" BI query whose scan cost collapses from the full
+    table to 2/7ths of it before a single row is read.
+
+    Value totals ride the exact cent-unit BIGINT discipline."""
+    path = partitioned_events_path(spark, sf_dir)
+    fact = spark.read.parquet(path)
+    # derived calendar dim: one row per partition key, weekend flag.
+    # DuckDB dayofweek: 0=Sunday..6=Saturday; Spark dayofweek:
+    # 1=Sunday..7=Saturday — align by subtracting 1 Spark-side.
+    dim = (
+        fact.select("event_date")
+        .distinct()
+        .select(
+            "event_date",
+            ((F.dayofweek("event_date") - 1) % 7).alias("dow"),
+        )
+        .filter(F.col("dow").isin(0, 6))
+        .select("event_date")
+    )
+    cents = F.when(
+        F.col("value") >= 0,
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long"),
+    ).otherwise(
+        -F.floor(-F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    )
+    return (
+        fact.join(F.broadcast(dim), "event_date")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (F.sum(cents).cast("double") / 100).alias("sum_value"),
+        )
+    )

@@ -887,3 +887,29 @@ def test_media_prep_consistent_with_phash_and_python(spark, sf_dir):
         == (~got["is_near_dup"] & (got["n_bytes"] >= 64))
     ).all()
     assert got["keep"].sum() > 0
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir):
+    """The physical plan must carry a dynamicpruning expression in the
+    fact scan's PartitionFilters (runtime pruning from the joined
+    calendar dim), and the answer must equal a plain-predicate pandas
+    restatement over raw events."""
+    import math as _m
+
+    df = QUERIES["scan_partition_pruned_dynamic"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, plan[:2000]
+    got = df.toPandas().set_index("event_type").sort_index()
+
+    from data_webhooks_spark.io import Tables
+
+    ev = Tables(spark, sf_dir).events.toPandas()
+    # pandas dayofweek: Monday=0..Sunday=6; weekend = {5, 6}
+    wk = ev[ev["ts"].dt.floor("D").dt.dayofweek.isin([5, 6])].copy()
+    wk["cents"] = (wk["value"] * 100.0 + 0.5).apply(_m.floor)
+    want = wk.groupby("event_type").agg(
+        n=("event_id", "size"), cents=("cents", "sum")
+    )
+    assert list(got.index) == list(want.index)
+    assert (got["n"] == want["n"]).all()
+    assert ((got["sum_value"] - want["cents"] / 100).abs() < 1e-9).all()
