@@ -519,7 +519,7 @@ def sink_snapshot_commit(spark, sf_dir):
                          ELSE -CAST(FLOOR(-value * 100.0 + 0.5) AS BIGINT)
                     END) AS DOUBLE) / 100 AS sum_value
     FROM events
-    WHERE dayofweek(CAST(ts AS DATE)) IN (0, 6)
+    WHERE isodow(CAST(ts AS DATE)) IN (6, 7)
     GROUP BY event_type
     """,
 )

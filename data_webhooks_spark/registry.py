@@ -115,9 +115,23 @@ _WINDOW = [
     "dedup_minhash",
     "join_interval_binned",
 ]
-# R8 WINDOW SEED: operators ADDED in r7 (see the per-wave notes in
-# git log) are deliberately kept out of this window until their
-# rotation round, exactly as the r5/r6 additions were.
+# R8 WINDOW SEED — the 17 operators ADDED in r7, deliberately kept
+# out of the first 50 until their rotation round (the r5/r6/r7
+# discipline): analytics_dau_mau, profile_string_patterns,
+# warehouse_snapshot_diff, ts_stl_decompose, text_collocations_pmi,
+# multimodal_phash, embed_matryoshka_eval, split_kfold,
+# ts_holt_backtest, analytics_ltv_cohort, dq_uniqueness,
+# ts_anomaly_stl, pack_sequences_ffd (rows-only), scan_xml,
+# sink_snapshot_commit, scan_partition_pruned_dynamic,
+# pipeline_media_prep. All are locally oracle-swept (or exact-replay
+# pinned for the rows-only key), invariant-tested in
+# tests/test_r7_operators.py, plan/dtype-linted, and scale-swept this
+# round; none has an official driver record yet. Also re-verify in
+# r8: ann_ivf_pq (codes-index split), text_collocations_pmi /
+# text_bigram_logprob / quality_gopher_rules (pre-split rewrite),
+# embed_matryoshka_eval (norm hoist), join_interval_binned
+# (per-second pre-agg) — all of which sit in the r7 window, so their
+# r7 records already reflect the new code.
 
 _MODULES = [
     "data_webhooks_spark.operators.windows",

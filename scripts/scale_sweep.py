@@ -142,6 +142,8 @@ KEYS = [
     "ts_anomaly_stl",
     "pack_sequences_ffd",
     "pipeline_media_prep",
+    "sink_snapshot_commit",
+    "scan_partition_pruned_dynamic",
 ]
 MAX_FACTOR = {
     "dedup_embedding": 10,

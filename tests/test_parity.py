@@ -89,7 +89,10 @@ def test_driver_window_is_the_round7_rotation():
 PORTABLE_ORACLES = frozenset({
     "analytics_dau_mau", "warehouse_snapshot_diff", "scan_xml",  # r7 additions
     "sink_snapshot_commit",  # r7 addition (key-arithmetic oracle)
-    "scan_partition_pruned_dynamic",  # r7 addition (plain predicate twin)
+    # scan_partition_pruned_dynamic deliberately NOT portable: its
+    # oracle uses DuckDB isodow() because dayofweek() PARSES under
+    # spark.sql with 1-based (vs DuckDB 0-based) semantics — the
+    # parse-but-silently-differ dialect trap this pin exists to catch
     "ab_chi2", "ab_ttest_welch", "agg_approx_count_distinct", "agg_bitmap_distinct",
     "agg_cms_freq", "agg_conditional", "agg_corr", "agg_count_distinct",
     "agg_cube", "agg_global", "agg_groupby", "agg_grouping_sets",
