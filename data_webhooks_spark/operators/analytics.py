@@ -1426,3 +1426,106 @@ def analytics_ltv_cohort(spark, sf_dir):
             ),
         )
     )
+
+
+_BASKET_MIN_PAIR = 2
+
+
+@op(
+    "basket_lift",
+    sql=f"""
+    WITH items AS (
+        SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS it
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    nb AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_baskets
+           FROM items),
+    ic AS (SELECT it, CAST(COUNT(*) AS BIGINT) AS n_it
+           FROM items GROUP BY it),
+    pairs AS (
+        SELECT a.it AS item_a, b.it AS item_b,
+               CAST(COUNT(*) AS BIGINT) AS n_pair
+        FROM items a JOIN items b ON a.ok = b.ok AND a.it < b.it
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {_BASKET_MIN_PAIR}
+    )
+    SELECT p.item_a, p.item_b, p.n_pair,
+           ia.n_it AS n_a, ib.n_it AS n_b,
+           FLOOR(CAST(p.n_pair AS DOUBLE) / nb.n_baskets * 1e6 + 0.5)
+               / 1e6 AS support,
+           FLOOR(CAST(p.n_pair AS DOUBLE) / ia.n_it * 1e6 + 0.5)
+               / 1e6 AS conf_a_b,
+           FLOOR(CAST(p.n_pair AS DOUBLE) * nb.n_baskets
+                 / (CAST(ia.n_it AS DOUBLE) * ib.n_it) * 1e6 + 0.5)
+               / 1e6 AS lift
+    FROM pairs p
+    JOIN ic ia ON ia.it = p.item_a
+    JOIN ic ib ON ib.it = p.item_b
+    CROSS JOIN nb
+    """,
+)
+def basket_lift(spark, sf_dir):
+    """Market-basket association rules (Agrawal & Srikant's classic
+    support/confidence frame) over orders-as-baskets at the brand
+    level: for every brand pair co-bought in >= {_BASKET_MIN_PAIR}
+    orders, its support, the a->b confidence, and the lift vs
+    independence — lift > 1 is the cross-sell signal
+    `event_cooccurrence` computes for event types, here on the
+    merchandising side of the star schema.
+
+    Exact integer counting everywhere; the three ratios are one-shot
+    float expressions quantized to 1e-6. The 1-row basket-total
+    attaches as a broadcast scalar onto the ≤ |brands|² pair table
+    (bounded both sides — plan-lint allowlisted like text_tfidf's
+    corpus-size attach).
+
+    Scale (100 TB): part is the broadcast dim; baskets collapse to
+    DISTINCT (order, brand) — per-order brand sets are small, so the
+    within-basket self-join fans out at most |brands per order|² per
+    order group and aggregates map-side into the ≤ |brands|² pair
+    table; item counts (|brands| rows) broadcast back onto it."""
+    t = Tables(spark, sf_dir)
+    items = (
+        t.lineitem.select("l_orderkey", "l_partkey")
+        .join(
+            F.broadcast(t.part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("it"))
+        .distinct()
+    )
+    nb = items.agg(
+        F.countDistinct("ok").cast("long").alias("n_baskets")
+    )
+    ic = items.groupBy("it").agg(F.count(F.lit(1)).cast("long").alias("n_it"))
+    b = items.select(F.col("ok").alias("ok2"), F.col("it").alias("it2"))
+    pairs = (
+        items.join(b, items["ok"] == b["ok2"])
+        .filter(items["it"] < b["it2"])
+        .groupBy(items["it"].alias("item_a"), b["it2"].alias("item_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= _BASKET_MIN_PAIR)
+    )
+    ia = ic.select(F.col("it").alias("item_a"), F.col("n_it").alias("n_a"))
+    ib = ic.select(F.col("it").alias("item_b"), F.col("n_it").alias("n_b"))
+    out = (
+        pairs.join(F.broadcast(ia), "item_a")
+        .join(F.broadcast(ib), "item_b")
+        .crossJoin(F.broadcast(nb))
+    )
+    pair_d = F.col("n_pair").cast("double")
+    return out.select(
+        "item_a",
+        "item_b",
+        "n_pair",
+        "n_a",
+        "n_b",
+        qnt(pair_d / F.col("n_baskets"), "support"),
+        qnt(pair_d / F.col("n_a"), "conf_a_b"),
+        qnt(
+            pair_d
+            * F.col("n_baskets")
+            / (F.col("n_a").cast("double") * F.col("n_b")),
+            "lift",
+        ),
+    )

@@ -29,9 +29,11 @@ driver.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..io import Tables
+from ..norms import qnt
 from ..regutil import registrar
 
 QUERIES: dict = {}
@@ -262,3 +264,87 @@ def graph_triangle_count(spark, sf_dir):
     for c in counts[1:]:
         out = out.crossJoin(c)  # 1-row x 1-row scalar attaches
     return out
+
+
+@op(
+    "graph_degree_stats",
+    sql="""
+    WITH und AS (
+        SELECT DISTINCT
+               LEAST(a.l_partkey, b.l_partkey) AS u,
+               GREATEST(a.l_partkey, b.l_partkey) AS v
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+            SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+        ) GROUP BY node
+    ),
+    dist AS (
+        SELECT d AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM deg GROUP BY d
+    )
+    SELECT degree, n_nodes,
+           CAST(SUM(n_nodes) OVER (ORDER BY degree) AS BIGINT)
+               AS cum_nodes,
+           FLOOR(CAST(n_nodes AS DOUBLE)
+                 / SUM(n_nodes) OVER () * 1e6 + 0.5) / 1e6 AS pct_nodes
+    FROM dist
+    """,
+)
+def graph_degree_stats(spark, sf_dir):
+    """Degree distribution of the co-purchase graph — the first plot
+    anyone makes of a new graph, and the sanity gate before running
+    `graph_pagerank`/`graph_triangle_count` on it (a max degree near
+    |V| means the orientation trick is load-bearing; a flat
+    distribution means it isn't): per undirected degree, how many
+    nodes have it, the running node count by degree, and each
+    degree's share of all nodes.
+
+    Exact integer counting end-to-end; the single float (share) is
+    one division quantized to 1e-6. The share/cumulative pass uses
+    window sums over the DISTINCT-DEGREE table — bounded by the max
+    degree, never by |V| — instead of a scalar cross-attach.
+
+    Scale (100 TB): the edge build is the shared co-partitioned
+    self-join (bounded by Σ per-order group²); degrees are one
+    map-combinable groupBy on node, the distribution a second on
+    degree — each collapses cardinality by orders of magnitude before
+    the next step, and the window pass touches only the final
+    ~hundreds of rows."""
+    t = Tables(spark, sf_dir)
+    li = t.lineitem.select("l_orderkey", "l_partkey")
+    b = li.select(
+        F.col("l_orderkey").alias("bok"), F.col("l_partkey").alias("pk2")
+    )
+    und = (
+        li.join(b, li["l_orderkey"] == b["bok"])
+        .filter(li["l_partkey"] != b["pk2"])
+        .select(
+            F.least(li["l_partkey"], b["pk2"]).alias("u"),
+            F.greatest(li["l_partkey"], b["pk2"]).alias("v"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    dist = deg.groupBy(F.col("d").alias("degree")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    w_cum = Window.orderBy("degree")
+    w_all = Window.partitionBy()
+    return dist.select(
+        "degree",
+        "n_nodes",
+        F.sum("n_nodes").over(w_cum).cast("long").alias("cum_nodes"),
+        qnt(
+            F.col("n_nodes").cast("double") / F.sum("n_nodes").over(w_all),
+            "pct_nodes",
+        ),
+    )

@@ -556,3 +556,92 @@ def dq_uniqueness(spark, sf_dir):
     for a in arms[1:]:
         out = out.unionByName(a)
     return out
+
+
+_FK_EDGES = [
+    # (fk label, child table, child key, parent table, parent key)
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+    ("events.user_id->customer", "events", "user_id",
+     "customer", "c_custkey"),
+]
+
+
+def _fk_arm_sql(fk: str, child: str, ck: str, parent: str, pk: str) -> str:
+    return f"""
+        SELECT '{fk}' AS fk,
+               CAST(SUM(g.cnt) AS BIGINT) AS n_child,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(COUNT(*) FILTER (WHERE p.{pk} IS NULL)
+                    AS BIGINT) AS n_orphan_keys,
+               CAST(COALESCE(SUM(g.cnt) FILTER (WHERE p.{pk} IS NULL),
+                             0) AS BIGINT) AS n_orphan_rows,
+               {o_qnt(f"CAST(COALESCE(SUM(g.cnt)"
+                      f" FILTER (WHERE p.{pk} IS NULL), 0) AS DOUBLE)"
+                      f" / SUM(g.cnt)", "orphan_rate")}
+        FROM (SELECT {ck} AS k, COUNT(*) AS cnt FROM {child}
+              WHERE {ck} IS NOT NULL GROUP BY 1) g
+        LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p
+          ON g.k = p.{pk}"""
+
+
+@op(
+    "dq_referential",
+    sql=" UNION ALL ".join(_fk_arm_sql(*e) for e in _FK_EDGES),
+)
+def dq_referential(spark, sf_dir):
+    """Referential-integrity audit — the DQ check `dq_checks` (row
+    rules) and `dq_uniqueness` (key rules) don't cover: for every
+    declared FK edge in the star schema (plus the events→customer
+    identity edge), the child row count, distinct child keys, and how
+    many keys/rows dangle with no parent. A webhook pipeline surfaces
+    broken joins here first — an upstream that starts minting new
+    user_ids shows up as a nonzero orphan_rate on events→customer
+    long before any query returns wrong totals.
+
+    Scale (100 TB): each edge pre-aggregates the child to DISTINCT
+    keys + counts (map-side combinable, collapses the fact table to
+    key cardinality) and LEFT-joins that against the parent's key
+    column only — the join input is |keys|, not |rows|, and AQE
+    broadcasts whichever side is small. The 5 arms are independent
+    branches unioned into one 5-row result; nothing touches the
+    driver."""
+    t = Tables(spark, sf_dir)
+    arms = []
+    for fk, child, ck, parent, pk in _FK_EDGES:
+        g = (
+            getattr(t, child)
+            .filter(F.col(ck).isNotNull())
+            .groupBy(F.col(ck).alias("k"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        p = getattr(t, parent).select(pk).distinct()
+        j = g.join(p, g["k"] == p[pk], "left")
+        orphan_rows = F.coalesce(
+            F.sum(F.when(F.col(pk).isNull(), F.col("cnt"))), F.lit(0)
+        )
+        arms.append(
+            j.agg(
+                F.lit(fk).alias("fk"),
+                F.sum("cnt").cast("long").alias("n_child"),
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.count(F.when(F.col(pk).isNull(), 1))
+                .cast("long")
+                .alias("n_orphan_keys"),
+                orphan_rows.cast("long").alias("n_orphan_rows"),
+                qnt(
+                    orphan_rows.cast("double") / F.sum("cnt"),
+                    "orphan_rate",
+                ),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionAll(a)
+    return out

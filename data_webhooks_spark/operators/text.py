@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import pandas as pd
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..io import Tables
@@ -1847,4 +1848,118 @@ def pack_sequences_ffd(spark, sf_dir):
         ffd,
         "lang string, shard long, bin_id long, n_docs long,"
         " total_tokens long, fill_ratio double",
+    )
+
+
+_ZIPF_TOP = 200
+
+
+def _zipf_units_sql(expr: str) -> str:
+    # ln() quantized to 1e-6 units as BIGINT; x >= 0 for rank/freq >= 1
+    return f"CAST(FLOOR(ln({expr}) * 1e6 + 0.5) AS BIGINT)"
+
+
+@op(
+    "text_zipf_fit",
+    sql=f"""
+    WITH freq AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY w
+        ORDER BY c DESC, w
+        LIMIT {_ZIPF_TOP}
+    ),
+    ranked AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY c DESC, w) AS r, c
+        FROM freq
+    ),
+    u AS (
+        SELECT {_zipf_units_sql('r')} AS ux, {_zipf_units_sql('c')} AS uy
+        FROM ranked
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(ux) AS BIGINT) AS sx,
+               CAST(SUM(uy) AS BIGINT) AS sy,
+               CAST(SUM(ux * ux) AS BIGINT) AS sxx,
+               CAST(SUM(uy * uy) AS BIGINT) AS syy,
+               CAST(SUM(ux * uy) AS BIGINT) AS sxy
+        FROM u
+    )
+    SELECT n AS n_terms,
+           FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) * 1e6 + 0.5) / 1e6
+               AS zipf_slope,
+           FLOOR((CAST(sy AS DOUBLE) / 1e6
+                  - CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(sx AS DOUBLE) / 1e6) / n * 1e6 + 0.5) / 1e6
+               AS intercept,
+           FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                 * CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE)
+                 / CAST(n * syy - sy * sy AS DOUBLE) * 1e6 + 0.5) / 1e6
+               AS r2
+    FROM s
+    """,
+)
+def text_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit over the corpus unigram distribution — the
+    corpus-health gauge LLM data teams run on every new source: OLS of
+    ln(frequency) on ln(rank) over the top {_ZIPF_TOP} terms gives the
+    Zipf slope (natural text ~ -1), intercept, and R². A synthetic or
+    template-generated corpus shows up as a slope far from -1 or a
+    poor log-log fit long before downstream loss does (Piantadosi
+    2014's review of Zipf fits is the method reference).
+
+    Determinism: the only transcendental inputs (ln rank, ln freq) are
+    quantized to exact 1e-6 BIGINT units per term BEFORE summation, so
+    every OLS moment is an exact integer aggregate — engines cannot
+    drift on accumulation order; the closed-form slope/intercept/R²
+    are identical one-shot float expressions quantized to 1e-6.
+
+    Scale (100 TB): token explode -> word-keyed partial-agg count
+    (the Zipfian head is AQE's skew case), then a global top-K that
+    plans as TakeOrdered (per-partition heap + K-row driver merge,
+    never a full vocab sort); the OLS itself runs over {_ZIPF_TOP}
+    rows — constant work after the count."""
+    t = Tables(spark, sf_dir)
+    freq = (
+        t.documents.select(
+            F.explode(F.split("text", " ")).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(_ZIPF_TOP)
+    )
+    wz = Window.orderBy(F.col("c").desc(), "w")
+    units = lambda col: F.floor(F.log(col) * 1e6 + F.lit(0.5)).cast("long")
+    ranked = freq.select(
+        units(F.row_number().over(wz).cast("double")).alias("ux"),
+        units(F.col("c").cast("double")).alias("uy"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("ux").cast("long").alias("sx"),
+        F.sum("uy").cast("long").alias("sy"),
+        F.sum(F.col("ux") * F.col("ux")).cast("long").alias("sxx"),
+        F.sum(F.col("uy") * F.col("uy")).cast("long").alias("syy"),
+        F.sum(F.col("ux") * F.col("uy")).cast("long").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    num = (n * sxy - sx * sy).cast("double")
+    den = (n * sxx - sx * sx).cast("double")
+    slope = num / den
+    return s.select(
+        n.alias("n_terms"),
+        qnt(slope, "zipf_slope"),
+        qnt(
+            (sy.cast("double") / F.lit(1e6)
+             - slope * sx.cast("double") / F.lit(1e6)) / n,
+            "intercept",
+        ),
+        qnt(num * num / den / (n * syy - sy * sy).cast("double"), "r2"),
     )

@@ -1344,3 +1344,120 @@ def ts_anomaly_stl(spark, sf_dir):
             ),
         )
     )
+
+
+_XC_MAX_LAG = 6
+_XC_X, _XC_Y = "click", "purchase"
+
+
+@op(
+    "ts_cross_correlation",
+    sql=f"""
+    WITH hourly AS (
+        SELECT event_type,
+               epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events
+        WHERE event_type IN ('{_XC_X}', '{_XC_Y}')
+        GROUP BY 1, 2
+    ),
+    x AS (SELECT h, n FROM hourly WHERE event_type = '{_XC_X}'),
+    y AS (SELECT h, n FROM hourly WHERE event_type = '{_XC_Y}'),
+    paired AS (
+        SELECT l.lag, x.n AS nx, y.n AS ny
+        FROM x CROSS JOIN (
+            SELECT unnest(range(0, {_XC_MAX_LAG + 1})) AS lag
+        ) l
+        JOIN y ON y.h = x.h + l.lag
+    ),
+    s AS (
+        SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_hours,
+               SUM(nx) AS sx, SUM(ny) AS sy,
+               SUM(nx * nx) AS sxx, SUM(ny * ny) AS syy,
+               SUM(nx * ny) AS sxy
+        FROM paired GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, n_hours,
+           {{corr_expr}}
+    FROM s
+    """.replace(
+        "{corr_expr}",
+        o_qnt(
+            "CAST(n_hours * sxy - sx * sy AS DOUBLE)"
+            " / SQRT(CAST(n_hours * sxx - sx * sx AS DOUBLE)"
+            "        * CAST(n_hours * syy - sy * sy AS DOUBLE))",
+            "xcorr",
+        ),
+    ),
+)
+def ts_cross_correlation(spark, sf_dir):
+    """Lagged cross-correlation between two event streams — the
+    lead/lag diagnostic behind "do clicks predict purchases, and at
+    what horizon": Pearson correlation between the hourly click count
+    at hour h and the hourly purchase count at hour h+lag, for lags
+    0..6. The peak lag is the conversion latency mode; `ts_autocorr`
+    is the self-paired special case of this operator.
+
+    Determinism: hourly counts are exact BIGINTs, so every moment
+    (Σx, Σy, Σx², Σy², Σxy) is an exact integer aggregate —
+    accumulation order cannot matter. The only float arithmetic is
+    the one closed-form Pearson expression per lag, identical text on
+    both engines, quantized to 1e-6.
+
+    Scale (100 TB): the fact scan collapses to |hours|x2 rows in one
+    map-combinable groupBy (pushed filter on the two types); the
+    lag expansion is a constant 7x explode on the already-tiny hourly
+    series, joined back as an equi-join on the shifted hour index.
+    Everything after the first aggregate is kilobytes regardless of
+    input scale."""
+    t = Tables(spark, sf_dir)
+    hourly = (
+        t.events.filter(F.col("event_type").isin(_XC_X, _XC_Y))
+        .groupBy(
+            "event_type",
+            F.expr(
+                "unix_micros(cast(date_trunc('hour', ts) as timestamp))"
+                " div 3600000000"
+            ).alias("h"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    x = hourly.filter(F.col("event_type") == _XC_X).select("h", "n")
+    y = hourly.filter(F.col("event_type") == _XC_Y).select(
+        F.col("h").alias("hy"), F.col("n").alias("ny")
+    )
+    xl = x.select(
+        "h",
+        F.col("n").alias("nx"),
+        F.explode(
+            F.array(*[F.lit(i) for i in range(_XC_MAX_LAG + 1)])
+        ).alias("lag"),
+    ).withColumn("hy", F.col("h") + F.col("lag"))
+    s = (
+        xl.join(y, "hy")
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.sum("nx").alias("sx"),
+            F.sum("ny").alias("sy"),
+            F.sum(F.col("nx") * F.col("nx")).alias("sxx"),
+            F.sum(F.col("ny") * F.col("ny")).alias("syy"),
+            F.sum(F.col("nx") * F.col("ny")).alias("sxy"),
+        )
+    )
+    num = (F.col("n_hours") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = F.sqrt(
+        (F.col("n_hours") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+        * (
+            F.col("n_hours") * F.col("syy") - F.col("sy") * F.col("sy")
+        ).cast("double")
+    )
+    return s.select(
+        F.col("lag").cast("long").alias("lag"),
+        "n_hours",
+        qnt(num / den, "xcorr"),
+    )

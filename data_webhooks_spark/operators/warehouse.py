@@ -310,3 +310,92 @@ def warehouse_snapshot_diff(spark, sf_dir):
             "bal_changed"
         ),
     )
+
+
+@op(
+    "cdc_apply_log",
+    sql="""
+    WITH ops AS (
+        SELECT user_id, ts, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    st AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_ops,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'error')
+                    AS BIGINT) AS n_deletes,
+               COALESCE(MAX(rn) FILTER (WHERE event_type = 'error'),
+                        0) AS rn_del,
+               COALESCE(MAX(rn) FILTER (WHERE event_type <> 'error'),
+                        0) AS rn_upd,
+               arg_max(value, rn)
+                   FILTER (WHERE event_type <> 'error') AS upd_value,
+               MAX(ts) AS last_ts
+        FROM ops GROUP BY user_id
+    )
+    SELECT user_id, n_ops, n_deletes,
+           rn_upd > rn_del AS alive,
+           CASE WHEN rn_upd > rn_del THEN upd_value END AS final_value,
+           last_ts
+    FROM st
+    """,
+)
+def cdc_apply_log(spark, sf_dir):
+    """Ordered change-log apply (the consumer half of CDC, pairing
+    `merge_upsert`'s one-shot MERGE): the events stream is read as a
+    per-user op log — `error` rows are tombstones (DELETE), every
+    other type upserts its `value` (the lenient Debezium-style replay
+    where UPDATE of a missing row inserts). Replaying in (ts,
+    event_id) order, the final state per user is: alive iff some
+    upsert follows the last tombstone, and the surviving value is the
+    LAST upsert's — both derivable from the log without materializing
+    intermediate states, which is what makes the replay one aggregate
+    instead of a sequential fold.
+
+    Determinism: op order is a row_number over the unique (ts,
+    event_id) pair; the surviving value is max_by(value, rn), an exact
+    pick, not a float fold.
+
+    Scale (100 TB): one shuffle on user_id for the window; the
+    groupBy(user_id) that follows reuses the same hash partitioning,
+    so the apply is a single-exchange plan. Per-user state is O(1) —
+    log length never accumulates in memory, unlike a naive
+    applyInPandas fold."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ops = t.events.select(
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+    )
+    st = ops.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ops"),
+        F.count(F.when(F.col("event_type") == "error", 1))
+        .cast("long")
+        .alias("n_deletes"),
+        F.coalesce(
+            F.max(F.when(F.col("event_type") == "error", F.col("rn"))),
+            F.lit(0),
+        ).alias("rn_del"),
+        F.coalesce(
+            F.max(F.when(F.col("event_type") != "error", F.col("rn"))),
+            F.lit(0),
+        ).alias("rn_upd"),
+        F.expr(
+            "max_by(value, rn) FILTER (WHERE event_type <> 'error')"
+        ).alias("upd_value"),
+        F.max("ts").alias("last_ts"),
+    )
+    alive = F.col("rn_upd") > F.col("rn_del")
+    return st.select(
+        "user_id",
+        "n_ops",
+        "n_deletes",
+        alive.alias("alive"),
+        F.when(alive, F.col("upd_value")).alias("final_value"),
+        "last_ts",
+    )

@@ -1,0 +1,207 @@
+"""Semantic invariants for the round-7 second wave (cdc_apply_log,
+dq_referential, ts_cross_correlation, text_zipf_fit,
+graph_degree_stats, basket_lift): each operator gets an
+oracle-independent rederivation in pure Python/pandas/numpy — the
+third way that catches a bug shared by the Spark query and its DuckDB
+oracle (the r4 zero-row lesson)."""
+
+import math
+from collections import Counter
+from itertools import combinations
+
+import numpy as np
+import pandas as pd
+
+from data_webhooks_spark import registry
+
+QUERIES = registry.queries()
+ORACLE = registry.oracle_sql()
+
+
+def _events(spark, sf_dir):
+    from data_webhooks_spark.io import Tables
+
+    return Tables(spark, sf_dir).events.toPandas()
+
+
+def test_cdc_apply_log_matches_sequential_replay(spark, sf_dir):
+    """The aggregate formulation must equal an ACTUAL sequential
+    replay of each user's op log: fold ops in (ts, event_id) order,
+    tombstone on 'error', upsert otherwise."""
+    got = (
+        QUERIES["cdc_apply_log"](spark, sf_dir)
+        .toPandas()
+        .set_index("user_id")
+    )
+    ev = _events(spark, sf_dir).sort_values(["ts", "event_id"])
+    assert len(got) == ev["user_id"].nunique()
+    for uid, g in ev.groupby("user_id"):
+        state = None  # None = absent; else the current value
+        n_del = 0
+        for _, r in g.iterrows():
+            if r["event_type"] == "error":
+                state, n_del = None, n_del + 1
+            else:
+                state = r["value"]
+        row = got.loc[uid]
+        assert row["n_ops"] == len(g), uid
+        assert row["n_deletes"] == n_del, uid
+        assert bool(row["alive"]) == (state is not None), uid
+        if state is None:
+            assert pd.isna(row["final_value"]), uid
+        else:
+            assert row["final_value"] == state, uid
+        assert row["last_ts"] == g["ts"].max(), uid
+
+
+def test_dq_referential_matches_set_arithmetic(spark, sf_dir):
+    """Rederive every FK edge with raw pandas set difference; the
+    fixture is referentially intact, so the audit must say so with
+    the exact child/key cardinalities (a zero-orphan report computed
+    wrong would be invisible to the oracle — both sides would agree)."""
+    from data_webhooks_spark.io import Tables
+    from data_webhooks_spark.operators.profiling import _FK_EDGES
+
+    got = QUERIES["dq_referential"](spark, sf_dir).toPandas().set_index("fk")
+    t = Tables(spark, sf_dir)
+    assert len(got) == len(_FK_EDGES)
+    for fk, child, ck, parent, pk in _FK_EDGES:
+        ckeys = getattr(t, child).select(ck).toPandas()[ck].dropna()
+        pkeys = set(getattr(t, parent).select(pk).toPandas()[pk])
+        orphan_keys = set(ckeys) - pkeys
+        row = got.loc[fk]
+        assert row["n_child"] == len(ckeys), fk
+        assert row["n_keys"] == ckeys.nunique(), fk
+        assert row["n_orphan_keys"] == len(orphan_keys), fk
+        assert row["n_orphan_rows"] == ckeys.isin(orphan_keys).sum(), fk
+        assert row["orphan_rate"] == 0.0, fk
+
+
+def test_cross_correlation_matches_numpy(spark, sf_dir):
+    """np.corrcoef over pandas-derived hourly series must agree with
+    the integer-moment Pearson at every lag (1e-5: the operator
+    quantizes to 1e-6)."""
+    got = (
+        QUERIES["ts_cross_correlation"](spark, sf_dir)
+        .toPandas()
+        .set_index("lag")
+        .sort_index()
+    )
+    ev = _events(spark, sf_dir)
+    ev["h"] = ev["ts"].dt.floor("h")
+    x = ev[ev["event_type"] == "click"].groupby("h").size()
+    y = ev[ev["event_type"] == "purchase"].groupby("h").size()
+    assert list(got.index) == list(range(7))
+    for lag in range(7):
+        ys = y.copy()
+        ys.index = ys.index - pd.Timedelta(hours=lag)
+        j = pd.concat([x, ys], axis=1, join="inner")
+        assert got.loc[lag, "n_hours"] == len(j), lag
+        want = np.corrcoef(j.iloc[:, 0], j.iloc[:, 1])[0, 1]
+        assert abs(got.loc[lag, "xcorr"] - want) < 1e-5, lag
+
+
+def test_zipf_fit_matches_numpy_ols(spark, sf_dir):
+    """np.polyfit on (ln rank, ln freq) of the Counter-derived top-200
+    must reproduce slope/intercept, and R² must equal the squared
+    sample correlation — both within the 1e-6 input-quantization
+    budget (1e-4 tolerance)."""
+    got = QUERIES["text_zipf_fit"](spark, sf_dir).toPandas().iloc[0]
+    from data_webhooks_spark.io import Tables
+
+    docs = Tables(spark, sf_dir).documents.toPandas()
+    c = Counter(w for t in docs["text"] for w in t.split(" "))
+    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:200]
+    xs = np.log(np.arange(1, len(top) + 1))
+    ys = np.log([n for _, n in top])
+    slope, intercept = np.polyfit(xs, ys, 1)
+    r2 = np.corrcoef(xs, ys)[0, 1] ** 2
+    assert got["n_terms"] == len(top)
+    assert abs(got["zipf_slope"] - slope) < 1e-4
+    assert abs(got["intercept"] - intercept) < 1e-4
+    assert abs(got["r2"] - r2) < 1e-4
+    assert got["zipf_slope"] < 0  # frequency decays with rank
+    assert 0.0 <= got["r2"] <= 1.0
+
+
+def test_degree_stats_matches_counter(spark, sf_dir):
+    """Rebuild the co-purchase graph with a pandas self-merge and a
+    Counter; the distribution must match exactly, the cumulative must
+    telescope to |V|, shares must sum to 1, and Σ degree·n_nodes must
+    be 2|E| (the handshake lemma — an orientation bug breaks it)."""
+    from data_webhooks_spark.io import Tables
+
+    got = (
+        QUERIES["graph_degree_stats"](spark, sf_dir)
+        .toPandas()
+        .sort_values("degree")
+        .reset_index(drop=True)
+    )
+    li = Tables(spark, sf_dir).lineitem.select(
+        "l_orderkey", "l_partkey"
+    ).toPandas()
+    m = li.merge(li, on="l_orderkey")
+    m = m[m["l_partkey_x"] != m["l_partkey_y"]]
+    edges = set(
+        zip(
+            np.minimum(m["l_partkey_x"], m["l_partkey_y"]),
+            np.maximum(m["l_partkey_x"], m["l_partkey_y"]),
+        )
+    )
+    deg = Counter()
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    dist = Counter(deg.values())
+    assert dict(zip(got["degree"], got["n_nodes"])) == dict(dist)
+    assert list(got["cum_nodes"]) == list(got["n_nodes"].cumsum())
+    assert got["cum_nodes"].iloc[-1] == len(deg)
+    assert abs(got["pct_nodes"].sum() - 1.0) < 1e-3
+    assert (got["degree"] * got["n_nodes"]).sum() == 2 * len(edges)
+
+
+def test_basket_lift_matches_itertools(spark, sf_dir):
+    """Recount pair/item supports with itertools.combinations over
+    per-order brand sets; lift must equal the recomputed ratio and
+    the support/confidence identities must hold row-wise."""
+    from data_webhooks_spark.io import Tables
+
+    got = QUERIES["basket_lift"](spark, sf_dir).toPandas()
+    t = Tables(spark, sf_dir)
+    li = t.lineitem.select("l_orderkey", "l_partkey").toPandas()
+    part = t.part.select("p_partkey", "p_brand").toPandas()
+    items = li.merge(
+        part, left_on="l_partkey", right_on="p_partkey"
+    )[["l_orderkey", "p_brand"]].drop_duplicates()
+    n_baskets = items["l_orderkey"].nunique()
+    item_n = items.groupby("p_brand").size()
+    pair_n = Counter()
+    for _, g in items.groupby("l_orderkey"):
+        for a, b in combinations(sorted(g["p_brand"]), 2):
+            pair_n[(a, b)] += 1
+    want = {p: n for p, n in pair_n.items() if n >= 2}
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        key = (r["item_a"], r["item_b"])
+        assert r["item_a"] < r["item_b"], key
+        assert r["n_pair"] == want[key], key
+        assert r["n_a"] == item_n[r["item_a"]], key
+        assert r["n_b"] == item_n[r["item_b"]], key
+        lift = r["n_pair"] * n_baskets / (r["n_a"] * r["n_b"])
+        assert abs(r["lift"] - lift) < 1e-5, key
+        assert abs(r["support"] - r["n_pair"] / n_baskets) < 1e-5, key
+        assert abs(r["conf_a_b"] - r["n_pair"] / r["n_a"]) < 1e-5, key
+
+
+def test_wave_keys_registered_with_oracles():
+    """Every wave key is registry-live with a SQL oracle (the driver
+    contract) — catches a missed @op registration at commit time."""
+    for k in [
+        "cdc_apply_log",
+        "dq_referential",
+        "ts_cross_correlation",
+        "text_zipf_fit",
+        "graph_degree_stats",
+        "basket_lift",
+    ]:
+        assert k in QUERIES and k in ORACLE, k
