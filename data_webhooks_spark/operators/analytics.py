@@ -1529,3 +1529,60 @@ def basket_lift(spark, sf_dir):
             "lift",
         ),
     )
+
+
+@op(
+    "event_sequence_ngrams",
+    sql="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type, 1) OVER w AS t1,
+               LEAD(event_type, 2) OVER w AS t2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || '>' || t1 || '>' || t2 AS journey,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM seq WHERE t2 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n_occurrences DESC, journey
+    LIMIT 20
+    """,
+)
+def event_sequence_ngrams(spark, sf_dir):
+    """Top user-journey TRIGRAMS: the most common three-step
+    event-type sequences across all users (with how many distinct
+    users walk each), ordered by occurrence with a lexical tiebreak.
+    `event_markov_transitions` is the bigram/probability view; this
+    is its raw-pattern twin — the "what do people actually DO in
+    order" table behind funnel design, and text_ngram_freq's shape
+    applied to the event stream instead of documents.
+
+    Exact integer counting; the journey key is a plain string concat
+    over non-null triples (strictly consecutive per user, (ts,
+    event_id) order).
+
+    Scale (100 TB): one user-keyed window shuffle builds the lead
+    chain (the win_pattern_match plan), the trigram groupBy is
+    map-combinable over a |types|³-bounded key space, and the top-20
+    plans as TakeOrdered — no full sort."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t.events.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+    ).filter(F.col("t2").isNotNull())
+    return (
+        seq.groupBy(
+            F.concat_ws(">", "event_type", "t1", "t2").alias("journey")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "journey")
+        .limit(20)
+    )

@@ -1037,3 +1037,126 @@ def embed_matryoshka_eval(spark, sf_dir):
             "mean_recall5",
         ),
     )
+
+
+@op(
+    "embed_centroid_outliers",
+    sql="""
+    WITH ex AS (
+        SELECT vec_id, label, u.dim,
+               CAST(FLOOR(CAST(list_extract(embedding, u.dim) AS DOUBLE)
+                          * 1e4 + 0.5) AS BIGINT) AS xu
+        FROM embeddings
+        CROSS JOIN (SELECT unnest(range(1, 65)) AS dim) u
+    ),
+    cent AS (
+        SELECT label, dim, CAST(SUM(xu) AS BIGINT) AS cu,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM ex GROUP BY label, dim
+    ),
+    dots AS (
+        SELECT e.vec_id, e.label,
+               CAST(SUM(e.xu * c.cu) AS BIGINT)
+                   // (MAX(c.n) * 10000) AS dv
+        FROM ex e JOIN cent c ON c.label = e.label AND c.dim = e.dim
+        GROUP BY e.vec_id, e.label
+    ),
+    s AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(dv) AS BIGINT) AS su,
+               CAST(SUM(dv * dv) AS BIGINT) AS suu
+        FROM dots GROUP BY label
+    ),
+    z AS (
+        SELECT d.vec_id, d.label, d.dv,
+               FLOOR((CAST(d.dv AS DOUBLE) - CAST(s.su AS DOUBLE) / s.n)
+                     / SQRT((CAST(s.suu AS DOUBLE)
+                             - CAST(s.su AS DOUBLE) * s.su / s.n)
+                            / (s.n - 1)) * 1e4 + 0.5) / 1e4 AS zq
+        FROM dots d JOIN s ON s.label = d.label
+    )
+    SELECT vec_id, label, CAST(dv AS DOUBLE) / 1e4 AS alignment,
+           zq AS z_align
+    FROM z WHERE zq < -2
+    """,
+)
+def embed_centroid_outliers(spark, sf_dir):
+    """Embedding-batch DQ: flag vectors that sit far from their
+    LABEL's centroid — per label, each vector's alignment (dot product
+    with the label's mean direction, the norms being unit by
+    construction) is z-scored against the label's alignment
+    distribution, and vectors more than 2 sample standard deviations
+    BELOW the mean are reported. This is the intra-class-coherence
+    screen run before training on labeled embeddings: mislabeled or
+    corrupted vectors surface as low-alignment outliers (`dq_checks`
+    for the vector column; norm screening is useless here — the
+    vectors are L2-normalized, so norms carry zero variance).
+
+    Determinism: components quantize to exact 1e-4 BIGINT units, the
+    centroid is an exact integer component sum, each vector-centroid
+    dot is an exact integer aggregate scaled back by integer division
+    (div n·10⁴ — identical truncation both engines), per-label
+    moments are exact integer sums, and the z-score is one float
+    expression quantized to 1e-4 — the outlier filter tests the
+    QUANTIZED z, so row sets agree at the boundary.
+
+    Scale (100 TB): one posexplode scan (constant 64× fan-out) →
+    (label, dim) centroid aggregate (|labels|·64 rows, broadcast
+    back) → per-vector integer dot via a map-combinable groupBy —
+    linear in vectors, no pairwise anything, no UDF."""
+    t = Tables(spark, sf_dir)
+    ex = t.embeddings.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ).alias("dim", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.floor(F.col("x") * F.lit(1e4) + F.lit(0.5)).cast("long").alias("xu"),
+    )
+    cent = ex.groupBy("label", "dim").agg(
+        F.sum("xu").cast("long").alias("cu"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    dots = (
+        ex.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.expr(
+                "CAST(SUM(xu * cu) AS BIGINT) div (MAX(n) * 10000)"
+            ).alias("dv")
+        )
+    )
+    s = dots.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dv").cast("long").alias("su"),
+        F.sum(F.col("dv") * F.col("dv")).cast("long").alias("suu"),
+    )
+    mean = F.col("su").cast("double") / F.col("n")
+    var = (
+        F.col("suu").cast("double")
+        - F.col("su").cast("double") * F.col("su") / F.col("n")
+    ) / (F.col("n") - 1)
+    z = dots.join(F.broadcast(s), "label").select(
+        "vec_id",
+        "label",
+        "dv",
+        (
+            F.floor(
+                (F.col("dv").cast("double") - mean)
+                / F.sqrt(var)
+                * F.lit(1e4)
+                + F.lit(0.5)
+            )
+            / F.lit(1e4)
+        ).alias("zq"),
+    )
+    return z.filter(F.col("zq") < -2).select(
+        "vec_id",
+        "label",
+        (F.col("dv").cast("double") / F.lit(1e4)).alias("alignment"),
+        F.col("zq").alias("z_align"),
+    )

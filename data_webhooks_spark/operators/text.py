@@ -1963,3 +1963,58 @@ def text_zipf_fit(spark, sf_dir):
         ),
         qnt(num * num / den / (n * syy - sy * sy).cast("double"), "r2"),
     )
+
+
+@op(
+    "text_ngram_novelty",
+    sql="WITH "
+    + _NGRAM_CTE
+    + """,
+    dg AS (SELECT DISTINCT doc_id, ngram FROM ngrams),
+    first_seen AS (
+        SELECT ngram, MIN(doc_id) AS first_doc FROM dg GROUP BY ngram
+    )
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) FILTER (WHERE f.first_doc = d.doc_id)
+                AS BIGINT) AS n_novel,
+           FLOOR(CAST(COUNT(*) FILTER (WHERE f.first_doc = d.doc_id)
+                      AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6
+               AS novelty_rate
+    FROM dg d JOIN first_seen f ON f.ngram = d.ngram
+    GROUP BY d.doc_id
+    """,
+)
+def text_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram NOVELTY against everything ingested before
+    it (doc_id is ingestion order): the share of a doc's distinct
+    word trigrams whose FIRST corpus occurrence is this doc. This is
+    the streaming-dedup view of the corpus — the running twin of
+    `dedup_ngram_jaccard`'s pairwise overlap: a feed that starts
+    re-crawling old content shows up as a novelty collapse, and docs
+    near 0 are pure recombinations of earlier text (the metric
+    training-data teams chart per crawl snapshot).
+
+    Exact integer counting throughout: first-occurrence attribution
+    is MIN(doc_id) per trigram (an exact pick), novelty is one
+    quantized ratio.
+
+    Scale (100 TB): the trigram table collapses to DISTINCT (gram,
+    doc) then to a gram-keyed MIN — both map-combinable; the join
+    back is gram-keyed equi (AQE handles the Zipf head) and the final
+    rollup is doc-keyed. Linear in postings, never doc-pairwise."""
+    t = Tables(spark, sf_dir)
+    dg = _spark_ngrams(t).distinct()
+    first = dg.groupBy("ngram").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1))
+    return (
+        dg.join(first, "ngram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            novel.cast("long").alias("n_novel"),
+            qnt(
+                novel.cast("double") / F.count(F.lit(1)), "novelty_rate"
+            ),
+        )
+    )

@@ -144,6 +144,17 @@ KEYS = [
     "pipeline_media_prep",
     "sink_snapshot_commit",
     "scan_partition_pruned_dynamic",
+    # r7 wave F
+    "cdc_apply_log",
+    "dq_referential",
+    "ts_cross_correlation",
+    "text_zipf_fit",
+    "graph_degree_stats",
+    "basket_lift",
+    # r7 wave G
+    "embed_centroid_outliers",
+    "event_sequence_ngrams",
+    "text_ngram_novelty",
 ]
 MAX_FACTOR = {
     "dedup_embedding": 10,
@@ -162,6 +173,13 @@ MAX_FACTOR = {
     # the diff. ×10 (150k rows) is the honest cap.
     "warehouse_snapshot_diff": 10,
     "pipeline_media_prep": 10,  # same replica-band artifact as multimodal_phash
+    # output is one row per user (1.5M at x100): toPandas measures the
+    # driver transfer, not the replay — same cap class as
+    # warehouse_snapshot_diff.
+    "cdc_apply_log": 10,
+    # same fixed-part-universe densification artifact as
+    # graph_triangle_count: x100 edge count is ~quadratic in the factor.
+    "graph_degree_stats": 10,
 }
 # Keys whose DuckDB oracle is skipped at amplified factors:
 # dedup_embedding's oracle is an O(n^2) nested-loop self-join (400M

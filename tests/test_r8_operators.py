@@ -203,5 +203,99 @@ def test_wave_keys_registered_with_oracles():
         "text_zipf_fit",
         "graph_degree_stats",
         "basket_lift",
+        "embed_centroid_outliers",
+        "event_sequence_ngrams",
+        "text_ngram_novelty",
     ]:
         assert k in QUERIES and k in ORACLE, k
+
+
+def test_centroid_outliers_match_numpy(spark, sf_dir):
+    """Full numpy rederivation of the quantized-unit pipeline:
+    component units, integer centroid sums, exact integer dots with
+    TRUNCATING division (Spark div and DuckDB // both round toward
+    zero; python // floors, so the replay must truncate), per-label
+    moments, quantized z — the outlier row set must match exactly."""
+    got = (
+        QUERIES["embed_centroid_outliers"](spark, sf_dir)
+        .toPandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    from data_webhooks_spark.io import Tables
+
+    emb = Tables(spark, sf_dir).embeddings.toPandas()
+    xu = np.floor(
+        np.stack([np.asarray(e, dtype=np.float64) for e in emb["embedding"]])
+        * 1e4
+        + 0.5
+    ).astype(np.int64)
+    out = {}
+    for lab, idx in emb.groupby("label").groups.items():
+        rows = xu[np.asarray(idx)]
+        cu = rows.sum(axis=0)
+        n = len(rows)
+        du = (rows * cu).sum(axis=1)
+        dv = np.trunc(du / (n * 10000)).astype(np.int64)
+        mean, sd = dv.mean(), dv.std(ddof=1)
+        zq = np.floor((dv - mean) / sd * 1e4 + 0.5) / 1e4
+        for vid, d, z in zip(emb["vec_id"].iloc[idx], dv, zq):
+            if z < -2:
+                out[vid] = (lab, d / 1e4, z)
+    assert set(got.index) == set(out)
+    for vid, (lab, align, z) in out.items():
+        row = got.loc[vid]
+        assert row["label"] == lab and abs(row["alignment"] - align) < 1e-9
+        assert abs(row["z_align"] - z) < 1e-9, vid
+
+
+def test_sequence_ngrams_match_counter(spark, sf_dir):
+    """Counter replay over per-user (ts, event_id)-sorted streams;
+    the top-20 with (count desc, journey) ordering must reproduce."""
+    got = QUERIES["event_sequence_ngrams"](spark, sf_dir).toPandas()
+    ev = _events(spark, sf_dir).sort_values(["ts", "event_id"])
+    occ, users = Counter(), {}
+    for uid, g in ev.groupby("user_id"):
+        ts = list(g["event_type"])
+        for a, b, c in zip(ts, ts[1:], ts[2:]):
+            j = f"{a}>{b}>{c}"
+            occ[j] += 1
+            users.setdefault(j, set()).add(uid)
+    top = sorted(occ.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert list(got["journey"]) == [j for j, _ in top]
+    assert list(got["n_occurrences"]) == [n for _, n in top]
+    assert list(got["n_users"]) == [len(users[j]) for j, _ in top]
+
+
+def test_ngram_novelty_streaming_replay(spark, sf_dir):
+    """Replay ingestion in doc_id order with a running seen-set; the
+    per-doc novel share must match, and the identity Σ n_novel =
+    |distinct corpus trigrams| must hold (each gram is novel exactly
+    once)."""
+    got = (
+        QUERIES["text_ngram_novelty"](spark, sf_dir)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    from data_webhooks_spark.io import Tables
+
+    docs = (
+        Tables(spark, sf_dir)
+        .documents.select("doc_id", "text")
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    seen = set()
+    for _, r in docs.iterrows():
+        ws = r["text"].split(" ")
+        grams = {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+        if not grams:
+            assert r["doc_id"] not in got.index
+            continue
+        novel = grams - seen
+        seen |= grams
+        row = got.loc[r["doc_id"]]
+        assert row["n_grams"] == len(grams), r["doc_id"]
+        assert row["n_novel"] == len(novel), r["doc_id"]
+        assert abs(row["novelty_rate"] - len(novel) / len(grams)) < 1e-6
+    assert got["n_novel"].sum() == len(seen)
