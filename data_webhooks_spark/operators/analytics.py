@@ -1479,30 +1479,47 @@ def basket_lift(spark, sf_dir):
     (bounded both sides — plan-lint allowlisted like text_tfidf's
     corpus-size attach).
 
-    Scale (100 TB): part is the broadcast dim; baskets collapse to
-    DISTINCT (order, brand) — per-order brand sets are small, so the
-    within-basket self-join fans out at most |brands per order|² per
-    order group and aggregates map-side into the ≤ |brands|² pair
-    table; item counts (|brands| rows) broadcast back onto it."""
+    Scale (100 TB): part is the broadcast dim; each order's brand SET
+    is collected in ONE order-keyed shuffle (map-side partial
+    collect_set dedupes pre-exchange), pairs expand in codegen from
+    the sorted array (≤ |brands per order|² per order, no self-join)
+    and aggregate map-side into the ≤ |brands|² pair table; item
+    counts (|brands| rows) broadcast back onto it."""
     t = Tables(spark, sf_dir)
-    items = (
+    # ONE shuffle: collect each order's brand SET directly (map-side
+    # partial collect_set dedupes before the exchange) instead of
+    # materializing distinct (order, brand) and self-joining it —
+    # measured 60.9 s -> single-digit s at x100, where the self-join
+    # shuffled both 60M-row sides.
+    baskets = (
         t.lineitem.select("l_orderkey", "l_partkey")
         .join(
             F.broadcast(t.part.select("p_partkey", "p_brand")),
             F.col("l_partkey") == F.col("p_partkey"),
         )
-        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("it"))
-        .distinct()
+        .groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("its"))
     )
-    nb = items.agg(
-        F.countDistinct("ok").cast("long").alias("n_baskets")
+    nb = baskets.agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
+    ic = baskets.select(F.explode("its").alias("it")).groupBy("it").agg(
+        F.count(F.lit(1)).cast("long").alias("n_it")
     )
-    ic = items.groupBy("it").agg(F.count(F.lit(1)).cast("long").alias("n_it"))
-    b = items.select(F.col("ok").alias("ok2"), F.col("it").alias("it2"))
+    # all a<b pairs of the sorted set, expanded in codegen: for index i,
+    # pair element i with every later element
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("its"),
+            lambda x, i: F.transform(
+                F.slice(F.col("its"), i + 2, F.size(F.col("its"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
     pairs = (
-        items.join(b, items["ok"] == b["ok2"])
-        .filter(items["it"] < b["it2"])
-        .groupBy(items["it"].alias("item_a"), b["it2"].alias("item_b"))
+        baskets.select(F.explode(pair_arr).alias("p"))
+        .groupBy(
+            F.col("p.a").alias("item_a"), F.col("p.b").alias("item_b")
+        )
         .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
         .filter(F.col("n_pair") >= _BASKET_MIN_PAIR)
     )
@@ -1585,4 +1602,127 @@ def event_sequence_ngrams(spark, sf_dir):
         )
         .orderBy(F.col("n_occurrences").desc(), "journey")
         .limit(20)
+    )
+
+
+@op(
+    "funnel_step_latency",
+    sql="""
+    WITH s1 AS (
+        SELECT user_id, event_type, ts,
+               MIN(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS tv
+        FROM events
+    ),
+    s2 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > tv
+                           THEN ts END)
+                      OVER (PARTITION BY user_id) AS tc
+        FROM s1
+    ),
+    s3 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > tc
+                           THEN ts END)
+                      OVER (PARTITION BY user_id) AS tp
+        FROM s2
+    ),
+    g AS (
+        SELECT user_id, MAX(tv) AS tv, MAX(tc) AS tc, MAX(tp) AS tp
+        FROM s3 GROUP BY user_id
+    ),
+    lat AS (
+        SELECT 'view>click' AS step,
+               (epoch_us(tc) - epoch_us(tv)) // 1000000 AS lat_s
+        FROM g WHERE tc IS NOT NULL
+        UNION ALL
+        SELECT 'click>purchase' AS step,
+               (epoch_us(tp) - epoch_us(tc)) // 1000000 AS lat_s
+        FROM g WHERE tp IS NOT NULL
+    )
+    SELECT step, CAST(COUNT(*) AS BIGINT) AS n_converted,
+           ROUND(QUANTILE_CONT(lat_s, 0.5), 6) AS median_s,
+           ROUND(QUANTILE_CONT(lat_s, 0.9), 6) AS p90_s
+    FROM lat GROUP BY step
+    """,
+)
+def funnel_step_latency(spark, sf_dir):
+    """Time-to-convert per funnel step — `funnel_conversion` says how
+    MANY users advance view→click→purchase; this says how FAST: for
+    each user, the first view, the first click strictly after it, and
+    the first purchase strictly after that, with the median and p90
+    latency (whole seconds) of each step over converting users. The
+    p90 is what conversion SLAs and retargeting windows are set from.
+
+    Determinism: step anchors are exact MIN picks over the user's
+    stream, latencies are exact integer µs deltas floored to seconds
+    (non-negative by construction), and the exact interpolated
+    percentile over integer seconds evaluates identically in Spark's
+    percentile() and DuckDB's quantile_cont (the agg_percentile
+    contract).
+
+    Scale (100 TB): ONE user-keyed exchange feeds three chained
+    window passes (each anchor is a conditional MIN over the same
+    partitioning — no self-joins, no per-user arrays) and the
+    same-key groupBy that follows reuses the partitioning; the
+    percentile runs over the two-arm latency table, which is one row
+    per converting user."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    s = (
+        t.events.select("user_id", "event_type", "ts")
+        .withColumn(
+            "tv",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "tc",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("tv")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "tp",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("tc")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    g = s.groupBy("user_id").agg(
+        F.max("tv").alias("tv"),
+        F.max("tc").alias("tc"),
+        F.max("tp").alias("tp"),
+    )
+
+    def lat(a, b):
+        return F.expr(
+            f"(unix_micros(cast({b} as timestamp))"
+            f" - unix_micros(cast({a} as timestamp))) div 1000000"
+        )
+
+    arms = [
+        g.filter(F.col("tc").isNotNull()).select(
+            F.lit("view>click").alias("step"), lat("tv", "tc").alias("lat_s")
+        ),
+        g.filter(F.col("tp").isNotNull()).select(
+            F.lit("click>purchase").alias("step"),
+            lat("tc", "tp").alias("lat_s"),
+        ),
+    ]
+    return (
+        arms[0]
+        .unionAll(arms[1])
+        .groupBy("step")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_converted"),
+            F.round(F.percentile("lat_s", F.lit(0.5)), 6).alias("median_s"),
+            F.round(F.percentile("lat_s", F.lit(0.9)), 6).alias("p90_s"),
+        )
     )

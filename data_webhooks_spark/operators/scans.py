@@ -324,3 +324,72 @@ def scan_xml(spark, sf_dir):
         )
         .load(path)
     )
+
+
+@op(
+    "scan_csv_corrupt",
+    sql=f"""
+    WITH marked AS (
+        SELECT CASE WHEN c_custkey % 13 = 0 THEN '__corrupt__'
+                    ELSE c_mktsegment END AS bucket,
+               CASE WHEN c_custkey % 13 = 0 THEN NULL
+                    ELSE c_custkey END AS key,
+               CASE WHEN c_custkey % 13 = 0 THEN NULL
+                    ELSE c_acctbal END AS acctbal
+        FROM customer
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(key) AS BIGINT) AS n_keys,
+           {o_dec_sum('acctbal', 'acctbal_sum')}
+    FROM marked GROUP BY bucket
+    """,
+)
+def scan_csv_corrupt(spark, sf_dir):
+    """Malformed-CSV ingest — `scan_json_corrupt`'s flat-file twin: a
+    customer CSV in which every 13th row's key field is mangled
+    ('x750' in a BIGINT column) is read in PERMISSIVE mode with an
+    explicit `_corrupt_record` column. The mangling is a TYPE failure
+    on purpose: Spark's CSV reader null-fills short rows silently, so
+    the quarantine contract everyone assumes ("bad rows land in
+    _corrupt_record") only actually fires on unparseable tokens —
+    this key pins that exact behavior. Output: per-segment row counts
+    + exact balance sums, corrupt rows bucketed under '__corrupt__'.
+
+    Corruption keys off the parsed c_custkey (sources/derived.py), so
+    the oracle reproduces the exact good/corrupt split from the
+    ORIGINAL parquet: parity proves every clean row recovers
+    bit-exactly and precisely the mangled ones quarantine. Scale:
+    schema-on-read line parsing is embarrassingly parallel; the
+    '__corrupt__' row is the dead-letter metric the ingest SLA pages
+    on."""
+    path = derived_path(sf_dir, "customer_corrupt.csv")
+    raw = spark.read.csv(
+        path,
+        header=True,
+        schema=CUSTOMER_CSV_SPARK_SCHEMA + ", _corrupt_record STRING",
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+    )
+    return (
+        raw.select(
+            F.when(
+                F.col("_corrupt_record").isNotNull(), F.lit("__corrupt__")
+            )
+            .otherwise(F.col("c_mktsegment"))
+            .alias("bucket"),
+            # touching c_custkey defeats CSV column pruning -> the bad
+            # token is actually parsed and the row quarantines
+            F.col("c_custkey").alias("key"),
+            # PERMISSIVE retains partially-parsed fields on corrupt
+            # rows; quarantined values must not leak into the totals
+            F.when(
+                F.col("_corrupt_record").isNull(), F.col("c_acctbal")
+            ).alias("acctbal"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count("key").cast("long").alias("n_keys"),
+            dec_sum("acctbal", "acctbal_sum"),
+        )
+    )

@@ -59,7 +59,7 @@ def ensure_derived(sf_dir: str) -> str:
     scale factor."""
     sfname = os.path.basename(sf_dir.rstrip("/"))
     out = f"{DERIVED_DIR}/{sfname}"
-    marker = f"{out}/.complete_v4"
+    marker = f"{out}/.complete_v5"
     if os.path.exists(marker):
         return out
     os.makedirs(out, exist_ok=True)
@@ -132,6 +132,21 @@ def ensure_derived(sf_dir: str) -> str:
                 fout.write(line[:30] + "\n")
             else:
                 fout.write(line)
+    # malformed-ingest twin for scan_csv_corrupt: same customer.csv,
+    # but every row whose c_custkey % 13 == 0 gets its key field
+    # prefixed with 'x' — the BIGINT column fails to parse, which is
+    # what actually trips Spark's CSV PERMISSIVE quarantine (a short
+    # row would just null-fill; a type failure marks _corrupt_record).
+    # Corruption keys off the PARSED key, so the oracle reproduces
+    # the exact good/corrupt split from the parquet table.
+    with open(f"{out}/customer.csv", encoding="utf-8") as fin, open(
+        f"{out}/customer_corrupt.csv", "w", encoding="utf-8"
+    ) as fout:
+        header = next(fin)
+        fout.write(header)
+        for line in fin:
+            key = int(line.split(",", 1)[0])
+            fout.write(f"x{line}" if key % 13 == 0 else line)
     with open(marker, "w") as f:
         f.write("ok\n")
     return out

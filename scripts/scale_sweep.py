@@ -155,6 +155,9 @@ KEYS = [
     "embed_centroid_outliers",
     "event_sequence_ngrams",
     "text_ngram_novelty",
+    # r7 wave H (scan_csv_corrupt reads a derived single-file twin —
+    # not sweepable, like scan_json_corrupt)
+    "funnel_step_latency",
 ]
 MAX_FACTOR = {
     "dedup_embedding": 10,

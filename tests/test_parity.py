@@ -89,6 +89,13 @@ def test_driver_window_is_the_round7_rotation():
 PORTABLE_ORACLES = frozenset({
     "analytics_dau_mau", "warehouse_snapshot_diff", "scan_xml",  # r7 additions
     "sink_snapshot_commit",  # r7 addition (key-arithmetic oracle)
+    # r7 wave F/G/H additions whose oracles parse and agree under
+    # spark.sql (the others — cdc_apply_log, ts_cross_correlation,
+    # text_zipf_fit, text_ngram_novelty, embed_centroid_outliers,
+    # funnel_step_latency — use arg_max/epoch_us///string_split and
+    # stay DuckDB-dialect)
+    "basket_lift", "dq_referential", "event_sequence_ngrams",
+    "graph_degree_stats", "scan_csv_corrupt",
     # scan_partition_pruned_dynamic deliberately NOT portable: its
     # oracle uses DuckDB isodow() because dayofweek() PARSES under
     # spark.sql with 1-based (vs DuckDB 0-based) semantics — the

@@ -206,6 +206,8 @@ def test_wave_keys_registered_with_oracles():
         "embed_centroid_outliers",
         "event_sequence_ngrams",
         "text_ngram_novelty",
+        "scan_csv_corrupt",
+        "funnel_step_latency",
     ]:
         assert k in QUERIES and k in ORACLE, k
 
@@ -299,3 +301,104 @@ def test_ngram_novelty_streaming_replay(spark, sf_dir):
         assert row["n_novel"] == len(novel), r["doc_id"]
         assert abs(row["novelty_rate"] - len(novel) / len(grams)) < 1e-6
     assert got["n_novel"].sum() == len(seen)
+
+
+def test_csv_corrupt_quarantine_and_pruning_trap(spark, sf_dir):
+    """(a) File-level replay: re-read the corrupt CSV with plain
+    Python; rows whose key field is mangled must land in
+    '__corrupt__' with their values excluded from totals, clean rows
+    must match segment-wise. (b) Pin the column-pruning trap the
+    operator exists to document: the SAME read aggregated WITHOUT
+    referencing c_custkey never parses the bad token, so zero rows
+    quarantine — if Spark ever changes this, the operator's comment
+    (and this pin) must change with it."""
+    from pyspark.sql import functions as F
+
+    from data_webhooks_spark.sources.derived import (
+        CUSTOMER_CSV_SPARK_SCHEMA,
+        derived_path,
+    )
+
+    got = (
+        QUERIES["scan_csv_corrupt"](spark, sf_dir)
+        .toPandas()
+        .set_index("bucket")
+    )
+    path = derived_path(sf_dir, "customer_corrupt.csv")
+    n_by, sum_by = Counter(), Counter()
+    with open(path, encoding="utf-8") as f:
+        next(f)
+        for line in f:
+            parts = line.rstrip("\n").split(",")
+            if parts[0].startswith("x"):
+                n_by["__corrupt__"] += 1
+            else:
+                n_by[parts[4]] += 1
+                sum_by[parts[4]] += round(float(parts[3]) * 100)
+    assert dict(zip(got.index, got["n"])) == dict(n_by)
+    for seg, cents in sum_by.items():
+        assert abs(got.loc[seg, "acctbal_sum"] - cents / 100) < 1e-6, seg
+    assert got.loc["__corrupt__", "n_keys"] == 0
+    assert math.isnan(got.loc["__corrupt__", "acctbal_sum"])
+    # (b) the pruning trap: no c_custkey reference -> no quarantine
+    raw = spark.read.csv(
+        path,
+        header=True,
+        schema=CUSTOMER_CSV_SPARK_SCHEMA + ", _corrupt_record STRING",
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+    )
+    n_corrupt = (
+        raw.groupBy("c_mktsegment")
+        .agg(
+            F.sum(
+                F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0)
+            ).alias("c")
+        )
+        .agg(F.sum("c"))
+        .collect()[0][0]
+    )
+    assert n_corrupt == 0, (
+        "CSV column pruning behavior changed: quarantine now fires "
+        "without referencing the failing column"
+    )
+
+
+def test_funnel_latency_matches_pandas_replay(spark, sf_dir):
+    """Per-user first-view / first-click-after / first-purchase-after
+    replay in pandas; counts exactly, percentiles via numpy's linear
+    interpolation (the percentile()/quantile_cont contract)."""
+    got = (
+        QUERIES["funnel_step_latency"](spark, sf_dir)
+        .toPandas()
+        .set_index("step")
+    )
+    ev = _events(spark, sf_dir)
+    lat_c, lat_p = [], []
+    for _, g in ev.groupby("user_id"):
+        views = g.loc[g["event_type"] == "view", "ts"]
+        if views.empty:
+            continue
+        tv = views.min()
+        clicks = g.loc[
+            (g["event_type"] == "click") & (g["ts"] > tv), "ts"
+        ]
+        if clicks.empty:
+            continue
+        tc = clicks.min()
+        lat_c.append((tc - tv) // pd.Timedelta(seconds=1))
+        purch = g.loc[
+            (g["event_type"] == "purchase") & (g["ts"] > tc), "ts"
+        ]
+        if purch.empty:
+            continue
+        tp = purch.min()
+        lat_p.append((tp - tc) // pd.Timedelta(seconds=1))
+    for step, lats in [("view>click", lat_c), ("click>purchase", lat_p)]:
+        row = got.loc[step]
+        assert row["n_converted"] == len(lats), step
+        assert abs(row["median_s"] - np.percentile(lats, 50)) < 1e-6, step
+        assert abs(row["p90_s"] - np.percentile(lats, 90)) < 1e-6, step
+    assert got.loc["click>purchase", "n_converted"] <= got.loc[
+        "view>click", "n_converted"
+    ] + 0  # funnel monotonicity over users that had no view-anchor path
