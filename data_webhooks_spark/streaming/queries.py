@@ -18,6 +18,7 @@ not survive 100 TB; the watermarked append variants are the scale path.
 
 from __future__ import annotations
 
+import os
 import time
 import uuid
 
@@ -1438,4 +1439,143 @@ def stream_custom_state(spark, sf_dir):
         all_updates.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", "max_value", "argmax_event")
+    )
+
+
+def _warehouse_oracle() -> dict:
+    from ..operators.warehouse import ORACLE as wh_oracle
+
+    return wh_oracle
+
+
+def _cdc_batch_partial(df: DataFrame) -> DataFrame:
+    """Per-user associative state from one slice of the op log: op
+    counts, the largest (ts, event_id) key per arm (delete / upsert),
+    the upsert value riding its key, and the last op time. Merging two
+    partials = add the counts, keep the larger key per arm — so any
+    chunking of the log folds to the same state."""
+    key = F.struct(
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.col("event_id").alias("id"),
+    )
+    is_del = F.col("event_type") == "error"
+    return df.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ops"),
+        F.count(F.when(is_del, 1)).cast("long").alias("n_deletes"),
+        F.max(F.when(is_del, key)).alias("del_key"),
+        F.max(
+            F.when(
+                ~is_del,
+                F.struct(
+                    F.unix_micros(F.col("ts")).alias("us"),
+                    F.col("event_id").alias("id"),
+                    F.col("value").alias("value"),
+                ),
+            )
+        ).alias("upd_key"),
+        F.max(F.unix_micros(F.col("ts"))).alias("last_us"),
+    )
+
+
+@op(
+    "stream_cdc_apply",
+    # byte-identical oracle to the batch twin: the stream must
+    # materialize exactly the state cdc_apply_log derives in one shot
+    sql=_warehouse_oracle()["cdc_apply_log"],
+)
+def stream_cdc_apply(spark, sf_dir):
+    """STREAMING CDC apply — the continuously-maintained
+    latest-state-per-user table (`cdc_apply_log` is the one-shot batch
+    restatement; this is how the table actually lives in production):
+    each micro-batch folds its slice of the op log into a per-user
+    state whose merge is ASSOCIATIVE — op counts add, each arm keeps
+    its largest (ts, event_id) key, the surviving value rides the
+    upsert key — so the replayed stream reaches the identical state
+    regardless of how the log was chunked into batches. foreachBatch
+    merges the batch partial into a VERSIONED parquet state store
+    (write v{n}, read v{n-1} — never overwrite what you read, the
+    sink_snapshot_commit discipline), and the final read-back must
+    match the batch twin bit-for-bit (pinned in
+    tests/test_r8_operators.py against cdc_apply_log itself, which the
+    driver separately hash-checks against DuckDB).
+
+    Scale (100 TB): state is one row per user — the merge is a keyed
+    full-outer equi-join of (store, batch partial), both sides
+    user-partitioned; at cluster scale the store is bucketed by
+    user hash so the join is shuffle-free and only dirty buckets
+    rewrite (the stream_rollup_upsert partition-overwrite knob).
+    Tombstones stay IN the state (a delete must survive compaction
+    until no older upsert can still arrive — the Kafka-compaction
+    rule), so 'alive' is derivable at read time forever."""
+    tune(spark)
+    root = f"{RUNTIME_DIR}/cdcstate/{uuid.uuid4().hex[:12]}"
+    os.makedirs(root, exist_ok=True)
+
+    def merge_batch(df: DataFrame, batch_id: int) -> None:
+        part = _cdc_batch_partial(df)
+        versions = sorted(
+            int(p[1:]) for p in os.listdir(root) if p.startswith("v")
+        )
+        if versions:
+            prev = spark.read.parquet(f"{root}/v{versions[-1]}")
+            s = prev.select(
+                "user_id",
+                F.col("n_ops").alias("s_n_ops"),
+                F.col("n_deletes").alias("s_n_deletes"),
+                F.col("del_key").alias("s_del_key"),
+                F.col("upd_key").alias("s_upd_key"),
+                F.col("last_us").alias("s_last_us"),
+            )
+            j = s.join(part, "user_id", "full_outer")
+            merged = j.select(
+                "user_id",
+                (
+                    F.coalesce(F.col("s_n_ops"), F.lit(0))
+                    + F.coalesce(F.col("n_ops"), F.lit(0))
+                ).alias("n_ops"),
+                (
+                    F.coalesce(F.col("s_n_deletes"), F.lit(0))
+                    + F.coalesce(F.col("n_deletes"), F.lit(0))
+                ).alias("n_deletes"),
+                F.greatest(F.col("s_del_key"), F.col("del_key")).alias(
+                    "del_key"
+                ),
+                F.greatest(F.col("s_upd_key"), F.col("upd_key")).alias(
+                    "upd_key"
+                ),
+                F.greatest(F.col("s_last_us"), F.col("last_us")).alias(
+                    "last_us"
+                ),
+            )
+        else:
+            merged = part
+        merged.write.mode("overwrite").parquet(f"{root}/v{batch_id}")
+
+    s = read_replay_stream(spark, sf_dir, files_per_trigger=1)
+    q = (
+        s.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    versions = sorted(int(p[1:]) for p in os.listdir(root) if p.startswith("v"))
+    st = spark.read.parquet(f"{root}/v{versions[-1]}")
+    alive = F.when(F.col("upd_key").isNull(), F.lit(False)).otherwise(
+        F.col("del_key").isNull()
+        | (F.col("upd_key.us") > F.col("del_key.us"))
+        | (
+            (F.col("upd_key.us") == F.col("del_key.us"))
+            & (F.col("upd_key.id") > F.col("del_key.id"))
+        )
+    )
+    return st.select(
+        "user_id",
+        "n_ops",
+        "n_deletes",
+        alive.alias("alive"),
+        F.when(alive, F.col("upd_key.value")).alias("final_value"),
+        F.expr(
+            "CAST(timestamp_micros(last_us) AS TIMESTAMP_NTZ)"
+        ).alias("last_ts"),
     )

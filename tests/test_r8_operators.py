@@ -208,6 +208,7 @@ def test_wave_keys_registered_with_oracles():
         "text_ngram_novelty",
         "scan_csv_corrupt",
         "funnel_step_latency",
+        "stream_cdc_apply",
     ]:
         assert k in QUERIES and k in ORACLE, k
 
@@ -402,3 +403,24 @@ def test_funnel_latency_matches_pandas_replay(spark, sf_dir):
     assert got.loc["click>purchase", "n_converted"] <= got.loc[
         "view>click", "n_converted"
     ] + 0  # funnel monotonicity over users that had no view-anchor path
+
+
+def test_stream_cdc_apply_equals_batch_twin(spark, sf_dir):
+    """The streaming state store, folded over the 4-chunk replay (one
+    micro-batch per chunk), must equal the one-shot batch operator
+    row-for-row — this IS the associativity proof for the per-user
+    merge: any chunking of the log must reach the same state."""
+    got = (
+        QUERIES["stream_cdc_apply"](spark, sf_dir)
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        QUERIES["cdc_apply_log"](spark, sf_dir)
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want)
