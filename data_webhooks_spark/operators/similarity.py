@@ -1160,3 +1160,115 @@ def embed_centroid_outliers(spark, sf_dir):
         (F.col("dv").cast("double") / F.lit(1e4)).alias("alignment"),
         F.col("zq").alias("z_align"),
     )
+
+
+_PCA_SWEEPS = 8
+_PCA_XU = "CAST(FLOOR(CAST(list_extract(embedding, u.dim) AS DOUBLE) * 1e4 + 0.5) AS BIGINT)"
+
+
+def _pca_oracle() -> str:
+    """Unrolled fixed-sweep power iteration as chained CTEs (the
+    graph_pagerank recipe) — per-sweep CTEs MATERIALIZED, because
+    DuckDB inlines plain CTEs per reference and y{k} is referenced
+    twice (max + renorm): inlining doubles the plan per sweep, 2^k
+    overall (the un-materialized 8-sweep oracle never finished). each sweep is score = X·v (per vector),
+    gather = Xᵀ·score (per dim), then exact integer renormalization
+    vu' = y·10⁶ div max|y| — both engines truncate toward zero, so the
+    direction is bit-identical with no float budget at all."""
+    sql = f"""
+    WITH ex AS (
+        SELECT vec_id, u.dim, {_PCA_XU} AS xu
+        FROM embeddings
+        CROSS JOIN (SELECT unnest(range(1, 65)) AS dim) u
+    ),
+    v0 AS (SELECT dim, CAST(125000 AS BIGINT) AS vu
+           FROM (SELECT unnest(range(1, 65)) AS dim))"""
+    prev = "v0"
+    for k in range(1, _PCA_SWEEPS + 1):
+        sql += f""",
+    s{k} AS MATERIALIZED (
+        SELECT e.vec_id, CAST(SUM(e.xu * v.vu) AS BIGINT) // 1000 AS s
+        FROM ex e JOIN {prev} v ON v.dim = e.dim
+        GROUP BY e.vec_id
+    ),
+    y{k} AS MATERIALIZED (
+        SELECT e.dim, CAST(SUM(e.xu * s.s) AS BIGINT) AS y
+        FROM ex e JOIN s{k} s ON s.vec_id = e.vec_id
+        GROUP BY e.dim
+    ),
+    m{k} AS (SELECT MAX(ABS(y)) // 1000000 + 1 AS d FROM y{k}),
+    v{k} AS (
+        SELECT dim, CAST(y // (SELECT d FROM m{k}) AS BIGINT) AS vu
+        FROM y{k}
+    )"""
+        prev = f"v{k}"
+    return (
+        sql
+        + f"""
+    SELECT dim, vu AS loading_u FROM {prev}
+    """
+    )
+
+
+@op("embed_pca_power", sql=_pca_oracle())
+def embed_pca_power(spark, sf_dir):
+    """Dominant direction of the embedding corpus via {_PCA_SWEEPS}
+    power-iteration sweeps (uncentered PCA / top right singular
+    vector) — the corpus-drift fingerprint: a new crawl whose top
+    direction rotates has changed its dominant topic/style axis, and
+    the direction is the first thing whitening, OPQ rotations and
+    anisotropic-quantization calibrations consume downstream. The
+    iterative-algorithm pattern beside `graph_pagerank` and
+    `dedup_cluster`, applied to the vector column.
+
+    Determinism (the pagerank discipline on floats): components
+    quantize once to exact 1e-4 BIGINT units; each sweep is two exact
+    integer aggregates (score = X·v per vector, gather = Xᵀ·score per
+    dim, with a div-1000 damp keeping products far under 2⁶³) and an
+    exact integer renormalization vu' = y div (max|y| div 10⁶ + 1) —
+    divisor-side scaling so no product ever leaves BIGINT — truncation
+    toward zero on BOTH engines, so all 64 loadings hash bit-for-bit
+    with zero rounding budget. Convergence vs numpy SVD is pinned in
+    tests (not just the replay — the direction must be RIGHT).
+
+    Scale (100 TB): each sweep is one equi-join of the exploded
+    component table with a broadcast 64-row direction + two
+    map-combinable groupBys — the classic distributed matvec; the
+    Python loop unrolls {_PCA_SWEEPS} sweeps into one Catalyst plan
+    and per-sweep state is 64 rows. No collect, no UDF, no
+    gram-matrix materialization."""
+    t = Tables(spark, sf_dir)
+    ex = t.embeddings.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ).alias("dim0", "x"),
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("x") * F.lit(1e4) + F.lit(0.5)).cast("long").alias("xu"),
+    )
+    v = spark.range(1, 65).select(
+        F.col("id").alias("dim"), F.lit(125000).cast("long").alias("vu")
+    )
+    for _ in range(_PCA_SWEEPS):
+        s = (
+            ex.join(F.broadcast(v), "dim")
+            .groupBy("vec_id")
+            .agg(
+                F.expr("CAST(SUM(xu * vu) AS BIGINT) div 1000").alias("s")
+            )
+        )
+        y = (
+            ex.join(s, "vec_id")
+            .groupBy("dim")
+            .agg(F.sum(F.col("xu") * F.col("s")).cast("long").alias("y"))
+        )
+        m = y.agg(
+            F.expr("MAX(ABS(y)) div 1000000 + 1").alias("d")
+        )
+        v = y.crossJoin(F.broadcast(m)).select(
+            "dim",
+            F.expr("CAST(y div d AS BIGINT)").alias("vu"),
+        ).localCheckpoint(eager=True)
+    return v.select("dim", F.col("vu").alias("loading_u"))

@@ -158,6 +158,7 @@ KEYS = [
     # r7 wave H (scan_csv_corrupt reads a derived single-file twin —
     # not sweepable, like scan_json_corrupt)
     "funnel_step_latency",
+    "embed_pca_power",
 ]
 MAX_FACTOR = {
     "dedup_embedding": 10,

@@ -1,9 +1,12 @@
-"""Semantic invariants for the round-7 second wave (cdc_apply_log,
+"""Semantic invariants for the round-7 later waves (F: cdc_apply_log,
 dq_referential, ts_cross_correlation, text_zipf_fit,
-graph_degree_stats, basket_lift): each operator gets an
+graph_degree_stats, basket_lift; G: embed_centroid_outliers,
+event_sequence_ngrams, text_ngram_novelty; H: scan_csv_corrupt,
+funnel_step_latency, stream_cdc_apply): each operator gets an
 oracle-independent rederivation in pure Python/pandas/numpy — the
 third way that catches a bug shared by the Spark query and its DuckDB
-oracle (the r4 zero-row lesson)."""
+oracle (the r4 zero-row lesson) — and stream_cdc_apply is pinned
+equal to its batch twin across the chunked replay."""
 
 import math
 from collections import Counter
@@ -209,6 +212,7 @@ def test_wave_keys_registered_with_oracles():
         "scan_csv_corrupt",
         "funnel_step_latency",
         "stream_cdc_apply",
+        "embed_pca_power",
     ]:
         assert k in QUERIES and k in ORACLE, k
 
@@ -424,3 +428,42 @@ def test_stream_cdc_apply_equals_batch_twin(spark, sf_dir):
     )
     assert list(got.columns) == list(want.columns)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_pca_power_matches_numpy_replay_and_svd(spark, sf_dir):
+    """(a) Exact replay: numpy integer power iteration with the same
+    1e-4 input units, div-1000 damp, and truncating max-normalization
+    must reproduce all 64 loadings bit-for-bit. (b) Direction sanity:
+    the quantized direction must align with numpy's true top singular
+    vector (|cos| >= 0.98) — the replay alone would also pass on a
+    shared-bug wrong axis."""
+    from data_webhooks_spark.io import Tables
+    from data_webhooks_spark.operators.similarity import _PCA_SWEEPS
+
+    got = (
+        QUERIES["embed_pca_power"](spark, sf_dir)
+        .toPandas()
+        .sort_values("dim")
+        .reset_index(drop=True)
+    )
+    emb = Tables(spark, sf_dir).embeddings.toPandas()
+    xu = np.floor(
+        np.stack([np.asarray(e, dtype=np.float64) for e in emb["embedding"]])
+        * 1e4
+        + 0.5
+    ).astype(np.int64)
+    def div_to_zero(a, b):  # Spark div / DuckDB // truncate toward 0
+        return np.sign(a) * (np.abs(a) // b)
+
+    vu = np.full(64, 125000, dtype=np.int64)
+    for _ in range(_PCA_SWEEPS):
+        s = div_to_zero(xu @ vu, 1000)
+        y = xu.T @ s
+        d = int(np.abs(y).max()) // 1_000_000 + 1
+        vu = div_to_zero(y, d)
+    assert list(got["loading_u"]) == list(vu)
+    v = vu / np.linalg.norm(vu)
+    xf = xu.astype(np.float64)
+    sigma1 = np.linalg.svd(xf, compute_uv=False)[0]
+    rayleigh = float(np.linalg.norm(xf @ v) ** 2)
+    assert rayleigh / sigma1**2 >= 0.95
