@@ -645,3 +645,108 @@ def dq_referential(spark, sf_dir):
     for a in arms[1:]:
         out = out.unionAll(a)
     return out
+
+
+@op(
+    "dq_reconciliation",
+    sql="""
+    WITH ev AS (
+        SELECT date_trunc('day', ts) AS day,
+               CAST(COUNT(*) AS BIGINT) AS ev_n,
+               CAST(SUM(CASE WHEN value >= 0
+                    THEN CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                    ELSE -CAST(FLOOR(-value * 100.0 + 0.5) AS BIGINT)
+                    END) AS BIGINT) AS ev_cents
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    ),
+    od AS (
+        SELECT date_trunc('day', o_orderdate) AS day,
+               CAST(COUNT(*) AS BIGINT) AS ord_n,
+               CAST(SUM(CASE WHEN o_totalprice >= 0
+                    THEN CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                    ELSE -CAST(FLOOR(-o_totalprice * 100.0 + 0.5) AS BIGINT)
+                    END) AS BIGINT) AS ord_cents
+        FROM orders
+        GROUP BY 1
+    )
+    SELECT COALESCE(ev.day, od.day) AS day,
+           COALESCE(ev.ev_n, 0) AS ev_n,
+           COALESCE(od.ord_n, 0) AS ord_n,
+           COALESCE(od.ord_n, 0) - COALESCE(ev.ev_n, 0) AS n_delta,
+           CAST(COALESCE(ev.ev_cents, 0) AS DOUBLE) / 100 AS ev_value,
+           CAST(COALESCE(od.ord_cents, 0) AS DOUBLE) / 100 AS ord_value,
+           ev.day IS NOT NULL AND od.day IS NOT NULL AS both_present
+    FROM ev FULL OUTER JOIN od ON od.day = ev.day
+    """,
+)
+def dq_reconciliation(spark, sf_dir):
+    """Source-vs-warehouse reconciliation — the nightly check every
+    pipeline with two records of the same business event runs: per
+    day, purchase-event counts and exact cent totals from the EVENTS
+    stream beside order counts and totals from the ORDERS table, the
+    count delta, and whether both sources covered the day at all. The
+    two sources are independent fixtures, so the report's job is to
+    EXPOSE their disagreement (it does — different periods, different
+    magnitudes); the DQ contract is that the comparison itself is
+    exact, not that the sources agree.
+
+    Exact cent-unit BIGINT sums on both arms (the dec_sum recipe
+    inlined so the oracle is one self-contained statement); one float
+    division per displayed total at the end.
+
+    Scale (100 TB): two independent map-combinable daily rollups
+    (each collapses its fact table to |days| rows before anything
+    joins), then a FULL OUTER equi-join of two aggregate-sized
+    tables. Nothing row-level crosses sources."""
+    t = Tables(spark, sf_dir)
+    ev = (
+        t.events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("ev_n"),
+            F.sum(
+                F.when(
+                    F.col("value") >= 0,
+                    F.floor(F.col("value") * 100.0 + 0.5),
+                ).otherwise(-F.floor(-F.col("value") * 100.0 + 0.5))
+            )
+            .cast("long")
+            .alias("ev_cents"),
+        )
+    )
+    od = (
+        t.orders.groupBy(
+            F.date_trunc("day", "o_orderdate").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("ord_n"),
+            F.sum(
+                F.when(
+                    F.col("o_totalprice") >= 0,
+                    F.floor(F.col("o_totalprice") * 100.0 + 0.5),
+                ).otherwise(-F.floor(-F.col("o_totalprice") * 100.0 + 0.5))
+            )
+            .cast("long")
+            .alias("ord_cents"),
+        )
+    )
+    j = ev.join(od.withColumnRenamed("day", "oday"),
+                ev["day"] == F.col("oday"), "full_outer")
+    return j.select(
+        F.coalesce(ev["day"], F.col("oday")).alias("day"),
+        F.coalesce("ev_n", F.lit(0)).alias("ev_n"),
+        F.coalesce("ord_n", F.lit(0)).alias("ord_n"),
+        (
+            F.coalesce("ord_n", F.lit(0)) - F.coalesce("ev_n", F.lit(0))
+        ).alias("n_delta"),
+        (F.coalesce("ev_cents", F.lit(0)).cast("double") / 100).alias(
+            "ev_value"
+        ),
+        (F.coalesce("ord_cents", F.lit(0)).cast("double") / 100).alias(
+            "ord_value"
+        ),
+        (ev["day"].isNotNull() & F.col("oday").isNotNull()).alias(
+            "both_present"
+        ),
+    )

@@ -2018,3 +2018,70 @@ def text_ngram_novelty(spark, sf_dir):
             ),
         )
     )
+
+
+_FH_BUCKETS = 64
+_FH_MOD = 1_048_576  # keep the rolling accumulator bounded in BIGINT
+
+
+@op(
+    "text_feature_hash",
+    sql=f"""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, strlen(w) + 1),
+                                      i -> CAST(ascii(substr(w, CAST(i AS INT), 1))
+                                                AS BIGINT))),
+                   (acc, b) -> (acc * 31 + b) % {_FH_MOD}
+               ) % {_FH_BUCKETS} AS bucket
+        FROM words
+    )
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM hashed GROUP BY doc_id, bucket
+    """,
+)
+def text_feature_hash(spark, sf_dir):
+    """Feature hashing (the 'hashing trick', Weinberger et al.
+    ICML'09): every token maps through a fixed polynomial hash into
+    one of {_FH_BUCKETS} buckets and each document becomes a sparse
+    (bucket, count) vector — the vocabulary-free featurizer used when
+    a vocab table is unbuildable or must never ship (PII), and the
+    baseline featurization for linear probes over a corpus. Sparse
+    row-per-bucket output, not an array column (the r5 scalarization
+    lesson).
+
+    Determinism: the hash is OUR OWN fold — acc·31 + byte mod 2²⁰,
+    then mod buckets — written identically on both engines (Spark
+    aggregate(), DuckDB list_reduce()), because engine-native hash
+    functions (xxhash64 vs DuckDB hash) can never agree. Exact
+    integer arithmetic end-to-end; the accumulator stays < 2²⁶.
+
+    Scale (100 TB): token explode -> per-word codegen fold (no UDF,
+    no vocab join, no shuffle before the count) -> (doc, bucket)
+    map-combinable groupBy bounded by |docs|·{_FH_BUCKETS}. This is
+    the featurizer whose cost does NOT grow with vocabulary — the
+    whole point of the trick."""
+    t = Tables(spark, sf_dir)
+    words = t.documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    poly = (
+        "aggregate(transform(sequence(1, length(w)),"
+        " i -> CAST(ascii(substring(w, i, 1)) AS BIGINT)),"
+        f" CAST(0 AS BIGINT), (acc, b) -> (acc * 31 + b) % {_FH_MOD})"
+    )
+    return (
+        words.select(
+            "doc_id",
+            F.expr(f"({poly}) % {_FH_BUCKETS}").cast("long").alias("bucket"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

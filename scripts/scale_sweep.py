@@ -159,6 +159,8 @@ KEYS = [
     # not sweepable, like scan_json_corrupt)
     "funnel_step_latency",
     "embed_pca_power",
+    "text_feature_hash",
+    "dq_reconciliation",
 ]
 MAX_FACTOR = {
     "dedup_embedding": 10,

@@ -95,7 +95,7 @@ PORTABLE_ORACLES = frozenset({
     # funnel_step_latency — use arg_max/epoch_us///string_split and
     # stay DuckDB-dialect)
     "basket_lift", "dq_referential", "event_sequence_ngrams",
-    "graph_degree_stats", "scan_csv_corrupt",
+    "graph_degree_stats", "scan_csv_corrupt", "dq_reconciliation",
     # scan_partition_pruned_dynamic deliberately NOT portable: its
     # oracle uses DuckDB isodow() because dayofweek() PARSES under
     # spark.sql with 1-based (vs DuckDB 0-based) semantics — the

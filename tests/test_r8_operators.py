@@ -213,6 +213,8 @@ def test_wave_keys_registered_with_oracles():
         "funnel_step_latency",
         "stream_cdc_apply",
         "embed_pca_power",
+        "text_feature_hash",
+        "dq_reconciliation",
     ]:
         assert k in QUERIES and k in ORACLE, k
 
@@ -467,3 +469,73 @@ def test_pca_power_matches_numpy_replay_and_svd(spark, sf_dir):
     sigma1 = np.linalg.svd(xf, compute_uv=False)[0]
     rayleigh = float(np.linalg.norm(xf @ v) ** 2)
     assert rayleigh / sigma1**2 >= 0.95
+
+
+def test_feature_hash_matches_python_poly(spark, sf_dir):
+    """Counter replay with the same acc·31+byte mod 2²⁰ mod 64 fold;
+    per-(doc, bucket) counts must match exactly and Σn per doc must
+    telescope to the doc's word count (the trick loses vocabulary,
+    never tokens)."""
+    from data_webhooks_spark.io import Tables
+    from data_webhooks_spark.operators.text import _FH_BUCKETS, _FH_MOD
+
+    got = QUERIES["text_feature_hash"](spark, sf_dir).toPandas()
+    docs = Tables(spark, sf_dir).documents.toPandas()
+
+    def bucket(w):
+        acc = 0
+        for ch in w:
+            acc = (acc * 31 + ord(ch)) % _FH_MOD
+        return acc % _FH_BUCKETS
+
+    want = Counter()
+    n_words = {}
+    for _, r in docs.iterrows():
+        ws = r["text"].split(" ")
+        n_words[r["doc_id"]] = len(ws)
+        for w in ws:
+            want[(r["doc_id"], bucket(w))] += 1
+    assert dict(zip(zip(got["doc_id"], got["bucket"]), got["n"])) == dict(
+        want
+    )
+    per_doc = got.groupby("doc_id")["n"].sum()
+    assert dict(per_doc) == n_words
+
+
+def test_reconciliation_matches_pandas(spark, sf_dir):
+    """Pandas rederivation of both daily arms; per-day counts and
+    cent-exact totals must match, n_delta must be the identity, and
+    the two sources' day coverage must drive both_present."""
+    from data_webhooks_spark.io import Tables
+
+    got = (
+        QUERIES["dq_reconciliation"](spark, sf_dir)
+        .toPandas()
+        .set_index("day")
+        .sort_index()
+    )
+    t = Tables(spark, sf_dir)
+    ev = _events(spark, sf_dir)
+    ev = ev[ev["event_type"] == "purchase"].copy()
+    ev["day"] = ev["ts"].dt.floor("D")
+    ev["cents"] = np.floor(ev["value"].abs() * 100 + 0.5).astype(
+        np.int64
+    ) * np.sign(ev["value"]).astype(np.int64)
+    eg = ev.groupby("day").agg(n=("value", "size"), cents=("cents", "sum"))
+    od = t.orders.select("o_orderdate", "o_totalprice").toPandas()
+    od["day"] = od["o_orderdate"].dt.floor("D")
+    od["cents"] = np.floor(od["o_totalprice"].abs() * 100 + 0.5).astype(
+        np.int64
+    ) * np.sign(od["o_totalprice"]).astype(np.int64)
+    og = od.groupby("day").agg(
+        n=("o_totalprice", "size"), cents=("cents", "sum")
+    )
+    assert set(got.index) == set(eg.index) | set(og.index)
+    for day, row in got.iterrows():
+        en = eg["n"].get(day, 0)
+        on = og["n"].get(day, 0)
+        assert row["ev_n"] == en and row["ord_n"] == on, day
+        assert row["n_delta"] == on - en, day
+        assert abs(row["ev_value"] - eg["cents"].get(day, 0) / 100) < 1e-6
+        assert abs(row["ord_value"] - og["cents"].get(day, 0) / 100) < 1e-6
+        assert bool(row["both_present"]) == (day in eg.index and day in og.index)
