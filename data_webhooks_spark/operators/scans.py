@@ -393,3 +393,49 @@ def scan_csv_corrupt(spark, sf_dir):
             dec_sum("acctbal", "acctbal_sum"),
         )
     )
+
+
+@op(
+    "scan_parquet_metadata",
+    sql="""
+    SELECT parse_filename(filename) AS file_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(l_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(l_orderkey) AS BIGINT) AS max_key
+    FROM read_parquet('/root/testdata/sf0.01/lineitem.parquet',
+                      filename=true)
+    GROUP BY 1
+    """,
+)
+def scan_parquet_metadata(spark, sf_dir):
+    """File-provenance scan via Spark's hidden `_metadata` struct —
+    the lineage primitive behind 'which file did this bad row come
+    from': per input file, its name, row count, and key range,
+    projected from `_metadata.file_name` with zero extra I/O (the
+    struct is constant per split, populated by the reader). This is
+    how incident response maps a corrupt aggregate back to the
+    ingest batch that wrote it, and the per-file row/range audit a
+    compaction job (`compact_files`) reads before and after.
+
+    The oracle recomputes the same facts through DuckDB's
+    filename=true pseudo-column over the identical path (fixed at the
+    driver's sf0.01, the ORACLE_EVENTS_JSONL precedent).
+
+    Scale (100 TB): `_metadata` adds no shuffle and no extra read —
+    the groupBy on file_name is map-combinable with one group per
+    split owner, output rows = |files|; on a partitioned table the
+    same query audits per-partition file health (row-count skew,
+    degenerate key ranges) directly from a full scan it was running
+    anyway."""
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        df.select(
+            F.col("_metadata.file_name").alias("file_name"), "l_orderkey"
+        )
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("l_orderkey").cast("long").alias("min_key"),
+            F.max("l_orderkey").cast("long").alias("max_key"),
+        )
+    )

@@ -215,6 +215,7 @@ def test_wave_keys_registered_with_oracles():
         "embed_pca_power",
         "text_feature_hash",
         "dq_reconciliation",
+        "scan_parquet_metadata",
     ]:
         assert k in QUERIES and k in ORACLE, k
 
@@ -539,3 +540,24 @@ def test_reconciliation_matches_pandas(spark, sf_dir):
         assert abs(row["ev_value"] - eg["cents"].get(day, 0) / 100) < 1e-6
         assert abs(row["ord_value"] - og["cents"].get(day, 0) / 100) < 1e-6
         assert bool(row["both_present"]) == (day in eg.index and day in og.index)
+
+
+def test_parquet_metadata_matches_pyarrow_footer(spark, sf_dir):
+    """Third way via the parquet FOOTER itself: pyarrow's num_rows and
+    the pandas key range must match what Spark's _metadata projection
+    reports, and the file name must be the real basename."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    got = QUERIES["scan_parquet_metadata"](spark, sf_dir).toPandas()
+    path = f"{sf_dir}/lineitem.parquet"
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert row["file_name"] == os.path.basename(path)
+    pf = pq.ParquetFile(path)
+    assert row["n_rows"] == pf.metadata.num_rows
+    keys = pq.read_table(path, columns=["l_orderkey"]).to_pandas()[
+        "l_orderkey"
+    ]
+    assert row["min_key"] == keys.min() and row["max_key"] == keys.max()
