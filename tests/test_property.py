@@ -175,3 +175,89 @@ def test_simhash_vectorized_equals_reference_on_random_words(words):
     got = simhash64_batch(texts)
     for txt, g in zip(texts, got):
         assert int(g) == simhash64_reference(txt)
+
+
+# ---------- CDC apply-log state specification ----------
+#
+# cdc_apply_log (batch) and stream_cdc_apply (streaming) both compute
+# the same per-user state: (n_ops, n_deletes, max delete key, max
+# upsert key + its value, last ts). These properties pin that the
+# STATE formulation equals an actual sequential replay, and that the
+# state merge is associative under ANY chunking — on logs the fixture
+# never produces (same-timestamp ties, all-tombstone users,
+# delete-then-upsert tails).
+
+_CDC_EMPTY = (0, 0, None, None, None)  # n_ops, n_dels, del_key, upd, last
+
+
+def _cdc_partial(ops):
+    """State of one log slice; ops = [(ts, eid, is_del, value)]."""
+    n_del = sum(1 for o in ops if o[2])
+    del_key = max(((o[0], o[1]) for o in ops if o[2]), default=None)
+    upds = [o for o in ops if not o[2]]
+    upd = max(((o[0], o[1], o[3]) for o in upds), default=None)
+    last = max((o[0], o[1]) for o in ops) if ops else None
+    return (len(ops), n_del, del_key, upd, last)
+
+
+def _cdc_merge(a, b):
+    def mx(x, y):
+        if x is None:
+            return y
+        if y is None:
+            return x
+        return max(x, y)
+
+    return (a[0] + b[0], a[1] + b[1], mx(a[2], b[2]), mx(a[3], b[3]),
+            mx(a[4], b[4]))
+
+
+def _cdc_read(state):
+    """(alive, final_value) derived from the state."""
+    _, _, del_key, upd, _ = state
+    if upd is None:
+        return (False, None)
+    if del_key is None or (upd[0], upd[1]) > del_key:
+        return (True, upd[2])
+    return (False, None)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),  # ts (dense -> ties)
+            st.booleans(),  # tombstone?
+            st.floats(min_value=-10, max_value=10, allow_nan=False),
+        ),
+        min_size=0,
+        max_size=12,
+    ),
+    st.randoms(use_true_random=False),
+)
+def test_cdc_state_equals_sequential_replay_and_merge_associative(
+    raw, rng
+):
+    ops = [(ts, eid, d, v) for eid, (ts, d, v) in enumerate(raw)]
+    # sequential replay in (ts, eid) order: the ground-truth semantics
+    state_val, n_del = None, 0
+    for ts, eid, is_del, v in sorted(ops):
+        if is_del:
+            state_val, n_del = None, n_del + 1
+        else:
+            state_val = v
+    alive, val = _cdc_read(_cdc_partial(ops))
+    assert alive == (state_val is not None)
+    assert val == state_val
+    # associativity: any chunking of the log folds to the same state
+    chunks, cur = [], []
+    for o in ops:
+        cur.append(o)
+        if rng.random() < 0.4:
+            chunks.append(cur)
+            cur = []
+    chunks.append(cur)
+    folded = _CDC_EMPTY
+    for c in chunks:
+        folded = _cdc_merge(folded, _cdc_partial(c))
+    assert folded == _cdc_partial(ops)
