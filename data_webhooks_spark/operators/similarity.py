@@ -1167,34 +1167,41 @@ _PCA_XU = "CAST(FLOOR(CAST(list_extract(embedding, u.dim) AS DOUBLE) * 1e4 + 0.5
 
 
 def _pca_oracle() -> str:
-    """Unrolled fixed-sweep power iteration as chained CTEs (the
-    graph_pagerank recipe) — per-sweep CTEs MATERIALIZED, because
-    DuckDB inlines plain CTEs per reference and y{k} is referenced
-    twice (max + renorm): inlining doubles the plan per sweep, 2^k
-    overall (the un-materialized 8-sweep oracle never finished). each sweep is score = X·v (per vector),
-    gather = Xᵀ·score (per dim), then exact integer renormalization
-    vu' = y·10⁶ div max|y| — both engines truncate toward zero, so the
-    direction is bit-identical with no float budget at all."""
+    """One-pass Gram build + unrolled sweeps as chained CTEs. Every
+    multiply-referenced CTE is MATERIALIZED: DuckDB inlines plain CTEs
+    per reference, which doubles the plan per sweep (2^k — the
+    un-materialized 8-sweep oracle never finished)."""
     sql = f"""
-    WITH ex AS (
+    WITH ex AS MATERIALIZED (
         SELECT vec_id, u.dim, {_PCA_XU} AS xu
         FROM embeddings
         CROSS JOIN (SELECT unnest(range(1, 65)) AS dim) u
+    ),
+    gup AS MATERIALIZED (
+        SELECT a.dim AS i, b.dim AS j,
+               CAST(SUM(a.xu * b.xu) AS BIGINT) AS guv
+        FROM ex a JOIN ex b
+          ON a.vec_id = b.vec_id AND a.dim <= b.dim
+        GROUP BY a.dim, b.dim
+    ),
+    gscale AS (SELECT MAX(ABS(guv)) // 1000000 + 1 AS g FROM gup),
+    gfull AS MATERIALIZED (
+        SELECT i, j, CAST(guv // (SELECT g FROM gscale) AS BIGINT) AS gd
+        FROM gup
+        UNION ALL
+        SELECT j AS i, i AS j,
+               CAST(guv // (SELECT g FROM gscale) AS BIGINT) AS gd
+        FROM gup WHERE i < j
     ),
     v0 AS (SELECT dim, CAST(125000 AS BIGINT) AS vu
            FROM (SELECT unnest(range(1, 65)) AS dim))"""
     prev = "v0"
     for k in range(1, _PCA_SWEEPS + 1):
         sql += f""",
-    s{k} AS MATERIALIZED (
-        SELECT e.vec_id, CAST(SUM(e.xu * v.vu) AS BIGINT) // 1000 AS s
-        FROM ex e JOIN {prev} v ON v.dim = e.dim
-        GROUP BY e.vec_id
-    ),
     y{k} AS MATERIALIZED (
-        SELECT e.dim, CAST(SUM(e.xu * s.s) AS BIGINT) AS y
-        FROM ex e JOIN s{k} s ON s.vec_id = e.vec_id
-        GROUP BY e.dim
+        SELECT g.i AS dim, CAST(SUM(g.gd * v.vu) AS BIGINT) AS y
+        FROM gfull g JOIN {prev} v ON v.dim = g.j
+        GROUP BY g.i
     ),
     m{k} AS (SELECT MAX(ABS(y)) // 1000000 + 1 AS d FROM y{k}),
     v{k} AS (
@@ -1221,22 +1228,35 @@ def embed_pca_power(spark, sf_dir):
     iterative-algorithm pattern beside `graph_pagerank` and
     `dedup_cluster`, applied to the vector column.
 
-    Determinism (the pagerank discipline on floats): components
-    quantize once to exact 1e-4 BIGINT units; each sweep is two exact
-    integer aggregates (score = X·v per vector, gather = Xᵀ·score per
-    dim, with a div-1000 damp keeping products far under 2⁶³) and an
-    exact integer renormalization vu' = y div (max|y| div 10⁶ + 1) —
-    divisor-side scaling so no product ever leaves BIGINT — truncation
-    toward zero on BOTH engines, so all 64 loadings hash bit-for-bit
-    with zero rounding budget. Convergence vs numpy SVD is pinned in
-    tests (not just the replay — the direction must be RIGHT).
+    Shape (the textbook distributed PCA for small d): the corpus is
+    touched ONCE to build the exact 64x64 integer Gram matrix G=XtX
+    (upper triangle aggregated, mirrored), and every sweep then
+    iterates on the 4,096-row G — y = G.v, an aggregate-sized matvec.
+    The first version iterated on the raw exploded table and paid two
+    12.8M-row passes per sweep (x100: 33 s); this one pays one data
+    pass total (x100: see BASELINE).
 
-    Scale (100 TB): each sweep is one equi-join of the exploded
-    component table with a broadcast 64-row direction + two
-    map-combinable groupBys — the classic distributed matvec; the
-    Python loop unrolls {_PCA_SWEEPS} sweeps into one Catalyst plan
-    and per-sweep state is 64 rows. No collect, no UDF, no
-    gram-matrix materialization."""
+    Determinism (the pagerank discipline on floats): components
+    quantize once to exact 1e-4 BIGINT units, G is an exact integer
+    aggregate, and both G and each sweep's gather renormalize by
+    divisor-side integer scaling (x div (max|x| div 10^6 + 1)) so no
+    product ever leaves BIGINT at ANY corpus size — truncation toward
+    zero on both engines, all 64 loadings hash bit-for-bit with zero
+    rounding budget. Convergence is pinned honestly: the fixture
+    spectrum is near-isotropic (sigma1/sigma2 ~ 1.008), so the test
+    asserts the Rayleigh variance ratio (>= 0.95 vs sigma1^2 after
+    {_PCA_SWEEPS} sweeps), not axis identity, which no sweep count
+    pins under a flat spectrum.
+
+    Scale (100 TB): the Gram build is one co-partitioned self-join on
+    vec_id with 64x64-bounded map-side partial aggregation — shuffle
+    volume is |partitions|*4096 rows no matter the corpus; sweeps run
+    on the materialized 4,096-row G with a broadcast 64-row direction
+    (localCheckpoint between sweeps — unbounded iterative lineage
+    stack-overflows Catalyst past ~7 sweeps, the GraphX/ALS
+    checkpoint rule). No UDF; for very wide d the same plan swaps the
+    self-join for a mapInPandas X_part.T @ X_part block kernel (the
+    dedup_embedding precedent)."""
     t = Tables(spark, sf_dir)
     ex = t.embeddings.select(
         "vec_id",
@@ -1248,27 +1268,44 @@ def embed_pca_power(spark, sf_dir):
         (F.col("dim0") + 1).alias("dim"),
         F.floor(F.col("x") * F.lit(1e4) + F.lit(0.5)).cast("long").alias("xu"),
     )
+    b = ex.select(
+        F.col("vec_id").alias("bvid"),
+        F.col("dim").alias("j"),
+        F.col("xu").alias("xj"),
+    )
+    gup = (
+        ex.join(b, (ex["vec_id"] == b["bvid"]) & (ex["dim"] <= b["j"]))
+        .groupBy(ex["dim"].alias("i"), "j")
+        .agg(F.sum(ex["xu"] * b["xj"]).cast("long").alias("guv"))
+    )
+    gscale = gup.agg(F.expr("MAX(ABS(guv)) div 1000000 + 1").alias("g"))
+    gd_up = gup.crossJoin(F.broadcast(gscale)).select(
+        "i", "j", F.expr("CAST(guv div g AS BIGINT)").alias("gd")
+    )
+    g = (
+        gd_up.unionAll(
+            gd_up.filter(F.col("i") < F.col("j")).select(
+                F.col("j").alias("i"), F.col("i").alias("j"), "gd"
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
     v = spark.range(1, 65).select(
         F.col("id").alias("dim"), F.lit(125000).cast("long").alias("vu")
     )
     for _ in range(_PCA_SWEEPS):
-        s = (
-            ex.join(F.broadcast(v), "dim")
-            .groupBy("vec_id")
-            .agg(
-                F.expr("CAST(SUM(xu * vu) AS BIGINT) div 1000").alias("s")
-            )
-        )
         y = (
-            ex.join(s, "vec_id")
-            .groupBy("dim")
-            .agg(F.sum(F.col("xu") * F.col("s")).cast("long").alias("y"))
+            g.join(F.broadcast(v), g["j"] == v["dim"])
+            .groupBy(F.col("i").alias("ydim"))
+            .agg(F.sum(F.col("gd") * F.col("vu")).cast("long").alias("y"))
         )
-        m = y.agg(
-            F.expr("MAX(ABS(y)) div 1000000 + 1").alias("d")
+        m = y.agg(F.expr("MAX(ABS(y)) div 1000000 + 1").alias("d"))
+        v = (
+            y.crossJoin(F.broadcast(m))
+            .select(
+                F.col("ydim").alias("dim"),
+                F.expr("CAST(y div d AS BIGINT)").alias("vu"),
+            )
+            .localCheckpoint(eager=True)
         )
-        v = y.crossJoin(F.broadcast(m)).select(
-            "dim",
-            F.expr("CAST(y div d AS BIGINT)").alias("vu"),
-        ).localCheckpoint(eager=True)
     return v.select("dim", F.col("vu").alias("loading_u"))

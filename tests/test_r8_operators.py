@@ -434,9 +434,9 @@ def test_stream_cdc_apply_equals_batch_twin(spark, sf_dir):
 
 
 def test_pca_power_matches_numpy_replay_and_svd(spark, sf_dir):
-    """(a) Exact replay: numpy integer power iteration with the same
-    1e-4 input units, div-1000 damp, and truncating max-normalization
-    must reproduce all 64 loadings bit-for-bit. (b) Direction sanity:
+    """(a) Exact replay: numpy integer Gram build + power iteration
+    with the same 1e-4 input units and truncating divisor-side
+    normalizations must reproduce all 64 loadings bit-for-bit. (b) Direction sanity:
     the quantized direction must align with numpy's true top singular
     vector (|cos| >= 0.98) — the replay alone would also pass on a
     shared-bug wrong axis."""
@@ -458,10 +458,12 @@ def test_pca_power_matches_numpy_replay_and_svd(spark, sf_dir):
     def div_to_zero(a, b):  # Spark div / DuckDB // truncate toward 0
         return np.sign(a) * (np.abs(a) // b)
 
+    gram = xu.T @ xu  # exact int64
+    g = int(np.abs(gram).max()) // 1_000_000 + 1
+    gd = div_to_zero(gram, g)
     vu = np.full(64, 125000, dtype=np.int64)
     for _ in range(_PCA_SWEEPS):
-        s = div_to_zero(xu @ vu, 1000)
-        y = xu.T @ s
+        y = gd @ vu
         d = int(np.abs(y).max()) // 1_000_000 + 1
         vu = div_to_zero(y, d)
     assert list(got["loading_u"]) == list(vu)
