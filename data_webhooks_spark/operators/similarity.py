@@ -1309,3 +1309,120 @@ def embed_pca_power(spark, sf_dir):
             .localCheckpoint(eager=True)
         )
     return v.select("dim", F.col("vu").alias("loading_u"))
+
+
+@op(
+    "embed_pair_mining",
+    sql=_COS_CTE
+    + """
+    , cand AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+               q.label AS q_label, c.label AS c_label,
+               round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6)
+                   AS cos_sim
+        FROM n q JOIN n c ON q.vec_id < 50 AND c.vec_id <> q.vec_id
+    ),
+    hn AS (
+        SELECT q_id, c_id, cos_sim FROM (
+            SELECT q_id, c_id, cos_sim,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cos_sim DESC, c_id) AS rn
+            FROM cand WHERE q_label <> c_label
+        ) WHERE rn = 1
+    ),
+    hp AS (
+        SELECT q_id, c_id, cos_sim FROM (
+            SELECT q_id, c_id, cos_sim,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cos_sim ASC, c_id) AS rn
+            FROM cand WHERE q_label = c_label
+        ) WHERE rn = 1
+    )
+    SELECT hn.q_id,
+           hn.c_id AS hard_neg_id, hn.cos_sim AS hard_neg_cos,
+           hp.c_id AS hard_pos_id, hp.cos_sim AS hard_pos_cos,
+           hn.cos_sim > hp.cos_sim AS margin_violated
+    FROM hn JOIN hp ON hp.q_id = hn.q_id
+    """,
+)
+def embed_pair_mining(spark, sf_dir):
+    """Hard-pair mining for contrastive training — the training-data
+    op behind every triplet/InfoNCE pipeline: for each anchor, the
+    HARDEST NEGATIVE (most-similar vector with a DIFFERENT label) and
+    the HARDEST POSITIVE (least-similar vector with the SAME label),
+    plus the margin-violated flag (negative closer than positive —
+    the pairs a triplet loss actually learns from, and at corpus
+    scale the only ones worth shipping to the trainer).
+
+    Exact mining over the broadcast 50-anchor side (the
+    sim_cosine_brute shape: queries move, the corpus never does),
+    cosines rounded to 1e-6 with vec_id tiebreaks so both engines
+    pick identical argmins/argmaxes.
+
+    Scale (100 TB): the anchor side broadcasts; candidates stream
+    through two rank windows partitioned by anchor — per-anchor state
+    is one row each way, never the candidate set. The approximate
+    twin at billions of vectors mines hard negatives from the
+    `ann_ivf_pq` shortlist instead of the full scan — same output
+    contract, index-bounded cost."""
+    t = Tables(spark, sf_dir)
+    d = _norm_df(t)
+    q = d.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    c = d.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("label").alias("c_label"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    cand = (
+        F.broadcast(q)
+        .join(c, F.col("c_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "c_id",
+            "q_label",
+            "c_label",
+            F.round(_dot("qe", "ce") / (F.col("qn") * F.col("cn")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w_hn = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), "c_id"
+    )
+    hn = (
+        cand.filter(F.col("q_label") != F.col("c_label"))
+        .withColumn("rn", F.row_number().over(w_hn))
+        .filter(F.col("rn") == 1)
+        .select(
+            "q_id",
+            F.col("c_id").alias("hard_neg_id"),
+            F.col("cos_sim").alias("hard_neg_cos"),
+        )
+    )
+    w_hp = Window.partitionBy("q_id").orderBy(F.col("cos_sim").asc(), "c_id")
+    hp = (
+        cand.filter(F.col("q_label") == F.col("c_label"))
+        .withColumn("rn", F.row_number().over(w_hp))
+        .filter(F.col("rn") == 1)
+        .select(
+            "q_id",
+            F.col("c_id").alias("hard_pos_id"),
+            F.col("cos_sim").alias("hard_pos_cos"),
+        )
+    )
+    return hn.join(hp, "q_id").select(
+        "q_id",
+        "hard_neg_id",
+        "hard_neg_cos",
+        "hard_pos_id",
+        "hard_pos_cos",
+        (F.col("hard_neg_cos") > F.col("hard_pos_cos")).alias(
+            "margin_violated"
+        ),
+    )

@@ -161,6 +161,7 @@ KEYS = [
     "embed_pca_power",
     "text_feature_hash",
     "dq_reconciliation",
+    "embed_pair_mining",
 ]
 MAX_FACTOR = {
     "dedup_embedding": 10,

@@ -414,6 +414,7 @@ NESTED_LOOP_OK = {
     "split_kfold",  # 1-row grand-total scalar onto the k x |langs| cells
     "basket_lift",  # 1-row basket-total scalar onto the <= |brands|^2 pair table
     "embed_pca_power",  # per-sweep 1-row renorm-divisor scalar onto the 64-row direction
+    "embed_pair_mining",  # broadcast 50-anchor side x corpus (sim_cosine_brute shape)
     "embed_matryoshka_eval",  # broadcast 80-row query side x corpus (sim_cosine_brute shape)
     # deliberately tiny cross/broadcast sides (<= dozens of rows or
     # candidate sets bounded by construction)

@@ -216,6 +216,7 @@ def test_wave_keys_registered_with_oracles():
         "text_feature_hash",
         "dq_reconciliation",
         "scan_parquet_metadata",
+        "embed_pair_mining",
     ]:
         assert k in QUERIES and k in ORACLE, k
 
@@ -563,3 +564,43 @@ def test_parquet_metadata_matches_pyarrow_footer(spark, sf_dir):
         "l_orderkey"
     ]
     assert row["min_key"] == keys.min() and row["max_key"] == keys.max()
+
+
+def test_pair_mining_matches_numpy(spark, sf_dir):
+    """Numpy recompute of the hardest negative / hardest positive per
+    anchor with the same 1e-6 rounding and vec_id tiebreaks; every
+    picked id, cosine, and margin flag must match."""
+    from data_webhooks_spark.io import Tables
+
+    got = (
+        QUERIES["embed_pair_mining"](spark, sf_dir)
+        .toPandas()
+        .set_index("q_id")
+        .sort_index()
+    )
+    emb = Tables(spark, sf_dir).embeddings.toPandas()
+    X = np.stack([np.asarray(e, dtype=np.float64) for e in emb["embedding"]])
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    ids = emb["vec_id"].to_numpy()
+    labels = emb["label"].to_numpy()
+    assert len(got) == 50
+    for q in range(50):
+        qi = np.where(ids == q)[0][0]
+        cos = np.round(X @ X[qi], 6)
+        row = got.loc[q]
+        for same, (id_col, cos_col, best) in {
+            False: (("hard_neg_id", "hard_neg_cos", "max")),
+            True: (("hard_pos_id", "hard_pos_cos", "min")),
+        }.items():
+            mask = (labels == labels[qi]) == same
+            mask &= ids != q
+            cands = sorted(
+                zip(cos[mask], ids[mask]),
+                key=lambda t: (-t[0], t[1]) if best == "max" else (t[0], t[1]),
+            )
+            want_cos, want_id = cands[0]
+            assert row[id_col] == want_id, (q, id_col)
+            assert abs(row[cos_col] - want_cos) < 1e-9, (q, cos_col)
+        assert bool(row["margin_violated"]) == (
+            row["hard_neg_cos"] > row["hard_pos_cos"]
+        )
