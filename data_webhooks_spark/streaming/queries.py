@@ -1579,3 +1579,95 @@ def stream_cdc_apply(spark, sf_dir):
             "CAST(timestamp_micros(last_us) AS TIMESTAMP_NTZ)"
         ).alias("last_ts"),
     )
+
+
+@op(
+    "stream_hll_distinct",
+    sql="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS est_ok
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT '__all__', COUNT(DISTINCT user_id), TRUE FROM events
+    """,
+)
+def stream_hll_distinct(spark, sf_dir):
+    """STREAMING distinct users via mergeable HLL sketch state — the
+    reason sketches exist in a streaming engine: per micro-batch,
+    each event type's DataSketches HLL partial is UNIONED into a
+    versioned per-type store (the stream_cdc_apply discipline: write
+    v_n, read v_{n-1}), so distinct-user state stays a fixed ~KB blob
+    per key forever while exact streaming distinct would grow state
+    with every new user. The final read estimates each type AND
+    re-unions all types into a global '__all__' — the same sketches
+    answer both without touching the stream again (the
+    agg_hll_sketch rollup property, now across micro-batches too).
+
+    Oracle strategy (tolerance-boolean, the agg_hll_sketch/KLL/Theta
+    pattern): output exact counts (DuckDB-computable from the same
+    fixture the replay chunks derive from) plus est_ok — every sketch
+    estimate within 5% (+2 absolute) of exact — so the full
+    stream-merge pipeline is hash-checked, not rows-only.
+
+    Scale (100 TB/day): sketch partials build map-side per batch,
+    the union-merge shuffles |types| KB-sized rows, and the store
+    never grows — this is the only distinct-counting shape that
+    survives unbounded streams."""
+    tune(spark)
+    root = f"{RUNTIME_DIR}/hllstate/{uuid.uuid4().hex[:12]}"
+    os.makedirs(root, exist_ok=True)
+
+    def merge_batch(df: DataFrame, batch_id: int) -> None:
+        part = df.groupBy("event_type").agg(
+            F.hll_sketch_agg("user_id", 14).alias("sk")
+        )
+        versions = sorted(
+            int(p[1:]) for p in os.listdir(root) if p.startswith("v")
+        )
+        if versions:
+            prev = spark.read.parquet(f"{root}/v{versions[-1]}")
+            part = (
+                prev.unionByName(part)
+                .groupBy("event_type")
+                .agg(F.hll_union_agg("sk").alias("sk"))
+            )
+        part.write.mode("overwrite").parquet(f"{root}/v{batch_id}")
+
+    s = read_replay_stream(spark, sf_dir, files_per_trigger=1)
+    q = (
+        s.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    versions = sorted(int(p[1:]) for p in os.listdir(root) if p.startswith("v"))
+    st = spark.read.parquet(f"{root}/v{versions[-1]}")
+    t = Tables(spark, sf_dir)
+    exact = t.events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+
+    def ok(est, ex):
+        return F.abs(est - ex) <= F.greatest(F.lit(2.0), 0.05 * ex)
+
+    per_type = st.join(exact, "event_type").select(
+        "event_type",
+        "exact_users",
+        ok(F.hll_sketch_estimate("sk"), F.col("exact_users")).alias(
+            "est_ok"
+        ),
+    )
+    g_est = st.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("g_est")
+    )
+    g_exact = t.events.agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    g = g_exact.crossJoin(F.broadcast(g_est)).select(
+        F.lit("__all__").alias("event_type"),
+        "exact_users",
+        ok(F.col("g_est"), F.col("exact_users")).alias("est_ok"),
+    )
+    return per_type.unionAll(g)

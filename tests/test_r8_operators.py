@@ -217,6 +217,7 @@ def test_wave_keys_registered_with_oracles():
         "dq_reconciliation",
         "scan_parquet_metadata",
         "embed_pair_mining",
+        "stream_hll_distinct",
     ]:
         assert k in QUERIES and k in ORACLE, k
 
@@ -604,3 +605,72 @@ def test_pair_mining_matches_numpy(spark, sf_dir):
         assert bool(row["margin_violated"]) == (
             row["hard_neg_cos"] > row["hard_pos_cos"]
         )
+
+
+def test_stream_hll_union_equals_batch_sketch(spark, sf_dir):
+    """HLL state is a register-max CRDT: unioning per-micro-batch
+    sketches must produce EXACTLY the estimate of one batch sketch
+    over the whole stream (not merely within tolerance) — per type
+    and for the global all-types union."""
+    from pyspark.sql import functions as F
+
+    from data_webhooks_spark.io import Tables
+
+    got = (
+        QUERIES["stream_hll_distinct"](spark, sf_dir)
+        .toPandas()
+        .set_index("event_type")
+    )
+    assert got["est_ok"].all()
+    ev = Tables(spark, sf_dir).events
+    batch = (
+        ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", 14)
+            ).alias("est"),
+            F.countDistinct("user_id").alias("exact"),
+        )
+        .toPandas()
+        .set_index("event_type")
+    )
+    for et, row in batch.iterrows():
+        assert got.loc[et, "exact_users"] == row["exact"], et
+    g_exact = ev.agg(F.countDistinct("user_id")).collect()[0][0]
+    assert got.loc["__all__", "exact_users"] == g_exact
+    # the CRDT property itself, engine-level: per-chunk sketches
+    # unioned must estimate EXACTLY what one sketch over all chunks
+    # estimates (register-max merge is associative and deterministic)
+    from data_webhooks_spark.streaming.core import (
+        REPLAY_SCHEMA,
+        replay_dir,
+    )
+
+    chunks = spark.read.schema(REPLAY_SCHEMA).parquet(
+        replay_dir(sf_dir)
+    )
+    import pyspark.sql.functions as SF
+
+    per_chunk = (
+        chunks.withColumn("chunk", SF.spark_partition_id() % 4)
+        .groupBy("event_type", "chunk")
+        .agg(SF.hll_sketch_agg("user_id", 14).alias("sk"))
+    )
+    unioned = (
+        per_chunk.groupBy("event_type")
+        .agg(SF.hll_sketch_estimate(SF.hll_union_agg("sk")).alias("est"))
+        .toPandas()
+        .set_index("event_type")
+    )
+    oneshot = (
+        chunks.groupBy("event_type")
+        .agg(
+            SF.hll_sketch_estimate(
+                SF.hll_sketch_agg("user_id", 14)
+            ).alias("est")
+        )
+        .toPandas()
+        .set_index("event_type")
+    )
+    for et in oneshot.index:
+        assert unioned.loc[et, "est"] == oneshot.loc[et, "est"], et
