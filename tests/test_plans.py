@@ -415,6 +415,7 @@ NESTED_LOOP_OK = {
     "basket_lift",  # 1-row basket-total scalar onto the <= |brands|^2 pair table
     "embed_pca_power",  # per-sweep 1-row renorm-divisor scalar onto the 64-row direction
     "embed_pair_mining",  # broadcast 50-anchor side x corpus (sim_cosine_brute shape)
+    "stream_hll_distinct",  # 1-row global-union estimate scalar onto the 1-row exact count
     "embed_matryoshka_eval",  # broadcast 80-row query side x corpus (sim_cosine_brute shape)
     # deliberately tiny cross/broadcast sides (<= dozens of rows or
     # candidate sets bounded by construction)
