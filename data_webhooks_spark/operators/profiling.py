@@ -611,7 +611,11 @@ def dq_referential(spark, sf_dir):
     column only — the join input is |keys|, not |rows|, and AQE
     broadcasts whichever side is small. The 5 arms are independent
     branches unioned into one 5-row result; nothing touches the
-    driver."""
+    driver. Deliberately one single-column scan PER ARM, not one
+    exploded multi-FK scan: parquet is columnar, so three pruned
+    single-column reads of lineitem are cheaper than one scan
+    explode-tripled through a combined shuffle (measured 13.0 s vs
+    19.1 s at x100)."""
     t = Tables(spark, sf_dir)
     arms = []
     for fk, child, ck, parent, pk in _FK_EDGES:
