@@ -158,3 +158,74 @@ def sql_passthrough(spark, sf_dir):
     for name in ("orders", "customer", "nation"):
         getattr(t, name).createOrReplaceTempView(name)
     return spark.sql(ORACLE["sql_passthrough"])
+
+
+@op(
+    "filter_exists_correlated",
+    sql="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_quantity > 45)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_discount > 0.09)
+    GROUP BY o_orderpriority
+    """,
+)
+def filter_exists_correlated(spark, sf_dir):
+    """Correlated EXISTS / NOT EXISTS filtering — the subquery form
+    users actually write, pinned through Catalyst's DECORRELATION:
+    both predicates must rewrite to existence joins (left semi for
+    EXISTS, left anti for NOT EXISTS on the same fact), never a
+    per-row subquery evaluation. The same rewrite is what tpch_q4/q21
+    rely on; this key isolates it on minimal scaffolding so a
+    decorrelation regression is attributable (plan pinned in
+    test_plans.py).
+
+    Scale (100 TB): two equi-joins on the order key — co-partitioned
+    with the probe side, the lineitem side pre-filtered by its pushed
+    predicate before either join; exact integer counts."""
+    t = Tables(spark, sf_dir)
+    for name in ("orders", "lineitem"):
+        getattr(t, name).createOrReplaceTempView(name)
+    return spark.sql(ORACLE["filter_exists_correlated"])
+
+
+@op(
+    "filter_not_in_vs_not_exists",
+    sql="""
+    WITH big_spenders AS (
+        SELECT CASE WHEN o_totalprice > 400000 THEN o_custkey END AS k
+        FROM orders
+    )
+    SELECT 'not_in' AS semantics, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM customer WHERE c_custkey NOT IN (SELECT k FROM big_spenders)
+    UNION ALL
+    SELECT 'not_exists', CAST(COUNT(*) AS BIGINT)
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM big_spenders b
+                      WHERE b.k = c.c_custkey)
+    """,
+)
+def filter_not_in_vs_not_exists(spark, sf_dir):
+    """The NOT IN null trap, pinned as an operator: the subquery
+    column contains NULLs (every order at or under the spend
+    threshold yields NULL), so ANSI three-valued logic makes
+    `NOT IN` return ZERO rows — `x NOT IN (…, NULL)` is never true —
+    while `NOT EXISTS` ignores the NULLs and returns the real
+    complement. Both engines implement the same standard, so the pair
+    of counts hash-checks; Spark plans the NOT IN arm as a
+    null-aware anti join (the single-column NAAJ), the NOT EXISTS arm
+    as a plain left anti. Every data team hits this once; an engine
+    that silently treats the two as equivalent corrupts complements
+    at any scale.
+
+    Scale: both arms are anti joins on the customer key against an
+    aggregate-pruned subquery side; the NAAJ degenerates to a
+    broadcast null-check plus hash lookup."""
+    t = Tables(spark, sf_dir)
+    for name in ("orders", "customer"):
+        getattr(t, name).createOrReplaceTempView(name)
+    return spark.sql(ORACLE["filter_not_in_vs_not_exists"])

@@ -96,6 +96,7 @@ PORTABLE_ORACLES = frozenset({
     # stay DuckDB-dialect)
     "basket_lift", "dq_referential", "event_sequence_ngrams",
     "graph_degree_stats", "scan_csv_corrupt", "dq_reconciliation",
+    "filter_exists_correlated", "filter_not_in_vs_not_exists",
     # scan_partition_pruned_dynamic deliberately NOT portable: its
     # oracle uses DuckDB isodow() because dayofweek() PARSES under
     # spark.sql with 1-based (vs DuckDB 0-based) semantics — the

@@ -218,6 +218,8 @@ def test_wave_keys_registered_with_oracles():
         "scan_parquet_metadata",
         "embed_pair_mining",
         "stream_hll_distinct",
+        "filter_exists_correlated",
+        "filter_not_in_vs_not_exists",
     ]:
         assert k in QUERIES and k in ORACLE, k
 
@@ -674,3 +676,67 @@ def test_stream_hll_union_equals_batch_sketch(spark, sf_dir):
     )
     for et in oneshot.index:
         assert unioned.loc[et, "est"] == oneshot.loc[et, "est"], et
+
+
+def test_exists_correlated_matches_pandas(spark, sf_dir):
+    """Set-logic rederivation: orders with some qty>45 line and no
+    discount>0.09 line, counted per priority."""
+    from data_webhooks_spark.io import Tables
+
+    got = (
+        QUERIES["filter_exists_correlated"](spark, sf_dir)
+        .toPandas()
+        .set_index("o_orderpriority")
+    )
+    t = Tables(spark, sf_dir)
+    li = t.lineitem.select(
+        "l_orderkey", "l_quantity", "l_discount"
+    ).toPandas()
+    orders = t.orders.select("o_orderkey", "o_orderpriority").toPandas()
+    has_big = set(li.loc[li["l_quantity"] > 45, "l_orderkey"])
+    has_disc = set(li.loc[li["l_discount"] > 0.09, "l_orderkey"])
+    keep = orders[
+        orders["o_orderkey"].isin(has_big)
+        & ~orders["o_orderkey"].isin(has_disc)
+    ]
+    want = keep.groupby("o_orderpriority").size()
+    assert dict(got["n_orders"]) == dict(want)
+
+
+def test_not_in_trap_semantics_and_plans(spark, sf_dir):
+    """(a) ANSI three-valued logic: the NOT IN arm must return 0 rows
+    (the subquery column contains NULLs) while NOT EXISTS returns the
+    true complement, rederived in pandas. (b) Plan pins: the EXISTS
+    key decorrelates to semi+anti joins; no BroadcastNestedLoop
+    anywhere in either key."""
+    import io
+    from contextlib import redirect_stdout
+
+    from data_webhooks_spark.io import Tables
+
+    got = (
+        QUERIES["filter_not_in_vs_not_exists"](spark, sf_dir)
+        .toPandas()
+        .set_index("semantics")
+    )
+    t = Tables(spark, sf_dir)
+    orders = t.orders.select("o_custkey", "o_totalprice").toPandas()
+    cust = t.customer.select("c_custkey").toPandas()
+    spenders = set(
+        orders.loc[orders["o_totalprice"] > 400000, "o_custkey"]
+    )
+    assert got.loc["not_in", "n_rows"] == 0  # the trap, by the standard
+    assert got.loc["not_exists", "n_rows"] == (
+        ~cust["c_custkey"].isin(spenders)
+    ).sum()
+    for key, needles in [
+        ("filter_exists_correlated", ["Semi", "Anti"]),
+        ("filter_not_in_vs_not_exists", ["Anti"]),
+    ]:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            QUERIES[key](spark, sf_dir).explain("formatted")
+        plan = buf.getvalue()
+        for n in needles:
+            assert n in plan, (key, n)
+        assert "BroadcastNestedLoop" not in plan, key
