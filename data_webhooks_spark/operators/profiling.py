@@ -754,3 +754,77 @@ def dq_reconciliation(spark, sf_dir):
             "both_present"
         ),
     )
+
+
+@op(
+    "dq_observe",
+    sql="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (WHERE value < 0) AS BIGINT) AS n_negative,
+           CAST(COUNT(*) FILTER (WHERE props IS NULL OR props = '')
+                AS BIGINT) AS n_empty_props,
+           CAST(SUM(CASE WHEN value >= 0
+                THEN CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                ELSE -CAST(FLOOR(-value * 100.0 + 0.5) AS BIGINT) END)
+             AS DOUBLE) / 100 AS value_total
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def dq_observe(spark, sf_dir):
+    """In-flight DQ metrics via Spark's Observation API — the
+    mechanism that instruments a PRODUCTION query without a second
+    scan: `df.observe(...)` attaches named aggregates that accumulate
+    as a side effect of whatever action the pipeline was running
+    anyway, so row counts, violation counters, and exact cent totals
+    come back with the job instead of from a separate audit pass
+    (`dq_checks` is that separate pass; this is the zero-extra-cost
+    twin for queries that already run). The operator instruments the
+    purchase-feed projection, drives it with the pipeline's own
+    action, and returns the observed metrics — hash-checked against
+    the oracle recomputing them from the raw table, which proves the
+    observed values ARE the query's true aggregates.
+
+    Scale (100 TB): observation metrics are Spark accumulators —
+    merged per task on the driver, no shuffle, no extra scan; the
+    pattern costs nothing beyond the job it rides. The count here is
+    the action a real pipeline replaces with its write."""
+    from pyspark.sql import Observation
+
+    t = Tables(spark, sf_dir)
+    obs = Observation()
+    feed = t.events.filter(F.col("event_type") == "purchase").observe(
+        obs,
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count(F.when(F.col("value") < 0, 1)).cast("long").alias(
+            "n_negative"
+        ),
+        F.count(
+            F.when(
+                F.col("props").isNull() | (F.col("props") == ""), 1
+            )
+        )
+        .cast("long")
+        .alias("n_empty_props"),
+        (
+            F.sum(
+                F.when(
+                    F.col("value") >= 0,
+                    F.floor(F.col("value") * 100.0 + 0.5),
+                ).otherwise(-F.floor(-F.col("value") * 100.0 + 0.5))
+            ).cast("double")
+            / 100
+        ).alias("value_total"),
+    )
+    feed.write.format("noop").mode("overwrite").save()  # the ride-along action
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["n_negative"],
+                m["n_empty_props"],
+                float(m["value_total"]),
+            )
+        ],
+        "n_rows long, n_negative long, n_empty_props long, value_total double",
+    )

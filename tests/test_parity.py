@@ -98,6 +98,7 @@ PORTABLE_ORACLES = frozenset({
     "graph_degree_stats", "scan_csv_corrupt", "dq_reconciliation",
     "filter_exists_correlated", "filter_not_in_vs_not_exists",
     "stream_hll_distinct",  # batch-restatement oracle is plain ANSI
+    "dq_observe",  # raw-table recompute oracle is plain ANSI
     # scan_partition_pruned_dynamic deliberately NOT portable: its
     # oracle uses DuckDB isodow() because dayofweek() PARSES under
     # spark.sql with 1-based (vs DuckDB 0-based) semantics — the

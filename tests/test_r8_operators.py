@@ -220,6 +220,7 @@ def test_wave_keys_registered_with_oracles():
         "stream_hll_distinct",
         "filter_exists_correlated",
         "filter_not_in_vs_not_exists",
+        "dq_observe",
     ]:
         assert k in QUERIES and k in ORACLE, k
 
@@ -740,3 +741,35 @@ def test_not_in_trap_semantics_and_plans(spark, sf_dir):
         for n in needles:
             assert n in plan, (key, n)
         assert "BroadcastNestedLoop" not in plan, key
+
+
+def test_observe_metrics_equal_agg_path_and_pandas(spark, sf_dir):
+    """The Observation accumulators must equal (a) the same aggregates
+    computed through the normal agg path on the same session and (b) a
+    pandas recount — proving ride-along metrics are the query's true
+    aggregates, not approximations."""
+    from pyspark.sql import functions as F
+
+    from data_webhooks_spark.io import Tables
+
+    got = QUERIES["dq_observe"](spark, sf_dir).toPandas().iloc[0]
+    feed = Tables(spark, sf_dir).events.filter(
+        F.col("event_type") == "purchase"
+    )
+    agg = feed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("value") < 0, 1)).alias("neg"),
+    ).collect()[0]
+    assert got["n_rows"] == agg["n"] and got["n_negative"] == agg["neg"]
+    ev = _events(spark, sf_dir)
+    p = ev[ev["event_type"] == "purchase"]
+    assert got["n_rows"] == len(p)
+    assert got["n_negative"] == (p["value"] < 0).sum()
+    assert got["n_empty_props"] == (
+        p["props"].isna() | (p["props"] == "")
+    ).sum()
+    cents = (
+        np.floor(p["value"].abs() * 100 + 0.5).astype(np.int64)
+        * np.sign(p["value"]).astype(np.int64)
+    ).sum()
+    assert abs(got["value_total"] - cents / 100) < 1e-6
