@@ -2085,3 +2085,112 @@ def text_feature_hash(spark, sf_dir):
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+@op(
+    "pipeline_dedup_prep",
+    sql="WITH "
+    + _NGRAM_CTE
+    + """,
+    dg AS (SELECT DISTINCT doc_id, ngram FROM ngrams),
+    first_seen AS (
+        SELECT ngram, MIN(doc_id) AS first_doc FROM dg GROUP BY ngram
+    ),
+    novelty AS (
+        SELECT d.doc_id,
+               FLOOR(CAST(COUNT(*) FILTER (WHERE f.first_doc = d.doc_id)
+                          AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6
+                   AS novelty_rate
+        FROM dg d JOIN first_seen f ON f.ngram = d.ngram
+        GROUP BY d.doc_id
+    ),
+    fp AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   list_sort(list_distinct(string_split(text, ' '))),
+                   ' ')) AS fingerprint,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               CAST(len(list_distinct(string_split(text, ' ')))
+                    AS BIGINT) AS n_uniq
+        FROM documents
+    ),
+    canon AS (
+        SELECT fingerprint, MIN(doc_id) AS canonical_doc
+        FROM fp GROUP BY fingerprint
+    )
+    SELECT f.doc_id,
+           f.doc_id = c.canonical_doc AS is_canonical,
+           COALESCE(n.novelty_rate, 0.0) AS novelty_rate,
+           f.n_words BETWEEN 20 AND 200
+               AND 5 * f.n_uniq > f.n_words AS quality_pass,
+           f.doc_id = c.canonical_doc
+               AND COALESCE(n.novelty_rate, 0.0) >= 0.2
+               AND (f.n_words BETWEEN 20 AND 200
+                    AND 5 * f.n_uniq > f.n_words) AS keep
+    FROM fp f
+    JOIN canon c ON c.fingerprint = f.fingerprint
+    LEFT JOIN novelty n ON n.doc_id = f.doc_id
+    """,
+)
+def pipeline_dedup_prep(spark, sf_dir):
+    """END-TO-END dedup-decision capstone (the fourth pipeline_*
+    bookend beside text/events/embed/media prep): the per-document
+    KEEP/DROP table a training-data ingest materializes before
+    tokenization — is this doc its exact-duplicate group's canonical
+    (lowest doc_id per bag-of-words fingerprint), how novel are its
+    trigrams against everything ingested before it, does it clear the
+    quality gate (word count in range, unique-word ratio > 1/5 as an
+    exact integer cross-multiplication), and the final conjunction
+    with reasons preserved per doc so drops are auditable.
+
+    One plan: fingerprint + quality facts come from a single document
+    scan; novelty reuses the text_ngram_novelty chain (distinct
+    postings → MIN attribution → doc rollup); the canonical pick is a
+    fingerprint-keyed MIN joined back. Everything exact-integer or
+    quantized-once; the conjunction is pure boolean algebra over
+    hash-checked legs.
+
+    Scale (100 TB): the same shapes its legs already proved —
+    map-combinable aggregations keyed by fingerprint / ngram / doc,
+    never doc-pairwise; the decision table is one row per doc and the
+    reasons make incremental re-runs idempotent (a re-crawled dup
+    drops as non-canonical, not by luck of ordering)."""
+    t = Tables(spark, sf_dir)
+    dg = _spark_ngrams(t).distinct()
+    first = dg.groupBy("ngram").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1))
+    novelty = (
+        dg.join(first, "ngram")
+        .groupBy("doc_id")
+        .agg(
+            qnt(novel.cast("double") / F.count(F.lit(1)), "novelty_rate")
+        )
+    )
+    toks = _tokens()
+    fp = t.documents.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
+        ).alias("fingerprint"),
+        F.size(toks).cast("long").alias("n_words"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq"),
+    )
+    canon = fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("canonical_doc")
+    )
+    quality = F.col("n_words").between(20, 200) & (
+        5 * F.col("n_uniq") > F.col("n_words")
+    )
+    is_canon = F.col("doc_id") == F.col("canonical_doc")
+    nov = F.coalesce(F.col("novelty_rate"), F.lit(0.0))
+    return (
+        fp.join(canon, "fingerprint")
+        .join(novelty, "doc_id", "left")
+        .select(
+            "doc_id",
+            is_canon.alias("is_canonical"),
+            nov.alias("novelty_rate"),
+            quality.alias("quality_pass"),
+            (is_canon & (nov >= 0.2) & quality).alias("keep"),
+        )
+    )

@@ -115,7 +115,7 @@ _WINDOW = [
     "dedup_minhash",
     "join_interval_binned",
 ]
-# R8 WINDOW SEED — the 38 operators ADDED in r7, deliberately kept
+# R8 WINDOW SEED — the 39 operators ADDED in r7, deliberately kept
 # out of the first 50 until their rotation round (the r5/r6/r7
 # discipline): analytics_dau_mau, profile_string_patterns,
 # warehouse_snapshot_diff, ts_stl_decompose, text_collocations_pmi,
@@ -130,7 +130,7 @@ _WINDOW = [
 # stream_cdc_apply, embed_pca_power, text_feature_hash,
 # dq_reconciliation, scan_parquet_metadata, embed_pair_mining,
 # stream_hll_distinct, filter_exists_correlated,
-# filter_not_in_vs_not_exists, dq_observe. All
+# filter_not_in_vs_not_exists, dq_observe, pipeline_dedup_prep. All
 # are locally oracle-swept (or exact-replay
 # pinned for the rows-only key), invariant-tested in
 # tests/test_r7_operators.py, plan/dtype-linted, and scale-swept this

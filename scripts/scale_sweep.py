@@ -162,6 +162,7 @@ KEYS = [
     "text_feature_hash",
     "dq_reconciliation",
     "embed_pair_mining",
+    "pipeline_dedup_prep",
 ]
 MAX_FACTOR = {
     "dedup_embedding": 10,

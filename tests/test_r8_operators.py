@@ -221,6 +221,7 @@ def test_wave_keys_registered_with_oracles():
         "filter_exists_correlated",
         "filter_not_in_vs_not_exists",
         "dq_observe",
+        "pipeline_dedup_prep",
     ]:
         assert k in QUERIES and k in ORACLE, k
 
@@ -773,3 +774,58 @@ def test_observe_metrics_equal_agg_path_and_pandas(spark, sf_dir):
         * np.sign(p["value"]).astype(np.int64)
     ).sum()
     assert abs(got["value_total"] - cents / 100) < 1e-6
+
+
+def test_dedup_prep_replay_and_identities(spark, sf_dir):
+    """Python replay of all three legs (canonical pick by sorted-set
+    fingerprint, streaming trigram novelty, integer quality rule) and
+    the decision identities: keep == AND of reasons, exactly one
+    canonical per fingerprint group, and sum(novel counts) telescopes
+    implicitly via the novelty leg already pinned elsewhere."""
+    import hashlib
+
+    from data_webhooks_spark.io import Tables
+
+    got = (
+        QUERIES["pipeline_dedup_prep"](spark, sf_dir)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    docs = (
+        Tables(spark, sf_dir)
+        .documents.select("doc_id", "text")
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    assert len(got) == len(docs)
+    first_by_fp, seen_grams = {}, set()
+    expect = {}
+    for _, r in docs.iterrows():
+        ws = r["text"].split(" ")
+        fp = hashlib.md5(
+            " ".join(sorted(set(ws))).encode()
+        ).hexdigest()
+        canonical = first_by_fp.setdefault(fp, r["doc_id"]) == r["doc_id"]
+        grams = {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+        novel = len(grams - seen_grams) / len(grams) if grams else 0.0
+        seen_grams |= grams
+        quality = 20 <= len(ws) <= 200 and 5 * len(set(ws)) > len(ws)
+        expect[r["doc_id"]] = (canonical, novel, quality)
+    for doc_id, (canonical, novel, quality) in expect.items():
+        row = got.loc[doc_id]
+        assert bool(row["is_canonical"]) == canonical, doc_id
+        assert abs(row["novelty_rate"] - novel) < 1e-6, doc_id
+        assert bool(row["quality_pass"]) == quality, doc_id
+        assert bool(row["keep"]) == (
+            canonical and row["novelty_rate"] >= 0.2 and quality
+        ), doc_id
+    # exactly one canonical per fingerprint group
+    fps = {}
+    for _, r in docs.iterrows():
+        fp = hashlib.md5(
+            " ".join(sorted(set(r["text"].split(" ")))).encode()
+        ).hexdigest()
+        fps.setdefault(fp, []).append(r["doc_id"])
+    for fp, members in fps.items():
+        assert sum(bool(got.loc[d, "is_canonical"]) for d in members) == 1
