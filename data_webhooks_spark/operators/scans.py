@@ -24,6 +24,7 @@ from ..sources.derived import (
     ORACLE_CUSTOMER_CSV,
     ORACLE_EVENTS_EVOLVE,
     ORACLE_EVENTS_JSONL,
+    ORACLE_SF_DIR,
     derived_path,
 )
 
@@ -397,12 +398,12 @@ def scan_csv_corrupt(spark, sf_dir):
 
 @op(
     "scan_parquet_metadata",
-    sql="""
+    sql=f"""
     SELECT parse_filename(filename) AS file_name,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(MIN(l_orderkey) AS BIGINT) AS min_key,
            CAST(MAX(l_orderkey) AS BIGINT) AS max_key
-    FROM read_parquet('/root/testdata/sf0.01/lineitem.parquet',
+    FROM read_parquet('{ORACLE_SF_DIR}/lineitem.parquet',
                       filename=true)
     GROUP BY 1
     """,

@@ -1219,7 +1219,7 @@ def _pca_oracle() -> str:
 
 @op("embed_pca_power", sql=_pca_oracle())
 def embed_pca_power(spark, sf_dir):
-    """Dominant direction of the embedding corpus via {_PCA_SWEEPS}
+    """Dominant direction of the embedding corpus via 8
     power-iteration sweeps (uncentered PCA / top right singular
     vector) — the corpus-drift fingerprint: a new crawl whose top
     direction rotates has changed its dominant topic/style axis, and
@@ -1245,7 +1245,7 @@ def embed_pca_power(spark, sf_dir):
     rounding budget. Convergence is pinned honestly: the fixture
     spectrum is near-isotropic (sigma1/sigma2 ~ 1.008), so the test
     asserts the Rayleigh variance ratio (>= 0.95 vs sigma1^2 after
-    {_PCA_SWEEPS} sweeps), not axis identity, which no sweep count
+    8 sweeps), not axis identity, which no sweep count
     pins under a flat spectrum.
 
     Scale (100 TB): the Gram build is one co-partitioned self-join on

@@ -1907,7 +1907,7 @@ def _zipf_units_sql(expr: str) -> str:
 def text_zipf_fit(spark, sf_dir):
     """Zipf's-law fit over the corpus unigram distribution — the
     corpus-health gauge LLM data teams run on every new source: OLS of
-    ln(frequency) on ln(rank) over the top {_ZIPF_TOP} terms gives the
+    ln(frequency) on ln(rank) over the top 200 terms gives the
     Zipf slope (natural text ~ -1), intercept, and R². A synthetic or
     template-generated corpus shows up as a slope far from -1 or a
     poor log-log fit long before downstream loss does (Piantadosi
@@ -1922,7 +1922,7 @@ def text_zipf_fit(spark, sf_dir):
     Scale (100 TB): token explode -> word-keyed partial-agg count
     (the Zipfian head is AQE's skew case), then a global top-K that
     plans as TakeOrdered (per-partition heap + K-row driver merge,
-    never a full vocab sort); the OLS itself runs over {_ZIPF_TOP}
+    never a full vocab sort); the OLS itself runs over 200
     rows — constant work after the count."""
     t = Tables(spark, sf_dir)
     freq = (
@@ -2035,7 +2035,7 @@ _FH_MOD = 1_048_576  # keep the rolling accumulator bounded in BIGINT
         SELECT doc_id,
                list_reduce(
                    list_prepend(CAST(0 AS BIGINT),
-                       list_transform(range(1, strlen(w) + 1),
+                       list_transform(range(1, length(w) + 1),
                                       i -> CAST(ascii(substr(w, CAST(i AS INT), 1))
                                                 AS BIGINT))),
                    (acc, b) -> (acc * 31 + b) % {_FH_MOD}
@@ -2050,7 +2050,7 @@ _FH_MOD = 1_048_576  # keep the rolling accumulator bounded in BIGINT
 def text_feature_hash(spark, sf_dir):
     """Feature hashing (the 'hashing trick', Weinberger et al.
     ICML'09): every token maps through a fixed polynomial hash into
-    one of {_FH_BUCKETS} buckets and each document becomes a sparse
+    one of 64 buckets and each document becomes a sparse
     (bucket, count) vector — the vocabulary-free featurizer used when
     a vocab table is unbuildable or must never ship (PII), and the
     baseline featurization for linear probes over a corpus. Sparse
@@ -2065,7 +2065,7 @@ def text_feature_hash(spark, sf_dir):
 
     Scale (100 TB): token explode -> per-word codegen fold (no UDF,
     no vocab join, no shuffle before the count) -> (doc, bucket)
-    map-combinable groupBy bounded by |docs|·{_FH_BUCKETS}. This is
+    map-combinable groupBy bounded by |docs|·64 buckets. This is
     the featurizer whose cost does NOT grow with vocabulary — the
     whole point of the trick."""
     t = Tables(spark, sf_dir)

@@ -330,8 +330,9 @@ def warehouse_snapshot_diff(spark, sf_dir):
                         0) AS rn_del,
                COALESCE(MAX(rn) FILTER (WHERE event_type <> 'error'),
                         0) AS rn_upd,
-               arg_max(value, rn)
-                   FILTER (WHERE event_type <> 'error') AS upd_value,
+               (MAX(CASE WHEN event_type <> 'error'
+                         THEN {'rn': rn, 'value': value} END)
+               ).value AS upd_value,
                MAX(ts) AS last_ts
         FROM ops GROUP BY user_id
     )
@@ -355,8 +356,11 @@ def cdc_apply_log(spark, sf_dir):
     instead of a sequential fold.
 
     Determinism: op order is a row_number over the unique (ts,
-    event_id) pair; the surviving value is max_by(value, rn), an exact
-    pick, not a float fold.
+    event_id) pair; the surviving value is the .value of a struct
+    MAX over (rn, value) on BOTH engines — an exact pick that stays
+    NULL-faithful (a last upsert carrying NULL survives as NULL;
+    max_by/arg_max diverge there: Spark's returns NULL but DuckDB's
+    arg_max skips NULL arguments and resurrects an older value).
 
     Scale (100 TB): one shuffle on user_id for the window; the
     groupBy(user_id) that follows reuses the same hash partitioning,
@@ -385,9 +389,12 @@ def cdc_apply_log(spark, sf_dir):
             F.max(F.when(F.col("event_type") != "error", F.col("rn"))),
             F.lit(0),
         ).alias("rn_upd"),
-        F.expr(
-            "max_by(value, rn) FILTER (WHERE event_type <> 'error')"
-        ).alias("upd_value"),
+        F.max(
+            F.when(
+                F.col("event_type") != "error",
+                F.struct(F.col("rn"), F.col("value")),
+            )
+        )["value"].alias("upd_value"),
         F.max("ts").alias("last_ts"),
     )
     alive = F.col("rn_upd") > F.col("rn_del")
