@@ -375,6 +375,82 @@ _CLUSTER_PAIRS_SQL = """
 """
 
 
+def _connected_components(pairs, max_rounds=30):
+    """Two-phase star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): alternate
+    large-star (every node hooks its larger neighbors onto its
+    neighborhood minimum) and small-star (every node folds its
+    smaller neighbors and itself onto that minimum) until the edge
+    set is stable. Converges in O(log n) rounds INDEPENDENT of
+    component diameter — the property min-label propagation lacks
+    (a k-chain needs k propagation rounds but only ~2·log2(k)
+    star rounds; tests/test_r8_operators.py pins this on a
+    synthetic 128-chain). At fixpoint every component is a star
+    rooted at its minimum node.
+
+    `pairs`: DataFrame (u, v) of undirected edges in any
+    orientation, no self-loops. Returns (labels, rounds): labels
+    maps every non-root node to its component minimum (roots and
+    isolated nodes are absent — callers coalesce to identity);
+    rounds is the number of two-phase iterations executed, exposed
+    so the bounded-rounds property is testable.
+
+    Scale (100 TB): each round is two self-contained
+    aggregate+join passes over the current edge list — hash
+    shuffles on node id, map-side combinable mins, no window over
+    the full set, no driver-side state beyond an 8-byte edge-set
+    checksum (count + order-independent bit_xor of xxhash64) per
+    round for the convergence test."""
+    # localCheckpoint per round: iterative self-referencing plans grow
+    # multiplicatively (union+join+distinct nesting), and Catalyst
+    # re-analyzes the WHOLE lineage each round even when execution
+    # hits the cache — a 16-node chain took >280 s on persist() alone
+    # and 3.4 s checkpointed. Same lineage-cut rationale as
+    # embed_pca_power's per-sweep checkpoint.
+    e = pairs.toDF("u", "v").localCheckpoint(eager=True)
+    prev = None
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least(F.col("u"), F.col("mn")).alias("m"))
+        )
+        # large-star: (v, m) for every neighbor v > u
+        e1 = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # after large-star every edge points downward (v < u), so
+        # small-star's neighborhood min is just min(v); it re-hooks
+        # each small neighbor AND u itself onto it
+        m2 = e1.groupBy("u").agg(F.min("v").alias("mn"))
+        e2 = (
+            e1.join(m2, "u")
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .union(m2.select(F.col("u"), F.col("mn").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        row = e2.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        chk = (row["n"], row["h"])
+        e = e2
+        if chk == prev:
+            break
+        prev = chk
+    labels = e.select(
+        F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
+    )
+    return labels, rounds
+
+
 @op(
     "dedup_cluster",
     sql="WITH RECURSIVE "
@@ -411,16 +487,15 @@ def dedup_cluster(spark, sf_dir):
     drop the rest") is deterministic. Docs with no near-dup are their
     own singleton cluster.
 
-    Spark side is iterative min-label propagation: each round sends
-    every vertex's current label to its neighbors and keeps the min —
-    converges in graph-diameter rounds (near-dup components are
-    near-cliques, so 2-3 rounds in practice; capped + convergence-
-    checked). All rounds are plain join+groupBy — at 100 TB this is
-    the standard approach, with star-contraction (Kiveris et al.,
-    "Connected Components in MapReduce", SoCC'14) as the drop-in
-    upgrade if components ever get chain-shaped. The DuckDB oracle
-    computes the same components via a recursive-CTE transitive
-    closure."""
+    Spark side is two-phase star contraction
+    (`_connected_components`, Kiveris et al. SoCC'14): O(log n)
+    rounds independent of component diameter, so chain-shaped
+    components (the failure mode of plain min-label propagation,
+    which needs diameter rounds) cost the same as the near-clique
+    components near-dup graphs usually produce. Each round is plain
+    join+groupBy — hash shuffles on node id, map-side-combinable
+    mins. The DuckDB oracle computes the same components via a
+    recursive-CTE transitive closure."""
     t = Tables(spark, sf_dir)
     w = Window.partitionBy("doc_id").orderBy("pos")
     words = t.documents.select(
@@ -462,43 +537,7 @@ def dedup_cluster(spark, sf_dir):
         )
         .select("d1", "d2")
     )
-    edges = pairs.union(pairs.select(F.col("d2"), F.col("d1"))).toDF("src", "dst")
-    edges = edges.persist()
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("cluster_id", F.col("doc_id"))
-        .persist()
-    )
-    for _ in range(20):
-        nbr_min = (
-            edges.join(labels, F.col("src") == F.col("doc_id"))
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(nbr_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    "cluster_id", F.coalesce("nbr_min", "cluster_id")
-                ).alias("cluster_id"),
-                (F.col("nbr_min") < F.col("cluster_id")).alias("changed"),
-            )
-            .persist()
-        )
-        changed = new_labels.filter("changed").count()
-        labels.unpersist()
-        labels = new_labels.select("doc_id", "cluster_id").persist()
-        new_labels.unpersist()
-        if changed == 0:
-            break
-    # labels is fully materialized by the loop's count() actions, so the
-    # edge cache is no longer needed — release it instead of leaking it
-    # into the long-lived session (same hygiene as ADVICE r3's KLL item;
-    # if labels' cache is ever evicted, recompute from the un-cached
-    # edges lineage is slower but still correct).
-    edges.unpersist()
+    labels, _rounds = _connected_components(pairs)
     assigned = (
         t.documents.select("doc_id")
         .join(labels, "doc_id", "left")

@@ -829,3 +829,37 @@ def test_dedup_prep_replay_and_identities(spark, sf_dir):
         fps.setdefault(fp, []).append(r["doc_id"])
     for fp, members in fps.items():
         assert sum(bool(got.loc[d, "is_canonical"]) for d in members) == 1
+
+
+def test_star_contraction_chain_converges_in_log_rounds(spark):
+    """A 128-node path graph is the adversarial shape for min-label
+    propagation (needs 127 diameter rounds); two-phase star
+    contraction must label it in O(log n) rounds and assign every
+    node the component minimum (0)."""
+    from data_webhooks_spark.operators.dedup import _connected_components
+
+    n = 128
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "u long, v long"
+    )
+    labels, rounds = _connected_components(chain)
+    got = {r.doc_id: r.cluster_id for r in labels.collect()}
+    assert rounds <= 2 * n.bit_length(), rounds  # 2*log2(128)+2 head
+    for node in range(1, n):
+        assert got[node] == 0, (node, got.get(node))
+    assert 0 not in got  # the root maps to itself implicitly
+
+
+def test_star_contraction_multi_component_and_empty(spark):
+    from data_webhooks_spark.operators.dedup import _connected_components
+
+    edges = spark.createDataFrame(
+        [(5, 3), (3, 9), (20, 21), (40, 41), (41, 42), (42, 40)],
+        "u long, v long",
+    )
+    labels, _ = _connected_components(edges)
+    got = {r.doc_id: r.cluster_id for r in labels.collect()}
+    assert got == {5: 3, 9: 3, 21: 20, 41: 40, 42: 40}
+    empty = spark.createDataFrame([], "u long, v long")
+    labels, rounds = _connected_components(empty)
+    assert labels.count() == 0 and rounds <= 2
