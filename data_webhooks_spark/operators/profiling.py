@@ -611,11 +611,21 @@ def dq_referential(spark, sf_dir):
     column only — the join input is |keys|, not |rows|, and AQE
     broadcasts whichever side is small. The 5 arms are independent
     branches unioned into one 5-row result; nothing touches the
-    driver. Deliberately one single-column scan PER ARM, not one
-    exploded multi-FK scan: parquet is columnar, so three pruned
-    single-column reads of lineitem are cheaper than one scan
-    explode-tripled through a combined shuffle (measured 13.0 s vs
-    19.1 s at x100)."""
+    driver. Deliberately one single-column scan PER ARM — three
+    alternatives measured and rejected at x100 (60M lineitem):
+    (a) one scan explode-tripled through a combined shuffle, 19.1 s
+    vs 13.0 s; (b) one three-key pre-aggregate
+    groupBy(l_orderkey, l_partkey, l_suppkey) feeding three
+    re-aggregations — the triple key is nearly unique per lineitem
+    row, so the "shared" pass shuffles ~|rows| groups for zero
+    reduction and its checkpoint OOMs the 128 GiB heap; (c) persist
+    the 3-column projection and re-aggregate from cache, 10.7 s vs
+    9.1 s same-run — cache materialization costs more than three
+    pruned columnar re-reads. The residual 9.1 s vs DuckDB 1.3 s
+    gap is five independent shuffle rounds' stage machinery over
+    15M-key join arms (l_orderkey->orders dominates) — documented
+    irreducible at this plan shape; the arms themselves are
+    key-cardinality-bounded and spread across a cluster."""
     t = Tables(spark, sf_dir)
     arms = []
     for fk, child, ck, parent, pk in _FK_EDGES:

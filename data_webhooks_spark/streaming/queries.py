@@ -914,9 +914,25 @@ def stream_rollup_upsert(spark, sf_dir):
     aggregation keeps state bounded by the watermark."""
     tune(spark)
     out = f"{RUNTIME_DIR}/rollup/{uuid.uuid4().hex[:12]}"
+    agg = _rollup_agg(read_replay_stream(spark, sf_dir, files_per_trigger=2))
+    q = (
+        agg.writeStream.foreachBatch(_rollup_upsert_fn(out))
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).select(
+        "window_start", "event_type", "n", "total_value"
+    )
 
-    s = read_replay_stream(spark, sf_dir, files_per_trigger=2)
-    agg = (
+
+def _rollup_agg(s: DataFrame) -> DataFrame:
+    """Watermarked day-window aggregate over the replay stream —
+    the update-mode plan `stream_rollup_upsert` maintains (shared
+    with the kill/resume test)."""
+    return (
         s.withWatermark("ts", "2 hours")
         .groupBy(
             F.window("ts", "1 day").alias("w"),
@@ -938,6 +954,15 @@ def stream_rollup_upsert(spark, sf_dir):
         )
     )
 
+
+def _rollup_upsert_fn(out):
+    """foreachBatch body of `stream_rollup_upsert`, exposed so the
+    kill/resume test can wrap it with an injected crash. Dynamic
+    partition overwrite is replay-idempotent by construction: a
+    replayed batch re-emits the same changed groups (state comes from
+    the checkpoint) and rewrites the same partitions with identical
+    content."""
+
     def upsert(batch_df, batch_id):
         if batch_df.isEmpty():
             return
@@ -954,17 +979,7 @@ def stream_rollup_upsert(spark, sf_dir):
             .parquet(out)
         )
 
-    q = (
-        agg.writeStream.foreachBatch(upsert)
-        .outputMode("update")
-        .option("checkpointLocation", checkpoint_dir())
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.read.parquet(out).select(
-        "window_start", "event_type", "n", "total_value"
-    )
+    return upsert
 
 
 @op(
@@ -1510,11 +1525,38 @@ def stream_cdc_apply(spark, sf_dir):
     tune(spark)
     root = f"{RUNTIME_DIR}/cdcstate/{uuid.uuid4().hex[:12]}"
     os.makedirs(root, exist_ok=True)
+    merge_batch = _cdc_merge_batch(spark, root)
+
+    s = read_replay_stream(spark, sf_dir, files_per_trigger=1)
+    q = (
+        s.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return _cdc_read_state(spark, root)
+
+
+def _cdc_merge_batch(spark, root):
+    """foreachBatch body of `stream_cdc_apply`, exposed so the
+    kill/resume test can wrap it with an injected crash."""
 
     def merge_batch(df: DataFrame, batch_id: int) -> None:
         part = _cdc_batch_partial(df)
+        # Read the latest version STRICTLY BELOW this batch id: after a
+        # kill mid-commit, Structured Streaming replays the last
+        # uncommitted batch, and its own v{batch_id} may already exist
+        # on disk — reading versions[-1] unconditionally would fold the
+        # batch in twice. Filtering makes the replay idempotent (the
+        # overwrite then rewrites v{batch_id} with identical content),
+        # which is the exactly-once half the checkpoint alone can't
+        # give a foreachBatch sink. Pinned by the kill/resume test in
+        # tests/test_streaming_semantics.py.
         versions = sorted(
-            int(p[1:]) for p in os.listdir(root) if p.startswith("v")
+            v
+            for p in os.listdir(root)
+            if p.startswith("v") and (v := int(p[1:])) < batch_id
         )
         if versions:
             prev = spark.read.parquet(f"{root}/v{versions[-1]}")
@@ -1551,14 +1593,12 @@ def stream_cdc_apply(spark, sf_dir):
             merged = part
         merged.write.mode("overwrite").parquet(f"{root}/v{batch_id}")
 
-    s = read_replay_stream(spark, sf_dir, files_per_trigger=1)
-    q = (
-        s.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", checkpoint_dir())
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    return merge_batch
+
+
+def _cdc_read_state(spark, root) -> DataFrame:
+    """Derive the serving view from the latest committed CDC state
+    version (shared by `stream_cdc_apply` and the kill/resume test)."""
     versions = sorted(int(p[1:]) for p in os.listdir(root) if p.startswith("v"))
     st = spark.read.parquet(f"{root}/v{versions[-1]}")
     alive = F.when(F.col("upd_key").isNull(), F.lit(False)).otherwise(
@@ -1622,8 +1662,13 @@ def stream_hll_distinct(spark, sf_dir):
         part = df.groupBy("event_type").agg(
             F.hll_sketch_agg("user_id", 14).alias("sk")
         )
+        # strictly-below filter: replay of an uncommitted batch must
+        # not union its own half-written version back in (see
+        # stream_cdc_apply.merge_batch)
         versions = sorted(
-            int(p[1:]) for p in os.listdir(root) if p.startswith("v")
+            v
+            for p in os.listdir(root)
+            if p.startswith("v") and (v := int(p[1:])) < batch_id
         )
         if versions:
             prev = spark.read.parquet(f"{root}/v{versions[-1]}")

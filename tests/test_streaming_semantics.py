@@ -665,3 +665,119 @@ def test_stream_outer_join_late_replay_inner_matches(spark, sf_dir):
     got_null = set(out[out["click_id"].isna()]["purchase_id"].astype(int))
     assert got_null <= unmatched_ids  # no phantom nulls
     assert len(got_null) > 0
+
+
+def _run_stream_expect_crash(writer_start):
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    q = writer_start()
+    try:
+        q.awaitTermination()
+        raise AssertionError("stream finished without the injected crash")
+    except StreamingQueryException:
+        pass
+
+
+def test_cdc_apply_kill_resume_exactly_once(spark, sf_dir, duck):
+    """Exactly-once demonstrated, not asserted: crash the CDC stream
+    AFTER batch 1's state version hits disk but BEFORE its checkpoint
+    commit (the worst-case dirty write), resume from the same
+    checkpoint — Structured Streaming replays batch 1, the versioned
+    store's strictly-below read makes the replay idempotent, and the
+    final state must equal the one-shot batch oracle bit-for-bit."""
+    import os
+    import uuid
+
+    from data_webhooks_spark import registry
+    from data_webhooks_spark.oracle import compare_frames
+    from data_webhooks_spark.streaming.core import (
+        RUNTIME_DIR,
+        read_replay_stream,
+    )
+    from data_webhooks_spark.streaming.queries import (
+        _cdc_merge_batch,
+        _cdc_read_state,
+    )
+
+    run = uuid.uuid4().hex[:12]
+    root = f"{RUNTIME_DIR}/cdcstate/kr_{run}"
+    ckpt = f"{RUNTIME_DIR}/ckpt/kr_{run}"
+    os.makedirs(root, exist_ok=True)
+    mb = _cdc_merge_batch(spark, root)
+
+    def crashing(df, batch_id):
+        mb(df, batch_id)  # dirty state version IS on disk...
+        if batch_id == 1:
+            raise RuntimeError("injected crash before checkpoint commit")
+
+    _run_stream_expect_crash(
+        lambda: read_replay_stream(spark, sf_dir, files_per_trigger=1)
+        .writeStream.foreachBatch(crashing)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert os.path.isdir(f"{root}/v1")  # the dirty write the crash left
+
+    q2 = (
+        read_replay_stream(spark, sf_dir, files_per_trigger=1)
+        .writeStream.foreachBatch(mb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+
+    got = _cdc_read_state(spark, root).toPandas()
+    oracle = duck.execute(registry.oracle_sql()["stream_cdc_apply"]).df()
+    assert not compare_frames(got, oracle)
+
+
+def test_rollup_upsert_kill_resume_exactly_once(spark, sf_dir, duck):
+    """Same discipline for the partition-overwrite rollup store: crash
+    after batch 0's dynamic overwrite, resume, and the served rollup
+    must equal the batch aggregate."""
+    import uuid
+
+    from data_webhooks_spark import registry
+    from data_webhooks_spark.oracle import compare_frames
+    from data_webhooks_spark.streaming.core import (
+        RUNTIME_DIR,
+        read_replay_stream,
+    )
+    from data_webhooks_spark.streaming.queries import (
+        _rollup_agg,
+        _rollup_upsert_fn,
+    )
+
+    run = uuid.uuid4().hex[:12]
+    out = f"{RUNTIME_DIR}/rollup/kr_{run}"
+    ckpt = f"{RUNTIME_DIR}/ckpt/kr_{run}"
+    upsert = _rollup_upsert_fn(out)
+
+    def crashing(df, batch_id):
+        upsert(df, batch_id)
+        if batch_id == 0:
+            raise RuntimeError("injected crash before checkpoint commit")
+
+    def start(fn):
+        return (
+            _rollup_agg(read_replay_stream(spark, sf_dir, files_per_trigger=2))
+            .writeStream.foreachBatch(fn)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    _run_stream_expect_crash(lambda: start(crashing))
+    q2 = start(upsert)
+    q2.awaitTermination()
+
+    got = (
+        spark.read.parquet(out)
+        .select("window_start", "event_type", "n", "total_value")
+        .toPandas()
+    )
+    oracle = duck.execute(registry.oracle_sql()["stream_rollup_upsert"]).df()
+    assert not compare_frames(got, oracle)
