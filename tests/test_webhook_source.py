@@ -174,3 +174,32 @@ def test_collector_keyless_bodies_not_deduped():
     conn.close()
     collector.stop()
     assert len(collector.bodies) == 3
+
+
+def test_webhook_ingest_throughput_floor(spark):
+    """Pinned ingest floor (>=500 posts/s): the r5->r7 drift
+    (1213 -> 740 posts/s) stayed inside BASELINE.md's noise band but
+    the front door had no tested invariant. Idle-gated like bench.py:
+    a loaded host measures the neighbors, not the regression."""
+    import os
+    import sys
+
+    import pytest
+
+    load1 = os.getloadavg()[0]
+    if load1 > 8:
+        pytest.skip(f"host loaded (load1={load1:.1f}); floor is idle-gated")
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+        ),
+    )
+    import stream_throughput as st
+
+    from conftest import SF_DIR
+
+    pps, lag = st.webhook_metrics(spark, SF_DIR)
+    assert pps >= 500, f"webhook ingest {pps:.0f} posts/s under the 500 floor"
+    assert lag == lag and lag < 30, f"completion lag {lag}"
