@@ -157,7 +157,9 @@ def knn_join(spark, sf_dir):
 def sim_ann_lsh(spark, sf_dir):
     """Approximate NN via banded random-hyperplane LSH composed from
     DataFrame ops: 8 hash tables x 4 seeded hyperplanes each; a vector
-    emits one (table, 4-bit key) row per table, candidates are bucket
+    emits one (table, 4-bit key) row per table, QUERIES additionally
+    probe every bucket at Hamming distance 1 from their key
+    (multi-probe, Lv et al. VLDB'07), candidates are bucket
     collisions in ANY table (equi-join on (table, key)), then exact
     cosine re-rank keeps top-5. Deterministic (fixed seed -> fixed
     planes) but approximate -> rows-only; agreement with the exact
@@ -168,11 +170,15 @@ def sim_ann_lsh(spark, sf_dir):
     trade (Indyk-Motwani): for the fixture's weakly-clustered 64-dim
     embeddings, per-bit collision probability for true top-5 pairs is
     ~0.6-0.7, so 4 tables x 6 bits collided at only ~(0.65^6)x4 ~ 25%
-    per pair (measured recall@5 0.08); 8 x 4 lifts the per-table
-    probability to ~0.18 for ~80% any-table recall at ~8x more
-    candidate pairs — still a vanishing fraction of n^2. At 100 TB,
-    BITS grows with log(corpus) to hold per-bucket cardinality, and
-    TABLES buys recall linearly in shuffle volume.
+    per pair (measured recall@5 0.08); 8 x 4 lifted the per-table
+    probability to ~0.18 (measured recall@5 0.67), and query-side
+    multi-probe closes the rest: measured recall@5 1.00 at (1+BITS)x
+    query rows with the corpus index untouched — the cheapest recall
+    lever, since query cardinality is negligible next to corpus
+    shuffle volume. At 100 TB, BITS grows with log(corpus) to hold
+    per-bucket cardinality (Hamming-1 probes stay BITS+1 of 2^BITS
+    buckets — a shrinking fraction), and TABLES buys recall linearly
+    in shuffle volume.
 
     This is the 100 TB shape: candidates come from a hash join on
     exploded band keys, never a cross join; more tables = more recall,
@@ -217,27 +223,37 @@ def sim_ann_lsh(spark, sf_dir):
             out = out + bb
         return out
 
-    def banded(df, id_alias):
+    def banded(df, id_alias, multiprobe=False):
+        entries = []
+        for tb in range(N_TABLES):
+            key = band_key(F.col("e"), tb)
+            entries.append(
+                F.struct(F.lit(tb).alias("table"), key.alias("key"))
+            )
+            if multiprobe:
+                # multi-probe (Lv et al., VLDB'07): also visit every
+                # bucket at Hamming distance 1 from the query's key —
+                # QUERY SIDE ONLY, so the corpus index and its shuffle
+                # volume are untouched; recall rises from bit-flip
+                # near-misses at (1+BITS)x query rows (queries are
+                # ~20 rows; the corpus is the 100 TB side).
+                for b in range(BITS):
+                    entries.append(
+                        F.struct(
+                            F.lit(tb).alias("table"),
+                            key.bitwiseXOR(F.lit(1 << b)).alias("key"),
+                        )
+                    )
         return df.select(
             F.col("vec_id").alias(id_alias),
             F.col("e"),
             F.col("nrm"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(tb).alias("table"),
-                            band_key(F.col("e"), tb).alias("key"),
-                        )
-                        for tb in range(N_TABLES)
-                    ]
-                )
-            ).alias("bk"),
+            F.explode(F.array(*entries)).alias("bk"),
         ).select(id_alias, "e", "nrm", "bk.table", "bk.key")
 
-    q = banded(d.filter(F.col("vec_id") < 20), "q_id").withColumnsRenamed(
-        {"e": "qe", "nrm": "qn"}
-    )
+    q = banded(
+        d.filter(F.col("vec_id") < 20), "q_id", multiprobe=True
+    ).withColumnsRenamed({"e": "qe", "nrm": "qn"})
     c = banded(d, "n_id").withColumnsRenamed({"e": "ce", "nrm": "cn"})
     cand = (
         F.broadcast(q)
@@ -260,19 +276,19 @@ def sim_ann_lsh(spark, sf_dir):
 def ann_ivf(spark, sf_dir):
     """IVF-style ANN (inverted-file coarse quantization, as in Jégou
     et al., TPAMI 2011): seeded KMeans coarse centroids; each query
-    probes its nprobe=2 nearest cells of 8 (scanning ~1/4 of the
+    probes its nprobe=3 nearest cells of 8 (scanning ~3/8 of the
     corpus), exact cosine re-rank inside them. Demonstrates the
     partition-pruning ANN shape (cells ≈ partitions at scale; nprobe
-    is the standard recall/scan-fraction knob — probe-1 measured
-    recall@3 0.33, probe-2 doubles the scanned fraction for roughly
-    double the recall on the fixture's weakly-clustered vectors;
+    is the standard recall/scan-fraction knob — measured recall@3
+    0.33 / 0.52 / 0.65 at probe 1 / 2 / 3 on the fixture's
+    weakly-clustered vectors, near-linear in scanned fraction;
     numbers recorded in BASELINE.md via scripts/approx_quality.py).
     The probe ranking runs as a codegen higher-order expression over
     the 8 broadcast centroid literals — no second ML pass."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    NPROBE = 2
+    NPROBE = 3
     t = Tables(spark, sf_dir)
     d = _norm_df(t).withColumn("fv", array_to_vector(F.col("e")))
     km = KMeans(k=8, seed=42, featuresCol="fv", predictionCol="cell")
@@ -656,9 +672,12 @@ def ann_ivf_pq(spark, sf_dir):
     embeddings for the exact-L2 refine (FAISS IVFPQR). All codegen —
     no UDF, no in-query ML. Approximate by construction -> rows-only;
     recall@3 vs the exact ranking is floored in test_r6_operators
-    (residual codes + R=96 shortlist recover the nprobe=2 cell
-    ceiling at fixture scale)."""
-    NPROBE, R = 2, 96
+    (nprobe=3 + residual codes + R=96 shortlist measure 0.617
+    against ann_ivf's 0.65 exact-scan ceiling on the same cells;
+    the r7 nprobe=2 point was 0.517 / 0.52 — ADC+refine recovers
+    essentially everything the coarse quantizer admits at either
+    probe depth, x100 search cost 4.59 -> 4.98 s)."""
+    NPROBE, R = 3, 96
     NCELLS, M, K, SUB = _IVFPQ_NCELLS, _IVFPQ_M, _IVFPQ_K, _IVFPQ_SUB
     coarse, pq, codes_path = _ivfpq_index(spark, sf_dir)
     t = Tables(spark, sf_dir)

@@ -57,8 +57,9 @@ def test_minhash_pairs_have_real_overlap(spark, sf_dir):
 def test_ann_lsh_subset_of_brute_cosines(spark, sf_dir):
     """LSH re-ranked cosines must agree with the exact brute-force
     cosines for the same (query, neighbor) pairs, AND the 8x4
-    table/bit point must hold the measured recall floor (seeded
-    planes -> deterministic; 0.67 measured at sf0.01, recorded in
+    table/bit point with query-side Hamming-1 multi-probe must hold
+    the measured recall floor (seeded planes -> deterministic; 1.00
+    measured at sf0.01 in r8, up from 0.67 single-probe; recorded in
     BASELINE.md)."""
     brute = {
         (r["q_id"], r["n_id"]): r["cos_sim"]
@@ -70,13 +71,14 @@ def test_ann_lsh_subset_of_brute_cosines(spark, sf_dir):
     for r in overlap:
         assert abs(r["cos_sim"] - brute[(r["q_id"], r["n_id"])]) < 1e-9
     recall = len(overlap) / len(brute)
-    assert recall >= 0.55, f"LSH recall@5 vs brute degraded to {recall}"
+    assert recall >= 0.9, f"LSH recall@5 vs brute degraded to {recall}"
 
 
 def test_ann_ivf_recall_floor(spark, sf_dir):
-    """nprobe=2 of 8 cells (~1/4 of the corpus scanned) must hold the
+    """nprobe=3 of 8 cells (~3/8 of the corpus scanned) must hold the
     measured recall floor vs the exact brute top-3 (seeded KMeans ->
-    deterministic; 0.52 measured at sf0.01, recorded in BASELINE.md)."""
+    deterministic; 0.65 measured at sf0.01 in r8, up from 0.52 at
+    nprobe=2; recorded in BASELINE.md)."""
     from collections import defaultdict
 
     per_q = defaultdict(list)
@@ -87,7 +89,7 @@ def test_ann_ivf_recall_floor(spark, sf_dir):
         (r["q_id"], r["n_id"]) for r in QUERIES["ann_ivf"](spark, sf_dir).collect()
     }
     recall = len(ivf & brute3) / len(brute3)
-    assert recall >= 0.45, f"IVF probe-2 recall@3 degraded to {recall}"
+    assert recall >= 0.6, f"IVF probe-3 recall@3 degraded to {recall}"
 
 
 def test_simhash_hamming_bound(spark, sf_dir):
