@@ -15,44 +15,31 @@ from pyspark.sql import DataFrame, SparkSession
 # The external driver's correctness gate checks the FIRST 50 keys, so
 # key order is an explicit per-round rotation: rounds 1-2 validated the
 # scalar/relational/agg families, round 3 the windows/tpch/text/
-# semistructured block. Round 4 windows the keys that have never had an
-# official driver CORRECTNESS row (joins, scans, UDFs, sampling,
-# analytics, layout, dedup/similarity composites, batch-checkable
-# streaming keys) plus the 4 sketch keys whose last driver record was
-# an ERR from the since-fixed r2 loader. All 50 are SQL-oracled and
-# pass the round-3 judge sweep; rotation only reorders — every key
-# stays registered and locally tested either way.
+# semistructured block, round 4 the joins/scans/UDFs/sampling block,
+# rounds 5-7 each rotated in that round's additions plus re-verifies
+# for every key whose oracle text or code changed.
 #
-# ROUND-7 WINDOW (the r6 verdict's prescription, executed): every
-# key that has NEVER had an official driver record, plus re-verifies
-# for every key whose oracle TEXT or code changed this round. Slots:
-# - the 19 r6 wave-2..5 additions seeded for r7 (never recorded):
-#   agg_skew_kurtosis, profile_numeric_corr, ts_changepoint_cusum,
-#   win_pattern_var, text_top_terms, contamination_matrix,
-#   stream_custom_state, join_asof_tolerance, agg_weighted_median,
-#   win_running_distinct, ts_seasonal_profile, pipeline_embed_prep,
-#   ts_downsample_m4, event_markov_transitions, analytics_pareto,
-#   win_rolling_regression, multimodal_audio_energy,
-#   scan_json_corrupt, dq_freshness.
-# - the 4 keys from the r6 end-of-round snapshot wave that shipped
-#   untested/undocumented (the r6 verdict's red items, all fixed and
-#   documented this round): quality_gopher_rules,
-#   sample_mixture_target, text_bigram_logprob, ts_period_delta.
-#   => 23 never-recorded keys; after this round every registry key
-#   has an official driver record.
-# - 22 re-verify slots for keys whose ORACLE TEXT changed in the r7
-#   1e6-literal portability sweep (1000000.0 types DECIMAL under
-#   spark.sql, DOUBLE under DuckDB; values identical, text re-pinned):
-#   agg_histogram, ab_chi2, ab_ttest_welch, analytics_rfm,
-#   event_cooccurrence, pipeline_events_prep, dedup_embedding,
-#   drift_ks_test, drift_psi, multimodal_features, math_funcs,
-#   corpus_mixture, text_heavy_hitters, text_repetition_score,
-#   vocab_coverage, ts_autocorr, ts_interpolate_linear,
-#   ts_resample_gapfill, tpch_q8, tpch_q14, tpch_q17, stream_anomaly.
-# - 5 re-verify slots for the similarity keys touched by the r7
-#   ann_ivf_pq train/query split and recall work (rows-only):
-#   ann_ivf_pq, ann_ivf, sim_ann_lsh, dedup_minhash, plus
-#   join_interval_binned (density-adaptive bin width).
+# ROUND-8 WINDOW (the r7 verdict's item 1, executed): the 39 keys
+# ADDED in r7 that have NEVER had an official driver record lead the
+# window (driver records in order; if the window were ever trimmed,
+# the never-recorded keys survive first), followed by 11 re-verify
+# slots for every key whose code or oracle text changed in r8:
+# - dedup_cluster (two-phase star contraction replaced label
+#   propagation), stream_rollup_upsert (foreachBatch body factored
+#   for the kill/resume test), sim_ann_lsh (query-side multi-probe),
+#   ann_ivf / ann_ivf_pq (nprobe 2 -> 3);
+# - file-adjacency re-verifies for the remaining dedup.py /
+#   similarity.py keys whose modules were heavily edited this round:
+#   dedup_minhash, dedup_simhash, dedup_ngram_jaccard,
+#   dedup_content_hash, sim_cosine_brute, knn_join.
+# Keys in the 39 whose text/code ALSO changed this round
+# (cdc_apply_log struct-max oracle, event_sequence_ngrams concat_ws
+# oracle, text_feature_hash length() oracle, scan_parquet_metadata
+# ORACLE_SF_DIR constant, basket_lift pattern collapse,
+# embed_pair_mining Arrow partial-extreme rewrite, stream_cdc_apply /
+# stream_hll_distinct replay-idempotent stores) are already in the
+# window by membership. After this round every registry key has an
+# official driver record.
 _ROWS_ONLY = {
     "pack_sequences_ffd",
     "embed_pq",
@@ -64,83 +51,57 @@ _ROWS_ONLY = {
     "profile_table_approx",
 }
 _WINDOW = [
-    "agg_skew_kurtosis",
-    "profile_numeric_corr",
-    "ts_changepoint_cusum",
-    "win_pattern_var",
-    "text_top_terms",
-    "contamination_matrix",
-    "stream_custom_state",
-    "join_asof_tolerance",
-    "agg_weighted_median",
-    "win_running_distinct",
-    "ts_seasonal_profile",
-    "pipeline_embed_prep",
-    "ts_downsample_m4",
-    "event_markov_transitions",
-    "analytics_pareto",
-    "win_rolling_regression",
-    "multimodal_audio_energy",
-    "scan_json_corrupt",
-    "dq_freshness",
-    "quality_gopher_rules",
-    "sample_mixture_target",
-    "text_bigram_logprob",
-    "ts_period_delta",
-    "agg_histogram",
-    "ab_chi2",
-    "ab_ttest_welch",
-    "analytics_rfm",
-    "event_cooccurrence",
-    "pipeline_events_prep",
-    "dedup_embedding",
-    "drift_ks_test",
-    "drift_psi",
-    "multimodal_features",
-    "math_funcs",
-    "corpus_mixture",
-    "text_heavy_hitters",
-    "text_repetition_score",
-    "vocab_coverage",
-    "ts_autocorr",
-    "ts_interpolate_linear",
-    "ts_resample_gapfill",
-    "tpch_q8",
-    "tpch_q14",
-    "tpch_q17",
-    "stream_anomaly",
-    "ann_ivf_pq",
-    "ann_ivf",
+    "analytics_dau_mau",
+    "profile_string_patterns",
+    "warehouse_snapshot_diff",
+    "ts_stl_decompose",
+    "text_collocations_pmi",
+    "multimodal_phash",
+    "embed_matryoshka_eval",
+    "split_kfold",
+    "ts_holt_backtest",
+    "analytics_ltv_cohort",
+    "dq_uniqueness",
+    "ts_anomaly_stl",
+    "pack_sequences_ffd",
+    "scan_xml",
+    "sink_snapshot_commit",
+    "scan_partition_pruned_dynamic",
+    "pipeline_media_prep",
+    "cdc_apply_log",
+    "dq_referential",
+    "ts_cross_correlation",
+    "text_zipf_fit",
+    "graph_degree_stats",
+    "basket_lift",
+    "embed_centroid_outliers",
+    "event_sequence_ngrams",
+    "text_ngram_novelty",
+    "scan_csv_corrupt",
+    "funnel_step_latency",
+    "stream_cdc_apply",
+    "embed_pca_power",
+    "text_feature_hash",
+    "dq_reconciliation",
+    "scan_parquet_metadata",
+    "embed_pair_mining",
+    "stream_hll_distinct",
+    "filter_exists_correlated",
+    "filter_not_in_vs_not_exists",
+    "dq_observe",
+    "pipeline_dedup_prep",
+    "dedup_cluster",
+    "stream_rollup_upsert",
     "sim_ann_lsh",
+    "ann_ivf",
+    "ann_ivf_pq",
     "dedup_minhash",
-    "join_interval_binned",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_content_hash",
+    "sim_cosine_brute",
+    "knn_join",
 ]
-# R8 WINDOW SEED — the 39 operators ADDED in r7, deliberately kept
-# out of the first 50 until their rotation round (the r5/r6/r7
-# discipline): analytics_dau_mau, profile_string_patterns,
-# warehouse_snapshot_diff, ts_stl_decompose, text_collocations_pmi,
-# multimodal_phash, embed_matryoshka_eval, split_kfold,
-# ts_holt_backtest, analytics_ltv_cohort, dq_uniqueness,
-# ts_anomaly_stl, pack_sequences_ffd (rows-only), scan_xml,
-# sink_snapshot_commit, scan_partition_pruned_dynamic,
-# pipeline_media_prep, cdc_apply_log, dq_referential,
-# ts_cross_correlation, text_zipf_fit, graph_degree_stats,
-# basket_lift, embed_centroid_outliers, event_sequence_ngrams,
-# text_ngram_novelty, scan_csv_corrupt, funnel_step_latency,
-# stream_cdc_apply, embed_pca_power, text_feature_hash,
-# dq_reconciliation, scan_parquet_metadata, embed_pair_mining,
-# stream_hll_distinct, filter_exists_correlated,
-# filter_not_in_vs_not_exists, dq_observe, pipeline_dedup_prep. All
-# are locally oracle-swept (or exact-replay
-# pinned for the rows-only key), invariant-tested in
-# tests/test_r7_operators.py, plan/dtype-linted, and scale-swept this
-# round; none has an official driver record yet. Also re-verify in
-# r8: ann_ivf_pq (codes-index split), text_collocations_pmi /
-# text_bigram_logprob / quality_gopher_rules (pre-split rewrite),
-# embed_matryoshka_eval (norm hoist), join_interval_binned
-# (per-second pre-agg) — all of which sit in the r7 window, so their
-# r7 records already reflect the new code.
-
 _MODULES = [
     "data_webhooks_spark.operators.windows",
     "data_webhooks_spark.operators.tpch",

@@ -48,17 +48,17 @@ def test_oracle_not_vacuous(key, duck):
     )
 
 
-def test_driver_window_is_the_round7_rotation():
+def test_driver_window_is_the_round8_rotation():
     """The external driver's correctness gate reads the FIRST 50 keys
-    of queries(); round 7 rotates in the 23 keys that have NEVER had
-    an official driver record (the 19 r6 wave-2..5 seeds plus the 4
-    r6 snapshot-wave keys), then fills the remaining 27 slots with
-    re-verifies of every key whose oracle text changed in the r7
-    1e6-literal portability sweep or whose code changed this round —
-    after which EVERY registry key has an official driver record and
-    no key's newest record is red. The rotation must not drop or
-    duplicate any key, every window key outside the declared
-    rows-only set must be SQL-oracled, and the 23 never-recorded keys
+    of queries(); round 8 rotates in the 39 r7-addition keys that have
+    NEVER had an official driver record, then fills the remaining 11
+    slots with re-verifies of every key whose code or oracle text
+    changed this round (star-contraction dedup_cluster, the factored
+    streaming upsert, the multi-probe/nprobe-3 ANN keys, and the
+    dedup.py/similarity.py file-adjacency set) — after which EVERY
+    registry key has an official driver record. The rotation must not
+    drop or duplicate any key, every window key outside the declared
+    rows-only set must be SQL-oracled, and the 39 never-recorded keys
     must lead the window (the driver records in order; if the window
     were ever trimmed, the never-recorded keys must survive first)."""
     from data_webhooks_spark.registry import _ROWS_ONLY, _WINDOW
@@ -71,19 +71,25 @@ def test_driver_window_is_the_round7_rotation():
     assert _ROWS_ONLY == set(qs) - set(osql)
     assert len(set(qs)) == len(qs)
     never_recorded = {
-        "agg_skew_kurtosis", "profile_numeric_corr",
-        "ts_changepoint_cusum", "win_pattern_var", "text_top_terms",
-        "contamination_matrix", "stream_custom_state",
-        "join_asof_tolerance", "agg_weighted_median",
-        "win_running_distinct", "ts_seasonal_profile",
-        "pipeline_embed_prep", "ts_downsample_m4",
-        "event_markov_transitions", "analytics_pareto",
-        "win_rolling_regression", "multimodal_audio_energy",
-        "scan_json_corrupt", "dq_freshness", "quality_gopher_rules",
-        "sample_mixture_target", "text_bigram_logprob",
-        "ts_period_delta",
+        "analytics_dau_mau", "profile_string_patterns",
+        "warehouse_snapshot_diff", "ts_stl_decompose",
+        "text_collocations_pmi", "multimodal_phash",
+        "embed_matryoshka_eval", "split_kfold", "ts_holt_backtest",
+        "analytics_ltv_cohort", "dq_uniqueness", "ts_anomaly_stl",
+        "pack_sequences_ffd", "scan_xml", "sink_snapshot_commit",
+        "scan_partition_pruned_dynamic", "pipeline_media_prep",
+        "cdc_apply_log", "dq_referential", "ts_cross_correlation",
+        "text_zipf_fit", "graph_degree_stats", "basket_lift",
+        "embed_centroid_outliers", "event_sequence_ngrams",
+        "text_ngram_novelty", "scan_csv_corrupt", "funnel_step_latency",
+        "stream_cdc_apply", "embed_pca_power", "text_feature_hash",
+        "dq_reconciliation", "scan_parquet_metadata",
+        "embed_pair_mining", "stream_hll_distinct",
+        "filter_exists_correlated", "filter_not_in_vs_not_exists",
+        "dq_observe", "pipeline_dedup_prep",
     }
-    assert set(first50[:23]) == never_recorded
+    assert len(never_recorded) == 39
+    assert set(first50[:39]) == never_recorded
 
 
 PORTABLE_ORACLES = frozenset({
