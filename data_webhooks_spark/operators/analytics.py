@@ -1689,7 +1689,14 @@ def funnel_step_latency(spark, sf_dir):
     t = Tables(spark, sf_dir)
     w = Window.partitionBy("user_id")
     s = (
-        t.events.select("user_id", "event_type", "ts")
+        # only the three funnel types can set an anchor or read one —
+        # the IN filter pushes to the parquet scan and shrinks the
+        # window-buffered rows ~40% with provably identical output
+        # (the oracle's MIN CASE arms ignore other types the same way)
+        t.events.filter(
+            F.col("event_type").isin("view", "click", "purchase")
+        )
+        .select("user_id", "event_type", "ts")
         .withColumn(
             "tv",
             F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),

@@ -414,7 +414,8 @@ NESTED_LOOP_OK = {
     "split_kfold",  # 1-row grand-total scalar onto the k x |langs| cells
     "basket_lift",  # 1-row basket-total scalar onto the <= |brands|^2 pair table
     "embed_pca_power",  # per-sweep 1-row renorm-divisor scalar onto the 64-row direction
-    "embed_pair_mining",  # broadcast 50-anchor side x corpus (sim_cosine_brute shape)
+    # embed_pair_mining left this list in r8: the Arrow partial-extreme
+    # rewrite has no join at all (mapInPandas + groupBy on partials)
     "stream_hll_distinct",  # 1-row global-union estimate scalar onto the 1-row exact count
     "embed_matryoshka_eval",  # broadcast 80-row query side x corpus (sim_cosine_brute shape)
     # deliberately tiny cross/broadcast sides (<= dozens of rows or
