@@ -27,6 +27,41 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+def source_fingerprint(*paths: str) -> str:
+    """Identity of derivation inputs for marker-file caches: realpath +
+    size + mtime per source. Derived artifacts (replay chunks, JSONL
+    twins, partitioned layouts) key their "done" markers on THIS, not
+    on the fixture dir's basename — two different fixtures can share a
+    basename (pytest tmp dirs repeat across runs), and silently reusing
+    a stale derivation is a silent-wrong-answer class of bug."""
+
+    def one(p: str) -> str:
+        st = os.stat(p)
+        return f"{os.path.realpath(p)}:{st.st_size}:{st.st_mtime_ns}"
+
+    return ";".join(one(p) for p in paths)
+
+
+def cached_derivation(out: str, marker_name: str, fingerprint: str) -> bool:
+    """True if `out` already holds a derivation for `fingerprint`;
+    otherwise clears any stale content and returns False (caller
+    derives, then calls commit_derivation)."""
+    marker = f"{out}/{marker_name}"
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read().strip() == fingerprint:
+                return True
+        import shutil
+
+        shutil.rmtree(out)
+    return False
+
+
+def commit_derivation(out: str, marker_name: str, fingerprint: str) -> None:
+    with open(f"{out}/{marker_name}", "w") as f:
+        f.write(fingerprint + "\n")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown fixture table {name!r}; have {TABLE_NAMES}")

@@ -24,7 +24,12 @@ import os
 
 from pyspark.sql import functions as F
 
-from ..io import Tables
+from ..io import (
+    Tables,
+    cached_derivation,
+    commit_derivation,
+    source_fingerprint,
+)
 from ..norms import dec_sum, o_dec_sum
 from ..regutil import registrar
 
@@ -42,8 +47,8 @@ def _sf_name(sf_dir: str) -> str:
 def partitioned_events_path(spark, sf_dir: str) -> str:
     """events written hive-partitioned by event_date (once per sf)."""
     out = f"{RUNTIME_DIR}/layout/{_sf_name(sf_dir)}/events_by_day"
-    marker = f"{out}/_done"
-    if not os.path.exists(marker):
+    fp = source_fingerprint(f"{sf_dir}/events.parquet")
+    if not cached_derivation(out, "_done", fp):
         t = Tables(spark, sf_dir)
         (
             t.events.withColumn("event_date", F.to_date("ts"))
@@ -51,8 +56,7 @@ def partitioned_events_path(spark, sf_dir: str) -> str:
             .partitionBy("event_date")
             .parquet(out)
         )
-        with open(marker, "w") as f:
-            f.write("ok\n")
+        commit_derivation(out, "_done", fp)
     return out
 
 
@@ -143,12 +147,11 @@ def fragmented_events_path(spark, sf_dir: str) -> str:
     """events deliberately shattered into 64 tiny unsorted files (once
     per sf) — the small-files problem every streaming ingest creates."""
     out = f"{RUNTIME_DIR}/layout/{_sf_name(sf_dir)}/events_fragmented"
-    marker = f"{out}/_done"
-    if not os.path.exists(marker):
+    fp = source_fingerprint(f"{sf_dir}/events.parquet")
+    if not cached_derivation(out, "_done", fp):
         t = Tables(spark, sf_dir)
         t.events.repartition(64, "event_id").write.mode("overwrite").parquet(out)
-        with open(marker, "w") as f:
-            f.write("ok\n")
+        commit_derivation(out, "_done", fp)
     return out
 
 
@@ -157,8 +160,8 @@ def compacted_events_path(spark, sf_dir: str) -> str:
     per sf): range-partition by ts so each output file owns a
     contiguous time slice, sorted within for row-group stat locality."""
     out = f"{RUNTIME_DIR}/layout/{_sf_name(sf_dir)}/events_compacted"
-    marker = f"{out}/_done"
-    if not os.path.exists(marker):
+    fp = source_fingerprint(f"{sf_dir}/events.parquet")
+    if not cached_derivation(out, "_done", fp):
         frag = fragmented_events_path(spark, sf_dir)
         (
             spark.read.parquet(frag)
@@ -167,8 +170,7 @@ def compacted_events_path(spark, sf_dir: str) -> str:
             .write.mode("overwrite")
             .parquet(out)
         )
-        with open(marker, "w") as f:
-            f.write("ok\n")
+        commit_derivation(out, "_done", fp)
     return out
 
 
@@ -234,8 +236,8 @@ def zordered_events_path(spark, sf_dir: str) -> str:
     """events clustered by the Z-order interleave of (user_id, hour
     index) into 8 range-partitioned files (once per sf)."""
     out = f"{RUNTIME_DIR}/layout/{_sf_name(sf_dir)}/events_zorder"
-    marker = f"{out}/_done"
-    if not os.path.exists(marker):
+    fp = source_fingerprint(f"{sf_dir}/events.parquet")
+    if not cached_derivation(out, "_done", fp):
         t = Tables(spark, sf_dir)
         hour_idx = (
             F.unix_timestamp(F.col("ts").cast("timestamp"))
@@ -251,8 +253,7 @@ def zordered_events_path(spark, sf_dir: str) -> str:
             .write.mode("overwrite")
             .parquet(out)
         )
-        with open(marker, "w") as f:
-            f.write("ok\n")
+        commit_derivation(out, "_done", fp)
     return out
 
 
@@ -310,8 +311,8 @@ def versioned_events_path(spark, sf_dir: str) -> str:
     import json
 
     out = f"{RUNTIME_DIR}/layout/{_sf_name(sf_dir)}/events_versioned"
-    marker = f"{out}/_done"
-    if not os.path.exists(marker):
+    fp = source_fingerprint(f"{sf_dir}/events.parquet")
+    if not cached_derivation(out, "_done", fp):
         t = Tables(spark, sf_dir)
         base = t.events.filter(F.col("event_id") % 3 != 0)
         late = t.events.filter(F.col("event_id") % 3 == 0)
@@ -323,8 +324,7 @@ def versioned_events_path(spark, sf_dir: str) -> str:
         for v, files in ((1, v1_files), (2, v2_files)):
             with open(f"{out}/_manifests/v{v}.json", "w") as f:
                 json.dump({"version": v, "files": files}, f)
-        with open(marker, "w") as f:
-            f.write("ok\n")
+        commit_derivation(out, "_done", fp)
     return out
 
 
@@ -374,8 +374,8 @@ def bloom_events_path(spark, sf_dir: str) -> str:
     """events rewritten once per sf with parquet BLOOM FILTERS on
     user_id, range-clustered so row groups are user_id-selective."""
     out = f"{RUNTIME_DIR}/layout/{_sf_name(sf_dir)}/events_bloom"
-    marker = f"{out}/_done"
-    if not os.path.exists(marker):
+    fp = source_fingerprint(f"{sf_dir}/events.parquet")
+    if not cached_derivation(out, "_done", fp):
         t = Tables(spark, sf_dir)
         (
             t.events.repartitionByRange(8, "user_id")
@@ -392,8 +392,7 @@ def bloom_events_path(spark, sf_dir: str) -> str:
             .option("parquet.block.size", str(1 << 20))
             .parquet(out)
         )
-        with open(marker, "w") as f:
-            f.write("ok\n")
+        commit_derivation(out, "_done", fp)
     return out
 
 

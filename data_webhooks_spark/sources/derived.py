@@ -59,8 +59,16 @@ def ensure_derived(sf_dir: str) -> str:
     scale factor."""
     sfname = os.path.basename(sf_dir.rstrip("/"))
     out = f"{DERIVED_DIR}/{sfname}"
-    marker = f"{out}/.complete_v5"
-    if os.path.exists(marker):
+    # cache keyed on the SOURCE fingerprints, not the dir basename —
+    # see io.source_fingerprint for why
+    from ..io import cached_derivation, commit_derivation, source_fingerprint
+
+    fingerprint = source_fingerprint(
+        f"{sf_dir}/events.parquet",
+        f"{sf_dir}/customer.parquet",
+        f"{sf_dir}/documents.parquet",
+    )
+    if cached_derivation(out, ".complete_v5", fingerprint):
         return out
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
@@ -147,8 +155,7 @@ def ensure_derived(sf_dir: str) -> str:
         for line in fin:
             key = int(line.split(",", 1)[0])
             fout.write(f"x{line}" if key % 13 == 0 else line)
-    with open(marker, "w") as f:
-        f.write("ok\n")
+    commit_derivation(out, ".complete_v5", fingerprint)
     return out
 
 

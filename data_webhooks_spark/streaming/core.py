@@ -24,6 +24,8 @@ import duckdb
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..io import cached_derivation, commit_derivation, source_fingerprint
+
 RUNTIME_DIR = "/root/repo/.runtime"
 
 # Chunks are written by DuckDB with µs timestamps — no nanos quirk on
@@ -41,8 +43,10 @@ def replay_dir(sf_dir: str, late: bool = False, late_by: int = 1) -> str:
     sfname = os.path.basename(sf_dir.rstrip("/"))
     kind = ("late" if late_by == 1 else f"late{late_by}") if late else "ordered"
     out = f"{RUNTIME_DIR}/stream/{sfname}/{kind}"
-    marker = f"{out}/.complete"
-    if os.path.exists(marker):
+    # cache keyed on the SOURCE fingerprint, not the dir basename —
+    # see io.source_fingerprint for why
+    fingerprint = source_fingerprint(f"{sf_dir}/events.parquet")
+    if cached_derivation(out, ".complete", fingerprint):
         return out
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
@@ -78,8 +82,7 @@ def replay_dir(sf_dir: str, late: bool = False, late_by: int = 1) -> str:
         )
         os.utime(path, (base + i, base + i))  # replay order == chunk order
     con.close()
-    with open(marker, "w") as f:
-        f.write("ok\n")
+    commit_derivation(out, ".complete", fingerprint)
     return out
 
 

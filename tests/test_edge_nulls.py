@@ -85,3 +85,80 @@ def test_theta_range_null_supplier_kept(spark, tmp_path):
     null_key = spark.read.parquet(f"{sf}/supplier.parquet").toPandas()
     injected = null_key.loc[null_key["s_acctbal"].isna(), "s_suppkey"].iloc[0]
     assert out.loc[out["s_suppkey"] == injected, "n_band_customers"].iloc[0] == 0
+
+
+def _clone_sf_with_row(tmp_path, table: str, overrides: dict):
+    """Like _clone_sf_with_null but sets explicit values: one extra row
+    copied from row 0 with `overrides` applied (id column bumped)."""
+    for t in TABLE_NAMES:
+        src = f"{SF_SMOKE}/{t}.parquet"
+        dst = str(tmp_path / f"{t}.parquet")
+        if t != table:
+            os.symlink(src, dst)
+            continue
+        orig = pq.read_table(src)
+        pdf = orig.to_pandas()
+        extra = pdf.iloc[[0]].copy()
+        id_col = pdf.columns[0]
+        if pd.api.types.is_integer_dtype(pdf[id_col]):
+            extra[id_col] = pdf[id_col].max() + 1
+        for c, v in overrides.items():
+            extra[c] = v
+        out = pd.concat([pdf, extra], ignore_index=True)
+        pq.write_table(
+            pa.Table.from_pandas(out, schema=orig.schema, preserve_index=False),
+            dst,
+        )
+    return str(tmp_path)
+
+
+@pytest.mark.parametrize(
+    "key,table,overrides",
+    [
+        # ADVICE r7: a NULL-valued LAST upsert must survive as NULL on
+        # both engines (struct max, not arg_max/max_by — DuckDB's
+        # arg_max skips NULL args and resurrects an older value). The
+        # far-future ts makes the injected row THAT user's surviving
+        # upsert unconditionally — verified the r7 arg_max oracle
+        # fails exactly this case.
+        (
+            "cdc_apply_log",
+            "events",
+            {
+                "value": None,
+                "event_type": "view",
+                "ts": pd.Timestamp("2025-12-31 23:59:59"),
+            },
+        ),
+        (
+            "stream_cdc_apply",
+            "events",
+            {
+                "value": None,
+                "event_type": "view",
+                "ts": pd.Timestamp("2025-12-31 23:59:59"),
+            },
+        ),
+        # ADVICE r7: a NULL event_type inside a journey — Spark's
+        # concat_ws skips it; the oracle must too (it used
+        # NULL-propagating || before r8).
+        ("event_sequence_ngrams", "events", {"event_type": None}),
+        # ADVICE r7: multibyte text — the oracle must walk CHARACTER
+        # positions (length), not BYTE positions (strlen), for the
+        # per-position hash fold to agree with Spark.
+        (
+            "text_feature_hash",
+            "documents",
+            {"text": "café naïve résumé café"},
+        ),
+    ],
+)
+def test_injected_row_parity(spark, tmp_path, key, table, overrides):
+    sf = _clone_sf_with_row(tmp_path, table, overrides)
+    sp = queries()[key](spark, sf).toPandas()
+    con = duck_connect(sf)
+    try:
+        du = con.execute(oracle_sql()[key]).df()
+    finally:
+        con.close()
+    assert not compare_frames(sp, du), f"{key} diverges on {overrides}"
