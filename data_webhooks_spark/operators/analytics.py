@@ -1603,7 +1603,12 @@ def event_sequence_ngrams(spark, sf_dir):
     Scale (100 TB): one user-keyed window shuffle builds the lead
     chain (the win_pattern_match plan), the trigram groupBy is
     map-combinable over a |types|³-bounded key space, and the top-20
-    plans as TakeOrdered — no full sort."""
+    plans as TakeOrdered — no full sort. A collect_list-per-user
+    variant (array_sort + codegen triple expansion, no global window
+    sort) was A/B'd at x100 and LOST, 3.41 s vs 2.15 s — per-user
+    array materialization costs more than the window's
+    sort-within-partitions; the residual gap to DuckDB (~0.6 s) is
+    the one irreducible 10M-row sort exchange."""
     t = Tables(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = t.events.select(
@@ -1612,13 +1617,19 @@ def event_sequence_ngrams(spark, sf_dir):
         F.lead("event_type", 1).over(w).alias("t1"),
         F.lead("event_type", 2).over(w).alias("t2"),
     ).filter(F.col("t2").isNotNull())
+    # two-level aggregate instead of count + countDistinct in one
+    # pass: the mixed form plans an Expand that doubles every journey
+    # row through the shuffle, while (journey, user) partials collapse
+    # map-side first (x100: 2.42 -> 2.13 s, identical output)
+    per_user = seq.groupBy(
+        F.concat_ws(">", "event_type", "t1", "t2").alias("journey"),
+        "user_id",
+    ).agg(F.count(F.lit(1)).alias("n"))
     return (
-        seq.groupBy(
-            F.concat_ws(">", "event_type", "t1", "t2").alias("journey")
-        )
+        per_user.groupBy("journey")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
-            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum("n").cast("long").alias("n_occurrences"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
         )
         .orderBy(F.col("n_occurrences").desc(), "journey")
         .limit(20)
