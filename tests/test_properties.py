@@ -132,3 +132,56 @@ def test_qnt_bit_identical_across_engines(spark, values):
         r[0] for r in con.execute(f"SELECT {o_qnt('x', 'q')} FROM t").fetchall()
     ]
     assert got == want  # exact float equality, not closeness
+
+
+# Star-contraction connected components vs a pure-Python union-find —
+# the oracle-independent third derivation (the r4 zero-row lesson)
+# for the r8 _connected_components rewrite. Random graphs cover the
+# shapes fixtures never produce: chains grafted onto cliques, isolated
+# edges, duplicate/reversed edges.
+_edges = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=40),
+        st.integers(min_value=0, max_value=40),
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_edges)
+def test_star_contraction_matches_union_find(spark, edges):
+    from data_webhooks_spark.operators.dedup import _connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {}
+    for n in parent:
+        root = find(n)
+        # canonical root = component minimum (paths compress to it
+        # because union always hooks the larger root under the smaller)
+        if n != root:
+            want[n] = root
+    # nodes whose component min is themselves are absent from the
+    # star labels too
+    df = spark.createDataFrame(edges, "u long, v long")
+    labels, rounds = _connected_components(df)
+    got = {r.doc_id: r.cluster_id for r in labels.collect()}
+    assert got == want, (sorted(got.items()), sorted(want.items()))
+    n_nodes = len({x for e in edges for x in e})
+    assert rounds <= 2 * max(n_nodes, 2).bit_length() + 2
