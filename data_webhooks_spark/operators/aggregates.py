@@ -1122,7 +1122,8 @@ def agg_cms_freq(spark, sf_dir):
            f.ts AS first_ts,
            f.event_id AS first_event
     FROM mx m
-    JOIN fs f ON m.event_type = f.event_type AND f.rn = 1
+    JOIN fs f ON m.event_type IS NOT DISTINCT FROM f.event_type
+             AND f.rn = 1
     WHERE m.rn = 1
     """,
 )

@@ -530,7 +530,8 @@ def multimodal_phash(spark, sf_dir):
     )
     SELECT m.doc_id, m.n_bytes, m.checksum, h.ph AS phash,
            d.doc_id IS NOT NULL AS is_near_dup,
-           d.doc_id IS NULL AND m.n_bytes >= 64 AS keep
+           COALESCE(d.doc_id IS NULL AND m.n_bytes >= 64,
+                    FALSE) AS keep
     FROM meta m
     JOIN h ON m.doc_id = h.doc_id
     LEFT JOIN dup d ON m.doc_id = d.doc_id
@@ -616,9 +617,12 @@ def pipeline_media_prep(spark, sf_dir):
             "checksum",
             F.col("ph").alias("phash"),
             F.coalesce("is_dup", F.lit(False)).alias("is_near_dup"),
-            (
+            F.coalesce(
                 F.coalesce("is_dup", F.lit(False)).eqNullSafe(False)
-                & (F.col("n_bytes") >= 64)
+                & (F.col("n_bytes") >= 64),
+                # a NULL payload has no size: explicitly NOT kept
+                # (NULL-injection sweep — keep must never be NULL)
+                F.lit(False),
             ).alias("keep"),
         )
     )

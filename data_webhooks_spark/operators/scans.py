@@ -305,17 +305,21 @@ def scan_xml(spark, sf_dir):
     row-per-record layout avoids by construction."""
     import os
 
+    from ..io import cached_derivation, commit_derivation, source_fingerprint
     from ..sources.derived import DERIVED_DIR
 
     sfname = os.path.basename(sf_dir.rstrip("/"))
     path = f"{DERIVED_DIR}/{sfname}/supplier_xml"
-    marker = f"{path}/_SUCCESS"
     t = Tables(spark, sf_dir)
     cols = ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]
-    if not os.path.exists(marker):
+    # fingerprint-keyed cache, not basename-keyed — see
+    # io.source_fingerprint for why
+    fp = source_fingerprint(f"{sf_dir}/supplier.parquet")
+    if not cached_derivation(path, "_fingerprint", fp):
         t.supplier.select(*cols).write.mode("overwrite").format(
             "xml"
         ).option("rowTag", "supplier").save(path)
+        commit_derivation(path, "_fingerprint", fp)
     return (
         spark.read.format("xml")
         .option("rowTag", "supplier")

@@ -126,7 +126,8 @@ def _map_funcs_sql():
     WITH per AS (
         SELECT user_id, event_type,
                {o_dec_sum('value', 'total', 4)}
-        FROM events GROUP BY user_id, event_type
+        FROM events WHERE event_type IS NOT NULL
+        GROUP BY user_id, event_type
     )
     SELECT user_id,
            string_agg(event_type, ',' ORDER BY event_type) AS types,
@@ -149,7 +150,11 @@ def map_funcs(spark, sf_dir):
     t = Tables(spark, sf_dir)
     from ..norms import dec_sum
 
-    per_type = t.events.groupBy("user_id", "event_type").agg(
+    # maps cannot hold a NULL key (Spark raises NULL_MAP_KEY), so a
+    # NULL event_type is excluded on both engines before the build
+    per_type = t.events.filter(
+        F.col("event_type").isNotNull()
+    ).groupBy("user_id", "event_type").agg(
         dec_sum("value", "total", 4)
     )
     m = (

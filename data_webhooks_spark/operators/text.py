@@ -59,10 +59,10 @@ def text_stats(spark, sf_dir):
     "text_tokenize",
     sql=f"""
     SELECT doc_id,
-           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
-           array_to_string(list_filter(string_split(text, ' '),
+           CAST(len(string_split(COALESCE(text, ''), ' ')) AS INT) AS n_tokens,
+           array_to_string(list_filter(string_split(COALESCE(text, ''), ' '),
                        x -> x NOT IN {_STOPWORDS}), ' ') AS tokens_nostop,
-           CAST(len(list_filter(string_split(text, ' '),
+           CAST(len(list_filter(string_split(COALESCE(text, ''), ' '),
                        x -> x NOT IN {_STOPWORDS})) AS INT) AS n_nostop
     FROM documents
     """,
@@ -74,7 +74,7 @@ def text_tokenize(spark, sf_dir):
     still runs element-wise) so every cell stays hashable for the driver's
     order-insensitive comparison."""
     t = Tables(spark, sf_dir)
-    toks = _tokens()
+    toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
     nostop = F.filter(toks, lambda x: ~x.isin(*_STOPWORDS))
     return t.documents.select(
         "doc_id",
@@ -112,17 +112,17 @@ def text_token_count(spark, sf_dir):
     "text_quality",
     sql=f"""
     SELECT doc_id,
-           CAST(len(string_split(text, ' ')) AS INT) AS n_words,
-           CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_uniq,
-           round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                 / len(string_split(text, ' ')), 6) AS uniq_ratio,
-           round(CAST(len(list_filter(string_split(text, ' '),
+           CAST(len(string_split(COALESCE(text, ''), ' ')) AS INT) AS n_words,
+           CAST(len(list_distinct(string_split(COALESCE(text, ''), ' '))) AS INT) AS n_uniq,
+           round(CAST(len(list_distinct(string_split(COALESCE(text, ''), ' '))) AS DOUBLE)
+                 / len(string_split(COALESCE(text, ''), ' ')), 6) AS uniq_ratio,
+           round(CAST(len(list_filter(string_split(COALESCE(text, ''), ' '),
                           x -> x IN {_STOPWORDS})) AS DOUBLE)
-                 / len(string_split(text, ' ')), 6) AS stopword_ratio,
-           round(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 6) AS avg_word_len,
-           CAST(len(string_split(text, ' ')) BETWEEN 20 AND 200
-                AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                    / len(string_split(text, ' ')) > 0.2 AS BOOLEAN) AS passes_filter
+                 / len(string_split(COALESCE(text, ''), ' ')), 6) AS stopword_ratio,
+           round(CAST(n_chars AS DOUBLE) / len(string_split(COALESCE(text, ''), ' ')), 6) AS avg_word_len,
+           CAST(len(string_split(COALESCE(text, ''), ' ')) BETWEEN 20 AND 200
+                AND CAST(len(list_distinct(string_split(COALESCE(text, ''), ' '))) AS DOUBLE)
+                    / len(string_split(COALESCE(text, ''), ' ')) > 0.2 AS BOOLEAN) AS passes_filter
     FROM documents
     """,
 )
@@ -130,7 +130,7 @@ def text_quality(spark, sf_dir):
     """Heuristic quality scoring: length band, uniqueness, stopword
     density — the standard pre-training corpus filters."""
     t = Tables(spark, sf_dir)
-    toks = _tokens()
+    toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
     n_words = F.size(toks)
     n_uniq = F.size(F.array_distinct(toks))
     uniq_ratio = n_uniq.cast("double") / n_words
@@ -162,7 +162,7 @@ _LANG_MARKERS = {
 
 def _vote_sql(lang: str) -> str:
     return (
-        f"len(list_filter(string_split(text, ' '), x -> x IN {_LANG_MARKERS[lang]}))"
+        f"len(list_filter(string_split(COALESCE(text, ''), ' '), x -> x IN {_LANG_MARKERS[lang]}))"
     )
 
 
@@ -181,14 +181,16 @@ def _vote_sql(lang: str) -> str:
                  AND {_vote_sql('es')} >= {_vote_sql('zh')} THEN 'es'
                 WHEN {_vote_sql('fr')} >= {_vote_sql('zh')} THEN 'fr'
                 ELSE 'zh' END AS lang_pred
-    FROM documents
+    FROM (SELECT doc_id, lang, COALESCE(text, '') AS text
+          FROM documents) d
     """,
 )
 def text_langid(spark, sf_dir):
     """Marker-word voting language ID with a fixed priority order for
     ties (deterministic; real corpora would use n-gram profiles)."""
     t = Tables(spark, sf_dir)
-    toks = _tokens()
+    # empty-document contract: NULL text votes like the empty doc
+    toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
 
     def vote(lang):
         return F.size(F.filter(toks, lambda x: x.isin(*_LANG_MARKERS[lang])))
@@ -213,9 +215,9 @@ def text_langid(spark, sf_dir):
     "text_fingerprint",
     sql="""
     SELECT doc_id,
-           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+           md5(array_to_string(list_sort(list_distinct(string_split(COALESCE(text, ''), ' '))), ' '))
              AS fingerprint,
-           md5(text) AS exact_hash
+           md5(COALESCE(text, '')) AS exact_hash
     FROM documents
     """,
 )
@@ -224,11 +226,18 @@ def text_fingerprint(spark, sf_dir):
     md5) + exact content hash; the pair powers exact and bag-of-words
     dedup."""
     t = Tables(spark, sf_dir)
-    bag = F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens())))
+    bag = F.concat_ws(
+        " ",
+        F.array_sort(
+            F.array_distinct(
+                F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+            )
+        ),
+    )
     return t.documents.select(
         "doc_id",
         F.md5(bag).alias("fingerprint"),
-        F.md5(F.col("text")).alias("exact_hash"),
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("exact_hash"),
     )
 
 
@@ -236,8 +245,8 @@ def text_fingerprint(spark, sf_dir):
     "text_sentiment",
     sql=f"""
     WITH words AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS word,
-               len(string_split(text, ' ')) AS n_words
+        SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS word,
+               len(string_split(COALESCE(text, ''), ' ')) AS n_words
         FROM documents
     ),
     lex AS (
@@ -266,8 +275,8 @@ def text_sentiment(spark, sf_dir):
         [(w, 1) for w in _POS_WORDS] + [(w, -1) for w in _NEG_WORDS],
         "word string, weight int",
     )
-    spine = t.documents.select("doc_id", F.size(_tokens()).alias("n_words"))
-    hits = t.documents.select("doc_id", F.explode(_tokens()).alias("word")).join(
+    spine = t.documents.select("doc_id", F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " ")).alias("n_words"))
+    hits = t.documents.select("doc_id", F.explode(F.split(F.coalesce(F.col("text"), F.lit("")), " ")).alias("word")).join(
         F.broadcast(lex), "word"
     )
     per_doc = hits.groupBy("doc_id").agg(
@@ -2107,10 +2116,10 @@ def text_feature_hash(spark, sf_dir):
     fp AS (
         SELECT doc_id,
                md5(array_to_string(
-                   list_sort(list_distinct(string_split(text, ' '))),
+                   list_sort(list_distinct(string_split(COALESCE(text, ''), ' '))),
                    ' ')) AS fingerprint,
-               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-               CAST(len(list_distinct(string_split(text, ' ')))
+               CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT) AS n_words,
+               CAST(len(list_distinct(string_split(COALESCE(text, ''), ' ')))
                     AS BIGINT) AS n_uniq
         FROM documents
     ),
@@ -2166,7 +2175,7 @@ def pipeline_dedup_prep(spark, sf_dir):
             qnt(novel.cast("double") / F.count(F.lit(1)), "novelty_rate")
         )
     )
-    toks = _tokens()
+    toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
     fp = t.documents.select(
         "doc_id",
         F.md5(

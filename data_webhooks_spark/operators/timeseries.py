@@ -160,7 +160,7 @@ def _ewma_oracle() -> str:
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN {_EWMA_N - 1} PRECEDING AND CURRENT ROW
                ) AS vs
-        FROM events
+        FROM events WHERE value IS NOT NULL
     )
     SELECT user_id, event_id, value,
            {o_qnt(f"(0.0 + {terms}) / {_EWMA_NORM!r}", "ewma")}
@@ -187,7 +187,12 @@ def ts_ewma(spark, sf_dir):
         .rowsBetween(-(_EWMA_N - 1), 0)
     )
     weights = F.array(*[F.lit(w) for w in _EWMA_W])
-    frames = t.events.select(
+    # NULL measurements are excluded from the series EXPLICITLY on
+    # both engines: Spark's collect_list silently skips NULLs while
+    # DuckDB's list() keeps them, so an implicit series would shift
+    # frames differently per engine (caught by the NULL-injection
+    # sweep; semantics: frames span the surviving points).
+    frames = t.events.filter(F.col("value").isNotNull()).select(
         "user_id",
         "event_id",
         "value",
@@ -279,7 +284,7 @@ _MED_N = 9  # odd frame => the median is a single order statistic
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN {_MED_N - 1} PRECEDING AND CURRENT ROW
                ) AS vs
-        FROM events
+        FROM events WHERE value IS NOT NULL
     )
     SELECT user_id, event_id, value,
            list_sort(vs)[{(_MED_N + 1) // 2}] AS med
@@ -304,7 +309,8 @@ def ts_moving_median(spark, sf_dir):
         .orderBy("ts", "event_id")
         .rowsBetween(-(_MED_N - 1), 0)
     )
-    framed = t.events.select(
+    # explicit NULL-measurement exclusion — see ts_ewma
+    framed = t.events.filter(F.col("value").isNotNull()).select(
         "user_id",
         "event_id",
         "value",
@@ -837,7 +843,7 @@ _M4_WIDTH_US = 6 * 3600 * 1_000_000
         SELECT event_type,
                epoch_us(ts) // {_M4_WIDTH_US} AS bucket,
                ts, event_id, value
-        FROM events
+        FROM events WHERE value IS NOT NULL
     ),
     fs AS (
         SELECT *, row_number() OVER (PARTITION BY event_type, bucket
@@ -865,13 +871,13 @@ _M4_WIDTH_US = 6 * 3600 * 1_000_000
            n2.value AS min_val, n2.ts AS min_ts,
            x.value AS max_val, x.ts AS max_ts
     FROM cnt c
-    JOIN fs f ON f.event_type = c.event_type AND f.bucket = c.bucket
+    JOIN fs f ON f.event_type IS NOT DISTINCT FROM c.event_type AND f.bucket = c.bucket
              AND f.rn = 1
-    JOIN ls l ON l.event_type = c.event_type AND l.bucket = c.bucket
+    JOIN ls l ON l.event_type IS NOT DISTINCT FROM c.event_type AND l.bucket = c.bucket
              AND l.rn = 1
-    JOIN mn n2 ON n2.event_type = c.event_type AND n2.bucket = c.bucket
+    JOIN mn n2 ON n2.event_type IS NOT DISTINCT FROM c.event_type AND n2.bucket = c.bucket
               AND n2.rn = 1
-    JOIN mx x ON x.event_type = c.event_type AND x.bucket = c.bucket
+    JOIN mx x ON x.event_type IS NOT DISTINCT FROM c.event_type AND x.bucket = c.bucket
              AND x.rn = 1
     """,
 )
@@ -893,7 +899,10 @@ def ts_downsample_m4(spark, sf_dir):
     spells the identical tiebreaks as row_number orderings. No float
     arithmetic anywhere — outputs are existing rows' values."""
     t = Tables(spark, sf_dir)
-    e = t.events.select(
+    # NULL measurements carry no pixel — excluded on both engines
+    # (NULL-injection sweep: Spark's struct-min treats a NULL field
+    # as smallest while DuckDB orders NULLS LAST)
+    e = t.events.filter(F.col("value").isNotNull()).select(
         "event_type",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
         "ts",

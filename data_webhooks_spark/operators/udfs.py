@@ -55,14 +55,17 @@ def udf_python(spark, sf_dir):
     "udf_pandas_scalar",
     sql="""
     SELECT event_id, value,
-           LEAST(GREATEST(value / 100.0, 0.0), 1.0) AS value01
+           CASE WHEN value IS NULL THEN NULL
+                ELSE LEAST(GREATEST(value / 100.0, 0.0), 1.0) END AS value01
     FROM events
     """,
 )
 def udf_pandas_scalar(spark, sf_dir):
     """Arrow-vectorized scalar UDF: whole-column pandas arithmetic.
-    pandas clip == LEAST/GREATEST for the null-free fixture column, so
-    the vectorized result is hash-verified against the SQL twin."""
+    pandas clip == LEAST/GREATEST with an explicit NULL passthrough:
+    pandas propagates NaN through clip while DuckDB's LEAST/GREATEST
+    SKIP null arguments (NULL would clip to 0.0) — the CASE keeps the
+    twin NULL-faithful (NULL-injection sweep)."""
     t = Tables(spark, sf_dir)
 
     @pandas_udf("double")

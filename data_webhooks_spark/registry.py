@@ -102,6 +102,20 @@ _WINDOW = [
     "sim_cosine_brute",
     "knn_join",
 ]
+# R9 WINDOW SEED — keys whose code or oracle text changed in the r8
+# NULL-injection hardening wave but sit OUTSIDE the r8 window (their
+# latest driver records predate the change; every change is pinned
+# locally by tests/test_edge_nulls.py injected-row parity and the
+# targeted driver_sim runs): ts_ewma, ts_moving_median,
+# ts_downsample_m4 (explicit NULL-measurement exclusion + null-safe
+# M4 series joins), udf_pandas_scalar (NULL passthrough CASE),
+# agg_minmax_by (null-safe oracle join), map_funcs (NULL map keys
+# excluded on both engines), stream_quantile (null-safe joins +
+# discrete-rank slack), text_tokenize / text_fingerprint /
+# text_quality / text_sentiment / text_langid (empty-document
+# contract: NULL text behaves as ''). Rotate these 12 into the r9
+# window alongside any r9 changes.
+
 _MODULES = [
     "data_webhooks_spark.operators.windows",
     "data_webhooks_spark.operators.tpch",

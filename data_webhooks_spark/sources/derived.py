@@ -91,6 +91,16 @@ def ensure_derived(sf_dir: str) -> str:
     ).fetchall()
     with open(f"{out}/documents.tsv", "w", encoding="utf-8") as f:
         for doc_id, text in docs:
+            if text is None:
+                raise ValueError(
+                    f"documents fixture drift: doc_id={doc_id} has NULL "
+                    "text — the TSV/blob derivations are byte-lossless "
+                    "round-trips and cannot represent NULL (scan_text's "
+                    "oracle proves losslessness against the parquet); "
+                    "NULL-text corpora are the text-analytics operators' "
+                    "domain (they treat NULL as the empty document), not "
+                    "the raw-ingest twins'"
+                )
             if "\t" in text or "\n" in text or "\r" in text:
                 raise ValueError(
                     f"documents fixture drift: doc_id={doc_id} contains a "

@@ -1024,8 +1024,16 @@ def stream_quantile(spark, sf_dir):
         F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("est"),
     )
     t = Tables(spark, sf_dir)
+    # null-safe joins: a NULL event_type is a real group on both
+    # engines (plain equi-joins silently dropped it — NULL-injection
+    # sweep)
     counted = (
-        t.events.join(F.broadcast(ests.select("event_type", "est")), "event_type")
+        t.events.join(
+            F.broadcast(
+                ests.select(F.col("event_type").alias("et"), "est")
+            ),
+            F.col("event_type").eqNullSafe(F.col("et")),
+        )
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_batch"),
@@ -1034,15 +1042,23 @@ def stream_quantile(spark, sf_dir):
             ).alias("le_est"),
             F.percentile("value", F.lit(0.5)).alias("exact_p50_raw"),
         )
+        .withColumnRenamed("event_type", "et2")
     )
     return (
-        ests.join(counted, "event_type")
+        ests.join(
+            counted, F.col("event_type").eqNullSafe(F.col("et2"))
+        )
         .select(
             "event_type",
             "n",
             F.round("exact_p50_raw", 2).alias("exact_p50"),
             (
-                F.abs(F.col("le_est") / F.col("n_batch") - 0.5) <= F.lit(eps)
+                # + 1/(2n): the discrete-rank slack — with <= counting
+                # a tiny group's exact median sits at rank up to
+                # 0.5 + 1/(2n) (a 1-row group reads rank 1.0), which
+                # the sketch-error eps alone doesn't cover
+                F.abs(F.col("le_est") / F.col("n_batch") - 0.5)
+                <= F.lit(eps) + 0.5 / F.col("n_batch")
             ).alias("rank_ok"),
         )
     )
@@ -1697,7 +1713,12 @@ def stream_hll_distinct(spark, sf_dir):
     def ok(est, ex):
         return F.abs(est - ex) <= F.greatest(F.lit(2.0), 0.05 * ex)
 
-    per_type = st.join(exact, "event_type").select(
+    # null-safe: a NULL event_type is a real group on both engines
+    # (a plain equi-join silently dropped it — NULL-injection sweep)
+    per_type = st.join(
+        exact.withColumnRenamed("event_type", "et"),
+        st["event_type"].eqNullSafe(F.col("et")),
+    ).select(
         "event_type",
         "exact_users",
         ok(F.hll_sketch_estimate("sk"), F.col("exact_users")).alias(

@@ -151,6 +151,44 @@ def _clone_sf_with_row(tmp_path, table: str, overrides: dict):
             "documents",
             {"text": "café naïve résumé café"},
         ),
+        # r8 NULL-injection sweep findings, each fixed to an explicit
+        # contract and pinned here:
+        # NULL measurements are excluded from rolling series on BOTH
+        # engines (Spark collect_list skips NULLs, DuckDB list() keeps
+        # them — an implicit series shifts frames differently)
+        ("ts_ewma", "events", {"value": None}),
+        ("ts_moving_median", "events", {"value": None}),
+        # M4 extremes: NULL values carry no pixel; NULL event_type is
+        # a real series (null-safe oracle joins)
+        ("ts_downsample_m4", "events", {"value": None}),
+        ("ts_downsample_m4", "events", {"event_type": None}),
+        # NULL in -> NULL out through the vectorized clip (DuckDB
+        # LEAST/GREATEST skip NULL args and would clip to 0.0)
+        ("udf_pandas_scalar", "events", {"value": None}),
+        # NULL event_type is a real group: null-safe oracle join
+        ("agg_minmax_by", "events", {"event_type": None}),
+        # maps cannot hold a NULL key: excluded on both engines
+        # (Spark used to crash with NULL_MAP_KEY)
+        ("map_funcs", "events", {"event_type": None}),
+        # streaming group keys: NULL event_type survives the
+        # stream-vs-batch joins (eqNullSafe), and tiny groups get the
+        # discrete-rank slack in the quantile check
+        ("stream_hll_distinct", "events", {"event_type": None}),
+        ("stream_quantile", "events", {"event_type": None}),
+        # empty-document contract: NULL text behaves as '' on both
+        # engines across the text-analytics family
+        ("text_tokenize", "documents", {"text": None}),
+        ("text_fingerprint", "documents", {"text": None}),
+        ("text_quality", "documents", {"text": None}),
+        ("text_sentiment", "documents", {"text": None}),
+        ("text_langid", "documents", {"text": None}),
+        ("pipeline_dedup_prep", "documents", {"text": None}),
+        # a NULL payload is explicitly NOT kept (keep is never NULL)
+        ("pipeline_media_prep", "documents", {"text": None}),
+        # the XML round-trip must represent a NULL field (and the
+        # derived twin must rebuild when the source fixture changes —
+        # its cache was basename-keyed before r8)
+        ("scan_xml", "supplier", {"s_acctbal": None}),
     ],
 )
 def test_injected_row_parity(spark, tmp_path, key, table, overrides):
