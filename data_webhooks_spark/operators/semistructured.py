@@ -204,7 +204,8 @@ def json_get(spark, sf_dir):
     sql="""
     SELECT event_id,
            CAST(json_extract(props, '$.k') AS INT) AS k,
-           CAST(json_valid(props) AS BOOLEAN) AS is_valid,
+           COALESCE(CAST(json_valid(props) AS BOOLEAN), FALSE)
+               AS is_valid,
            CAST(len(json_keys(props)) AS INT) AS n_keys
     FROM events
     """,
@@ -217,6 +218,9 @@ def json_parse(spark, sf_dir):
     return t.events.select(
         "event_id",
         parsed.getField("k").alias("k"),
-        parsed.isNotNull().alias("is_valid"),
+        # a missing payload is NOT valid JSON — both engines coalesce
+        # validity to FALSE so the flag is never NULL (NULL-injection
+        # sweep; a nullable boolean also defeats the driver's canon)
+        (F.col("props").isNotNull() & parsed.isNotNull()).alias("is_valid"),
         F.size(F.from_json(F.col("props"), "map<string,string>")).alias("n_keys"),
     )

@@ -477,10 +477,16 @@ def pack_sequences(spark, sf_dir):
             / (F.col("hi") - F.col("lo") + 1)
         ),
     )
+    # null-safe joins throughout: a NULL lang is a real pack group
+    # (plain equi-joins silently dropped those docs — NULL-injection
+    # sweep)
     sharded = (
-        sized.join(F.broadcast(bounds), "lang")
+        sized.join(
+            F.broadcast(bounds.withColumnRenamed("lang", "_bl")),
+            F.col("lang").eqNullSafe(F.col("_bl")),
+        )
         .withColumn("shard", shard)
-        .drop("lo", "hi")
+        .drop("lo", "hi", "_bl")
     )
     w_local = (
         Window.partitionBy("lang", "shard")
@@ -501,7 +507,15 @@ def pack_sequences(spark, sf_dir):
         )
         .select("lang", "shard", "offset")
     )
-    cum = local.join(F.broadcast(offsets), ["lang", "shard"]).withColumn(
+    cum = local.join(
+        F.broadcast(
+            offsets.withColumnRenamed("lang", "_ol").withColumnRenamed(
+                "shard", "_os"
+            )
+        ),
+        F.col("lang").eqNullSafe(F.col("_ol"))
+        & (F.col("shard") == F.col("_os")),
+    ).withColumn(
         "cum_before",
         F.col("offset") + F.col("local_cum") - F.col("n_tokens"),
     )

@@ -113,8 +113,10 @@ _WINDOW = [
 # excluded on both engines), stream_quantile (null-safe joins +
 # discrete-rank slack), text_tokenize / text_fingerprint /
 # text_quality / text_sentiment / text_langid (empty-document
-# contract: NULL text behaves as ''). Rotate these 12 into the r9
-# window alongside any r9 changes.
+# contract: NULL text behaves as ''), json_parse (validity
+# coalesced to FALSE for missing payloads on both engines), pack_sequences (null-safe shard joins — a NULL lang
+# is a real pack group). Rotate these 14 into the r9 window
+# alongside any r9 changes.
 
 _MODULES = [
     "data_webhooks_spark.operators.windows",

@@ -189,6 +189,10 @@ def _clone_sf_with_row(tmp_path, table: str, overrides: dict):
         # derived twin must rebuild when the source fixture changes —
         # its cache was basename-keyed before r8)
         ("scan_xml", "supplier", {"s_acctbal": None}),
+        # json_valid(NULL) is NULL on both engines, not False
+        ("json_parse", "events", {"props": None}),
+        # a NULL lang is a real pack group (null-safe shard joins)
+        ("pack_sequences", "documents", {"lang": None}),
     ],
 )
 def test_injected_row_parity(spark, tmp_path, key, table, overrides):
