@@ -1829,8 +1829,12 @@ def pack_sequences_ffd(spark, sf_dir):
             / (F.col("hi") - F.col("lo") + 1)
         ),
     ).cast("long")
+    # null-safe like pack_sequences': a NULL lang is a real pack group
     sharded = (
-        sized.join(F.broadcast(bounds), "lang")
+        sized.join(
+            F.broadcast(bounds.withColumnRenamed("lang", "_bl")),
+            F.col("lang").eqNullSafe(F.col("_bl")),
+        )
         .withColumn("shard", shard)
         .select("lang", "shard", "doc_id", "n_tokens")
     )
