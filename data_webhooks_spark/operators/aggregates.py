@@ -173,6 +173,7 @@ def agg_having(spark, sf_dir):
            COUNT(*) AS n
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    HAVING COUNT(*) > 0
     """,
 )
 def agg_grouping_sets(spark, sf_dir):
@@ -198,6 +199,7 @@ def agg_grouping_sets(spark, sf_dir):
            COUNT(*) AS n
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    HAVING COUNT(*) > 0
     """,
 )
 def agg_rollup(spark, sf_dir):
@@ -217,10 +219,18 @@ def agg_rollup(spark, sf_dir):
            COUNT(*) AS n
     FROM events
     GROUP BY CUBE (event_type, user_id)
+    HAVING COUNT(*) > 0
     """,
 )
 def agg_cube(spark, sf_dir):
-    """CUBE over two keys: all 4 grouping-set combinations with grouping-id disambiguation, expanded after partial aggregation."""
+    """CUBE over two keys: all 4 grouping-set combinations with
+    grouping-id disambiguation, expanded after partial aggregation.
+
+    The oracle's HAVING COUNT(*) > 0 is a no-op on any non-empty
+    input (every emitted group has rows) but pins the EMPTY-input
+    contract: Spark's cube yields no rows while the SQL-standard
+    grand-total grouping set yields one n=0 row — the engines must
+    agree that an empty table cubes to an empty report."""
     t = Tables(spark, sf_dir)
     return t.events.cube("event_type", "user_id").agg(
         dec_sum("value", "sum_value", 4),
@@ -772,7 +782,18 @@ def agg_theta_overlap(spark, sf_dir):
             & ok("e_either", "n_either")
             & ok("e_both", "n_both")
             & ok("e_view_only", "n_view_only")
-        ).alias("est_ok"),
+        )
+        # vacuously TRUE on empty segments (no estimate can disagree
+        # with its exact counterpart) — the oracle pins TRUE
+        # unconditionally; empty-input sweep
+        .alias("est_ok_raw"),
+    ).select(
+        "n_viewers",
+        "n_purchasers",
+        "n_either",
+        "n_both",
+        "n_view_only",
+        F.coalesce("est_ok_raw", F.lit(True)).alias("est_ok"),
     )
 
 

@@ -122,6 +122,10 @@ def drift_ks_test(spark, sf_dir):
                 "ks_stat",
             ),
         )
+        # an empty comparison window yields NO report row (matching
+        # the oracle's grouped form), not a row of NULLs — empty-input
+        # sweep
+        .filter(F.col("n_a").isNotNull())
     )
 
 
@@ -230,8 +234,10 @@ def drift_psi(spark, sf_dir):
     tot = counts.agg(
         F.sum("nb").alias("tb"), F.sum("nc").alias("tc")
     )
-    pc = F.col("nc") / F.col("tc").cast("double")
-    pb = F.col("nb") / F.col("tb").cast("double")
+    # try_divide: zero totals (empty window) yield NULL psi instead of
+    # an ANSI DIVIDE_BY_ZERO crash — empty-input sweep
+    pc = F.try_divide(F.col("nc"), F.col("tc").cast("double"))
+    pb = F.try_divide(F.col("nb"), F.col("tb").cast("double"))
     return (
         counts.crossJoin(tot)  # 1-row scalar attach
         .agg(

@@ -60,6 +60,18 @@ def partitioned_events_path(spark, sf_dir: str) -> str:
     return out
 
 
+def read_partitioned_events(spark, sf_dir: str):
+    """Read the hive-partitioned layout with an EXPLICIT schema —
+    schema inference over an all-empty partitioned write has nothing
+    to infer from (UNABLE_TO_INFER_SCHEMA, empty-input sweep), and a
+    100 TB reader should pin its schema anyway. The schema derives
+    from the writer's own plan (no scan)."""
+    path = partitioned_events_path(spark, sf_dir)
+    t = Tables(spark, sf_dir)
+    schema = t.events.withColumn("event_date", F.to_date("ts")).schema
+    return spark.read.schema(schema).parquet(path)
+
+
 @op(
     "sink_partitioned_parquet",
     sql="""
@@ -74,8 +86,7 @@ def sink_partitioned_parquet(spark, sf_dir):
     prunes whole directories before any file I/O (PartitionFilters in
     the plan — asserted in test_plans). At 100 TB, date partitioning
     is what bounds a time-windowed query to touched days."""
-    path = partitioned_events_path(spark, sf_dir)
-    df = spark.read.parquet(path)
+    df = read_partitioned_events(spark, sf_dir)
     return (
         df.filter(
             F.col("event_date").between("2024-01-02", "2024-01-04")
@@ -544,8 +555,7 @@ def scan_partition_pruned_dynamic(spark, sf_dir):
     table to 2/7ths of it before a single row is read.
 
     Value totals ride the exact cent-unit BIGINT discipline."""
-    path = partitioned_events_path(spark, sf_dir)
-    fact = spark.read.parquet(path)
+    fact = read_partitioned_events(spark, sf_dir)
     # derived calendar dim: one row per partition key, weekend flag.
     # DuckDB dayofweek: 0=Sunday..6=Saturday; Spark dayofweek:
     # 1=Sunday..7=Saturday — align by subtracting 1 Spark-side.

@@ -180,7 +180,10 @@ def dq_checks(spark, sf_dir):
     t = Tables(spark, sf_dir)
 
     def viol(cond, name):
-        return F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+        # count-based, not sum-based: COUNT over zero rows is 0 like
+        # the oracle's COUNT(*) FILTER, while SUM would read NULL on
+        # an empty batch (empty-input sweep)
+        return F.count(F.when(cond, 1)).cast("long").alias(name)
 
     o = t.orders
     local = o.agg(
@@ -773,10 +776,10 @@ def dq_reconciliation(spark, sf_dir):
            CAST(COUNT(*) FILTER (WHERE value < 0) AS BIGINT) AS n_negative,
            CAST(COUNT(*) FILTER (WHERE props IS NULL OR props = '')
                 AS BIGINT) AS n_empty_props,
-           CAST(SUM(CASE WHEN value >= 0
+           COALESCE(CAST(SUM(CASE WHEN value >= 0
                 THEN CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
                 ELSE -CAST(FLOOR(-value * 100.0 + 0.5) AS BIGINT) END)
-             AS DOUBLE) / 100 AS value_total
+             AS DOUBLE) / 100, 0.0) AS value_total
     FROM events WHERE event_type = 'purchase'
     """,
 )
@@ -833,7 +836,9 @@ def dq_observe(spark, sf_dir):
                 m["n_rows"],
                 m["n_negative"],
                 m["n_empty_props"],
-                float(m["value_total"]),
+                # SUM over zero rows observes NULL — an empty feed
+                # totals 0.0, it doesn't crash the metrics reader
+                float(m["value_total"] or 0.0),
             )
         ],
         "n_rows long, n_negative long, n_empty_props long, value_total double",

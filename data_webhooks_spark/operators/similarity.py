@@ -1421,6 +1421,15 @@ def embed_pair_mining(spark, sf_dir):
         .collect()
     )
     anchors.sort(key=lambda r: r.vec_id)
+    if not anchors:
+        # no anchors -> no pairs (empty-input sweep: np.array([]) has
+        # no second axis to size the kernel from)
+        return spark.createDataFrame(
+            [],
+            "q_id long, hard_neg_id long, hard_neg_cos double, "
+            "hard_pos_id long, hard_pos_cos double, "
+            "margin_violated boolean",
+        )
     amat = np.array([[float(x) for x in r.embedding] for r in anchors])
     a_ids = np.array([r.vec_id for r in anchors], dtype=np.int64)
     a_lab = np.array([r.label for r in anchors], dtype=np.int64)

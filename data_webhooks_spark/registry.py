@@ -115,8 +115,17 @@ _WINDOW = [
 # text_quality / text_sentiment / text_langid (empty-document
 # contract: NULL text behaves as ''), json_parse (validity
 # coalesced to FALSE for missing payloads on both engines), pack_sequences (null-safe shard joins — a NULL lang
-# is a real pack group). Rotate these 14 into the r9 window
-# alongside any r9 changes.
+# is a real pack group). The EMPTY-INPUT sweep (every oracled key vs
+# zero-row clones of all 8 tables — clean as of r8) additionally
+# changed, outside the window: agg_cube / agg_rollup /
+# agg_grouping_sets (HAVING COUNT(*)>0 pins the empty-table cube to
+# an empty report on both engines), agg_theta_overlap (vacuously-TRUE
+# est_ok on empty segments), dq_checks (count-based violation
+# counters — SUM reads NULL on empty), drift_ks_test (no report row
+# on an empty window), drift_psi (try_divide instead of an ANSI
+# divide-by-zero crash), sink_foreach_batch (empty stream totals
+# 0.0), sink_partitioned_parquet (explicit-schema partitioned reads).
+# Rotate all 23 into the r9 window alongside any r9 changes.
 
 _MODULES = [
     "data_webhooks_spark.operators.windows",

@@ -478,8 +478,13 @@ def sink_memory(spark, sf_dir):
 
 @op(
     "sink_foreach_batch",
+    # COALESCE pins the empty-stream contract: zero batches total 0.0
+    # on both engines (SUM over no rows is NULL in SQL)
     sql=f"""
-    SELECT COUNT(*) AS n_rows, {o_dec_sum('value', 'total_value', 4)} FROM events
+    SELECT COUNT(*) AS n_rows,
+           COALESCE({o_dec_sum('value', 'raw_total', 4)
+                     .replace(' AS raw_total', '')}, 0.0) AS total_value
+    FROM events
     """,
 )
 def sink_foreach_batch(spark, sf_dir):
@@ -923,8 +928,14 @@ def stream_rollup_upsert(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out).select(
-        "window_start", "event_type", "n", "total_value"
+    # explicit schema + ensured dir: an all-empty stream never writes
+    # a batch, and the serving read must return an empty rollup, not
+    # PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA (empty-input sweep)
+    os.makedirs(out, exist_ok=True)
+    return (
+        spark.read.schema(agg.schema)
+        .parquet(out)
+        .select("window_start", "event_type", "n", "total_value")
     )
 
 

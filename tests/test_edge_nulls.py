@@ -204,3 +204,61 @@ def test_injected_row_parity(spark, tmp_path, key, table, overrides):
     finally:
         con.close()
     assert not compare_frames(sp, du), f"{key} diverges on {overrides}"
+
+
+def _clone_sf_with_empty(tmp_path, table: str):
+    """Link every sf0.001 fixture, replacing `table` with a ZERO-ROW
+    parquet of the same schema — the empty-partition / empty-date-range
+    shape every 100 TB pipeline hits routinely."""
+    for t in TABLE_NAMES:
+        src = f"{SF_SMOKE}/{t}.parquet"
+        dst = str(tmp_path / f"{t}.parquet")
+        if t != table:
+            os.symlink(src, dst)
+        else:
+            pq.write_table(pq.read_table(src).slice(0, 0), dst)
+    return str(tmp_path)
+
+
+@pytest.mark.parametrize(
+    "key,table",
+    [
+        # every case below CRASHED or diverged on empty input before
+        # the r8 empty-input sweep; the full-registry sweep (all 8
+        # tables x every oracled key) is clean as of r8
+        ("agg_cube", "events"),
+        ("agg_rollup", "orders"),
+        ("agg_grouping_sets", "lineitem"),
+        ("agg_theta_overlap", "events"),
+        ("dq_checks", "orders"),
+        ("dq_observe", "events"),
+        ("drift_ks_test", "events"),
+        ("drift_psi", "events"),
+        ("sink_foreach_batch", "events"),
+        ("sink_partitioned_parquet", "events"),
+        ("scan_partition_pruned_dynamic", "events"),
+        ("stream_rollup_upsert", "events"),
+    ],
+)
+def test_empty_table_parity(spark, tmp_path, key, table):
+    sf = _clone_sf_with_empty(tmp_path, table)
+    sp = queries()[key](spark, sf).toPandas()
+    con = duck_connect(sf)
+    try:
+        du = con.execute(oracle_sql()[key]).df()
+    finally:
+        con.close()
+    assert not compare_frames(sp, du), f"{key} diverges on empty {table}"
+
+
+def test_empty_embeddings_pair_mining(spark, tmp_path):
+    """No anchors -> empty pair table with the declared schema (the
+    numpy kernel used to IndexError sizing itself from a 0-row
+    anchor matrix)."""
+    sf = _clone_sf_with_empty(tmp_path, "embeddings")
+    out = queries()["embed_pair_mining"](spark, sf)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "q_id", "hard_neg_id", "hard_neg_cos",
+        "hard_pos_id", "hard_pos_cos", "margin_violated",
+    ]
