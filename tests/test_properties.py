@@ -185,3 +185,36 @@ def test_star_contraction_matches_union_find(spark, edges):
     assert got == want, (sorted(got.items()), sorted(want.items()))
     n_nodes = len({x for e in edges for x in e})
     assert rounds <= 2 * max(n_nodes, 2).bit_length() + 2
+
+
+def test_infinite_money_fails_loudly_on_both_engines(spark):
+    """±inf is OUT OF DOMAIN for the exact cent-unit BIGINT discipline
+    (norms.py): an infinite money/measurement value cannot be
+    represented exactly, and the engine contract is a LOUD failure on
+    both sides — never a silent NULL that would corrupt totals. (The
+    r8 adversarial sweeps: NaN flows through every operator with
+    cross-engine parity; inf trips the decimal cast/overflow on both
+    engines symmetrically.)"""
+    import duckdb
+    import pandas as pd
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.sql import functions as F
+
+    from data_webhooks_spark.norms import MONEY_SCALE, _o_units, _scaled_units
+
+    pdf = pd.DataFrame({"x": [1.5, float("inf")]})
+    with pytest.raises(Exception) as spark_err:
+        (
+            spark.createDataFrame(pdf)
+            .select(F.sum(_scaled_units(F.col("x"), MONEY_SCALE)).alias("u"))
+            .collect()
+        )
+    assert isinstance(spark_err.value, Py4JJavaError) or "Overflow" in str(
+        spark_err.value
+    ) or "OVERFLOW" in str(spark_err.value)
+    con = duckdb.connect()
+    con.register("t", pdf)
+    with pytest.raises(Exception) as duck_err:
+        con.execute(f"SELECT SUM({_o_units('x', MONEY_SCALE)}) FROM t").df()
+    assert "Conversion" in str(duck_err.value) or "range" in str(duck_err.value)
