@@ -1648,6 +1648,34 @@ def _cdc_read_state(spark, root) -> DataFrame:
     )
 
 
+def _hll_merge_batch(spark, root):
+    """foreachBatch body of `stream_hll_distinct`, exposed so the
+    kill/resume test can wrap it with an injected crash."""
+
+    def merge_batch(df: DataFrame, batch_id: int) -> None:
+        part = df.groupBy("event_type").agg(
+            F.hll_sketch_agg("user_id", 14).alias("sk")
+        )
+        # strictly-below filter: replay of an uncommitted batch must
+        # not union its own half-written version back in (see
+        # stream_cdc_apply.merge_batch)
+        versions = sorted(
+            v
+            for p in os.listdir(root)
+            if p.startswith("v") and (v := int(p[1:])) < batch_id
+        )
+        if versions:
+            prev = spark.read.parquet(f"{root}/v{versions[-1]}")
+            part = (
+                prev.unionByName(part)
+                .groupBy("event_type")
+                .agg(F.hll_union_agg("sk").alias("sk"))
+            )
+        part.write.mode("overwrite").parquet(f"{root}/v{batch_id}")
+
+    return merge_batch
+
+
 @op(
     "stream_hll_distinct",
     sql="""
@@ -1684,27 +1712,7 @@ def stream_hll_distinct(spark, sf_dir):
     tune(spark)
     root = f"{RUNTIME_DIR}/hllstate/{uuid.uuid4().hex[:12]}"
     os.makedirs(root, exist_ok=True)
-
-    def merge_batch(df: DataFrame, batch_id: int) -> None:
-        part = df.groupBy("event_type").agg(
-            F.hll_sketch_agg("user_id", 14).alias("sk")
-        )
-        # strictly-below filter: replay of an uncommitted batch must
-        # not union its own half-written version back in (see
-        # stream_cdc_apply.merge_batch)
-        versions = sorted(
-            v
-            for p in os.listdir(root)
-            if p.startswith("v") and (v := int(p[1:])) < batch_id
-        )
-        if versions:
-            prev = spark.read.parquet(f"{root}/v{versions[-1]}")
-            part = (
-                prev.unionByName(part)
-                .groupBy("event_type")
-                .agg(F.hll_union_agg("sk").alias("sk"))
-            )
-        part.write.mode("overwrite").parquet(f"{root}/v{batch_id}")
+    merge_batch = _hll_merge_batch(spark, root)
 
     s = read_replay_stream(spark, sf_dir, files_per_trigger=1)
     q = (

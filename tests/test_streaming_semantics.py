@@ -781,3 +781,71 @@ def test_rollup_upsert_kill_resume_exactly_once(spark, sf_dir, duck):
     )
     oracle = duck.execute(registry.oracle_sql()["stream_rollup_upsert"]).df()
     assert not compare_frames(got, oracle)
+
+
+def test_hll_store_kill_resume_exactly_once(spark, sf_dir):
+    """Third versioned store, same discipline: crash after batch 1's
+    sketch version hits disk, resume from the checkpoint, and the
+    final estimates must cover every group within the exact-count
+    tolerance. Unlike the CDC counts, HLL union is a register-max
+    CRDT — re-folding a replayed batch is inherently idempotent — so
+    this test pins crash-recovery LIVENESS and completeness (the
+    resume actually processes the remaining chunks against the dirty
+    store) rather than double-count protection; the strictly-below
+    read is still what keeps the replay reading a version it did not
+    itself half-write."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from data_webhooks_spark.io import Tables
+    from data_webhooks_spark.streaming.core import (
+        RUNTIME_DIR,
+        read_replay_stream,
+    )
+    from data_webhooks_spark.streaming.queries import _hll_merge_batch
+
+    run = uuid.uuid4().hex[:12]
+    root = f"{RUNTIME_DIR}/hllstate/kr_{run}"
+    ckpt = f"{RUNTIME_DIR}/ckpt/krh_{run}"
+    os.makedirs(root, exist_ok=True)
+    mb = _hll_merge_batch(spark, root)
+
+    def crashing(df, batch_id):
+        mb(df, batch_id)
+        if batch_id == 1:
+            raise RuntimeError("injected crash before checkpoint commit")
+
+    def start(fn):
+        return (
+            read_replay_stream(spark, sf_dir, files_per_trigger=1)
+            .writeStream.foreachBatch(fn)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    _run_stream_expect_crash(lambda: start(crashing))
+    assert os.path.isdir(f"{root}/v1")
+    q2 = start(mb)
+    q2.awaitTermination()
+
+    versions = sorted(int(p[1:]) for p in os.listdir(root) if p.startswith("v"))
+    st = spark.read.parquet(f"{root}/v{versions[-1]}")
+    est = {
+        r["event_type"]: r["est"]
+        for r in st.select(
+            "event_type", F.hll_sketch_estimate("sk").alias("est")
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in Tables(spark, sf_dir)
+        .events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k, ex in exact.items():
+        assert abs(est[k] - ex) <= max(2.0, 0.05 * ex), (k, est[k], ex)
