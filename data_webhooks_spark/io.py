@@ -54,6 +54,12 @@ def cached_derivation(out: str, marker_name: str, fingerprint: str) -> bool:
         import shutil
 
         shutil.rmtree(out)
+    elif os.path.exists(out):
+        # a crashed derivation leaves a partial dir with no marker;
+        # writers without mode('overwrite') would hard-fail on it
+        import shutil
+
+        shutil.rmtree(out)
     return False
 
 

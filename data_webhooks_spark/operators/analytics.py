@@ -1629,7 +1629,10 @@ def event_sequence_ngrams(spark, sf_dir):
         per_user.groupBy("journey")
         .agg(
             F.sum("n").cast("long").alias("n_occurrences"),
-            F.count(F.lit(1)).cast("long").alias("n_users"),
+            # count("user_id"), not count(1): groupBy keeps a NULL
+            # user_id as its own group, but the oracle's
+            # COUNT(DISTINCT user_id) ignores NULLs
+            F.count("user_id").cast("long").alias("n_users"),
         )
         .orderBy(F.col("n_occurrences").desc(), "journey")
         .limit(20)

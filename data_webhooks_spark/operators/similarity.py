@@ -1457,7 +1457,14 @@ def embed_pair_mining(spark, sf_dir):
                 dots += ci[:, None] * amat[None, :, i]
                 c_nrm += ci * ci
             cos = dots / (np.sqrt(c_nrm)[:, None] * a_nrm[None, :])
-            cos_i = np.floor(cos * 1e6 + 0.5).astype(int64)
+            # half away from zero, matching Spark/DuckDB round() on
+            # negative exact-half ties (np.floor(x+0.5) alone rounds
+            # half toward +inf)
+            cos_i = np.where(
+                cos >= 0,
+                np.floor(cos * 1e6 + 0.5),
+                -np.floor(-cos * 1e6 + 0.5),
+            ).astype(int64)
             neg_key = cos_i * pack_c + (comp_c - c_id)[:, None]
             pos_key = cos_i * pack_c + c_id[:, None]
             not_self = c_id[:, None] != a_ids[None, :]

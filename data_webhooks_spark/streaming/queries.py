@@ -21,6 +21,7 @@ from __future__ import annotations
 import os
 import time
 import uuid
+from decimal import Decimal
 
 import pandas as pd
 
@@ -501,7 +502,10 @@ def sink_foreach_batch(spark, sf_dir):
             F.sum(F.col("value").cast("decimal(28,4)")).alias("s"),
         ).collect()[0]
         if row["n"]:
-            partials.append((row["n"], row["s"]))
+            # an all-NULL-values batch sums to NULL; coalesce so the
+            # Decimal reduction below never sees None
+            s = row["s"] if row["s"] is not None else Decimal(0)
+            partials.append((row["n"], s))
 
     q = (
         s.writeStream.foreachBatch(write_batch)
@@ -511,7 +515,7 @@ def sink_foreach_batch(spark, sf_dir):
     )
     q.awaitTermination()
     n = sum(p[0] for p in partials)
-    total = sum((p[1] for p in partials), start=__import__("decimal").Decimal(0))
+    total = sum((p[1] for p in partials), start=Decimal(0))
     return spark.createDataFrame(
         [(n, float(total))], "n_rows long, total_value double"
     )

@@ -251,6 +251,70 @@ def test_empty_table_parity(spark, tmp_path, key, table):
     assert not compare_frames(sp, du), f"{key} diverges on empty {table}"
 
 
+def test_null_user_journey_not_counted(spark, tmp_path):
+    """ADVICE r8: n_users must ignore a NULL user_id even when that
+    user walks a full trigram journey — Spark's groupBy keeps NULL as
+    a group, the oracle's COUNT(DISTINCT user_id) does not. A single
+    injected row can't exercise this (a trigram needs 3 consecutive
+    events from the same user), so inject three."""
+    for t in TABLE_NAMES:
+        src = f"{SF_SMOKE}/{t}.parquet"
+        dst = str(tmp_path / f"{t}.parquet")
+        if t != "events":
+            os.symlink(src, dst)
+            continue
+        orig = pq.read_table(src)
+        pdf = orig.to_pandas()
+        extra = pd.concat([pdf.iloc[[0]]] * 3, ignore_index=True)
+        base_id = pdf["event_id"].max() + 1
+        extra["event_id"] = [base_id, base_id + 1, base_id + 2]
+        extra["user_id"] = None
+        extra["event_type"] = ["view", "click", "purchase"]
+        extra["ts"] = pd.Timestamp("2025-12-30") + pd.to_timedelta(
+            range(3), unit="s"
+        )
+        out = pd.concat([pdf, extra], ignore_index=True)
+        pq.write_table(
+            pa.Table.from_pandas(out, schema=orig.schema, preserve_index=False),
+            dst,
+        )
+    sf = str(tmp_path)
+    sp = queries()["event_sequence_ngrams"](spark, sf).toPandas()
+    con = duck_connect(sf)
+    try:
+        du = con.execute(oracle_sql()["event_sequence_ngrams"]).df()
+    finally:
+        con.close()
+    assert not compare_frames(sp, du), "NULL-user journey diverges"
+
+
+def test_all_null_values_foreach_batch(spark, tmp_path):
+    """ADVICE r8: a micro-batch whose every `value` is NULL sums to a
+    NULL decimal partial; the driver-side Decimal reduction must
+    coalesce it instead of raising TypeError."""
+    for t in TABLE_NAMES:
+        src = f"{SF_SMOKE}/{t}.parquet"
+        dst = str(tmp_path / f"{t}.parquet")
+        if t != "events":
+            os.symlink(src, dst)
+            continue
+        orig = pq.read_table(src)
+        pdf = orig.to_pandas()
+        pdf["value"] = None
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=orig.schema, preserve_index=False),
+            dst,
+        )
+    sf = str(tmp_path)
+    sp = queries()["sink_foreach_batch"](spark, sf).toPandas()
+    con = duck_connect(sf)
+    try:
+        du = con.execute(oracle_sql()["sink_foreach_batch"]).df()
+    finally:
+        con.close()
+    assert not compare_frames(sp, du), "all-NULL-values batch diverges"
+
+
 def test_empty_embeddings_pair_mining(spark, tmp_path):
     """No anchors -> empty pair table with the declared schema (the
     numpy kernel used to IndexError sizing itself from a 0-row

@@ -102,3 +102,25 @@ def test_events_loader_normalizes_ts(spark):
     ).first()
     assert row["n"] > 0
     assert row["lo"] is not None and row["hi"] > row["lo"]
+
+
+def test_cached_derivation_clears_markerless_partial(tmp_path):
+    """ADVICE r8: a crashed derivation leaves a partial dir with NO
+    marker; cached_derivation must clear it so writers without
+    mode('overwrite') don't hard-fail on path-already-exists."""
+    from data_webhooks_spark.io import cached_derivation, commit_derivation
+
+    out = str(tmp_path / "derived")
+    os.makedirs(out)
+    with open(f"{out}/part-0.parquet", "w") as f:
+        f.write("partial garbage")
+    assert cached_derivation(out, "_done", "fp1") is False
+    assert not os.path.exists(out), "markerless partial dir must be cleared"
+
+    # normal lifecycle still works: derive, commit, hit
+    os.makedirs(out)
+    commit_derivation(out, "_done", "fp1")
+    assert cached_derivation(out, "_done", "fp1") is True
+    # fingerprint mismatch clears as before
+    assert cached_derivation(out, "_done", "fp2") is False
+    assert not os.path.exists(out)
