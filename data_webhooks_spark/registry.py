@@ -19,27 +19,26 @@ from pyspark.sql import DataFrame, SparkSession
 # rounds 5-7 each rotated in that round's additions plus re-verifies
 # for every key whose oracle text or code changed.
 #
-# ROUND-8 WINDOW (the r7 verdict's item 1, executed): the 39 keys
-# ADDED in r7 that have NEVER had an official driver record lead the
-# window (driver records in order; if the window were ever trimmed,
-# the never-recorded keys survive first), followed by 11 re-verify
-# slots for every key whose code or oracle text changed in r8:
-# - dedup_cluster (two-phase star contraction replaced label
-#   propagation), stream_rollup_upsert (foreachBatch body factored
-#   for the kill/resume test), sim_ann_lsh (query-side multi-probe),
-#   ann_ivf / ann_ivf_pq (nprobe 2 -> 3);
-# - file-adjacency re-verifies for the remaining dedup.py /
-#   similarity.py keys whose modules were heavily edited this round:
-#   dedup_minhash, dedup_simhash, dedup_ngram_jaccard,
-#   dedup_content_hash, sim_cosine_brute, knn_join.
-# Keys in the 39 whose text/code ALSO changed this round
-# (cdc_apply_log struct-max oracle, event_sequence_ngrams concat_ws
-# oracle, text_feature_hash length() oracle, scan_parquet_metadata
-# ORACLE_SF_DIR constant, basket_lift pattern collapse,
-# embed_pair_mining Arrow partial-extreme rewrite, stream_cdc_apply /
-# stream_hll_distinct replay-idempotent stores) are already in the
-# window by membership. After this round every registry key has an
-# official driver record.
+# ROUND-9 WINDOW (the r8 verdict's item 1, executed): 25 re-verify
+# slots lead — every key whose code or oracle text changed AFTER its
+# latest official driver record:
+# - the r8 NULL-injection hardening wave (records predate the edits;
+#   local parity pinned in tests/test_edge_nulls.py): ts_ewma,
+#   ts_moving_median, ts_downsample_m4, udf_pandas_scalar,
+#   agg_minmax_by, map_funcs, stream_quantile, text_tokenize,
+#   text_fingerprint, text_quality, text_sentiment, text_langid,
+#   json_parse, pack_sequences;
+# - the r8 empty-input sweep fixes: agg_cube, agg_rollup,
+#   agg_grouping_sets, agg_theta_overlap, dq_checks, drift_ks_test
+#   (ALSO rewritten in r9: range-sharded two-pass ECDF), drift_psi,
+#   sink_foreach_batch (ALSO r9: all-NULL-batch coalesce),
+#   sink_partitioned_parquet;
+# - r9 advice fixes: event_sequence_ngrams (non-NULL user count),
+#   embed_pair_mining (half-away-from-zero tie rounding).
+# The remaining 25 slots re-verify the keys with the OLDEST official
+# records (r2) — staleness rotation so no key's record ages
+# indefinitely. After this round every key's latest record postdates
+# its last code change.
 _ROWS_ONLY = {
     "pack_sequences_ffd",
     "embed_pq",
@@ -51,81 +50,59 @@ _ROWS_ONLY = {
     "profile_table_approx",
 }
 _WINDOW = [
-    "analytics_dau_mau",
-    "profile_string_patterns",
-    "warehouse_snapshot_diff",
-    "ts_stl_decompose",
-    "text_collocations_pmi",
-    "multimodal_phash",
-    "embed_matryoshka_eval",
-    "split_kfold",
-    "ts_holt_backtest",
-    "analytics_ltv_cohort",
-    "dq_uniqueness",
-    "ts_anomaly_stl",
-    "pack_sequences_ffd",
-    "scan_xml",
-    "sink_snapshot_commit",
-    "scan_partition_pruned_dynamic",
-    "pipeline_media_prep",
-    "cdc_apply_log",
-    "dq_referential",
-    "ts_cross_correlation",
-    "text_zipf_fit",
-    "graph_degree_stats",
-    "basket_lift",
-    "embed_centroid_outliers",
+    # changed-after-record re-verifies (25)
+    "ts_ewma",
+    "ts_moving_median",
+    "ts_downsample_m4",
+    "udf_pandas_scalar",
+    "agg_minmax_by",
+    "map_funcs",
+    "stream_quantile",
+    "text_tokenize",
+    "text_fingerprint",
+    "text_quality",
+    "text_sentiment",
+    "text_langid",
+    "json_parse",
+    "pack_sequences",
+    "agg_cube",
+    "agg_rollup",
+    "agg_grouping_sets",
+    "agg_theta_overlap",
+    "dq_checks",
+    "drift_ks_test",
+    "drift_psi",
+    "sink_foreach_batch",
+    "sink_partitioned_parquet",
     "event_sequence_ngrams",
-    "text_ngram_novelty",
-    "scan_csv_corrupt",
-    "funnel_step_latency",
-    "stream_cdc_apply",
-    "embed_pca_power",
-    "text_feature_hash",
-    "dq_reconciliation",
-    "scan_parquet_metadata",
     "embed_pair_mining",
-    "stream_hll_distinct",
-    "filter_exists_correlated",
-    "filter_not_in_vs_not_exists",
-    "dq_observe",
-    "pipeline_dedup_prep",
-    "dedup_cluster",
-    "stream_rollup_upsert",
-    "sim_ann_lsh",
-    "ann_ivf",
-    "ann_ivf_pq",
-    "dedup_minhash",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_content_hash",
-    "sim_cosine_brute",
-    "knn_join",
+    # oldest-record staleness re-verifies (25, all last recorded r2)
+    "agg_global",
+    "agg_count_distinct",
+    "agg_having",
+    "agg_stats",
+    "agg_percentile",
+    "agg_collect",
+    "agg_salted_exact",
+    "join_inner_equi",
+    "join_left_outer",
+    "join_right_outer",
+    "join_left_semi",
+    "project",
+    "filter_compound",
+    "filter_like",
+    "filter_null_safe_eq",
+    "sql_passthrough",
+    "str_funcs",
+    "str_regex",
+    "date_funcs",
+    "null_funcs",
+    "cast_decimal",
+    "hash_funcs",
+    "sort_multi",
+    "limit",
+    "set_union_all",
 ]
-# R9 WINDOW SEED — keys whose code or oracle text changed in the r8
-# NULL-injection hardening wave but sit OUTSIDE the r8 window (their
-# latest driver records predate the change; every change is pinned
-# locally by tests/test_edge_nulls.py injected-row parity and the
-# targeted driver_sim runs): ts_ewma, ts_moving_median,
-# ts_downsample_m4 (explicit NULL-measurement exclusion + null-safe
-# M4 series joins), udf_pandas_scalar (NULL passthrough CASE),
-# agg_minmax_by (null-safe oracle join), map_funcs (NULL map keys
-# excluded on both engines), stream_quantile (null-safe joins +
-# discrete-rank slack), text_tokenize / text_fingerprint /
-# text_quality / text_sentiment / text_langid (empty-document
-# contract: NULL text behaves as ''), json_parse (validity
-# coalesced to FALSE for missing payloads on both engines), pack_sequences (null-safe shard joins — a NULL lang
-# is a real pack group). The EMPTY-INPUT sweep (every oracled key vs
-# zero-row clones of all 8 tables — clean as of r8) additionally
-# changed, outside the window: agg_cube / agg_rollup /
-# agg_grouping_sets (HAVING COUNT(*)>0 pins the empty-table cube to
-# an empty report on both engines), agg_theta_overlap (vacuously-TRUE
-# est_ok on empty segments), dq_checks (count-based violation
-# counters — SUM reads NULL on empty), drift_ks_test (no report row
-# on an empty window), drift_psi (try_divide instead of an ANSI
-# divide-by-zero crash), sink_foreach_batch (empty stream totals
-# 0.0), sink_partitioned_parquet (explicit-schema partitioned reads).
-# Rotate all 23 into the r9 window alongside any r9 changes.
 
 _MODULES = [
     "data_webhooks_spark.operators.windows",

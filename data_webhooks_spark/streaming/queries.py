@@ -1375,7 +1375,10 @@ def stream_custom_state(spark, sf_dir):
     operator falls back to applyInPandasWithState with the IDENTICAL
     state transition (same (n, max, argmax) updates, same outputs) —
     the semantics, oracle, and tests hold on either path, and the TWS
-    code is real, not a stub."""
+    code is real, not a stub. Probe ledger (re-run each round):
+    r8 and r9 (2026-08-15) both read `import google.protobuf` ->
+    ModuleNotFoundError: No module named 'google', so the fallback
+    path is the one the driver exercises in this container."""
     tune(spark)
     s = read_replay_stream(spark, sf_dir, files_per_trigger=2)
 

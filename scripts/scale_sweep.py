@@ -151,6 +151,11 @@ KEYS = [
     "text_zipf_fit",
     "graph_degree_stats",
     "basket_lift",
+    # r9: the r8 rewrites' cost rows (recall gains were recorded in
+    # r8; the query-path cost should be too)
+    "dedup_cluster",
+    "sim_ann_lsh",
+    "ann_ivf",
     # r7 wave G
     "embed_centroid_outliers",
     "event_sequence_ngrams",
@@ -180,6 +185,11 @@ MAX_FACTOR = {
     # toPandas (driver maxResultSize), measuring result transfer, not
     # the diff. ×10 (150k rows) is the honest cap.
     "warehouse_snapshot_diff": 10,
+    # ×100 documents are 100 exact replicas: every shingle posting
+    # list grows 100×, so the inverted-index pair join generates
+    # O(replicas²) candidates inside each replica clique — the
+    # dedup_embedding/multimodal_phash artifact class. ×10 is honest.
+    "dedup_cluster": 10,
     "pipeline_media_prep": 10,  # same replica-band artifact as multimodal_phash
     # output is one row per user (1.5M at x100): toPandas measures the
     # driver transfer, not the replay — same cap class as
@@ -220,6 +230,10 @@ ORACLE_SKIP = {
 # only.
 ORACLE_MAX_FACTOR = {
     "join_asof_tolerance": 10,
+    # the recursive-CTE transitive closure materializes |clique|²
+    # reach rows per replica clique — correctness yardstick at sf0.1,
+    # not a throughput baseline on amplified replica cliques
+    "dedup_cluster": 1,
 }
 # Tables the amplified queries touch. Keyed tables get their ids
 # shifted per replica so cardinalities scale like real data (orders/

@@ -48,19 +48,21 @@ def test_oracle_not_vacuous(key, duck):
     )
 
 
-def test_driver_window_is_the_round8_rotation():
+def test_driver_window_is_the_round9_rotation():
     """The external driver's correctness gate reads the FIRST 50 keys
-    of queries(); round 8 rotates in the 39 r7-addition keys that have
-    NEVER had an official driver record, then fills the remaining 11
-    slots with re-verifies of every key whose code or oracle text
-    changed this round (star-contraction dedup_cluster, the factored
-    streaming upsert, the multi-probe/nprobe-3 ANN keys, and the
-    dedup.py/similarity.py file-adjacency set) — after which EVERY
-    registry key has an official driver record. The rotation must not
-    drop or duplicate any key, every window key outside the declared
-    rows-only set must be SQL-oracled, and the 39 never-recorded keys
-    must lead the window (the driver records in order; if the window
-    were ever trimmed, the never-recorded keys must survive first)."""
+    of queries(); round 9 leads with 25 re-verify slots — every key
+    whose code or oracle text changed AFTER its latest official driver
+    record (the r8 NULL-injection hardening wave, the r8 empty-input
+    sweep fixes, and the r9 changes: the range-sharded drift_ks_test
+    ECDF, the all-NULL-batch sink_foreach_batch coalesce, the non-NULL
+    user count in event_sequence_ngrams, the tie rounding in
+    embed_pair_mining) — then fills the remaining 25 slots with the
+    keys holding the OLDEST records (r2, staleness rotation). The
+    rotation must not drop or duplicate any key, every window key
+    outside the declared rows-only set must be SQL-oracled, and the
+    changed keys must lead the window (the driver records in order;
+    if the window were ever trimmed, the changed keys survive
+    first)."""
     from data_webhooks_spark.registry import _ROWS_ONLY, _WINDOW
 
     qs, osql = registry.queries(), registry.oracle_sql()
@@ -70,26 +72,22 @@ def test_driver_window_is_the_round8_rotation():
     assert all(k in osql for k in first50 if k not in _ROWS_ONLY)
     assert _ROWS_ONLY == set(qs) - set(osql)
     assert len(set(qs)) == len(qs)
-    never_recorded = {
-        "analytics_dau_mau", "profile_string_patterns",
-        "warehouse_snapshot_diff", "ts_stl_decompose",
-        "text_collocations_pmi", "multimodal_phash",
-        "embed_matryoshka_eval", "split_kfold", "ts_holt_backtest",
-        "analytics_ltv_cohort", "dq_uniqueness", "ts_anomaly_stl",
-        "pack_sequences_ffd", "scan_xml", "sink_snapshot_commit",
-        "scan_partition_pruned_dynamic", "pipeline_media_prep",
-        "cdc_apply_log", "dq_referential", "ts_cross_correlation",
-        "text_zipf_fit", "graph_degree_stats", "basket_lift",
-        "embed_centroid_outliers", "event_sequence_ngrams",
-        "text_ngram_novelty", "scan_csv_corrupt", "funnel_step_latency",
-        "stream_cdc_apply", "embed_pca_power", "text_feature_hash",
-        "dq_reconciliation", "scan_parquet_metadata",
-        "embed_pair_mining", "stream_hll_distinct",
-        "filter_exists_correlated", "filter_not_in_vs_not_exists",
-        "dq_observe", "pipeline_dedup_prep",
+    changed_after_record = {
+        # r8 NULL-injection hardening (records predate the edits)
+        "ts_ewma", "ts_moving_median", "ts_downsample_m4",
+        "udf_pandas_scalar", "agg_minmax_by", "map_funcs",
+        "stream_quantile", "text_tokenize", "text_fingerprint",
+        "text_quality", "text_sentiment", "text_langid", "json_parse",
+        "pack_sequences",
+        # r8 empty-input sweep fixes
+        "agg_cube", "agg_rollup", "agg_grouping_sets",
+        "agg_theta_overlap", "dq_checks", "drift_ks_test", "drift_psi",
+        "sink_foreach_batch", "sink_partitioned_parquet",
+        # r9 advice fixes
+        "event_sequence_ngrams", "embed_pair_mining",
     }
-    assert len(never_recorded) == 39
-    assert set(first50[:39]) == never_recorded
+    assert len(changed_after_record) == 25
+    assert set(first50[:25]) == changed_after_record
 
 
 PORTABLE_ORACLES = frozenset({
