@@ -436,10 +436,21 @@ def agg_mode(spark, sf_dir):
 def agg_string(spark, sf_dir):
     """Ordered string aggregation (listagg): sorted distinct set joined
     with a delimiter — array_sort(collect_set(...)) keeps the result
-    deterministic under any row order."""
+    deterministic under any row order.
+
+    NULL contract (r9 multi-NULL sweep): a group whose every
+    event_type is NULL aggregates to NULL, not '' — collect_set skips
+    NULLs and concat_ws would render the empty set as '', while SQL
+    string_agg over all-NULL inputs is NULL; the empty set is
+    nullified explicitly to match."""
     t = Tables(spark, sf_dir)
-    return t.events.groupBy("user_id").agg(
-        F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias("types")
+    return (
+        t.events.groupBy("user_id")
+        .agg(F.array_sort(F.collect_set("event_type")).alias("arr"))
+        .select(
+            "user_id",
+            F.when(F.size("arr") > 0, F.concat_ws(",", "arr")).alias("types"),
+        )
     )
 
 
@@ -565,7 +576,8 @@ def agg_hll_sketch(spark, sf_dir):
     "agg_kll_quantile",
     sql="""
     SELECT l_returnflag,
-           ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 2) AS exact_p50,
+           FLOOR(QUANTILE_CONT(l_extendedprice, 0.5) * 1e2 + 0.5) / 1e2
+               AS exact_p50,
            COUNT(*) AS n_rows,
            TRUE AS rank_ok
     FROM lineitem GROUP BY l_returnflag
@@ -657,7 +669,12 @@ def agg_kll_quantile(spark, sf_dir):
         per_flag.join(counted, "l_returnflag")
         .select(
             "l_returnflag",
-            F.round("exact_p50", 2).alias("exact_p50"),
+            # qnt, not ROUND: an even-count median interpolates to a
+            # .xx5 decimal tie (the r9 fixtures produce one at
+            # sf0.001), where Spark rounds the binary double and
+            # DuckDB half-ups the decimal rendering — qnt/o_qnt run
+            # the identical IEEE expression on both engines
+            qnt(F.col("exact_p50"), "exact_p50", 2),
             "n_rows",
             (
                 F.abs(F.col("le_est") / F.col("n") - 0.5) <= F.lit(eps)

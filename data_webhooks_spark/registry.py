@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 # rounds 5-7 each rotated in that round's additions plus re-verifies
 # for every key whose oracle text or code changed.
 #
-# ROUND-9 WINDOW (the r8 verdict's item 1, executed): 25 re-verify
+# ROUND-9 WINDOW (the r8 verdict's item 1, executed): 29 re-verify
 # slots lead — every key whose code or oracle text changed AFTER its
 # latest official driver record:
 # - the r8 NULL-injection hardening wave (records predate the edits;
@@ -34,8 +34,12 @@ from pyspark.sql import DataFrame, SparkSession
 #   sink_foreach_batch (ALSO r9: all-NULL-batch coalesce),
 #   sink_partitioned_parquet;
 # - r9 advice fixes: event_sequence_ngrams (non-NULL user count),
-#   embed_pair_mining (half-away-from-zero tie rounding).
-# The remaining 25 slots re-verify the keys with the OLDEST official
+#   embed_pair_mining (half-away-from-zero tie rounding);
+# - r9 adversarial-sweep fixes (multi-NULL rows / NULL-only groups /
+#   median decimal ties — scripts/null_sweep_r9.py, SCALE.md ledger):
+#   agg_string, agg_kll_quantile, stream_quantile, stream_stateful,
+#   stream_custom_state.
+# The remaining 21 slots re-verify the keys with the OLDEST official
 # records (r2) — staleness rotation so no key's record ages
 # indefinitely. After this round every key's latest record postdates
 # its last code change.
@@ -76,7 +80,13 @@ _WINDOW = [
     "sink_partitioned_parquet",
     "event_sequence_ngrams",
     "embed_pair_mining",
-    # oldest-record staleness re-verifies (25, all last recorded r2)
+    # (stream_quantile, also a sweep fix, already leads the window in
+    # the r8 NULL-hardening block above)
+    "agg_string",
+    "agg_kll_quantile",
+    "stream_stateful",
+    "stream_custom_state",
+    # oldest-record staleness re-verifies (21, all last recorded r2)
     "agg_global",
     "agg_count_distinct",
     "agg_having",
@@ -98,10 +108,6 @@ _WINDOW = [
     "date_funcs",
     "null_funcs",
     "cast_decimal",
-    "hash_funcs",
-    "sort_multi",
-    "limit",
-    "set_union_all",
 ]
 
 _MODULES = [

@@ -265,14 +265,21 @@ def stream_dedup(spark, sf_dir):
     "stream_stateful",
     sql=f"""
     SELECT user_id, COUNT(*) AS n_events,
-           round(SUM(value), 4) AS total_value
+           FLOOR(SUM(value) * 1e4 + 0.5) / 1e4 AS total_value
     FROM events GROUP BY user_id
     """,
 )
 def stream_stateful(spark, sf_dir):
     """Arbitrary per-key state: running per-user (count, sum) via
     applyInPandasWithState, update mode. The final update per user
-    (selected by max count) must equal the batch aggregate."""
+    (selected by max count) must equal the batch aggregate.
+
+    NULL contract (r9 multi-NULL sweep): a user whose every value is
+    NULL totals NULL, not 0.0 — SQL SUM over all-NULL is NULL, while
+    pandas .sum() renders the empty skip-NaN sum as 0.0; the state
+    carries a non-NULL counter so the two agree. Rounding runs the
+    qnt float expression (floor(x*1e4+0.5)/1e4) on both sides —
+    Python's round() is banker's and DuckDB's is not."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     tune(spark)
@@ -280,26 +287,49 @@ def stream_stateful(spark, sf_dir):
     # batch boundary (the point of the operator), but each stateful
     # micro-batch costs ~2.4s in python-state-worker + store-commit
     # fixed overhead at fixture scale, so don't replay chunk-per-batch.
-    s = read_replay_stream(spark, sf_dir, files_per_trigger=2)
+    # vnull flags parquet NULLs SPARK-SIDE (pandas renders them as
+    # NaN, indistinguishable from a genuine NaN measurement): NULLs
+    # are excluded from the sum on both engines, a true NaN poisons
+    # it to NaN on both.
+    s = read_replay_stream(spark, sf_dir, files_per_trigger=2).withColumn(
+        "vnull", F.isnull("value")
+    )
 
     def track(key, pdf_iter, state: GroupState):
+        import math
+
         (user_id,) = key
         if state.exists:
-            n, total = state.get
+            n, n_vals, total = state.get
         else:
-            n, total = 0, 0.0
+            n, n_vals, total = 0, 0, 0.0
         for pdf in pdf_iter:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, total))
+            mask = ~pdf["vnull"].astype(bool)
+            n_vals += int(mask.sum())
+            if mask.any():
+                total += float(pdf["value"][mask].sum(skipna=False))
+        state.update((n, n_vals, total))
+        if n_vals == 0:
+            out_total = None
+        elif total != total:  # NaN: FLOOR(NaN...) is NaN in SQL too
+            out_total = float("nan")
+        else:
+            out_total = math.floor(total * 1e4 + 0.5) / 1e4
         yield pd.DataFrame(
-            {"user_id": [user_id], "n_events": [n], "total_value": [round(total, 4)]}
+            {
+                # NULL long key -> pandas NaN; make the conversion
+                # back to a nullable long explicit
+                "user_id": [None if pd.isna(user_id) else int(user_id)],
+                "n_events": [n],
+                "total_value": [out_total],
+            }
         )
 
     updates = s.groupBy("user_id").applyInPandasWithState(
         track,
         outputStructType="user_id long, n_events long, total_value double",
-        stateStructType="n long, total double",
+        stateStructType="n long, n_vals long, total double",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -1002,7 +1032,7 @@ def _rollup_upsert_fn(out):
     sql="""
     SELECT event_type,
            COUNT(*) AS n,
-           ROUND(QUANTILE_CONT(value, 0.5), 2) AS exact_p50,
+           FLOOR(QUANTILE_CONT(value, 0.5) * 1e2 + 0.5) / 1e2 AS exact_p50,
            TRUE AS rank_ok
     FROM events
     GROUP BY event_type
@@ -1030,13 +1060,22 @@ def stream_quantile(spark, sf_dir):
     s = read_replay_stream(spark, sf_dir, files_per_trigger=2)
     agg = s.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
+        F.count("value").alias("n_vals"),
         F.kll_sketch_agg_double("value", 200).alias("sk"),
     )
     streamed = run_to_table(agg, "complete")
+    # NULL-only-group contract (r9 sweep): a group whose every value
+    # is NULL aggregates to an EMPTY (but non-NULL) sketch buffer,
+    # which kll_sketch_get_quantile_double rejects with
+    # KLL_INVALID_INPUT_SKETCH_BUFFER — guard on the non-NULL value
+    # count (isNotNull on the buffer is NOT enough) to a NULL median
     ests = streamed.select(
         "event_type",
         "n",
-        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("est"),
+        F.when(
+            F.col("n_vals") > 0,
+            F.kll_sketch_get_quantile_double("sk", F.lit(0.5)),
+        ).alias("est"),
     )
     t = Tables(spark, sf_dir)
     # null-safe joins: a NULL event_type is a real group on both
@@ -1066,15 +1105,21 @@ def stream_quantile(spark, sf_dir):
         .select(
             "event_type",
             "n",
-            F.round("exact_p50_raw", 2).alias("exact_p50"),
-            (
+            # qnt, not ROUND: decimal .xx5 ties round differently
+            # across engines (the agg_kll_quantile r9 lesson)
+            qnt(F.col("exact_p50_raw"), "exact_p50", 2),
+            F.when(F.col("est").isNull(), F.lit(True))
+            .otherwise(
                 # + 1/(2n): the discrete-rank slack — with <= counting
                 # a tiny group's exact median sits at rank up to
                 # 0.5 + 1/(2n) (a 1-row group reads rank 1.0), which
-                # the sketch-error eps alone doesn't cover
+                # the sketch-error eps alone doesn't cover. A NULL
+                # median (no non-NULL values in the group) is
+                # vacuously ok — there is no sketch to rank-check.
                 F.abs(F.col("le_est") / F.col("n_batch") - 0.5)
                 <= F.lit(eps) + 0.5 / F.col("n_batch")
-            ).alias("rank_ok"),
+            )
+            .alias("rank_ok"),
         )
     )
 
@@ -1340,7 +1385,8 @@ def stream_anomaly(spark, sf_dir):
     )
     SELECT a.user_id, a.n_events, a.max_value,
            (SELECT MIN(e.event_id) FROM events e
-             WHERE e.user_id = a.user_id AND e.value = a.max_value)
+             WHERE e.user_id IS NOT DISTINCT FROM a.user_id
+               AND e.value = a.max_value)
                AS argmax_event
     FROM agg a
     """,
@@ -1380,7 +1426,38 @@ def stream_custom_state(spark, sf_dir):
     ModuleNotFoundError: No module named 'google', so the fallback
     path is the one the driver exercises in this container."""
     tune(spark)
-    s = read_replay_stream(spark, sf_dir, files_per_trigger=2)
+    # vnull is computed SPARK-SIDE, where NULL and NaN are distinct:
+    # the Arrow transfer renders a parquet NULL double as NaN in
+    # pandas, indistinguishable from a genuine NaN measurement — and
+    # the two must behave differently (NULLs are skipped by MAX on
+    # both engines; NaN is MAX-greatest on both). r9 multi-NULL sweep.
+    s = read_replay_stream(spark, sf_dir, files_per_trigger=2).withColumn(
+        "vnull", F.isnull("value")
+    )
+
+    def fold_max(pdf, n, mx, arg):
+        """Engine-exact (n, max, argmax) fold over one pandas batch:
+        NULL values (vnull flag) are skipped; NaN is greatest (both
+        engines' MAX); the argmax uses SQL equality, so a NaN max has
+        a NULL argmax (NaN = NaN is false); ties take the smallest
+        event_id. Associative across any batch chunking."""
+        n += len(pdf)
+        for v, e, isnull in zip(pdf["value"], pdf["event_id"], pdf["vnull"]):
+            if isnull:
+                continue
+            v, e = float(v), int(e)
+            if v != v:  # NaN
+                if mx is None or mx == mx:
+                    mx, arg = v, None
+            elif mx is None:
+                mx, arg = v, e
+            elif mx != mx:  # non-NaN never beats a NaN max
+                continue
+            elif v > mx:
+                mx, arg = v, e
+            elif v == mx and (arg is None or e < arg):
+                arg = e
+        return n, mx, arg
 
     try:
         import pyspark.sql.streaming.proto.StateMessage_pb2  # noqa: F401
@@ -1402,15 +1479,13 @@ def stream_custom_state(spark, sf_dir):
             else:
                 n, mx, arg = 0, None, None
             for pdf in pdf_iter:
-                n += len(pdf)
-                for v, e in zip(pdf["value"], pdf["event_id"]):
-                    v, e = float(v), int(e)
-                    if mx is None or v > mx or (v == mx and e < arg):
-                        mx, arg = v, e
+                n, mx, arg = fold_max(pdf, n, mx, arg)
             state.update((n, mx, arg))
             yield pd.DataFrame(
                 {
-                    "user_id": [int(user_id)],
+                    # a NULL long key reaches pandas as float NaN, not
+                    # None — pd.isna covers both
+                    "user_id": [None if pd.isna(user_id) else int(user_id)],
                     "n_events": [n],
                     "max_value": [mx],
                     "argmax_event": [arg],
@@ -1454,15 +1529,12 @@ def stream_custom_state(spark, sf_dir):
             else:
                 n, mx, arg = 0, None, None
             for pdf in rows:
-                n += len(pdf)
-                for v, e in zip(pdf["value"], pdf["event_id"]):
-                    v, e = float(v), int(e)
-                    if mx is None or v > mx or (v == mx and e < arg):
-                        mx, arg = v, e
+                n, mx, arg = fold_max(pdf, n, mx, arg)
             self.state.update((n, mx, arg))
             yield pd.DataFrame(
                 {
-                    "user_id": [int(key[0])],
+                    # NULL long key -> pandas NaN; pd.isna covers both
+                    "user_id": [None if pd.isna(key[0]) else int(key[0])],
                     "n_events": [n],
                     "max_value": [mx],
                     "argmax_event": [arg],

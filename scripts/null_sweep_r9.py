@@ -1,0 +1,178 @@
+"""Round-9 adversarial-input discovery sweep (r8 verdict item 7).
+
+Extends the r8 single-NULL-column injection to two harder shapes:
+
+A. MULTI-NULL ROWS — one injected row whose every realistic nullable
+   column is NULL at once (events: user_id+event_type+value+props;
+   documents: text+lang). Exercises interactions the one-column
+   sweep can't: a NULL group key AND a NULL measure in the same row,
+   NULL text with a NULL lang shard key, etc.
+
+B. NULL-ONLY GROUPS — a group key that still exists but whose every
+   member's measure is NULL (all 'error' events get value=NULL).
+   Aggregates over the group must agree (AVG->NULL, COUNT(value)->0,
+   percentile/histogram arms skip it) and rolling series must not
+   shift frames asymmetrically.
+
+Runs EVERY SQL-oracled key against each mutated clone of sf0.001 and
+prints one line per divergence/error; zero output rows = clean sweep.
+Usage: python scripts/null_sweep_r9.py [A|B] (default: both)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pandas as pd  # noqa: E402
+import pyarrow as pa  # noqa: E402
+import pyarrow.parquet as pq  # noqa: E402
+
+from data_webhooks_spark import registry  # noqa: E402
+from data_webhooks_spark.oracle import compare_frames, duck_connect  # noqa: E402
+from data_webhooks_spark.schemas import TABLE_NAMES  # noqa: E402
+from data_webhooks_spark.session import get_spark  # noqa: E402
+
+BASE = "/root/testdata/sf0.001"
+
+
+def _clone(tmp: str, mutate: dict) -> str:
+    """Symlink every fixture into tmp; tables named in `mutate` get
+    rewritten by their callback (pandas df -> pandas df)."""
+    for t in TABLE_NAMES:
+        src = f"{BASE}/{t}.parquet"
+        dst = f"{tmp}/{t}.parquet"
+        if t not in mutate:
+            os.symlink(src, dst)
+            continue
+        orig = pq.read_table(src)
+        pdf = mutate[t](orig.to_pandas())
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=orig.schema, preserve_index=False),
+            dst,
+        )
+    return tmp
+
+
+def _multi_null_events(pdf: pd.DataFrame) -> pd.DataFrame:
+    extra = pdf.iloc[[0]].copy()
+    extra["event_id"] = pdf["event_id"].max() + 1
+    for c in ["user_id", "event_type", "value", "props"]:
+        extra[c] = None
+    return pd.concat([pdf, extra], ignore_index=True)
+
+
+def _multi_null_documents(pdf: pd.DataFrame) -> pd.DataFrame:
+    extra = pdf.iloc[[0]].copy()
+    extra["doc_id"] = pdf["doc_id"].max() + 1
+    for c in ["text", "lang"]:
+        extra[c] = None
+    return pd.concat([pdf, extra], ignore_index=True)
+
+
+def _null_only_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.copy()
+    pdf.loc[pdf["event_type"] == "error", "value"] = None
+    return pdf
+
+
+SCENARIOS = {
+    "A": {"events": _multi_null_events, "documents": _multi_null_documents},
+    "B": {"events": _null_only_group},
+}
+
+# Derived-twin keys: their oracle SQL reads single-file twins pinned
+# to the DRIVER's sf dir (the scan_json_corrupt precedent in
+# scripts/scale_sweep.py), so a comparison on a tmp clone measures the
+# path constant, not the operator. Their NULL behavior is covered by
+# the loud fixture-drift contract below instead.
+ORACLE_PINNED = {
+    "scan_binaryfile",
+    "scan_csv",
+    "scan_csv_corrupt",
+    "scan_json",
+    "scan_json_corrupt",
+    "scan_parquet_evolve",
+    "scan_parquet_metadata",
+    "scan_python_datasource",
+    "scan_text",
+    "scan_xml",
+}
+
+# Documented LOUD input contracts, per scenario: these keys must RAISE
+# on the mutated clone — a silent result would be the bug. Scenario A
+# nulls documents.text, which (a) violates the multimodal NULL-payload
+# contract (multimodal.py decode/featurize raise NotImplementedError
+# by design) and (b) trips the scan twins' byte-lossless round-trip
+# fixture-drift check (io-side ValueError).
+EXPECT_LOUD = {
+    "A": {
+        "multimodal_audio_energy",
+        "multimodal_col",
+        "multimodal_features",
+        "multimodal_frames",
+        "multimodal_resize",
+        "scan_binaryfile",
+        "scan_csv",
+        "scan_csv_corrupt",
+        "scan_json",
+        "scan_json_corrupt",
+        "scan_parquet_evolve",
+        "scan_python_datasource",
+        "scan_text",
+    },
+    "B": set(),
+}
+
+
+def main() -> None:
+    which = sys.argv[1:] or list(SCENARIOS)
+    spark = get_spark("dws-null-sweep-r9")
+    qs, osql = registry.queries(), registry.oracle_sql()
+    findings: dict = {}
+    for sc in which:
+        tmp = tempfile.mkdtemp(prefix=f"nullsweep_{sc}_")
+        sf = _clone(tmp, SCENARIOS[sc])
+        print(f"== scenario {sc} at {sf} ==", flush=True)
+        loud = EXPECT_LOUD.get(sc, set())
+        for k in sorted(osql):
+            if k in loud:
+                try:
+                    qs[k](spark, sf).toPandas()
+                    findings[f"{sc}:{k}"] = (
+                        "SILENT: expected the documented loud contract to raise"
+                    )
+                    print(f"SILENT {sc} {k}: expected raise", flush=True)
+                except Exception:  # noqa: BLE001
+                    pass  # loud by contract — correct
+                continue
+            if k in ORACLE_PINNED:
+                continue
+            try:
+                sp = qs[k](spark, sf).toPandas()
+                con = duck_connect(sf)
+                try:
+                    du = con.execute(osql[k]).df()
+                finally:
+                    con.close()
+                probs = compare_frames(sp, du)
+                if probs:
+                    findings[f"{sc}:{k}"] = str(probs)
+                    print(f"DIVERGE {sc} {k}: {probs}", flush=True)
+            except Exception as e:  # noqa: BLE001
+                findings[f"{sc}:{k}"] = f"ERROR {type(e).__name__}: {e}"
+                print(f"ERROR {sc} {k}: {type(e).__name__}: {e}", flush=True)
+                traceback.print_exc()
+    out = "/root/repo/.runtime/null_sweep_r9.json"
+    with open(out, "w") as f:
+        json.dump(findings, f, indent=1, sort_keys=True)
+    print(f"done: {len(findings)} findings -> {out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -315,6 +315,119 @@ def test_all_null_values_foreach_batch(spark, tmp_path):
     assert not compare_frames(sp, du), "all-NULL-values batch diverges"
 
 
+def _clone_sf_mutate(tmp_path, mutations: dict):
+    """Link every sf0.001 fixture; tables named in `mutations` are
+    rewritten by their callback (pandas df -> pandas df)."""
+    for t in TABLE_NAMES:
+        src = f"{SF_SMOKE}/{t}.parquet"
+        dst = str(tmp_path / f"{t}.parquet")
+        if t not in mutations:
+            os.symlink(src, dst)
+            continue
+        orig = pq.read_table(src)
+        pdf = mutations[t](orig.to_pandas())
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=orig.schema, preserve_index=False),
+            dst,
+        )
+    return str(tmp_path)
+
+
+def _with_multi_null_event_row(pdf):
+    extra = pdf.iloc[[0]].copy()
+    extra["event_id"] = pdf["event_id"].max() + 1
+    for c in ["user_id", "event_type", "value", "props"]:
+        extra[c] = None
+    return pd.concat([pdf, extra], ignore_index=True)
+
+
+def _with_null_only_error_values(pdf):
+    pdf = pdf.copy()
+    pdf.loc[pdf["event_type"] == "error", "value"] = None
+    return pdf
+
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        # r9 multi-NULL sweep findings, each fixed to an explicit
+        # contract: all-NULL listagg group -> NULL not ''; stateful
+        # sum over an all-NULL user -> NULL not 0.0 (plus the qnt
+        # float rounding on both sides); NULL long group keys reach
+        # pandas as NaN and must convert back to a nullable long.
+        "agg_string",
+        "stream_stateful",
+        "stream_custom_state",
+    ],
+)
+def test_multi_null_row_parity(spark, tmp_path, key):
+    """One injected row whose EVERY nullable column is NULL at once —
+    a NULL group key and a NULL measure in the same row, interactions
+    the single-column injection sweep cannot reach."""
+    sf = _clone_sf_mutate(tmp_path, {"events": _with_multi_null_event_row})
+    sp = queries()[key](spark, sf).toPandas()
+    con = duck_connect(sf)
+    try:
+        du = con.execute(oracle_sql()[key]).df()
+    finally:
+        con.close()
+    assert not compare_frames(sp, du), f"{key} diverges on a multi-NULL row"
+
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        # r9 NULL-only-group sweep findings: a group that exists but
+        # whose every measure is NULL. The KLL sketch over it is an
+        # EMPTY (non-NULL!) buffer that get_quantile rejects — the
+        # guard is on count(value), not isNotNull(sk); rank_ok is
+        # vacuously TRUE for a NULL median.
+        "stream_quantile",
+        "stream_stateful",
+        "stream_custom_state",
+        "agg_string",
+    ],
+)
+def test_null_only_group_parity(spark, tmp_path, key):
+    sf = _clone_sf_mutate(tmp_path, {"events": _with_null_only_error_values})
+    sp = queries()[key](spark, sf).toPandas()
+    con = duck_connect(sf)
+    try:
+        du = con.execute(oracle_sql()[key]).df()
+    finally:
+        con.close()
+    assert not compare_frames(sp, du), f"{key} diverges on a NULL-only group"
+
+
+def test_median_decimal_tie_parity(spark, tmp_path):
+    """An even-count median interpolating to an exact .xx5 decimal tie
+    (the double nearest 52724.245 sits BELOW the tie): Spark's
+    round(double, 2) rounds the binary value down while DuckDB's
+    ROUND half-ups the decimal rendering — the r9 fixtures produced
+    exactly this at sf0.001 and agg_kll_quantile diverged until both
+    sides moved to the qnt FLOOR(x*1e2+0.5)/1e2 float expression.
+    This clone forces the tie deterministically."""
+
+    def force_tie(pdf):
+        pdf = pdf.iloc[:4].copy()
+        pdf["l_returnflag"] = "R"
+        pdf["l_extendedprice"] = [1.0, 52724.24, 52724.25, 99999.0]
+        return pdf
+
+    sf = _clone_sf_mutate(tmp_path, {"lineitem": force_tie})
+    sp = queries()["agg_kll_quantile"](spark, sf).toPandas()
+    con = duck_connect(sf)
+    try:
+        du = con.execute(oracle_sql()["agg_kll_quantile"]).df()
+    finally:
+        con.close()
+    assert not compare_frames(sp, du), "median .005 tie rounds differently"
+    # and the tie really is there: the exact median interpolates to
+    # (52724.24 + 52724.25) / 2 = 52724.245
+    got = sp.loc[sp["l_returnflag"] == "R", "exact_p50"].iloc[0]
+    assert got in (52724.24, 52724.25)
+
+
 def test_empty_embeddings_pair_mining(spark, tmp_path):
     """No anchors -> empty pair table with the declared schema (the
     numpy kernel used to IndexError sizing itself from a 0-row

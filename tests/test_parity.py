@@ -50,18 +50,17 @@ def test_oracle_not_vacuous(key, duck):
 
 def test_driver_window_is_the_round9_rotation():
     """The external driver's correctness gate reads the FIRST 50 keys
-    of queries(); round 9 leads with 25 re-verify slots — every key
+    of queries(); round 9 leads with 29 re-verify slots — every key
     whose code or oracle text changed AFTER its latest official driver
     record (the r8 NULL-injection hardening wave, the r8 empty-input
-    sweep fixes, and the r9 changes: the range-sharded drift_ks_test
-    ECDF, the all-NULL-batch sink_foreach_batch coalesce, the non-NULL
-    user count in event_sequence_ngrams, the tie rounding in
-    embed_pair_mining) — then fills the remaining 25 slots with the
-    keys holding the OLDEST records (r2, staleness rotation). The
-    rotation must not drop or duplicate any key, every window key
-    outside the declared rows-only set must be SQL-oracled, and the
-    changed keys must lead the window (the driver records in order;
-    if the window were ever trimmed, the changed keys survive
+    sweep fixes, the r9 advice fixes, the range-sharded drift_ks_test
+    ECDF, and the r9 adversarial-sweep fixes: multi-NULL rows,
+    NULL-only groups, median decimal ties) — then fills the remaining
+    21 slots with the keys holding the OLDEST records (r2, staleness
+    rotation). The rotation must not drop or duplicate any key, every
+    window key outside the declared rows-only set must be SQL-oracled,
+    and the changed keys must lead the window (the driver records in
+    order; if the window were ever trimmed, the changed keys survive
     first)."""
     from data_webhooks_spark.registry import _ROWS_ONLY, _WINDOW
 
@@ -85,9 +84,14 @@ def test_driver_window_is_the_round9_rotation():
         "sink_foreach_batch", "sink_partitioned_parquet",
         # r9 advice fixes
         "event_sequence_ngrams", "embed_pair_mining",
+        # r9 adversarial-sweep fixes (scripts/null_sweep_r9.py);
+        # stream_quantile, also a sweep fix, is already in the r8
+        # hardening block above
+        "agg_string", "agg_kll_quantile",
+        "stream_stateful", "stream_custom_state",
     }
-    assert len(changed_after_record) == 25
-    assert set(first50[:25]) == changed_after_record
+    assert len(changed_after_record) == 29
+    assert set(first50[:29]) == changed_after_record
 
 
 PORTABLE_ORACLES = frozenset({
