@@ -55,7 +55,9 @@ def decode_stub(payload: bytes) -> dict:
     sql="""
     SELECT doc_id,
            CAST(strlen(text) AS BIGINT) AS n_bytes,
-           lower(hex(substring(text, 1, 8))) AS header_hex,
+           -- first 8 BYTES (substr over the payload hex), not first 8
+           -- CHARS: byte-exact for any UTF-8 text (r9 sweep C)
+           lower(substr(hex(encode(text)), 1, 16)) AS header_hex,
            CAST(CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT) AS BIGINT)
                AS checksum,
            'text/plain' AS mime
@@ -72,7 +74,8 @@ def multimodal_col(spark, sf_dir):
     Oracle: the stub's features are all byte-deterministic functions of
     the text (length, first-8-bytes hex, md5-prefix checksum), so the
     DuckDB twin recomputes every output column from the documents table
-    (fixture text is verified ASCII, so char ops == byte ops) — the
+    byte-exactly (header bytes sliced from hex(encode(text)) — any
+    UTF-8 text, not just ASCII, since the r9 sweep) — the
     whole binary pipeline is hash-checked, not rows-only. The sibling
     resize/frames/features keys get the same treatment (exact output
     bytes / micro-unit histogram values are DuckDB-recomputable), and
@@ -128,10 +131,14 @@ def resize_stub(payload: bytes, factor: int) -> bytes:
     "multimodal_resize",
     sql="""
     SELECT doc_id,
-           lower(hex(regexp_replace(text, '(.).{1,3}', '\\1', 'g')))
-               AS payload_hex,
+           -- every 4th BYTE via a pair-regexp over the payload hex
+           -- (each greedy match eats up to 4 byte-pairs, keeps the
+           -- first) — byte-exact for any UTF-8 text (r9 sweep C)
+           lower(regexp_replace(hex(encode(text)), '(..)(..){0,3}',
+                                '\\1', 'g')) AS payload_hex,
            CAST(strlen(text) AS BIGINT) AS orig_bytes,
-           CAST(strlen(regexp_replace(text, '(.).{1,3}', '\\1', 'g'))
+           CAST(strlen(regexp_replace(hex(encode(text)), '(..)(..){0,3}',
+                                      '\\1', 'g')) // 2
                 AS BIGINT) AS new_bytes
     FROM documents
     """,
@@ -143,10 +150,11 @@ def multimodal_resize(spark, sf_dir):
     operator is a pure per-partition map (no shuffle at any scale).
 
     SQL-oracled since r4: the stub resize keeps every 4th byte, and
-    fixture text is verified ASCII (char ops == byte ops), so DuckDB
-    recomputes the exact output bytes with a left-to-right greedy
-    regexp ('(.).{1,3}' -> first char of each block, matching
-    payload[::4] including the partial trailing block).
+    DuckDB recomputes the exact output bytes with a left-to-right
+    greedy PAIR regexp over hex(encode(text)) ('(..)(..){0,3}' ->
+    first byte-pair of each block, matching payload[::4] including
+    the partial trailing block) — byte-exact for any UTF-8 text
+    since the r9 sweep, not just ASCII.
 
     Since r6 the resized bytes ship as lowercase hex (`payload_hex`)
     instead of raw binary: the driver's pandas sort canon cannot
@@ -178,8 +186,10 @@ def multimodal_resize(spark, sf_dir):
     "multimodal_frames",
     sql="""
     SELECT doc_id, CAST(k AS INT) AS frame_idx,
-           lower(hex(substr(text, CAST(k * 64 + 1 AS BIGINT), 64)))
-               AS frame_hex
+           -- 64-BYTE frames sliced from the payload hex (128 hex
+           -- chars per frame) — byte-exact for any UTF-8 text
+           lower(substr(hex(encode(text)),
+                        CAST(k * 128 + 1 AS BIGINT), 128)) AS frame_hex
     FROM documents,
     LATERAL (SELECT unnest(range(0,
                  CAST(ceil(strlen(text) / 64.0) AS BIGINT), 3)) AS k) t
@@ -191,9 +201,10 @@ def multimodal_frames(spark, sf_dir):
     shape a pyav keyframe extractor would use). Fan-out happens
     executor-side per Arrow batch — the driver never sees the frames.
 
-    SQL-oracled since r4: stride and frame size are deterministic and
-    the text is verified ASCII, so DuckDB regenerates every sampled
-    frame's exact bytes with a LATERAL range + substr. Since r6 each
+    SQL-oracled since r4: stride and frame size are deterministic,
+    so DuckDB regenerates every sampled frame's exact bytes with a
+    LATERAL range + a 128-hex-char substr over hex(encode(text)) —
+    byte-exact for any UTF-8 text since the r9 sweep. Since r6 each
     frame ships as lowercase hex (`frame_hex`) — byte-exact checking
     preserved, but every output column is a scalar the driver's
     pandas sort canon can order (binary cells were the r5 red row)."""
@@ -225,13 +236,19 @@ def multimodal_frames(spark, sf_dir):
 @op(
     "multimodal_features",
     sql="""
-    WITH chars AS (
+    WITH bytes AS (
+        -- the high nibble of each payload BYTE is the first hex char
+        -- of its pair — byte-exact for any UTF-8 text (r9 sweep C;
+        -- the old ascii()-per-CHAR form binned codepoints, not bytes)
         SELECT doc_id,
-               ascii(unnest(string_split_regex(text, ''))) // 16 AS bin
-        FROM documents
+               TRY_CAST(('0x' || substr(hx, 2 * i + 1, 1)) AS INT) AS bin
+        FROM (SELECT doc_id, hex(encode(text)) AS hx,
+                     CAST(strlen(text) AS BIGINT) AS n
+              FROM documents),
+        LATERAL (SELECT unnest(range(0, n)) AS i) t
     ),
     counts AS (
-        SELECT doc_id, bin, COUNT(*) AS c FROM chars GROUP BY doc_id, bin
+        SELECT doc_id, bin, COUNT(*) AS c FROM bytes GROUP BY doc_id, bin
     ),
     tot AS (SELECT doc_id, SUM(c) AS t FROM counts GROUP BY doc_id),
     spine AS (
@@ -297,14 +314,19 @@ _FRAME_BYTES = 256
     "multimodal_audio_energy",
     sql=f"""
     WITH idx AS (
-        SELECT doc_id, text,
-               unnest(range(1, CAST(n_chars AS BIGINT) + 1)) AS i
+        SELECT doc_id, hex(encode(text)) AS hx,
+               unnest(range(0, CAST(strlen(text) AS BIGINT))) AS i
         FROM documents
     ),
     pos AS (
+        -- sample = payload BYTE value from its hex pair, never the
+        -- codepoint: byte-exact for any UTF-8 text, and b <= 255 so
+        -- b*b can't overflow (the old unicode()-per-CHAR form read
+        -- an emoji as 128578 and overflowed INT32 — r9 sweep C)
         SELECT doc_id,
-               (i - 1) // {_FRAME_BYTES} AS frame,
-               unicode(substr(text, CAST(i AS INT), 1)) AS b
+               i // {_FRAME_BYTES} AS frame,
+               CAST(TRY_CAST(('0x' || substr(hx, CAST(2 * i + 1 AS BIGINT),
+                                             2)) AS INT) AS BIGINT) AS b
         FROM idx
     )
     SELECT doc_id, frame,
@@ -333,9 +355,10 @@ def multimodal_audio_energy(spark, sf_dir):
     those integers (sqrt of one double division, 1e-6-quantized), so
     the float discipline lives in the two engines' identical IEEE
     sequence, not in numpy. The oracle recomputes every frame from the
-    documents table via generate_series + unicode() (fixture text is
-    verified ASCII, so char ops == byte ops — the `multimodal_col`
-    contract). Frame rows scale as bytes/256 and partition by doc —
+    documents table via a byte-position unnest over
+    hex(encode(text)) — byte-exact for any UTF-8 text since the r9
+    sweep (the old unicode()-per-CHAR form read an emoji codepoint
+    as a 128578 amplitude and overflowed the oracle's INT32). Frame rows scale as bytes/256 and partition by doc —
     embarrassingly parallel at 100 TB."""
     t = Tables(spark, sf_dir)
     with_payload = _payloads(t)
@@ -394,6 +417,31 @@ def _phash_terms(byte_at) -> list[str]:
     return terms
 
 
+def _hx_byte_spark(p: str) -> str:
+    """0-based byte accessor over the pre-projected payload hex `hx`
+    (Spark dialect): byte-exact for any UTF-8 text — the old
+    ascii(substring(text, ...)) form read CHAR codepoints, which
+    diverge from payload bytes the moment the text is non-ASCII
+    (r9 sweep C). COALESCE(.., 0) pins the empty-payload edge.
+
+    Measured alternative (r9, rejected): pre-sampling the 63 byte
+    values into one transform(sequence(0,62), ...) array and reading
+    terms via element_at LOSES to the 112 inline accessors at sf0.1
+    (1.33 vs 0.99 s hash stage) — whole-stage codegen keeps the
+    inline conv calls register-resident while the array form pays
+    per-row ArrayData materialization."""
+    return (
+        f"COALESCE(CAST(conv(substring(hx, 2*({p}) + 1, 2), 16, 10)"
+        f" AS BIGINT), 0)"
+    )
+
+
+def _hx_byte_duck(p: str) -> str:
+    """DuckDB twin of _hx_byte_spark (TRY_CAST of the 0x-prefixed
+    pair; hex() renders uppercase identically on both engines)."""
+    return f"COALESCE(TRY_CAST(('0x' || substr(hx, 2*({p}) + 1, 2)) AS INT), 0)"
+
+
 @op(
     "multimodal_phash",
     sql=f"""
@@ -401,11 +449,10 @@ def _phash_terms(byte_at) -> list[str]:
         SELECT doc_id,
                ({" + ".join(
                    t.replace("{div}", "//")
-                   for t in _phash_terms(
-                       lambda p: f"ascii(substr(text, ({p}) + 1, 1))"
-                   )
+                   for t in _phash_terms(_hx_byte_duck)
                )}) AS ph
-        FROM (SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS n
+        FROM (SELECT doc_id, hex(encode(text)) AS hx,
+                     CAST(strlen(text) AS BIGINT) AS n
               FROM documents)
     ),
     bands AS (
@@ -449,13 +496,12 @@ def multimodal_phash(spark, sf_dir):
     sim_ann_lsh knob."""
     t = Tables(spark, sf_dir)
     terms = " + ".join(
-        tt.replace("{div}", "div")
-        for tt in _phash_terms(
-            lambda p: f"ascii(substring(text, ({p}) + 1, 1))"
-        )
+        tt.replace("{div}", "div") for tt in _phash_terms(_hx_byte_spark)
     )
     h = t.documents.select(
-        "doc_id", F.length("text").cast("long").alias("n"), "text"
+        "doc_id",
+        F.octet_length("text").cast("long").alias("n"),
+        F.hex(F.encode("text", "utf-8")).alias("hx"),
     ).select("doc_id", F.expr(terms).alias("ph"))
     bands = h.select(
         "doc_id",
@@ -507,11 +553,10 @@ def multimodal_phash(spark, sf_dir):
         SELECT doc_id,
                ({" + ".join(
                    t.replace("{div}", "//")
-                   for t in _phash_terms(
-                       lambda p: f"ascii(substr(text, ({p}) + 1, 1))"
-                   )
+                   for t in _phash_terms(_hx_byte_duck)
                )}) AS ph
-        FROM (SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS n
+        FROM (SELECT doc_id, hex(encode(text)) AS hx,
+                     CAST(strlen(text) AS BIGINT) AS n
               FROM documents)
     ),
     bands AS (
@@ -561,20 +606,22 @@ def pipeline_media_prep(spark, sf_dir):
     byte sampler reads its output — the plan shape is unchanged."""
     t = Tables(spark, sf_dir)
     terms = " + ".join(
-        tt.replace("{div}", "div")
-        for tt in _phash_terms(
-            lambda p: f"ascii(substring(text, ({p}) + 1, 1))"
-        )
+        tt.replace("{div}", "div") for tt in _phash_terms(_hx_byte_spark)
     )
     meta = t.documents.select(
         "doc_id",
-        F.length("text").cast("long").alias("n_bytes"),
+        # octet_length (BYTES): n_bytes is payload size, and the
+        # oracle's strlen counts bytes — length() counted chars and
+        # diverged on multibyte text (r9 sweep C)
+        F.octet_length("text").cast("long").alias("n_bytes"),
         F.expr(
             "CAST(conv(substring(md5(text), 1, 8), 16, 10) AS BIGINT)"
         ).alias("checksum"),
     )
     h = t.documents.select(
-        "doc_id", F.length("text").cast("long").alias("n"), "text"
+        "doc_id",
+        F.octet_length("text").cast("long").alias("n"),
+        F.hex(F.encode("text", "utf-8")).alias("hx"),
     ).select("doc_id", F.expr(terms).alias("ph"))
     bands = h.select(
         "doc_id",

@@ -1397,12 +1397,20 @@ def contamination_matrix(spark, sf_dir):
     documents; hot boilerplate prefixes are exactly the AQE-skew-split
     case."""
     t = Tables(spark, sf_dir)
-    fp = t.documents.select(
-        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 8)).alias(
-            "fp"
-        ),
-        "source",
-    ).distinct()
+    # NULL text has NO fingerprint (r9 sweep D): concat_ws renders a
+    # NULL split as '', which would manufacture one shared fingerprint
+    # across every source holding a NULL-text doc — the oracle's NULL
+    # fp simply drops out of the equi-join; filter to match
+    fp = (
+        t.documents.filter(F.col("text").isNotNull())
+        .select(
+            F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 8)).alias(
+                "fp"
+            ),
+            "source",
+        )
+        .distinct()
+    )
     a = fp.select(F.col("fp"), F.col("source").alias("src_a"))
     b = fp.select(F.col("fp").alias("fpb"), F.col("source").alias("src_b"))
     return (
@@ -1431,12 +1439,16 @@ _GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS = 50, 100_000
         SELECT doc_id,
                string_split(text, ' ') AS parts,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               -- length (CHARS), not strlen (BYTES): Spark's
+               -- F.length counts characters, and the Gopher
+               -- mean-word-length rule is a character rule — the two
+               -- diverge on any multibyte word (r9 sweep C)
                CAST(list_sum(list_transform(string_split(text, ' '),
-                    x -> strlen(x))) AS BIGINT) AS chars_in_words,
+                    x -> length(x))) AS BIGINT) AS chars_in_words,
                CAST(len(list_filter(string_split(text, ' '),
                     x -> x IN {_STOPWORDS})) AS BIGINT) AS n_stop,
                CAST(len(list_filter(string_split(text, ' '),
-                    x -> strlen(x) <= 2)) AS BIGINT) AS n_short
+                    x -> length(x) <= 2)) AS BIGINT) AS n_short
         FROM documents
     ),
     w AS (

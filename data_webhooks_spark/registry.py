@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 # rounds 5-7 each rotated in that round's additions plus re-verifies
 # for every key whose oracle text or code changed.
 #
-# ROUND-9 WINDOW (the r8 verdict's item 1, executed): 29 re-verify
+# ROUND-9 WINDOW (the r8 verdict's item 1, executed): 38 re-verify
 # slots lead — every key whose code or oracle text changed AFTER its
 # latest official driver record:
 # - the r8 NULL-injection hardening wave (records predate the edits;
@@ -36,10 +36,16 @@ from pyspark.sql import DataFrame, SparkSession
 # - r9 advice fixes: event_sequence_ngrams (non-NULL user count),
 #   embed_pair_mining (half-away-from-zero tie rounding);
 # - r9 adversarial-sweep fixes (multi-NULL rows / NULL-only groups /
-#   median decimal ties — scripts/null_sweep_r9.py, SCALE.md ledger):
-#   agg_string, agg_kll_quantile, stream_quantile, stream_stateful,
-#   stream_custom_state.
-# The remaining 21 slots re-verify the keys with the OLDEST official
+#   multibyte text / NULL-only lang / median decimal ties —
+#   scripts/null_sweep_r9.py, SCALE.md ledger): agg_string,
+#   agg_kll_quantile, stream_quantile, stream_stateful,
+#   stream_custom_state, quality_gopher_rules (oracle bytes->chars),
+#   contamination_matrix (NULL text has no fingerprint), and the
+#   whole multimodal family moved to byte-exact hex(encode())
+#   oracles: multimodal_col, multimodal_resize, multimodal_frames,
+#   multimodal_features, multimodal_audio_energy, multimodal_phash,
+#   pipeline_media_prep.
+# The remaining 12 slots re-verify the keys with the OLDEST official
 # records (r2) — staleness rotation so no key's record ages
 # indefinitely. After this round every key's latest record postdates
 # its last code change.
@@ -86,7 +92,16 @@ _WINDOW = [
     "agg_kll_quantile",
     "stream_stateful",
     "stream_custom_state",
-    # oldest-record staleness re-verifies (21, all last recorded r2)
+    "quality_gopher_rules",
+    "contamination_matrix",
+    "multimodal_col",
+    "multimodal_resize",
+    "multimodal_frames",
+    "multimodal_features",
+    "multimodal_audio_energy",
+    "multimodal_phash",
+    "pipeline_media_prep",
+    # oldest-record staleness re-verifies (12, all last recorded r2)
     "agg_global",
     "agg_count_distinct",
     "agg_having",
@@ -99,15 +114,6 @@ _WINDOW = [
     "join_right_outer",
     "join_left_semi",
     "project",
-    "filter_compound",
-    "filter_like",
-    "filter_null_safe_eq",
-    "sql_passthrough",
-    "str_funcs",
-    "str_regex",
-    "date_funcs",
-    "null_funcs",
-    "cast_decimal",
 ]
 
 _MODULES = [

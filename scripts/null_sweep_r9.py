@@ -81,9 +81,31 @@ def _null_only_group(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf
 
 
+def _multibyte_document(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One injected document mixing 2-, 3-, and 4-byte UTF-8 (accents,
+    CJK, emoji) — the byte-position vs char-position divergence class
+    that bit text_feature_hash in r8 (strlen vs length)."""
+    extra = pdf.iloc[[0]].copy()
+    extra["doc_id"] = pdf["doc_id"].max() + 1
+    extra["text"] = "café naïve 北京 résumé 🙂 Ünïcode dedup test 北京"
+    return pd.concat([pdf, extra], ignore_index=True)
+
+
+def _null_only_lang(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Every document of ONE language loses its text — a per-lang
+    group that exists with only NULL measures (the documents twin of
+    scenario B)."""
+    pdf = pdf.copy()
+    lang = pdf["lang"].dropna().iloc[0]
+    pdf.loc[pdf["lang"] == lang, "text"] = None
+    return pdf
+
+
 SCENARIOS = {
     "A": {"events": _multi_null_events, "documents": _multi_null_documents},
     "B": {"events": _null_only_group},
+    "C": {"documents": _multibyte_document},
+    "D": {"documents": _null_only_lang},
 }
 
 # Derived-twin keys: their oracle SQL reads single-file twins pinned
@@ -127,6 +149,17 @@ EXPECT_LOUD = {
         "scan_text",
     },
     "B": set(),
+    "C": set(),
+    # D nulls one language's text: the multimodal family's NULL-payload
+    # contract raises (scan twins are ORACLE_PINNED-skipped; their
+    # loud round-trip contract is asserted under A)
+    "D": {
+        "multimodal_audio_energy",
+        "multimodal_col",
+        "multimodal_features",
+        "multimodal_frames",
+        "multimodal_resize",
+    },
 }
 
 

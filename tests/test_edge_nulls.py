@@ -399,6 +399,67 @@ def test_null_only_group_parity(spark, tmp_path, key):
     assert not compare_frames(sp, du), f"{key} diverges on a NULL-only group"
 
 
+def _with_multibyte_document(pdf):
+    extra = pdf.iloc[[0]].copy()
+    extra["doc_id"] = pdf["doc_id"].max() + 1
+    extra["text"] = "café naïve 北京 résumé 🙂 Ünïcode dedup test 北京"
+    return pd.concat([pdf, extra], ignore_index=True)
+
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        # r9 sweep C findings: one document mixing 2-, 3- and 4-byte
+        # UTF-8 — the byte-vs-char divergence class. The multimodal
+        # oracles moved from char ops (substr/ascii/unicode over text,
+        # valid only for ASCII) to byte-exact hex(encode(text)) pair
+        # access; the gopher word-length rule is a CHARACTER rule so
+        # its oracle moved strlen -> length. multimodal_audio_energy's
+        # old codepoint form read 🙂 as amplitude 128578 and OVERFLOWED
+        # the oracle's INT32 multiply.
+        "multimodal_col",
+        "multimodal_resize",
+        "multimodal_frames",
+        "multimodal_features",
+        "multimodal_audio_energy",
+        "multimodal_phash",
+        "pipeline_media_prep",
+        "quality_gopher_rules",
+    ],
+)
+def test_multibyte_text_parity(spark, tmp_path, key):
+    sf = _clone_sf_mutate(tmp_path, {"documents": _with_multibyte_document})
+    sp = queries()[key](spark, sf).toPandas()
+    con = duck_connect(sf)
+    try:
+        du = con.execute(oracle_sql()[key]).df()
+    finally:
+        con.close()
+    assert not compare_frames(sp, du), f"{key} diverges on multibyte text"
+
+
+def test_null_lang_no_fingerprint(spark, tmp_path):
+    """r9 sweep D: NULL text has NO fingerprint — Spark's concat_ws
+    renders a NULL split as '', which manufactured one shared
+    fingerprint across every source holding a NULL-text doc (190
+    spurious source pairs vs the oracle's 13)."""
+
+    def null_lang(pdf):
+        pdf = pdf.copy()
+        lang = pdf["lang"].dropna().iloc[0]
+        pdf.loc[pdf["lang"] == lang, "text"] = None
+        return pdf
+
+    sf = _clone_sf_mutate(tmp_path, {"documents": null_lang})
+    sp = queries()["contamination_matrix"](spark, sf).toPandas()
+    con = duck_connect(sf)
+    try:
+        du = con.execute(oracle_sql()["contamination_matrix"]).df()
+    finally:
+        con.close()
+    assert not compare_frames(sp, du), "NULL-text fingerprints leak"
+
+
 def test_median_decimal_tie_parity(spark, tmp_path):
     """An even-count median interpolating to an exact .xx5 decimal tie
     (the double nearest 52724.245 sits BELOW the tie): Spark's

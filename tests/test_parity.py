@@ -50,14 +50,14 @@ def test_oracle_not_vacuous(key, duck):
 
 def test_driver_window_is_the_round9_rotation():
     """The external driver's correctness gate reads the FIRST 50 keys
-    of queries(); round 9 leads with 29 re-verify slots — every key
+    of queries(); round 9 leads with 38 re-verify slots — every key
     whose code or oracle text changed AFTER its latest official driver
     record (the r8 NULL-injection hardening wave, the r8 empty-input
     sweep fixes, the r9 advice fixes, the range-sharded drift_ks_test
     ECDF, and the r9 adversarial-sweep fixes: multi-NULL rows,
-    NULL-only groups, median decimal ties) — then fills the remaining
-    21 slots with the keys holding the OLDEST records (r2, staleness
-    rotation). The rotation must not drop or duplicate any key, every
+    NULL-only groups, multibyte text, NULL-only langs, median decimal
+    ties) — then fills the remaining 12 slots with the keys holding
+    the OLDEST records (r2, staleness rotation). The rotation must not drop or duplicate any key, every
     window key outside the declared rows-only set must be SQL-oracled,
     and the changed keys must lead the window (the driver records in
     order; if the window were ever trimmed, the changed keys survive
@@ -89,9 +89,15 @@ def test_driver_window_is_the_round9_rotation():
         # hardening block above
         "agg_string", "agg_kll_quantile",
         "stream_stateful", "stream_custom_state",
+        # r9 sweep C/D fixes: bytes-vs-chars, NULL fingerprints, and
+        # the multimodal family's byte-exact hex(encode()) oracles
+        "quality_gopher_rules", "contamination_matrix",
+        "multimodal_col", "multimodal_resize", "multimodal_frames",
+        "multimodal_features", "multimodal_audio_energy",
+        "multimodal_phash", "pipeline_media_prep",
     }
-    assert len(changed_after_record) == 29
-    assert set(first50[:29]) == changed_after_record
+    assert len(changed_after_record) == 38
+    assert set(first50[:38]) == changed_after_record
 
 
 PORTABLE_ORACLES = frozenset({
