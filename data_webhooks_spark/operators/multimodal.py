@@ -256,10 +256,13 @@ def multimodal_frames(spark, sf_dir):
     )
     SELECT s.doc_id,
            CAST(s.bin AS INT) AS bin,
-           CAST(FLOOR(COALESCE(c.c, 0) / CAST(t.t AS DOUBLE)
-                      * 1e6 + 0.5) AS BIGINT) AS feat_micro
+           -- LEFT JOIN tot + outer COALESCE: a zero-byte payload
+           -- still gets its fixed-width all-zero vector (the Spark
+           -- side's contract; the inner join dropped it — r9 sweep E)
+           CAST(COALESCE(FLOOR(COALESCE(c.c, 0) / CAST(t.t AS DOUBLE)
+                               * 1e6 + 0.5), 0) AS BIGINT) AS feat_micro
     FROM spine s
-    JOIN tot t ON s.doc_id = t.doc_id
+    LEFT JOIN tot t ON s.doc_id = t.doc_id
     LEFT JOIN counts c ON s.doc_id = c.doc_id AND s.bin = c.bin
     """,
 )

@@ -101,11 +101,29 @@ def _null_only_lang(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf
 
 
+def _degenerate_texts(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Three injected degenerate documents: empty string (not NULL),
+    whitespace-heavy (double spaces / tab / leading + trailing), and
+    a single word — the tokenizer edges (split on ' ' emits ''
+    tokens for consecutive spaces on BOTH engines, but every derived
+    ratio/ngram path must agree)."""
+    rows = []
+    for off, txt in enumerate(
+        ["", "  leading  double  spaces\tand tab trailing ", "word"]
+    ):
+        extra = pdf.iloc[[0]].copy()
+        extra["doc_id"] = pdf["doc_id"].max() + 1 + off
+        extra["text"] = txt
+        rows.append(extra)
+    return pd.concat([pdf, *rows], ignore_index=True)
+
+
 SCENARIOS = {
     "A": {"events": _multi_null_events, "documents": _multi_null_documents},
     "B": {"events": _null_only_group},
     "C": {"documents": _multibyte_document},
     "D": {"documents": _null_only_lang},
+    "E": {"documents": _degenerate_texts},
 }
 
 # Derived-twin keys: their oracle SQL reads single-file twins pinned

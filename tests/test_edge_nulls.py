@@ -438,6 +438,42 @@ def test_multibyte_text_parity(spark, tmp_path, key):
     assert not compare_frames(sp, du), f"{key} diverges on multibyte text"
 
 
+@pytest.mark.parametrize(
+    "key",
+    [
+        # r9 sweep E: degenerate documents — empty string (not NULL),
+        # whitespace-heavy, single word. A zero-byte payload still
+        # gets its fixed-width all-zero feature vector (the oracle's
+        # inner totals join dropped the doc); the text-family keys
+        # pass by construction and are pinned as the invariant.
+        "multimodal_features",
+        "text_quality",
+        "quality_gopher_rules",
+        "text_tokenize",
+    ],
+)
+def test_degenerate_text_parity(spark, tmp_path, key):
+    def degen(pdf):
+        rows = []
+        for off, txt in enumerate(
+            ["", "  leading  double  spaces\tand tab trailing ", "word"]
+        ):
+            extra = pdf.iloc[[0]].copy()
+            extra["doc_id"] = pdf["doc_id"].max() + 1 + off
+            extra["text"] = txt
+            rows.append(extra)
+        return pd.concat([pdf, *rows], ignore_index=True)
+
+    sf = _clone_sf_mutate(tmp_path, {"documents": degen})
+    sp = queries()[key](spark, sf).toPandas()
+    con = duck_connect(sf)
+    try:
+        du = con.execute(oracle_sql()[key]).df()
+    finally:
+        con.close()
+    assert not compare_frames(sp, du), f"{key} diverges on degenerate text"
+
+
 def test_null_lang_no_fingerprint(spark, tmp_path):
     """r9 sweep D: NULL text has NO fingerprint — Spark's concat_ws
     renders a NULL split as '', which manufactured one shared
