@@ -906,7 +906,14 @@ _EQD_BINS = 10
     "agg_histogram_equidepth",
     sql=f"""
     WITH edges AS (
-        SELECT list(q) AS qs FROM (
+        -- edges are qnt-quantized (identical IEEE expression on both
+        -- engines) BEFORE binning: Spark percentile and DuckDB
+        -- quantile_cont interpolate with different formulas, and a
+        -- 1-ULP edge difference both shifts the label and can flip
+        -- every row EQUAL to that edge across bins (r9 sweep F)
+        SELECT list_transform(list(q),
+                              q -> FLOOR(q * 1e6 + 0.5) / 1e6) AS qs
+        FROM (
             SELECT unnest(quantile_cont(value,
                 [{", ".join(str(x / _EQD_BINS) for x in range(1, _EQD_BINS))}]))
                 AS q
@@ -937,13 +944,21 @@ def agg_histogram_equidepth(spark, sf_dir):
     (9 doubles) broadcast into one binning scan, aggregated map-side
     BEFORE the 10-row bin spine joins in (never shuffle raw rows keyed
     by 10 bin values), then each bin is labeled with its lower edge.
-    Exact percentiles and counts are deterministic on both engines;
-    the lower edge is the identical percentile double."""
+    Counts are exact on both engines; the edges are qnt-quantized
+    (the shared FLOOR float expression) BEFORE binning because Spark
+    percentile and DuckDB quantile_cont interpolate with different
+    formulas — a 1-ULP edge difference shifts the label and can flip
+    rows equal to the edge across bins (r9 sweep F, surfaced by
+    duplicate values changing an interpolation position)."""
     t = Tables(spark, sf_dir)
     edges = t.events.agg(
         F.percentile(
             "value",
             F.array(*[F.lit(x / _EQD_BINS) for x in range(1, _EQD_BINS)]),
+        ).alias("qs_raw")
+    ).select(
+        F.transform(
+            "qs_raw", lambda q: F.floor(q * 1e6 + F.lit(0.5)) / 1e6
         ).alias("qs")
     )
     hist = (

@@ -203,9 +203,14 @@ _PSI_BINS = 10
         SELECT value FROM events WHERE event_type = '{_KS_A}'
     ),
     edges AS (
-        SELECT quantile_cont(value,
-                   [x / {_PSI_BINS}.0 FOR x IN range(1, {_PSI_BINS})])
-               AS qs
+        -- qnt-quantized before binning: a 1-ULP difference between
+        -- Spark percentile and DuckDB quantile_cont interpolation can
+        -- flip rows equal to an edge across bins (the
+        -- agg_histogram_equidepth r9 sweep-F lesson)
+        SELECT list_transform(
+                   quantile_cont(value,
+                       [x / {_PSI_BINS}.0 FOR x IN range(1, {_PSI_BINS})]),
+                   q -> FLOOR(q * 1e6 + 0.5) / 1e6) AS qs
         FROM base
     ),
     binned AS (
@@ -260,10 +265,16 @@ def drift_psi(spark, sf_dir):
     any fixture scale — asserted by the oracle's equality itself)."""
     t = Tables(spark, sf_dir)
     base = t.events.filter(F.col("event_type") == _KS_B).select("value")
+    # edges qnt-quantized before binning (the agg_histogram_equidepth
+    # sweep-F lesson): identical FLOOR float expression on both engines
     edges = base.agg(
         F.percentile(
             "value",
             F.array(*[F.lit(x / _PSI_BINS) for x in range(1, _PSI_BINS)]),
+        ).alias("qs_raw")
+    ).select(
+        F.transform(
+            "qs_raw", lambda q: F.floor(q * 1e6 + F.lit(0.5)) / 1e6
         ).alias("qs")
     )
 

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 # rounds 5-7 each rotated in that round's additions plus re-verifies
 # for every key whose oracle text or code changed.
 #
-# ROUND-9 WINDOW (the r8 verdict's item 1, executed): 38 re-verify
+# ROUND-9 WINDOW (the r8 verdict's item 1, executed): 39 re-verify
 # slots lead — every key whose code or oracle text changed AFTER its
 # latest official driver record:
 # - the r8 NULL-injection hardening wave (records predate the edits;
@@ -44,8 +44,10 @@ from pyspark.sql import DataFrame, SparkSession
 #   whole multimodal family moved to byte-exact hex(encode())
 #   oracles: multimodal_col, multimodal_resize, multimodal_frames,
 #   multimodal_features, multimodal_audio_energy, multimodal_phash,
-#   pipeline_media_prep.
-# The remaining 12 slots re-verify the keys with the OLDEST official
+#   pipeline_media_prep; agg_histogram_equidepth + drift_psi edge
+#   quantization (a 1-ULP percentile-interpolation difference can
+#   flip rows equal to a bin edge — sweep F, duplicate timestamps).
+# The remaining 11 slots re-verify the keys with the OLDEST official
 # records (r2) — staleness rotation so no key's record ages
 # indefinitely. After this round every key's latest record postdates
 # its last code change.
@@ -60,7 +62,7 @@ _ROWS_ONLY = {
     "profile_table_approx",
 }
 _WINDOW = [
-    # changed-after-record re-verifies (25)
+    # changed-after-record re-verifies (39)
     "ts_ewma",
     "ts_moving_median",
     "ts_downsample_m4",
@@ -101,7 +103,8 @@ _WINDOW = [
     "multimodal_audio_energy",
     "multimodal_phash",
     "pipeline_media_prep",
-    # oldest-record staleness re-verifies (12, all last recorded r2)
+    "agg_histogram_equidepth",
+    # oldest-record staleness re-verifies (11, all last recorded r2)
     "agg_global",
     "agg_count_distinct",
     "agg_having",
@@ -113,7 +116,6 @@ _WINDOW = [
     "join_left_outer",
     "join_right_outer",
     "join_left_semi",
-    "project",
 ]
 
 _MODULES = [

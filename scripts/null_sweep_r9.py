@@ -118,12 +118,40 @@ def _degenerate_texts(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.concat([pdf, *rows], ignore_index=True)
 
 
+def _duplicate_timestamps(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Clone the first 5 events of one user onto IDENTICAL timestamps
+    (new event_ids): exercises every (ts, ...) tiebreak — window
+    orderBy, as-of joins, sessionization, last-update-wins stores —
+    where an under-specified ORDER BY diverges nondeterministically."""
+    user = pdf["user_id"].dropna().iloc[0]
+    src = pdf[pdf["user_id"] == user].head(5)
+    extra = src.copy()
+    base_id = pdf["event_id"].max() + 1
+    extra["event_id"] = range(base_id, base_id + len(extra))
+    # all five land on the SAME instant as the user's first event
+    extra["ts"] = src["ts"].iloc[0]
+    return pd.concat([pdf, extra], ignore_index=True)
+
+
+def _negative_values(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Flip the sign of every 'error' event's value (refund/chargeback
+    shape): exercises sign-branched rounding/scaling (the money unit
+    discipline is sign-branched; qnt deliberately is not), MIN/MAX
+    over mixed signs, and log/sqrt domains."""
+    pdf = pdf.copy()
+    mask = pdf["event_type"] == "error"
+    pdf.loc[mask, "value"] = -pdf.loc[mask, "value"]
+    return pdf
+
+
 SCENARIOS = {
     "A": {"events": _multi_null_events, "documents": _multi_null_documents},
     "B": {"events": _null_only_group},
     "C": {"documents": _multibyte_document},
     "D": {"documents": _null_only_lang},
     "E": {"documents": _degenerate_texts},
+    "F": {"events": _duplicate_timestamps},
+    "G": {"events": _negative_values},
 }
 
 # Derived-twin keys: their oracle SQL reads single-file twins pinned

@@ -474,6 +474,46 @@ def test_degenerate_text_parity(spark, tmp_path, key):
     assert not compare_frames(sp, du), f"{key} diverges on degenerate text"
 
 
+@pytest.mark.parametrize(
+    "key",
+    [
+        # r9 sweep F: five events of one user cloned onto ONE instant
+        # (new event_ids) — every (ts, ...) tiebreak and every
+        # percentile whose interpolation position shifts under
+        # duplicate values. agg_histogram_equidepth's raw percentile
+        # edges differed by 1 ULP between engines (Spark percentile
+        # vs DuckDB quantile_cont interpolate differently), which
+        # shifts the bin label and can flip rows equal to the edge —
+        # edges are now qnt-quantized before binning on both sides
+        # (drift_psi got the same fix). The window/asof keys pass by
+        # (ts, event_id) tiebreak design and are pinned as invariant.
+        "agg_histogram_equidepth",
+        "drift_psi",
+        "win_ranking",
+        "join_asof",
+        "win_sessionize",
+    ],
+)
+def test_duplicate_timestamp_parity(spark, tmp_path, key):
+    def dup_ts(pdf):
+        user = pdf["user_id"].dropna().iloc[0]
+        src = pdf[pdf["user_id"] == user].head(5)
+        extra = src.copy()
+        base_id = pdf["event_id"].max() + 1
+        extra["event_id"] = range(base_id, base_id + len(extra))
+        extra["ts"] = src["ts"].iloc[0]
+        return pd.concat([pdf, extra], ignore_index=True)
+
+    sf = _clone_sf_mutate(tmp_path, {"events": dup_ts})
+    sp = queries()[key](spark, sf).toPandas()
+    con = duck_connect(sf)
+    try:
+        du = con.execute(oracle_sql()[key]).df()
+    finally:
+        con.close()
+    assert not compare_frames(sp, du), f"{key} diverges on duplicate ts"
+
+
 def test_null_lang_no_fingerprint(spark, tmp_path):
     """r9 sweep D: NULL text has NO fingerprint — Spark's concat_ws
     renders a NULL split as '', which manufactured one shared
