@@ -244,7 +244,18 @@ def stream_dedup(spark, sf_dir):
     """Exactly-once event-id dedup under watermark: the replay is
     unioned with itself (every event arrives twice in the same batch),
     dropDuplicatesWithinWatermark must emit each exactly once — output
-    equals the plain events table."""
+    equals the plain events table.
+
+    INPUT CONTRACT (r9 sweep H, measured): event times must be
+    STRICTLY after the epoch. Spark initializes the event-time
+    watermark to 0 ms, and dropDuplicatesWithinWatermark's late
+    filter is boundary-inclusive — a row at EXACTLY
+    1970-01-01T00:00:00.000 is silently dropped as late while
+    epoch+1ms survives (pinned by
+    tests/test_streaming_semantics.py::test_epoch_zero_watermark_boundary).
+    Real event streams satisfy this trivially; a corrupted/zeroed
+    timestamp column would not, which is what dq_freshness-style
+    gates are for upstream."""
     tune(spark)
     # 2 files/trigger: dedup across a batch boundary is still
     # exercised (2 micro-batches) at half the state-commit overhead;
@@ -1374,6 +1385,33 @@ def stream_anomaly(spark, sf_dir):
     return run_to_table(flagged, "append")
 
 
+def _fold_max(pdf, n, mx, arg):
+    """Engine-exact (n, max, argmax) fold over one pandas batch for
+    stream_custom_state: NULL values (vnull flag, computed Spark-side
+    where NULL and NaN are distinct) are skipped; NaN is greatest
+    (both engines' MAX); the argmax uses SQL equality, so a NaN max
+    has a NULL argmax (NaN = NaN is false); ties take the smallest
+    event_id. Associative across any batch chunking — property-pinned
+    against a brute-force reference in tests/test_property.py."""
+    n += len(pdf)
+    for v, e, isnull in zip(pdf["value"], pdf["event_id"], pdf["vnull"]):
+        if isnull:
+            continue
+        v, e = float(v), int(e)
+        if v != v:  # NaN
+            if mx is None or mx == mx:
+                mx, arg = v, None
+        elif mx is None:
+            mx, arg = v, e
+        elif mx != mx:  # non-NaN never beats a NaN max
+            continue
+        elif v > mx:
+            mx, arg = v, e
+        elif v == mx and (arg is None or e < arg):
+            arg = e
+    return n, mx, arg
+
+
 @op(
     "stream_custom_state",
     sql="""
@@ -1434,30 +1472,7 @@ def stream_custom_state(spark, sf_dir):
     s = read_replay_stream(spark, sf_dir, files_per_trigger=2).withColumn(
         "vnull", F.isnull("value")
     )
-
-    def fold_max(pdf, n, mx, arg):
-        """Engine-exact (n, max, argmax) fold over one pandas batch:
-        NULL values (vnull flag) are skipped; NaN is greatest (both
-        engines' MAX); the argmax uses SQL equality, so a NaN max has
-        a NULL argmax (NaN = NaN is false); ties take the smallest
-        event_id. Associative across any batch chunking."""
-        n += len(pdf)
-        for v, e, isnull in zip(pdf["value"], pdf["event_id"], pdf["vnull"]):
-            if isnull:
-                continue
-            v, e = float(v), int(e)
-            if v != v:  # NaN
-                if mx is None or mx == mx:
-                    mx, arg = v, None
-            elif mx is None:
-                mx, arg = v, e
-            elif mx != mx:  # non-NaN never beats a NaN max
-                continue
-            elif v > mx:
-                mx, arg = v, e
-            elif v == mx and (arg is None or e < arg):
-                arg = e
-        return n, mx, arg
+    fold_max = _fold_max
 
     try:
         import pyspark.sql.streaming.proto.StateMessage_pb2  # noqa: F401

@@ -144,6 +144,27 @@ def _negative_values(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf
 
 
+def _temporal_extremes(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Three injected events at calendar edges — the epoch, a leap
+    day, and a far-future instant: exercises every week/month/date
+    truncation, epoch arithmetic, and sessionization gap against
+    engine convention differences (ISO vs simple weeks, date_trunc
+    edge handling)."""
+    rows = []
+    for off, ts in enumerate(
+        [
+            pd.Timestamp("1970-01-01 00:00:00"),
+            pd.Timestamp("2024-02-29 12:00:00"),
+            pd.Timestamp("2037-12-31 23:59:59.999999"),
+        ]
+    ):
+        extra = pdf.iloc[[0]].copy()
+        extra["event_id"] = pdf["event_id"].max() + 1 + off
+        extra["ts"] = ts
+        rows.append(extra)
+    return pd.concat([pdf, *rows], ignore_index=True)
+
+
 SCENARIOS = {
     "A": {"events": _multi_null_events, "documents": _multi_null_documents},
     "B": {"events": _null_only_group},
@@ -152,6 +173,18 @@ SCENARIOS = {
     "E": {"documents": _degenerate_texts},
     "F": {"events": _duplicate_timestamps},
     "G": {"events": _negative_values},
+    "H": {"events": _temporal_extremes},
+}
+
+# Documented engine boundaries, per scenario: the comparison is
+# skipped because the divergence is a MEASURED, docstring-pinned Spark
+# semantics edge, not an operator bug. H injects an event at exactly
+# epoch 0; Spark's initial event-time watermark is 0 ms and
+# dropDuplicatesWithinWatermark's late filter is boundary-inclusive,
+# so that one row is dropped as late (epoch+1ms survives — pinned by
+# tests/test_streaming_semantics.py::test_epoch_zero_watermark_boundary).
+KNOWN_BOUNDARY = {
+    "H": {"stream_dedup"},
 }
 
 # Derived-twin keys: their oracle SQL reads single-file twins pinned
@@ -219,7 +252,10 @@ def main() -> None:
         sf = _clone(tmp, SCENARIOS[sc])
         print(f"== scenario {sc} at {sf} ==", flush=True)
         loud = EXPECT_LOUD.get(sc, set())
+        boundary = KNOWN_BOUNDARY.get(sc, set())
         for k in sorted(osql):
+            if k in boundary:
+                continue
             if k in loud:
                 try:
                     qs[k](spark, sf).toPandas()

@@ -218,3 +218,79 @@ def test_infinite_money_fails_loudly_on_both_engines(spark):
     with pytest.raises(Exception) as duck_err:
         con.execute(f"SELECT SUM({_o_units('x', MONEY_SCALE)}) FROM t").df()
     assert "Conversion" in str(duck_err.value) or "range" in str(duck_err.value)
+
+
+# The r9 range-sharded two-pass ECDF (drift_ks_test) vs a pure-Python
+# exact KS — the oracle-independent third derivation for the rewrite
+# that closed the last data-cardinality-unpartitioned window. Random
+# value multisets cover what fixtures never produce: heavy ties
+# (many rows per distinct value, exercising the per-distinct-value
+# pre-aggregate), skewed shard occupancy, and tiny inputs where most
+# percentile_approx shards are empty.
+_ks_vals = st.lists(
+    st.floats(min_value=-100, max_value=100, allow_nan=False,
+              allow_infinity=False).map(lambda x: round(x, 1)),
+    min_size=1,
+    max_size=80,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_ks_vals, _ks_vals)
+def test_sharded_ks_matches_python_reference(spark, tmp_path_factory, a, b):
+    import math
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_webhooks_spark.operators.drift import drift_ks_test
+    from data_webhooks_spark.schemas import TABLE_NAMES
+
+    rows = [("purchase", v) for v in a] + [("click", v) for v in b]
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": pd.Timestamp("2024-01-01"),
+            "user_id": 1,
+            "event_type": [t for t, _ in rows],
+            "value": [v for _, v in rows],
+            "props": "{}",
+        }
+    )
+    sf = str(tmp_path_factory.mktemp("ksprop"))
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
+        f"{sf}/events.parquet",
+    )
+    for t in TABLE_NAMES:
+        p = f"{sf}/{t}.parquet"
+        if not os.path.exists(p):
+            os.symlink(f"/root/testdata/sf0.001/{t}.parquet", p)
+
+    out = drift_ks_test(spark, sf).collect()
+    assert len(out) == 1
+    row = out[0]
+    # pure-Python exact KS at value boundaries, same qnt quantization
+    na, nb = len(a), len(b)
+    d = max(
+        abs(
+            sum(1 for x in a if x <= v) / na
+            - sum(1 for x in b if x <= v) / nb
+        )
+        for v in set(a) | set(b)
+    )
+    want = math.floor(d * 1e6 + 0.5) / 1e6
+    assert (row["n_a"], row["n_b"]) == (na, nb)
+    assert row["ks_stat"] == want

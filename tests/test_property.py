@@ -261,3 +261,81 @@ def test_cdc_state_equals_sequential_replay_and_merge_associative(
     for c in chunks:
         folded = _cdc_merge(folded, _cdc_partial(c))
     assert folded == _cdc_partial(ops)
+
+
+def _ref_max_argmax(rows):
+    """Brute-force SQL-semantics reference for stream_custom_state's
+    per-user state: rows are (event_id, value, isnull). MAX skips
+    NULLs with NaN greatest (both engines); argmax = MIN(event_id)
+    among rows whose value EQUALS the max under SQL `=` (NaN never
+    equals, so a NaN max has NULL argmax)."""
+    n = len(rows)
+    vals = [(e, v) for e, v, isnull in rows if not isnull]
+    if not vals:
+        return n, None, None
+    has_nan = any(v != v for _, v in vals)
+    if has_nan:
+        return n, float("nan"), None
+    mx = max(v for _, v in vals)
+    arg = min(e for e, v in vals if v == mx)
+    return n, mx, arg
+
+
+_fold_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),  # event_id
+        st.one_of(
+            st.floats(
+                min_value=-1e6,
+                max_value=1e6,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+            st.just(float("nan")),
+        ),
+        st.booleans(),  # isnull flag (Spark-side NULL marker)
+    ),
+    min_size=0,
+    max_size=60,
+    unique_by=lambda r: r[0],  # event_ids are unique by schema
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_fold_rows, st.data())
+def test_fold_max_matches_reference_under_any_chunking(rows, data):
+    """r9: stream_custom_state's _fold_max must (a) equal the
+    brute-force SQL-semantics reference and (b) be chunking-
+    independent — the same rows split across any micro-batch
+    boundaries fold to the same state (the exactly-once replay
+    contract depends on it)."""
+    from data_webhooks_spark.streaming.queries import _fold_max
+
+    def as_pdf(chunk):
+        return pd.DataFrame(
+            {
+                "event_id": [r[0] for r in chunk],
+                "value": [r[1] for r in chunk],
+                "vnull": [r[2] for r in chunk],
+            }
+        )
+
+    # one chunk
+    n1, mx1, a1 = _fold_max(as_pdf(rows), 0, None, None)
+    # arbitrary chunking
+    n2, mx2, a2 = 0, None, None
+    i = 0
+    while i < len(rows):
+        j = data.draw(st.integers(min_value=i + 1, max_value=len(rows)))
+        n2, mx2, a2 = _fold_max(as_pdf(rows[i:j]), n2, mx2, a2)
+        i = j
+    ref_n, ref_mx, ref_arg = _ref_max_argmax(rows)
+
+    def same(x, y):
+        if x is None or y is None:
+            return x is None and y is None
+        return (x != x and y != y) or x == y
+
+    assert n1 == n2 == ref_n
+    assert same(mx1, ref_mx) and same(mx2, ref_mx)
+    assert a1 == a2 == ref_arg

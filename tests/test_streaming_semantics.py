@@ -849,3 +849,56 @@ def test_hll_store_kill_resume_exactly_once(spark, sf_dir):
     assert set(est) == set(exact)
     for k, ex in exact.items():
         assert abs(est[k] - ex) <= max(2.0, 0.05 * ex), (k, est[k], ex)
+
+
+def test_epoch_zero_watermark_boundary(spark, tmp_path):
+    """r9 sweep H (measured engine boundary): Spark initializes the
+    event-time watermark to 0 ms and dropDuplicatesWithinWatermark's
+    late filter is boundary-INCLUSIVE, so an event at exactly
+    1970-01-01T00:00:00.000 is silently dropped as late while
+    epoch+1ms survives. This pins the stream_dedup input contract
+    (event times strictly after the epoch) as observed behavior — if
+    a Spark upgrade changes the boundary, this fails loudly and the
+    contract text must move with it."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_webhooks_spark.registry import queries
+    from data_webhooks_spark.schemas import TABLE_NAMES
+
+    from tests.conftest import SF_SMOKE
+
+    results = {}
+    for label, ts in [
+        ("epoch0", pd.Timestamp("1970-01-01 00:00:00")),
+        ("epoch+1ms", pd.Timestamp("1970-01-01 00:00:00.001")),
+    ]:
+        d = tmp_path / label
+        d.mkdir()
+        for t in TABLE_NAMES:
+            src = f"{SF_SMOKE}/{t}.parquet"
+            dst = str(d / f"{t}.parquet")
+            if t != "events":
+                os.symlink(src, dst)
+                continue
+            orig = pq.read_table(src)
+            pdf = orig.to_pandas()
+            extra = pdf.iloc[[0]].copy()
+            extra["event_id"] = pdf["event_id"].max() + 1
+            extra["ts"] = ts
+            out = pd.concat([pdf, extra], ignore_index=True)
+            pq.write_table(
+                pa.Table.from_pandas(
+                    out, schema=orig.schema, preserve_index=False
+                ),
+                dst,
+            )
+        injected = int(pq.read_table(f"{SF_SMOKE}/events.parquet")
+                       .to_pandas()["event_id"].max()) + 1
+        got = queries()["stream_dedup"](spark, str(d))
+        results[label] = got.filter(f"event_id = {injected}").count()
+    assert results["epoch0"] == 0, "epoch-0 row unexpectedly admitted"
+    assert results["epoch+1ms"] == 1, "epoch+1ms row unexpectedly dropped"
