@@ -351,8 +351,16 @@ def join_asof_forward(spark, sf_dir):
     """Forward as-of join — the mirror of join_asof: for each
     purchase, the EARLIEST click at-or-after it per user (the
     "next-action" lookup behind follow-up attribution). Same
-    union+window rewrite with the frame flipped to
-    [currentRow, unboundedFollowing] and first(ignorenulls); at equal
+    union+window rewrite with the lookup direction flipped — a
+    running last(ignorenulls) over the REVERSED (t, side, id) order,
+    which selects the identical row as first(ignorenulls) over
+    [currentRow, unboundedFollowing] but in O(1) running state per
+    row instead of Spark's per-row recomputation of following frames
+    (quadratic in per-user history — the r9 sweep-H lesson; measured
+    on one synthetic 1-user history: following-frame form 4.7 / 6.9 /
+    26.6 s at 10k / 20k / 40k rows and unfinished at 200k after
+    10 min, reversed running form ~0.3 s flat at every size,
+    identical outputs). At equal
     timestamps the purchase sorts before the click so the inclusive
     at-or-after semantics match the oracle's c.ts >= p.ts.
 
@@ -387,14 +395,22 @@ def join_asof_forward(spark, sf_dir):
         ).alias("c"),
         F.lit(None).cast("long").alias("event_id"),
     )
+    # running last-ignorenulls over the REVERSED order, not
+    # first-ignorenulls over [currentRow, unboundedFollowing]: Spark
+    # recomputes unbounded-FOLLOWING frames from scratch per row
+    # (quadratic in per-user history; the r9 ts_interpolate_linear
+    # lesson, >35 min vs seconds on a 596k-row frame), while the
+    # UNBOUNDED PRECEDING running frame keeps O(1) state. Selected
+    # row is identical: last non-null scanning backward from the far
+    # end to the current row == first non-null at-or-after it.
     w = (
         Window.partitionBy("user_id")
-        .orderBy("t", "side", F.asc_nulls_first("c.c_id"))
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.desc("t"), F.desc("side"), F.desc_nulls_last("c.c_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
         purchases.unionByName(clicks)
-        .withColumn("cc", F.first("c", ignorenulls=True).over(w))
+        .withColumn("cc", F.last("c", ignorenulls=True).over(w))
         .filter(F.col("side") == 0)
         .select(
             "event_id",
@@ -679,15 +695,20 @@ def join_asof_nearest(spark, sf_dir):
     # forward: earliest click strictly after (equal-ts clicks sort
     # before the purchase row, so the following frame excludes them);
     # id DESC makes the first row of an equal-ts run the largest id,
-    # matching the backward tie convention.
+    # matching the backward tie convention. Evaluated as a running
+    # last-ignorenulls over the fully REVERSED order instead of
+    # first-ignorenulls over [currentRow, unboundedFollowing] — the
+    # following frame is recomputed per row (quadratic in per-user
+    # history; the r9 ts_interpolate_linear lesson), the reversed
+    # running frame is O(1) state per row. Same selected row.
     w_f = (
         Window.partitionBy("user_id")
-        .orderBy("t", "side", F.desc_nulls_last("c.c_id"))
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.desc("t"), F.desc("side"), F.asc_nulls_first("c.c_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     picked = (
         u.withColumn("cb", F.last("c", ignorenulls=True).over(w_b))
-        .withColumn("cf", F.first("c", ignorenulls=True).over(w_f))
+        .withColumn("cf", F.last("c", ignorenulls=True).over(w_f))
         .filter(F.col("side") == 1)
     )
     p_us = F.unix_micros(F.col("t").cast("timestamp"))

@@ -58,7 +58,17 @@ def _hourly_grid(t):
     over the hourly rollup (min rollup hour == trunc(min ts) by
     construction), with the global [h0, h1] spread to the handful of
     type rows by an unpartitioned window over that aggregate-sized
-    result. The only other pass is the rollup the grid joins against."""
+    result. The only other pass is the rollup the grid joins against.
+
+    Outlier-span amplification (r9 sweep H, measured): the grid is
+    data-driven, so ONE corrupt timestamp stretches it — an injected
+    epoch-1970 + year-2037 pair turns the fixture's ~17k grid rows
+    into ~3.0M (596k hours x types; the plan still runs in seconds,
+    the cost is output volume). Both engines agree row-for-row on the
+    amplified grid (parity verified on the H clone), so this is a
+    DOMAIN note, not a correctness gap: at 100 TB gate timestamps
+    upstream (dq_freshness's range check is the worked gate) or bound
+    the spine to a reporting window before densifying."""
     hourly = t.events.groupBy(
         F.date_trunc("hour", "ts").alias("hour"), "event_type"
     ).agg(F.count("*").alias("n"), dec_sum("value", "sv", _SV_SCALE))
@@ -389,18 +399,31 @@ def ts_interpolate_linear(spark, sf_dir):
 
     Same bounded-grid construction as the gapfill (spine = hours x
     types, aggregate-sized regardless of raw volume); the neighbor
-    lookup is two frame-bounded window passes over the grid (last/
-    first ignorenulls for value AND grid index), all partitioned by
-    event_type. The interpolation x-axis is the dense grid's ROW INDEX
-    rather than epoch arithmetic: integer-derived fractions are
-    bit-identical across engines (the grid step is exactly one hour,
-    so index distance == hour distance). Grid construction is shared
-    with the gapfill twin (`_hourly_grid`)."""
+    lookup is two RUNNING window passes over the grid — backward
+    neighbors as last-ignorenulls over ascending hours, forward
+    neighbors as last-ignorenulls over DESCENDING hours. Both are
+    UNBOUNDED PRECEDING..CURRENT frames, which Spark evaluates with
+    O(1) running state per row; the r9-sweep-H original used
+    first-ignorenulls over CURRENT..UNBOUNDED FOLLOWING, which Spark
+    rescans per row — quadratic in the longest NULL gap (a single
+    epoch-1970 outlier timestamp made the 596k-hour amplified grid
+    take >35 min; the descending rewrite runs it in seconds; same
+    ascending-hour output). The second sort is sortWithinPartitions
+    only — the partitioning is unchanged, no extra shuffle. The
+    interpolation x-axis is the dense grid's ROW INDEX rather than
+    epoch arithmetic: integer-derived fractions are bit-identical
+    across engines (the grid step is exactly one hour, so index
+    distance == hour distance). Grid construction is shared with the
+    gapfill twin (`_hourly_grid`)."""
     t = Tables(spark, sf_dir)
     hourly, grid = _hourly_grid(t)
     wo = Window.partitionBy("event_type").orderBy("hour")
     wp = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wf = wo.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("hour").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     j = grid.join(hourly, ["hour", "event_type"], "left").select(
         "event_type",
         "hour",
@@ -415,9 +438,9 @@ def ts_interpolate_linear(spark, sf_dir):
         )
         .withColumn("pidx", F.last(F.when(obs, F.col("idx")), True).over(wp))
         .withColumn(
-            "nval", F.first(F.when(obs, F.col("mean_v")), True).over(wf)
+            "nval", F.last(F.when(obs, F.col("mean_v")), True).over(wb)
         )
-        .withColumn("nidx", F.first(F.when(obs, F.col("idx")), True).over(wf))
+        .withColumn("nidx", F.last(F.when(obs, F.col("idx")), True).over(wb))
     )
     lerp = F.col("pval") + (F.col("nval") - F.col("pval")) * (
         (F.col("idx") - F.col("pidx"))

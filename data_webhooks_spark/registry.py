@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 # rounds 5-7 each rotated in that round's additions plus re-verifies
 # for every key whose oracle text or code changed.
 #
-# ROUND-9 WINDOW (the r8 verdict's item 1, executed): 39 re-verify
+# ROUND-9 WINDOW (the r8 verdict's item 1, executed): 42 re-verify
 # slots lead — every key whose code or oracle text changed AFTER its
 # latest official driver record:
 # - the r8 NULL-injection hardening wave (records predate the edits;
@@ -46,8 +46,11 @@ from pyspark.sql import DataFrame, SparkSession
 #   multimodal_features, multimodal_audio_energy, multimodal_phash,
 #   pipeline_media_prep; agg_histogram_equidepth + drift_psi edge
 #   quantization (a 1-ULP percentile-interpolation difference can
-#   flip rows equal to a bin edge — sweep F, duplicate timestamps).
-# The remaining 11 slots re-verify the keys with the OLDEST official
+#   flip rows equal to a bin edge — sweep F, duplicate timestamps);
+#   ts_interpolate_linear / join_asof_forward / join_asof_nearest
+#   forward-neighbor lookups rewritten from quadratic
+#   unbounded-FOLLOWING frames to reversed running frames (sweep H).
+# The remaining 8 slots re-verify the keys with the OLDEST official
 # records (r2) — staleness rotation so no key's record ages
 # indefinitely. After this round every key's latest record postdates
 # its last code change.
@@ -62,7 +65,7 @@ _ROWS_ONLY = {
     "profile_table_approx",
 }
 _WINDOW = [
-    # changed-after-record re-verifies (39)
+    # changed-after-record re-verifies (42)
     "ts_ewma",
     "ts_moving_median",
     "ts_downsample_m4",
@@ -104,7 +107,10 @@ _WINDOW = [
     "multimodal_phash",
     "pipeline_media_prep",
     "agg_histogram_equidepth",
-    # oldest-record staleness re-verifies (11, all last recorded r2)
+    "ts_interpolate_linear",
+    "join_asof_forward",
+    "join_asof_nearest",
+    # oldest-record staleness re-verifies (8, all last recorded r2)
     "agg_global",
     "agg_count_distinct",
     "agg_having",
@@ -113,9 +119,6 @@ _WINDOW = [
     "agg_collect",
     "agg_salted_exact",
     "join_inner_equi",
-    "join_left_outer",
-    "join_right_outer",
-    "join_left_semi",
 ]
 
 _MODULES = [

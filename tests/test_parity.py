@@ -50,13 +50,13 @@ def test_oracle_not_vacuous(key, duck):
 
 def test_driver_window_is_the_round9_rotation():
     """The external driver's correctness gate reads the FIRST 50 keys
-    of queries(); round 9 leads with 39 re-verify slots — every key
+    of queries(); round 9 leads with 42 re-verify slots — every key
     whose code or oracle text changed AFTER its latest official driver
     record (the r8 NULL-injection hardening wave, the r8 empty-input
     sweep fixes, the r9 advice fixes, the range-sharded drift_ks_test
     ECDF, and the r9 adversarial-sweep fixes: multi-NULL rows,
     NULL-only groups, multibyte text, NULL-only langs, median decimal
-    ties) — then fills the remaining 11 slots with the keys holding
+    ties) — then fills the remaining 8 slots with the keys holding
     the OLDEST records (r2, staleness rotation). The rotation must not drop or duplicate any key, every
     window key outside the declared rows-only set must be SQL-oracled,
     and the changed keys must lead the window (the driver records in
@@ -96,9 +96,11 @@ def test_driver_window_is_the_round9_rotation():
         "multimodal_features", "multimodal_audio_energy",
         "multimodal_phash", "pipeline_media_prep",
         "agg_histogram_equidepth",
+        # r9 sweep H: quadratic following-frame rewrites
+        "ts_interpolate_linear", "join_asof_forward", "join_asof_nearest",
     }
-    assert len(changed_after_record) == 39
-    assert set(first50[:39]) == changed_after_record
+    assert len(changed_after_record) == 42
+    assert set(first50[:42]) == changed_after_record
 
 
 PORTABLE_ORACLES = frozenset({

@@ -384,6 +384,27 @@ def test_drift_ks_no_global_window(spark, sf_dir, qs):
     assert all("pid" in s for s in specs), specs
 
 
+def test_no_unbounded_following_frames(spark, sf_dir, qs):
+    """Spark recomputes [currentRow, unboundedFollowing] frames from
+    scratch per row — quadratic in partition/gap length (r9 sweep H:
+    a 596k-row NULL gap took >35 min; the reversed running form runs
+    in seconds). Every forward-neighbor lookup must plan as a running
+    UNBOUNDED PRECEDING frame over the reversed order; constant
+    UNBOUNDED..UNBOUNDED frames (computed once per partition) stay
+    allowed."""
+    import re
+
+    for key in ["ts_interpolate_linear", "join_asof_forward",
+                "join_asof_nearest"]:
+        plan = plan_of(qs[key](spark, sf_dir))
+        bad = re.findall(
+            r"specifiedwindowframe\(RowFrame, currentrow\$\(\),"
+            r" unboundedfollowing\$\(\)\)",
+            plan,
+        )
+        assert not bad, f"{key} still plans a growing following frame"
+
+
 def test_vocab_coverage_no_global_window(spark, sf_dir, qs):
     """The vocabulary rank/cumsum is a range-partitioned two-pass
     prefix sum: every window in the plan must carry a partition spec
