@@ -949,7 +949,17 @@ def agg_histogram_equidepth(spark, sf_dir):
     percentile and DuckDB quantile_cont interpolate with different
     formulas — a 1-ULP edge difference shifts the label and can flip
     rows equal to the edge across bins (r9 sweep F, surfaced by
-    duplicate values changing an interpolation position)."""
+    duplicate values changing an interpolation position).
+
+    Residual risk (accepted, r10 advice): quantization narrows but
+    does not eliminate the divergence — when the two engines'
+    interpolated edges straddle a 1e-6 rounding half-boundary, the
+    quantized edges still differ by one quantum and rows equal to
+    that edge still flip bins. A fully robust form would compute the
+    edges on ONE engine and inject them as literals into BOTH binning
+    queries (the drift_ks_test shard-boundary pattern); kept as-is
+    here because the oracle must stay self-contained SQL and the
+    fixture has never straddled a half-boundary."""
     t = Tables(spark, sf_dir)
     edges = t.events.agg(
         F.percentile(

@@ -127,19 +127,26 @@ def drift_ks_test(spark, sf_dir):
         F.sum(F.when(F.col("event_type") == _KS_B, 1).otherwise(0)).alias("db"),
     )
     qsplits = [i / _KS_SHARDS for i in range(1, _KS_SHARDS)]
-    bounds = per_v.agg(F.percentile_approx("value", qsplits, 10_000).alias("bs"))
-    part = (
-        per_v.crossJoin(F.broadcast(bounds))
-        .withColumn(
-            "pid",
-            F.aggregate(
-                "bs",
-                F.lit(0),
-                lambda acc, b: acc + F.when(b < F.col("value"), 1).otherwise(0),
-            ),
-        )
-        .drop("bs")
-    )
+    # Shard boundaries are computed ONCE and embedded as literals (one
+    # tiny extra driver job over the reduced distinct-value table).
+    # percentile_approx sketches are merge-order-sensitive once
+    # compression triggers, and the `part` subplan feeds THREE
+    # independent branches (local cumsums, shard totals, offsets) — an
+    # uncached re-evaluation could hand each branch different
+    # boundaries and misalign pid across the prefix-sum joins (r10
+    # advice, medium). Literal boundaries are immutable by
+    # construction; the when/otherwise sum also keeps pid NON-NULL for
+    # NULL values (they land in shard 0, matching the old NULLS-FIRST
+    # window order) instead of NULL-pid rows silently dropping out of
+    # the pid equi-joins (r10 advice, low).
+    brow = per_v.agg(
+        F.percentile_approx("value", qsplits, 10_000).alias("bs")
+    ).first()
+    bnds = [b for b in ((brow["bs"] if brow else None) or []) if b is not None]
+    pid = F.lit(0)
+    for b in bnds:
+        pid = pid + F.when(F.lit(b) < F.col("value"), 1).otherwise(0)
+    part = per_v.withColumn("pid", pid)
     w_local = (
         Window.partitionBy("pid")
         .orderBy("value")
