@@ -19,41 +19,23 @@ from pyspark.sql import DataFrame, SparkSession
 # rounds 5-7 each rotated in that round's additions plus re-verifies
 # for every key whose oracle text or code changed.
 #
-# ROUND-9 WINDOW (the r8 verdict's item 1, executed): 42 re-verify
-# slots lead — every key whose code or oracle text changed AFTER its
-# latest official driver record:
-# - the r8 NULL-injection hardening wave (records predate the edits;
-#   local parity pinned in tests/test_edge_nulls.py): ts_ewma,
-#   ts_moving_median, ts_downsample_m4, udf_pandas_scalar,
-#   agg_minmax_by, map_funcs, stream_quantile, text_tokenize,
-#   text_fingerprint, text_quality, text_sentiment, text_langid,
-#   json_parse, pack_sequences;
-# - the r8 empty-input sweep fixes: agg_cube, agg_rollup,
-#   agg_grouping_sets, agg_theta_overlap, dq_checks, drift_ks_test
-#   (ALSO rewritten in r9: range-sharded two-pass ECDF), drift_psi,
-#   sink_foreach_batch (ALSO r9: all-NULL-batch coalesce),
-#   sink_partitioned_parquet;
-# - r9 advice fixes: event_sequence_ngrams (non-NULL user count),
-#   embed_pair_mining (half-away-from-zero tie rounding);
-# - r9 adversarial-sweep fixes (multi-NULL rows / NULL-only groups /
-#   multibyte text / NULL-only lang / median decimal ties —
-#   scripts/null_sweep_r9.py, SCALE.md ledger): agg_string,
-#   agg_kll_quantile, stream_quantile, stream_stateful,
-#   stream_custom_state, quality_gopher_rules (oracle bytes->chars),
-#   contamination_matrix (NULL text has no fingerprint), and the
-#   whole multimodal family moved to byte-exact hex(encode())
-#   oracles: multimodal_col, multimodal_resize, multimodal_frames,
-#   multimodal_features, multimodal_audio_energy, multimodal_phash,
-#   pipeline_media_prep; agg_histogram_equidepth + drift_psi edge
-#   quantization (a 1-ULP percentile-interpolation difference can
-#   flip rows equal to a bin edge — sweep F, duplicate timestamps);
-#   ts_interpolate_linear / join_asof_forward / join_asof_nearest
-#   forward-neighbor lookups rewritten from quadratic
-#   unbounded-FOLLOWING frames to reversed running frames (sweep H).
-# The remaining 8 slots re-verify the keys with the OLDEST official
-# records (r2) — staleness rotation so no key's record ages
-# indefinitely. After this round every key's latest record postdates
-# its last code change.
+# ROUND-10 WINDOW (the r9 verdict's item 1, executed; selection comes
+# from scripts/record_age.py instead of archaeology): 9 re-verify
+# slots lead — every key whose code changed AFTER its latest official
+# driver record:
+# - r9 edits whose record predates them: agg_hll_sketch (r4 record),
+#   agg_mode (r6), stream_anomaly (r7), stream_dedup (r4), plus
+#   ts_resample_gapfill (r7) and stream_rollup_upsert (r8) edited via
+#   the shared _hourly_grid/_rollup_upsert_fn helpers;
+# - r10 edits: drift_ks_test (shard boundaries collected once and
+#   embedded as literals — r10 advice), dedup_cluster (exact-replica
+#   collapse in candidate generation), stream_custom_state (shared
+#   transition core across both state-API paths).
+# The remaining 41 slots re-verify the keys with the OLDEST official
+# records — all 23 r2 keys and the 18 alphabetically-first r3
+# non-TPC-H keys (record_age.py; the r3 TPC-H block rotates in r11).
+# After this round every key's latest record postdates its last code
+# change and no key's record is older than r3.
 _ROWS_ONLY = {
     "pack_sequences_ffd",
     "embed_pq",
@@ -65,60 +47,59 @@ _ROWS_ONLY = {
     "profile_table_approx",
 }
 _WINDOW = [
-    # changed-after-record re-verifies (42)
-    "ts_ewma",
-    "ts_moving_median",
-    "ts_downsample_m4",
-    "udf_pandas_scalar",
-    "agg_minmax_by",
-    "map_funcs",
-    "stream_quantile",
-    "text_tokenize",
-    "text_fingerprint",
-    "text_quality",
-    "text_sentiment",
-    "text_langid",
-    "json_parse",
-    "pack_sequences",
-    "agg_cube",
-    "agg_rollup",
-    "agg_grouping_sets",
-    "agg_theta_overlap",
-    "dq_checks",
+    # changed-after-record re-verifies (9)
+    "agg_hll_sketch",
+    "agg_mode",
+    "stream_anomaly",
+    "stream_dedup",
+    "ts_resample_gapfill",
+    "stream_rollup_upsert",
     "drift_ks_test",
-    "drift_psi",
-    "sink_foreach_batch",
-    "sink_partitioned_parquet",
-    "event_sequence_ngrams",
-    "embed_pair_mining",
-    # (stream_quantile, also a sweep fix, already leads the window in
-    # the r8 NULL-hardening block above)
-    "agg_string",
-    "agg_kll_quantile",
-    "stream_stateful",
+    "dedup_cluster",
     "stream_custom_state",
-    "quality_gopher_rules",
-    "contamination_matrix",
-    "multimodal_col",
-    "multimodal_resize",
-    "multimodal_frames",
-    "multimodal_features",
-    "multimodal_audio_energy",
-    "multimodal_phash",
-    "pipeline_media_prep",
-    "agg_histogram_equidepth",
-    "ts_interpolate_linear",
-    "join_asof_forward",
-    "join_asof_nearest",
-    # oldest-record staleness re-verifies (8, all last recorded r2)
-    "agg_global",
-    "agg_count_distinct",
-    "agg_having",
-    "agg_stats",
-    "agg_percentile",
-    "agg_collect",
-    "agg_salted_exact",
-    "join_inner_equi",
+    # oldest-record staleness re-verifies (41): all 23 r2 keys ...
+    "agg_groupby",
+    "cast_decimal",
+    "date_funcs",
+    "filter_compound",
+    "filter_like",
+    "filter_null_safe_eq",
+    "hash_funcs",
+    "join_left_outer",
+    "join_left_semi",
+    "join_right_outer",
+    "limit",
+    "null_funcs",
+    "project",
+    "set_except",
+    "set_except_all",
+    "set_intersect",
+    "set_intersect_all",
+    "set_union_all",
+    "set_union_distinct",
+    "sort_multi",
+    "sql_passthrough",
+    "str_funcs",
+    "str_regex",
+    # ... and the 18 alphabetically-first r3 non-TPC-H keys
+    "arr_basic",
+    "arr_explode",
+    "arr_higher_order",
+    "json_get",
+    "pipeline_text_prep",
+    "text_normalize",
+    "text_redact",
+    "text_stats",
+    "text_tfidf",
+    "text_token_count",
+    "topn_per_group",
+    "win_distribution",
+    "win_first_last",
+    "win_lag_lead",
+    "win_range_time",
+    "win_ranking",
+    "win_running",
+    "win_sessionize",
 ]
 
 _MODULES = [

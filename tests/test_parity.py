@@ -48,59 +48,39 @@ def test_oracle_not_vacuous(key, duck):
     )
 
 
-def test_driver_window_is_the_round9_rotation():
+def test_driver_window_is_the_round10_rotation():
     """The external driver's correctness gate reads the FIRST 50 keys
-    of queries(); round 9 leads with 42 re-verify slots — every key
-    whose code or oracle text changed AFTER its latest official driver
-    record (the r8 NULL-injection hardening wave, the r8 empty-input
-    sweep fixes, the r9 advice fixes, the range-sharded drift_ks_test
-    ECDF, and the r9 adversarial-sweep fixes: multi-NULL rows,
-    NULL-only groups, multibyte text, NULL-only langs, median decimal
-    ties) — then fills the remaining 8 slots with the keys holding
-    the OLDEST records (r2, staleness rotation). The rotation must not drop or duplicate any key, every
-    window key outside the declared rows-only set must be SQL-oracled,
-    and the changed keys must lead the window (the driver records in
-    order; if the window were ever trimmed, the changed keys survive
-    first)."""
+    of queries(); round 10 leads with 9 re-verify slots — every key
+    whose code changed AFTER its latest official driver record (the
+    six r9 edits the r9 verdict flagged as record-stale, plus the
+    three r10 edits: drift_ks_test boundary literals, dedup_cluster
+    replica collapse, stream_custom_state shared-core refactor) —
+    then fills the remaining 41 slots with the keys holding the
+    OLDEST records per scripts/record_age.py (all 23 r2 keys + 18 r3
+    keys; the r3 TPC-H block rotates in r11). The rotation must not
+    drop or duplicate any key, every window key outside the declared
+    rows-only set must be SQL-oracled, and the changed keys must lead
+    the window (the driver records in order; if the window were ever
+    trimmed, the changed keys survive first)."""
     from data_webhooks_spark.registry import _ROWS_ONLY, _WINDOW
 
     qs, osql = registry.queries(), registry.oracle_sql()
     first50 = list(qs)[:50]
     assert len(_WINDOW) == 50
+    assert len(set(_WINDOW)) == 50
     assert first50 == _WINDOW
     assert all(k in osql for k in first50 if k not in _ROWS_ONLY)
     assert _ROWS_ONLY == set(qs) - set(osql)
     assert len(set(qs)) == len(qs)
     changed_after_record = {
-        # r8 NULL-injection hardening (records predate the edits)
-        "ts_ewma", "ts_moving_median", "ts_downsample_m4",
-        "udf_pandas_scalar", "agg_minmax_by", "map_funcs",
-        "stream_quantile", "text_tokenize", "text_fingerprint",
-        "text_quality", "text_sentiment", "text_langid", "json_parse",
-        "pack_sequences",
-        # r8 empty-input sweep fixes
-        "agg_cube", "agg_rollup", "agg_grouping_sets",
-        "agg_theta_overlap", "dq_checks", "drift_ks_test", "drift_psi",
-        "sink_foreach_batch", "sink_partitioned_parquet",
-        # r9 advice fixes
-        "event_sequence_ngrams", "embed_pair_mining",
-        # r9 adversarial-sweep fixes (scripts/null_sweep_r9.py);
-        # stream_quantile, also a sweep fix, is already in the r8
-        # hardening block above
-        "agg_string", "agg_kll_quantile",
-        "stream_stateful", "stream_custom_state",
-        # r9 sweep C/D fixes: bytes-vs-chars, NULL fingerprints, and
-        # the multimodal family's byte-exact hex(encode()) oracles
-        "quality_gopher_rules", "contamination_matrix",
-        "multimodal_col", "multimodal_resize", "multimodal_frames",
-        "multimodal_features", "multimodal_audio_energy",
-        "multimodal_phash", "pipeline_media_prep",
-        "agg_histogram_equidepth",
-        # r9 sweep H: quadratic following-frame rewrites
-        "ts_interpolate_linear", "join_asof_forward", "join_asof_nearest",
+        # r9 edits whose official record predates them
+        "agg_hll_sketch", "agg_mode", "stream_anomaly", "stream_dedup",
+        "ts_resample_gapfill", "stream_rollup_upsert",
+        # r10 edits
+        "drift_ks_test", "dedup_cluster", "stream_custom_state",
     }
-    assert len(changed_after_record) == 42
-    assert set(first50[:42]) == changed_after_record
+    assert len(changed_after_record) == 9
+    assert set(first50[:9]) == changed_after_record
 
 
 PORTABLE_ORACLES = frozenset({
