@@ -1,0 +1,79 @@
+"""Permanent adversarial-input sweeps (r9 verdict item 5): the eight
+scenario mutations from scripts/null_sweep_r9.py — multi-NULL rows,
+NULL-only groups, multibyte text, NULL-only langs, degenerate texts,
+duplicate timestamps, negative values, temporal extremes — promoted
+from an out-of-band script into the suite, so a future operator edit
+that regresses any scenario fails `pytest tests/`.
+
+BUDGET GATE: the full matrix (8 scenarios x 279 oracled keys) is an
+out-of-band discovery run (python scripts/null_sweep_r9.py). In the
+suite each scenario runs over the CHANGED-KEY set — the leading
+changed-after-record block of the current driver window
+(registry._WINDOW, the keys whose code moved since their last
+official record) — exactly the set the r9 verdict prescribed when
+runtime is a concern. Set SPARK_GRAFT_SWEEP_KEYS=k1,k2 to override,
+or SPARK_GRAFT_SWEEP_ALL=1 for the full matrix (slow).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+
+from scripts.null_sweep_r9 import (
+    EXPECT_LOUD,
+    KNOWN_BOUNDARY,
+    ORACLE_PINNED,
+    SCENARIOS,
+    _clone,
+)
+
+from data_webhooks_spark import registry
+from data_webhooks_spark.oracle import compare_frames, duck_connect
+
+# the changed-after-record head of the window: every key here has a
+# "(N)" count in registry.py's rotation comment — keep in sync
+_N_CHANGED = 9
+
+
+def _gated_keys() -> list[str]:
+    osql = registry.oracle_sql()
+    if os.environ.get("SPARK_GRAFT_SWEEP_ALL"):
+        return sorted(osql)
+    env = os.environ.get("SPARK_GRAFT_SWEEP_KEYS")
+    if env:
+        return [k for k in env.split(",") if k in osql]
+    from data_webhooks_spark.registry import _WINDOW
+
+    return [k for k in _WINDOW[:_N_CHANGED] if k in osql]
+
+
+@pytest.fixture(scope="module", params=sorted(SCENARIOS))
+def scenario_dir(request):
+    """One mutated sf0.001 clone per scenario, shared by its keys."""
+    tmp = tempfile.mkdtemp(prefix=f"sweep_{request.param}_")
+    return request.param, _clone(tmp, SCENARIOS[request.param])
+
+
+@pytest.mark.parametrize("key", _gated_keys())
+def test_adversarial_scenarios(spark, scenario_dir, key):
+    sc, sf = scenario_dir
+    if key in KNOWN_BOUNDARY.get(sc, set()):
+        pytest.skip(f"documented engine boundary for {sc}:{key}")
+    if key in ORACLE_PINNED:
+        pytest.skip("oracle reads driver-dir-pinned twins")
+    qs, osql = registry.queries(), registry.oracle_sql()
+    if key in EXPECT_LOUD.get(sc, set()):
+        with pytest.raises(Exception):
+            qs[key](spark, sf).toPandas()
+        return
+    sp = qs[key](spark, sf).toPandas()
+    con = duck_connect(sf)
+    try:
+        du = con.execute(osql[key]).df()
+    finally:
+        con.close()
+    probs = compare_frames(sp, du)
+    assert not probs, f"{sc}:{key} diverged: {probs}"
