@@ -857,15 +857,14 @@ def stream_funnel(spark, sf_dir):
     )
 
 
-def _funnel_updates(
+def _funnel_update_stream(
     spark, sf_dir, late: bool = True, files_per_trigger: int = 2
 ) -> DataFrame:
-    """The funnel's streaming stage: replay -> applyInPandasWithState
-    -> materialized update-mode emissions. Parameterized so tests can
-    drive the REAL query (not a fake GroupState) through a 4-batch
-    replay where event-time timeouts fire mid-stream and a settled
-    user returns — see tests/test_streaming_semantics.py::
-    test_funnel_query_level_settle_then_return."""
+    """The funnel's streaming stage BEFORE the sink: replay ->
+    applyInPandasWithState -> update-mode emission stream. Split from
+    ``_funnel_updates`` so the kill/resume chaos test can attach its
+    own crashing foreachBatch sink to the REAL stateful plan (one
+    shared core, two sinks — the stream_custom_state discipline)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     tune(spark)
@@ -880,7 +879,7 @@ def _funnel_updates(
         .filter(F.col("event_type").isin("view", "click", "purchase"))
     )
 
-    updates = s.groupBy("user_id").applyInPandasWithState(
+    return s.groupBy("user_id").applyInPandasWithState(
         _funnel_track,
         outputStructType=(
             "user_id long, n_seen long, viewed boolean, "
@@ -890,7 +889,20 @@ def _funnel_updates(
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
-    return run_to_table(updates, "update")
+
+
+def _funnel_updates(
+    spark, sf_dir, late: bool = True, files_per_trigger: int = 2
+) -> DataFrame:
+    """Replay -> applyInPandasWithState -> materialized update-mode
+    emissions. Parameterized so tests can drive the REAL query (not a
+    fake GroupState) through a 4-batch replay where event-time
+    timeouts fire mid-stream and a settled user returns — see
+    tests/test_streaming_semantics.py::
+    test_funnel_query_level_settle_then_return."""
+    return run_to_table(
+        _funnel_update_stream(spark, sf_dir, late, files_per_trigger), "update"
+    )
 
 
 def _funnel_finalize(all_updates: DataFrame) -> DataFrame:
@@ -1038,6 +1050,19 @@ def _rollup_upsert_fn(out):
     return upsert
 
 
+def _quantile_agg(s: DataFrame) -> DataFrame:
+    """Complete-mode KLL aggregate `stream_quantile` maintains
+    (shared with the kill/resume chaos test, like ``_rollup_agg``):
+    per event_type, row count, non-NULL value count, and a mergeable
+    k=200 KLL sketch that accumulates across micro-batches inside the
+    streaming aggregation state."""
+    return s.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("value").alias("n_vals"),
+        F.kll_sketch_agg_double("value", 200).alias("sk"),
+    )
+
+
 @op(
     "stream_quantile",
     sql="""
@@ -1069,12 +1094,7 @@ def stream_quantile(spark, sf_dir):
     tune(spark)
     eps = 0.065
     s = read_replay_stream(spark, sf_dir, files_per_trigger=2)
-    agg = s.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count("value").alias("n_vals"),
-        F.kll_sketch_agg_double("value", 200).alias("sk"),
-    )
-    streamed = run_to_table(agg, "complete")
+    streamed = run_to_table(_quantile_agg(s), "complete")
     # NULL-only-group contract (r9 sweep): a group whose every value
     # is NULL aggregates to an EMPTY (but non-NULL) sketch buffer,
     # which kll_sketch_get_quantile_double rejects with

@@ -902,3 +902,172 @@ def test_epoch_zero_watermark_boundary(spark, tmp_path):
         results[label] = got.filter(f"event_id = {injected}").count()
     assert results["epoch0"] == 0, "epoch-0 row unexpectedly admitted"
     assert results["epoch+1ms"] == 1, "epoch+1ms row unexpectedly dropped"
+
+
+def test_funnel_kill_resume_exactly_once(spark, sf_dir, duck):
+    """r9 verdict item 6: kill/resume chaos for the funnel. Crash the
+    REAL stateful plan (`_funnel_update_stream`, the exact
+    applyInPandasWithState pipeline `stream_funnel` runs) AFTER batch
+    1's update emissions are appended to the store but BEFORE the
+    checkpoint commit — the worst-case dirty append. Resume from the
+    same checkpoint: Structured Streaming replays batch 1 from the
+    batch-0 state version, so its emission rows land in the store
+    TWICE. The funnel's recovery contract is that duplicated update
+    emissions are harmless by construction — `_funnel_finalize` keeps
+    only the max-n_seen row per user and n_seen is monotone — so the
+    finalized funnel over the dirty store must still equal the batch
+    oracle bit-for-bit."""
+    import os
+    import uuid
+
+    from data_webhooks_spark import registry
+    from data_webhooks_spark.oracle import compare_frames
+    from data_webhooks_spark.streaming.core import RUNTIME_DIR
+    from data_webhooks_spark.streaming.queries import (
+        _funnel_finalize,
+        _funnel_update_stream,
+    )
+
+    run = uuid.uuid4().hex[:12]
+    upd = f"{RUNTIME_DIR}/funnel/kr_{run}"
+    ckpt = f"{RUNTIME_DIR}/ckpt/krf_{run}"
+
+    def append(df, batch_id):
+        df.write.mode("append").parquet(upd)
+
+    def crashing(df, batch_id):
+        append(df, batch_id)  # dirty append IS on disk...
+        if batch_id == 1:
+            raise RuntimeError("injected crash before checkpoint commit")
+
+    def start(fn):
+        return (
+            _funnel_update_stream(spark, sf_dir, late=True, files_per_trigger=1)
+            .writeStream.foreachBatch(fn)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    _run_stream_expect_crash(lambda: start(crashing))
+    assert os.path.isdir(upd)  # the dirty batch-1 append the crash left
+    q2 = start(append)
+    q2.awaitTermination()
+
+    emissions = spark.read.parquet(upd)
+    # the dirty append really happened: batch 1 replayed, so at least
+    # one user's identical emission row appears more than once
+    dup_rows = (
+        emissions.groupBy(
+            "user_id", "n_seen", "viewed", "clicked", "purchased"
+        )
+        .count()
+        .filter("count > 1")
+        .count()
+    )
+    assert dup_rows > 0, "crash did not produce a duplicated replay batch"
+
+    got = _funnel_finalize(emissions).toPandas()
+    oracle = duck.execute(registry.oracle_sql()["stream_funnel"]).df()
+    assert not compare_frames(got, oracle)
+
+
+def test_quantile_kill_resume_exactly_once(spark, sf_dir):
+    """Same discipline for the complete-mode KLL aggregate: crash
+    after batch 1's full-snapshot overwrite of the serving store,
+    resume from the checkpoint, and the final snapshot must reflect
+    the WHOLE stream exactly once. Complete mode makes recovery
+    idempotent a third way (vs the CDC store's versioned
+    strictly-below read and the funnel's monotone reconcile): every
+    batch rewrites the entire answer from the aggregation state, so a
+    replayed batch simply overwrites the dirty snapshot it half
+    -served. Exactness is pinned hard on `n` — per-type row counts in
+    the final snapshot must EQUAL the batch counts (a double-fold of
+    the replayed chunk would inflate them) — and the KLL median must
+    rank-check against the exact per-type distribution."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from data_webhooks_spark.io import Tables
+    from data_webhooks_spark.streaming.core import (
+        RUNTIME_DIR,
+        read_replay_stream,
+    )
+    from data_webhooks_spark.streaming.queries import _quantile_agg
+
+    run = uuid.uuid4().hex[:12]
+    out = f"{RUNTIME_DIR}/quantile/kr_{run}"
+    ckpt = f"{RUNTIME_DIR}/ckpt/krq_{run}"
+
+    def snapshot(df, batch_id):
+        df.write.mode("overwrite").parquet(out)
+
+    def crashing(df, batch_id):
+        snapshot(df, batch_id)  # dirty snapshot IS on disk...
+        if batch_id == 1:
+            raise RuntimeError("injected crash before checkpoint commit")
+
+    def start(fn):
+        return (
+            _quantile_agg(read_replay_stream(spark, sf_dir, files_per_trigger=1))
+            .writeStream.foreachBatch(fn)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    _run_stream_expect_crash(lambda: start(crashing))
+    q2 = start(snapshot)
+    q2.awaitTermination()
+
+    final = spark.read.parquet(out)
+    got_n = {
+        r["event_type"]: r["n"] for r in final.select("event_type", "n").collect()
+    }
+    exact = {
+        r["event_type"]: (r["n"], r["p50"])
+        for r in Tables(spark, sf_dir)
+        .events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.percentile("value", F.lit(0.5)).alias("p50"),
+        )
+        .collect()
+    }
+    assert got_n == {k: v[0] for k, v in exact.items()}  # exactly-once counts
+
+    ests = {
+        r["event_type"]: r["est"]
+        for r in final.filter(F.col("n_vals") > 0)
+        .select(
+            "event_type",
+            F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("est"),
+        )
+        .collect()
+    }
+    ranks = {
+        r["event_type"]: r["rk"]
+        for r in Tables(spark, sf_dir)
+        .events.join(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(k, v) for k, v in ests.items()], "et string, est double"
+                )
+            ),
+            F.col("event_type").eqNullSafe(F.col("et")),
+        )
+        .groupBy("event_type")
+        .agg(
+            (
+                F.sum(F.when(F.col("value") <= F.col("est"), 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).alias("rk")
+        )
+        .collect()
+    }
+    for k, rk in ranks.items():
+        n = exact[k][0]
+        assert abs(rk - 0.5) <= 0.065 + 0.5 / n, (k, rk, ests[k], exact[k])
