@@ -25,6 +25,40 @@ ORACLE: dict = {}
 op = registrar(QUERIES, ORACLE)
 
 
+def _shingled(docs):
+    """Distinct (doc_id, word-trigram shingle) pairs, built ROW
+    -LOCALLY: trigrams come from one array `transform` over the split
+    text, so shingle construction is a projection inside whole-stage
+    codegen — no posexplode + lead-window, which shuffled and SORTED
+    every token by (doc_id, pos) and re-ran that sort once per
+    self-join branch (the r10 bench read dedup_cluster 3.3 s -> 7.9 s
+    after its candidate subplan got heavier; this rewrite removes the
+    per-doc sort from all three shingle consumers). Emits exactly the
+    lead-window trigram set: positions 1..n-2 (1-based) over the
+    space-split tokens; docs with < 3 tokens (including NULL text,
+    where size() is NULL) have no shingles."""
+    # Two-step projection ON PURPOSE: `arr` must be a materialized
+    # column before the lambda references it 3x per shingle —
+    # inlining split() into each element_at re-tokenizes the text
+    # O(words) times per row (measured 3x slower than the old window
+    # form). CollapseProject keeps the split un-inlined because the
+    # alias is referenced more than once and split is not cheap.
+    words = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("arr")
+    ).filter(F.size("arr") >= 3)
+    arr = F.col("arr")
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size(arr) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(arr, i),
+            F.element_at(arr, i + F.lit(1)),
+            F.element_at(arr, i + F.lit(2)),
+        ),
+    )
+    return words.select("doc_id", F.explode(tri).alias("shingle")).distinct()
+
+
 @op(
     "dedup_content_hash",
     sql="""
@@ -84,24 +118,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     with collisions, not n². Jaccard is an exact integer ratio —
     bit-identical across engines."""
     t = Tables(spark, sf_dir)
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    words = t.documents.select(
-        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word")
-    )
-    shingled = (
-        words.select(
-            "doc_id",
-            "word",
-            F.lead("word", 1).over(w).alias("w1"),
-            F.lead("word", 2).over(w).alias("w2"),
-        )
-        .filter(F.col("w2").isNotNull())
-        .select(
-            "doc_id",
-            F.concat_ws(" ", F.col("word"), F.col("w1"), F.col("w2")).alias("shingle"),
-        )
-        .distinct()
-    )
+    shingled = _shingled(t.documents)
     sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = shingled.alias("a")
     b = shingled.alias("b")
@@ -482,24 +499,7 @@ def _cluster_candidates(documents):
         members.filter(F.col("doc_id") == F.col("rep")).select("doc_id"),
         "doc_id",
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    words = rep_docs.select(
-        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word")
-    )
-    shingled = (
-        words.select(
-            "doc_id",
-            F.lead("word", 1).over(w).alias("w1"),
-            F.lead("word", 2).over(w).alias("w2"),
-            "word",
-        )
-        .filter(F.col("w2").isNotNull())
-        .select(
-            "doc_id",
-            F.concat_ws(" ", "word", "w1", "w2").alias("shingle"),
-        )
-        .distinct()
-    )
+    shingled = _shingled(rep_docs)
     sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = shingled.alias("a"), shingled.alias("b")
     rawpairs = (
@@ -883,26 +883,7 @@ def dedup_containment(spark, sf_dir):
     pair (A,B) and (B,A) carry different denominators). Both ratios
     are exact integer divisions, bit-identical across engines."""
     t = Tables(spark, sf_dir)
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    words = t.documents.select(
-        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word")
-    )
-    shingled = (
-        words.select(
-            "doc_id",
-            "word",
-            F.lead("word", 1).over(w).alias("w1"),
-            F.lead("word", 2).over(w).alias("w2"),
-        )
-        .filter(F.col("w2").isNotNull())
-        .select(
-            "doc_id",
-            F.concat_ws(" ", F.col("word"), F.col("w1"), F.col("w2")).alias(
-                "shingle"
-            ),
-        )
-        .distinct()
-    )
+    shingled = _shingled(t.documents)
     sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = shingled.alias("a"), shingled.alias("b")
     pairs = (

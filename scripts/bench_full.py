@@ -45,6 +45,20 @@ def main() -> None:
     spark = get_spark("dws-bench-full")
     qs, osql = registry.queries(), registry.oracle_sql()
     t_start = time.time()
+    # Stamp the session so cross-round ratio comparisons are honest:
+    # a matrix mixing hosts/load levels (the r9 problem) is flagged by
+    # sessions > 1 in _meta.
+    meta = results.setdefault("_meta", {"sessions": []})
+    meta["sessions"].append(
+        {
+            "host": os.uname().nodename,
+            "cpus": os.cpu_count(),
+            "load1_at_start": round(os.getloadavg()[0], 2),
+            "started_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "sf_dir": sf_dir,
+            "runs": RUNS,
+        }
+    )
     pending = [k for k in sorted(osql) if k not in results]
     for k in pending:
         if time.time() - t_start > DEADLINE_S:
@@ -71,7 +85,18 @@ def main() -> None:
         with open(OUT, "w") as f:
             json.dump(results, f, indent=1, sort_keys=True)
         print(k, results[k], flush=True)
-    print(f"done: {len(results)}/{len(osql)} keys in {OUT}")
+    done = [k for k in results if k != "_meta"]
+    ratios = [results[k]["ratio"] for k in done if results[k].get("ratio")]
+    if len(done) == len(osql):
+        tot_s = sum(results[k]["spark_s"] for k in done)
+        tot_d = sum(results[k]["duckdb_s"] for k in done)
+        meta["overall_ratio"] = round(tot_s / tot_d, 2)
+        meta["median_key_ratio"] = round(statistics.median(ratios), 2)
+        meta["spark_total_s"] = round(tot_s, 2)
+        meta["duckdb_total_s"] = round(tot_d, 2)
+        with open(OUT, "w") as f:
+            json.dump(results, f, indent=1, sort_keys=True)
+    print(f"done: {len(done)}/{len(osql)} keys in {OUT}")
 
 
 if __name__ == "__main__":
