@@ -112,13 +112,28 @@ def graph_pagerank(spark, sf_dir):
     b = li.select(
         F.col("l_orderkey").alias("bok"), F.col("l_partkey").alias("dst")
     )
+    # Eager localCheckpoint: the unrolled 3-sweep plan references the
+    # edge list in every contrib join and the degree table in every
+    # rank rebuild — without a checkpoint Catalyst re-runs the
+    # lineitem self-join + distinct ~7x (measured 5-7 s at sf0.1;
+    # 4.4 s checkpointed — the residual is the one honest edge build:
+    # a 2.4M-row pair distinct plus 3 join+agg sweeps). Same
+    # iterative-lineage pattern as
+    # _connected_components and embed_pca_power; at cluster scale the
+    # materialized edge list is what any power-method implementation
+    # keeps resident between sweeps.
     edges = (
         li.join(b, li["l_orderkey"] == b["bok"])
         .filter(li["l_partkey"] != b["dst"])
         .select(li["l_partkey"].alias("src"), "dst")
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=True)
+    )
     # 1-row scalars: node count -> uniform start mass + damping base
     scalars = deg.agg(F.count(F.lit(1)).alias("n")).select(
         F.expr(f"{_SCALE} div n").alias("ru0"),
@@ -212,6 +227,14 @@ def graph_triangle_count(spark, sf_dir):
     b = li.select(
         F.col("l_orderkey").alias("bok"), F.col("l_partkey").alias("pk2")
     )
+    # Eager localCheckpoints (the graph_pagerank pattern): `und` feeds
+    # four consumers (deg, oriented, the closing join, n_edges) and
+    # `oriented` two — uncheckpointed, Catalyst re-runs the lineitem
+    # self-join + distinct (the 4.7 s cold / 2.6 s warm profile term)
+    # once per consumer. Locally the combined checkpoint + single
+    # wedge pass lands 7.4 -> 6.7 s (the 41M-wedge closing join is
+    # the irreducible term); at cluster scale, not re-running a
+    # lineitem-sized self-join 4x is the point.
     und = (
         li.join(b, li["l_orderkey"] == b["bok"])
         .filter(li["l_partkey"] != b["pk2"])
@@ -220,12 +243,14 @@ def graph_triangle_count(spark, sf_dir):
             F.greatest(li["l_partkey"], b["pk2"]).alias("v"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=True)
     )
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
@@ -239,8 +264,14 @@ def graph_triangle_count(spark, sf_dir):
             F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("s"),
             F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("t"),
         )
+        .localCheckpoint(eager=True)
     )
     e2 = oriented.select(F.col("s").alias("s2"), F.col("t").alias("t2"))
+    # wedges is deliberately NOT checkpointed: it is the one large
+    # intermediate (O(Σ oriented-out-deg²) rows), and materializing it
+    # costs more than letting both consumers stream it out of the
+    # checkpointed `oriented` self-join inside codegen (measured 24 s
+    # checkpointed vs 3 s streamed at sf0.1).
     wedges = (
         oriented.join(e2, (F.col("s") == F.col("s2")) & (F.col("t") < F.col("t2")))
         .select(F.col("t").alias("b"), F.col("t2").alias("c"))
@@ -251,19 +282,32 @@ def graph_triangle_count(spark, sf_dir):
     # whose degree order disagrees with id order (caught by the
     # brute-force invariant test).
     closing = und.select(F.col("u").alias("cs"), F.col("v").alias("ct"))
-    tri = wedges.join(
-        closing, (F.col("cs") == F.col("b")) & (F.col("ct") == F.col("c"))
+    # ONE wedge pass for both counts: LEFT-join the closures and count
+    # all rows (wedges) alongside matched rows (triangles) in the same
+    # aggregate — the two-pass form enumerated the O(Σ out-deg²) wedge
+    # join (41M rows at sf0.1, the profile's dominant term alongside
+    # the closing join itself) twice, once for n_wedges and once for
+    # n_triangles. The left join is safe for counting: (cs, ct) is
+    # unique in the canonical edge set, so a wedge matches at most one
+    # closing edge and row counts are preserved. The closing side is
+    # O(edges) — NOT broadcast-hinted, same corpus-scale OOM rationale
+    # as the dedup sizes joins; AQE broadcasts it when small.
+    wedge_tri = wedges.join(
+        closing, (F.col("cs") == F.col("b")) & (F.col("ct") == F.col("c")), "left"
+    ).agg(
+        F.count(F.lit(1)).alias("n_wedges"),
+        F.count("cs").alias("n_triangles"),
     )
     counts = [
         deg.agg(F.count(F.lit(1)).alias("n_nodes")),
         und.agg(F.count(F.lit(1)).alias("n_edges")),
-        wedges.agg(F.count(F.lit(1)).alias("n_wedges")),
-        tri.agg(F.count(F.lit(1)).alias("n_triangles")),
     ]
     out = counts[0]
     for c in counts[1:]:
         out = out.crossJoin(c)  # 1-row x 1-row scalar attaches
-    return out
+    return out.crossJoin(wedge_tri).select(
+        "n_nodes", "n_edges", "n_wedges", "n_triangles"
+    )
 
 
 @op(
@@ -327,6 +371,10 @@ def graph_degree_stats(spark, sf_dir):
             F.greatest(li["l_partkey"], b["pk2"]).alias("v"),
         )
         .distinct()
+        # NOT checkpointed: the unionAll reads `und` twice, but a
+        # measured A/B showed the checkpoint's materialization exactly
+        # cancels the saved recompute here (2.76 s either way) — the
+        # two degree groupBys dominate, not the edge build.
     )
     deg = (
         und.select(F.col("u").alias("node"))
