@@ -794,33 +794,45 @@ def dedup_repeated_substrings(spark, sf_dir):
     grams into maximal repeated regions) is the documented follow-up,
     done per-doc with a lag window over selected positions."""
     t = Tables(spark, sf_dir)
+    # ROW-LOCAL winnowing (the r10 _shingled lesson, one step
+    # further): the old form exploded every char position and ran the
+    # local-min as a per-doc window — an Exchange + SORT of chars×1
+    # rows each carrying a 32-char md5 hex, just to compare each hash
+    # with its 2w-1 neighbors that came from THE SAME source row. The
+    # hash array and the local-min selection are now computed inside
+    # the row (transform + slice/array_min, O(w) per position), and
+    # only the ~1/w SELECTED positions explode — so nothing shuffles
+    # until the corpus-wide gram groupBy, and that shuffle carries w×
+    # fewer rows. `hs` is materialized as an aliased projection
+    # before the filter lambda references it (element_at + slice +
+    # size), or Catalyst would inline and re-run the md5 transform
+    # per reference. Frame semantics are bit-identical to the old
+    # ROWS BETWEEN w-1 PRECEDING AND w-1 FOLLOWING window: the slice
+    # clips to [max(1, p-w+1), min(n, p+w-1)] exactly as the window
+    # frame clipped at doc edges, and ties still select every
+    # position whose hash equals the frame min.
     # guard: Spark's sequence(1, n) DESCENDS when n < 1, so a document
-    # shorter than the gram length would explode garbage positions;
-    # DuckDB's range(1, n<=1) is empty — filter reproduces that.
-    positions = (
-        t.documents.filter(F.length("text") >= _RS_K)
-        .select(
-            "doc_id",
-            "text",
-            F.explode(
-                F.sequence(F.lit(1), F.length("text") - (_RS_K - 1))
-            ).alias("p"),
-        )
-    )
-    grams = positions.select(
+    # shorter than the gram length would build garbage positions;
+    # DuckDB's range(1, n<=1) is empty — the filter reproduces that.
+    base = t.documents.filter(F.length("text") >= _RS_K).select(
         "doc_id",
-        F.col("p"),
-        F.expr(f"substring(text, p, {_RS_K})").alias("gram"),
-        F.md5(F.expr(f"substring(text, p, {_RS_K})")).alias("h"),
+        "text",
+        F.transform(
+            F.sequence(F.lit(1), F.length("text") - (_RS_K - 1)),
+            lambda p: F.md5(F.col("text").substr(p, F.lit(_RS_K))),
+        ).alias("hs"),
     )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("p")
-        .rowsBetween(-(_RS_W - 1), _RS_W - 1)
+    W = _RS_W - 1
+    lo = lambda p: F.greatest(p - W, F.lit(1))  # noqa: E731
+    hi = lambda p: F.least(p + W, F.size(F.col("hs")))  # noqa: E731
+    sel_pos = F.filter(
+        F.sequence(F.lit(1), F.size(F.col("hs"))),
+        lambda p: F.element_at(F.col("hs"), p)
+        == F.array_min(F.slice(F.col("hs"), lo(p), hi(p) - lo(p) + 1)),
     )
-    sel = grams.select(
-        "doc_id", "gram", "h", F.min("h").over(w).alias("hmin")
-    ).filter(F.col("h") == F.col("hmin"))
+    sel = base.select("doc_id", "text", F.explode(sel_pos).alias("p")).select(
+        "doc_id", F.col("text").substr(F.col("p"), F.lit(_RS_K)).alias("gram")
+    )
     return (
         sel.groupBy("gram")
         .agg(
