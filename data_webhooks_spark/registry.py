@@ -47,7 +47,11 @@ _ROWS_ONLY = {
     "profile_table_approx",
 }
 _WINDOW = [
-    # changed-after-record re-verifies (9)
+    # changed-after-record re-verifies (17): the r9 edits flagged by
+    # the r9 verdict + every key edited in r10 after the r9 snapshot
+    # (replica collapse + row-local shingles/winnowing in dedup,
+    # localCheckpoint/fused-pass graph rewrites, the funnel/quantile
+    # shared-core refactors for the kill/resume chaos tests)
     "agg_hll_sketch",
     "agg_mode",
     "stream_anomaly",
@@ -57,6 +61,14 @@ _WINDOW = [
     "drift_ks_test",
     "dedup_cluster",
     "stream_custom_state",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_repeated_substrings",
+    "graph_pagerank",
+    "graph_triangle_count",
+    "graph_degree_stats",
+    "stream_funnel",
+    "stream_quantile",
     # oldest-record staleness re-verifies (41): all 23 r2 keys ...
     "agg_groupby",
     "cast_decimal",
@@ -92,14 +104,8 @@ _WINDOW = [
     "text_stats",
     "text_tfidf",
     "text_token_count",
-    "topn_per_group",
-    "win_distribution",
-    "win_first_last",
-    "win_lag_lead",
-    "win_range_time",
-    "win_ranking",
-    "win_running",
-    "win_sessionize",
+    # (win_distribution..win_sessionize and the r3 TPC-H block rotate
+    # in r11 — displaced by the 8 extra r10 changed-key slots)
 ]
 
 _MODULES = [

@@ -50,15 +50,18 @@ def test_oracle_not_vacuous(key, duck):
 
 def test_driver_window_is_the_round10_rotation():
     """The external driver's correctness gate reads the FIRST 50 keys
-    of queries(); round 10 leads with 9 re-verify slots — every key
+    of queries(); round 10 leads with 17 re-verify slots — every key
     whose code changed AFTER its latest official driver record (the
     six r9 edits the r9 verdict flagged as record-stale, plus the
-    three r10 edits: drift_ks_test boundary literals, dedup_cluster
-    replica collapse, stream_custom_state shared-core refactor) —
-    then fills the remaining 41 slots with the keys holding the
-    OLDEST records per scripts/record_age.py (all 23 r2 keys + 18 r3
-    keys; the r3 TPC-H block rotates in r11). The rotation must not
-    drop or duplicate any key, every window key outside the declared
+    eleven r10 edits: drift_ks_test boundary literals, dedup_cluster
+    replica collapse, stream_custom_state shared-core refactor, the
+    row-local shingle/winnowing rewrites across the dedup family, the
+    graph checkpoint/fused-pass rewrites, and the funnel/quantile
+    shared-core refactors) — then fills the remaining 33 slots with
+    the keys holding the OLDEST records per scripts/record_age.py
+    (all 23 r2 keys + 10 r3 keys; the displaced r3 window keys and
+    the r3 TPC-H block rotate in r11). The rotation must not drop or
+    duplicate any key, every window key outside the declared
     rows-only set must be SQL-oracled, and the changed keys must lead
     the window (the driver records in order; if the window were ever
     trimmed, the changed keys survive first)."""
@@ -78,9 +81,13 @@ def test_driver_window_is_the_round10_rotation():
         "ts_resample_gapfill", "stream_rollup_upsert",
         # r10 edits
         "drift_ks_test", "dedup_cluster", "stream_custom_state",
+        "dedup_ngram_jaccard", "dedup_containment",
+        "dedup_repeated_substrings", "graph_pagerank",
+        "graph_triangle_count", "graph_degree_stats",
+        "stream_funnel", "stream_quantile",
     }
-    assert len(changed_after_record) == 9
-    assert set(first50[:9]) == changed_after_record
+    assert len(changed_after_record) == 17
+    assert set(first50[:17]) == changed_after_record
 
 
 PORTABLE_ORACLES = frozenset({
