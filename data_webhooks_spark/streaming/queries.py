@@ -1538,14 +1538,26 @@ def stream_custom_state(spark, sf_dir):
     both adapters over identical batches with fake state objects and
     requires identical updates AND identical stored state."""
     tune(spark)
+    return _cs_finalize(
+        run_to_table(_cs_update_stream(spark, sf_dir), "update")
+    )
+
+
+def _cs_update_stream(spark, sf_dir, files_per_trigger: int = 2):
+    """stream_custom_state's streaming stage BEFORE the sink (the
+    _funnel_update_stream split, so the kill/resume chaos test can
+    attach a crashing foreachBatch sink to the real stateful plan).
+    Picks transformWithStateInPandas when its protobuf runtime
+    imports, else the applyInPandasWithState fallback — both thin
+    adapters over the shared _cs_transition/_cs_emit core."""
     # vnull is computed SPARK-SIDE, where NULL and NaN are distinct:
     # the Arrow transfer renders a parquet NULL double as NaN in
     # pandas, indistinguishable from a genuine NaN measurement — and
     # the two must behave differently (NULLs are skipped by MAX on
     # both engines; NaN is MAX-greatest on both). r9 multi-NULL sweep.
-    s = read_replay_stream(spark, sf_dir, files_per_trigger=2).withColumn(
-        "vnull", F.isnull("value")
-    )
+    s = read_replay_stream(
+        spark, sf_dir, files_per_trigger=files_per_trigger
+    ).withColumn("vnull", F.isnull("value"))
 
     try:
         import pyspark.sql.streaming.proto.StateMessage_pb2  # noqa: F401
@@ -1557,7 +1569,7 @@ def stream_custom_state(spark, sf_dir):
     if not tws_available:
         from pyspark.sql.streaming.state import GroupStateTimeout
 
-        updates = s.groupBy("user_id").applyInPandasWithState(
+        return s.groupBy("user_id").applyInPandasWithState(
             _cs_track,
             outputStructType=(
                 "user_id long, n_events long, max_value double,"
@@ -1566,15 +1578,6 @@ def stream_custom_state(spark, sf_dir):
             stateStructType="n long, mx double, arg long",
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
-        )
-        all_updates = run_to_table(updates, "update")
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
-        return (
-            all_updates.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("user_id", "n_events", "max_value", "argmax_event")
         )
 
     from pyspark.sql.streaming.stateful_processor import (
@@ -1594,7 +1597,7 @@ def stream_custom_state(spark, sf_dir):
         def close(self) -> None:
             pass
 
-    updates = s.groupBy("user_id").transformWithStateInPandas(
+    return s.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=MaxTracker(),
         outputStructType=(
             "user_id long, n_events long, max_value double, argmax_event long"
@@ -1602,7 +1605,14 @@ def stream_custom_state(spark, sf_dir):
         outputMode="Update",
         timeMode="None",
     )
-    all_updates = run_to_table(updates, "update")
+
+
+def _cs_finalize(all_updates: DataFrame) -> DataFrame:
+    """Last-update-wins reduce over the per-batch update emissions:
+    n_events is monotone per user, so the max-n_events row is the
+    final state — and duplicated emissions from a replayed batch are
+    absorbed for free (the funnel's reconcile argument; chaos-pinned
+    by test_custom_state_kill_resume_exactly_once)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())

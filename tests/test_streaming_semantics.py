@@ -1071,3 +1071,64 @@ def test_quantile_kill_resume_exactly_once(spark, sf_dir):
     for k, rk in ranks.items():
         n = exact[k][0]
         assert abs(rk - 0.5) <= 0.065 + 0.5 / n, (k, rk, ests[k], exact[k])
+
+
+def test_custom_state_kill_resume_exactly_once(spark, sf_dir, duck):
+    """Completes the chaos family: the flagship custom-state operator
+    (TWS or the applyInPandasWithState fallback, whichever this
+    container runs — both adapters share _cs_transition) crashed
+    after batch 1's dirty append and resumed from the checkpoint.
+    Recovery contract is the funnel's: n_events is monotone per user,
+    so _cs_finalize's max-n_events pick absorbs the duplicated
+    replayed emissions, and the final report must equal the batch
+    oracle bit-for-bit."""
+    import os
+    import uuid
+
+    from data_webhooks_spark import registry
+    from data_webhooks_spark.oracle import compare_frames
+    from data_webhooks_spark.streaming.core import RUNTIME_DIR
+    from data_webhooks_spark.streaming.queries import (
+        _cs_finalize,
+        _cs_update_stream,
+    )
+
+    run = uuid.uuid4().hex[:12]
+    upd = f"{RUNTIME_DIR}/csstate/kr_{run}"
+    ckpt = f"{RUNTIME_DIR}/ckpt/krc_{run}"
+
+    def append(df, batch_id):
+        df.write.mode("append").parquet(upd)
+
+    def crashing(df, batch_id):
+        append(df, batch_id)  # dirty append IS on disk...
+        if batch_id == 1:
+            raise RuntimeError("injected crash before checkpoint commit")
+
+    def start(fn):
+        return (
+            _cs_update_stream(spark, sf_dir, files_per_trigger=1)
+            .writeStream.foreachBatch(fn)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    _run_stream_expect_crash(lambda: start(crashing))
+    assert os.path.isdir(upd)
+    q2 = start(append)
+    q2.awaitTermination()
+
+    emissions = spark.read.parquet(upd)
+    dup_rows = (
+        emissions.groupBy("user_id", "n_events")
+        .count()
+        .filter("count > 1")
+        .count()
+    )
+    assert dup_rows > 0, "crash did not produce a duplicated replay batch"
+
+    got = _cs_finalize(emissions).toPandas()
+    oracle = duck.execute(registry.oracle_sql()["stream_custom_state"]).df()
+    assert not compare_frames(got, oracle)
