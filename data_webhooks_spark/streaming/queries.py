@@ -291,60 +291,73 @@ def stream_stateful(spark, sf_dir):
     carries a non-NULL counter so the two agree. Rounding runs the
     qnt float expression (floor(x*1e4+0.5)/1e4) on both sides —
     Python's round() is banker's and DuckDB's is not."""
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
     tune(spark)
-    # 2 files per trigger = 2 micro-batches: state must survive a
-    # batch boundary (the point of the operator), but each stateful
-    # micro-batch costs ~2.4s in python-state-worker + store-commit
-    # fixed overhead at fixture scale, so don't replay chunk-per-batch.
-    # vnull flags parquet NULLs SPARK-SIDE (pandas renders them as
-    # NaN, indistinguishable from a genuine NaN measurement): NULLs
-    # are excluded from the sum on both engines, a true NaN poisons
-    # it to NaN on both.
-    s = read_replay_stream(spark, sf_dir, files_per_trigger=2).withColumn(
-        "vnull", F.isnull("value")
+    return _ss_finalize(
+        run_to_table(_ss_update_stream(spark, sf_dir), "update")
     )
 
-    def track(key, pdf_iter, state: GroupState):
-        import math
 
-        (user_id,) = key
-        if state.exists:
-            n, n_vals, total = state.get
-        else:
-            n, n_vals, total = 0, 0, 0.0
-        for pdf in pdf_iter:
-            n += len(pdf)
-            mask = ~pdf["vnull"].astype(bool)
-            n_vals += int(mask.sum())
-            if mask.any():
-                total += float(pdf["value"][mask].sum(skipna=False))
-        state.update((n, n_vals, total))
-        if n_vals == 0:
-            out_total = None
-        elif total != total:  # NaN: FLOOR(NaN...) is NaN in SQL too
-            out_total = float("nan")
-        else:
-            out_total = math.floor(total * 1e4 + 0.5) / 1e4
-        yield pd.DataFrame(
-            {
-                # NULL long key -> pandas NaN; make the conversion
-                # back to a nullable long explicit
-                "user_id": [None if pd.isna(user_id) else int(user_id)],
-                "n_events": [n],
-                "total_value": [out_total],
-            }
-        )
+def _ss_track(key, pdf_iter, state):
+    import math
 
-    updates = s.groupBy("user_id").applyInPandasWithState(
-        track,
+    (user_id,) = key
+    if state.exists:
+        n, n_vals, total = state.get
+    else:
+        n, n_vals, total = 0, 0, 0.0
+    for pdf in pdf_iter:
+        n += len(pdf)
+        mask = ~pdf["vnull"].astype(bool)
+        n_vals += int(mask.sum())
+        if mask.any():
+            total += float(pdf["value"][mask].sum(skipna=False))
+    state.update((n, n_vals, total))
+    if n_vals == 0:
+        out_total = None
+    elif total != total:  # NaN: FLOOR(NaN...) is NaN in SQL too
+        out_total = float("nan")
+    else:
+        out_total = math.floor(total * 1e4 + 0.5) / 1e4
+    yield pd.DataFrame(
+        {
+            # NULL long key -> pandas NaN; make the conversion
+            # back to a nullable long explicit
+            "user_id": [None if pd.isna(user_id) else int(user_id)],
+            "n_events": [n],
+            "total_value": [out_total],
+        }
+    )
+
+
+def _ss_update_stream(spark, sf_dir, files_per_trigger: int = 2):
+    """stream_stateful's streaming stage BEFORE the sink (the
+    _cs_update_stream split, for the kill/resume chaos test).
+
+    2 files per trigger = 2 micro-batches: state must survive a
+    batch boundary (the point of the operator), but each stateful
+    micro-batch costs ~2.4s in python-state-worker + store-commit
+    fixed overhead at fixture scale, so don't replay chunk-per-batch.
+    vnull flags parquet NULLs SPARK-SIDE (pandas renders them as
+    NaN, indistinguishable from a genuine NaN measurement): NULLs
+    are excluded from the sum on both engines, a true NaN poisons
+    it to NaN on both."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    s = read_replay_stream(
+        spark, sf_dir, files_per_trigger=files_per_trigger
+    ).withColumn("vnull", F.isnull("value"))
+    return s.groupBy("user_id").applyInPandasWithState(
+        _ss_track,
         outputStructType="user_id long, n_events long, total_value double",
         stateStructType="n long, n_vals long, total double",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    all_updates = run_to_table(updates, "update")
+
+
+def _ss_finalize(all_updates: DataFrame) -> DataFrame:
+    """Last-update-wins reduce (max-n_events per user, n monotone) —
+    absorbs duplicated replayed emissions like _cs_finalize."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())

@@ -1132,3 +1132,65 @@ def test_custom_state_kill_resume_exactly_once(spark, sf_dir, duck):
     got = _cs_finalize(emissions).toPandas()
     oracle = duck.execute(registry.oracle_sql()["stream_custom_state"]).df()
     assert not compare_frames(got, oracle)
+
+
+def test_stateful_kill_resume_exactly_once(spark, sf_dir, duck):
+    """Every custom-state key now carries the chaos discipline:
+    stream_stateful (running per-user count/sum with a FLOAT
+    accumulator) crashed after batch 1's dirty append and resumed.
+    The float state makes this the interesting one: replay restarts
+    from the post-batch-0 state snapshot, so the re-folded batch 1
+    produces bit-identical totals (same pandas sum over the same
+    rows from the same state) — the duplicated emissions are exact
+    duplicates and the max-n_events reconcile absorbs them; the
+    final report must equal the batch oracle bit-for-bit."""
+    import os
+    import uuid
+
+    from data_webhooks_spark import registry
+    from data_webhooks_spark.oracle import compare_frames
+    from data_webhooks_spark.streaming.core import RUNTIME_DIR
+    from data_webhooks_spark.streaming.queries import (
+        _ss_finalize,
+        _ss_update_stream,
+    )
+
+    run = uuid.uuid4().hex[:12]
+    upd = f"{RUNTIME_DIR}/ssstate/kr_{run}"
+    ckpt = f"{RUNTIME_DIR}/ckpt/krs_{run}"
+
+    def append(df, batch_id):
+        df.write.mode("append").parquet(upd)
+
+    def crashing(df, batch_id):
+        append(df, batch_id)
+        if batch_id == 1:
+            raise RuntimeError("injected crash before checkpoint commit")
+
+    def start(fn):
+        return (
+            _ss_update_stream(spark, sf_dir, files_per_trigger=1)
+            .writeStream.foreachBatch(fn)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    _run_stream_expect_crash(lambda: start(crashing))
+    assert os.path.isdir(upd)
+    q2 = start(append)
+    q2.awaitTermination()
+
+    emissions = spark.read.parquet(upd)
+    dup_rows = (
+        emissions.groupBy("user_id", "n_events", "total_value")
+        .count()
+        .filter("count > 1")
+        .count()
+    )
+    assert dup_rows > 0, "crash did not produce a duplicated replay batch"
+
+    got = _ss_finalize(emissions).toPandas()
+    oracle = duck.execute(registry.oracle_sql()["stream_stateful"]).df()
+    assert not compare_frames(got, oracle)
