@@ -1159,18 +1159,26 @@ def embed_centroid_outliers(spark, sf_dir):
         F.col("suu").cast("double")
         - F.col("su").cast("double") * F.col("su") / F.col("n")
     ) / (F.col("n") - 1)
+    # Degenerate-variance guard (r10 clone-storm sweep I): a label
+    # whose members all share one alignment has var == 0, and a
+    # 1-member label divides by (n-1) == 0 — ANSI Spark THROWS
+    # DIVIDE_BY_ZERO where DuckDB's float 0/0 yields NaN and the
+    # zq < -2 filter silently drops the row. Mirror that: zq is NULL
+    # (filtered out) unless the z-score is actually defined. A
+    # zero-variance group has no outliers by definition.
     z = dots.join(F.broadcast(s), "label").select(
         "vec_id",
         "label",
         "dv",
-        (
+        F.when(
+            (F.col("n") > 1) & (var > 0),
             F.floor(
                 (F.col("dv").cast("double") - mean)
                 / F.sqrt(var)
                 * F.lit(1e4)
                 + F.lit(0.5)
             )
-            / F.lit(1e4)
+            / F.lit(1e4),
         ).alias("zq"),
     )
     return z.filter(F.col("zq") < -2).select(

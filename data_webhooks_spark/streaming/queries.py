@@ -1136,6 +1136,9 @@ def stream_quantile(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_batch"),
             F.sum(
+                F.when(F.col("value") < F.col("est"), 1).otherwise(0)
+            ).alias("lt_est"),
+            F.sum(
                 F.when(F.col("value") <= F.col("est"), 1).otherwise(0)
             ).alias("le_est"),
             F.percentile("value", F.lit(0.5)).alias("exact_p50_raw"),
@@ -1154,13 +1157,24 @@ def stream_quantile(spark, sf_dir):
             qnt(F.col("exact_p50_raw"), "exact_p50", 2),
             F.when(F.col("est").isNull(), F.lit(True))
             .otherwise(
-                # + 1/(2n): the discrete-rank slack — with <= counting
-                # a tiny group's exact median sits at rank up to
-                # 0.5 + 1/(2n) (a 1-row group reads rank 1.0), which
+                # MIDRANK counting (r10 clone-storm sweep I): plain <=
+                # counting reads normalized rank 1.0 when every value
+                # in the group EQUALS the median (an all-ties group is
+                # a legal distribution whose median the sketch returns
+                # exactly — the old check flagged the correct answer).
+                # (count(< est) + count(<= est)) / 2 is the standard
+                # tie-corrected rank: all-equal → (0 + n)/2n = 0.5,
+                # and with no ties at est it degenerates to the old
+                # count. + 1/(2n): the discrete-rank slack — a tiny
+                # group's exact median sits up to 0.5 + 1/(2n), which
                 # the sketch-error eps alone doesn't cover. A NULL
-                # median (no non-NULL values in the group) is
-                # vacuously ok — there is no sketch to rank-check.
-                F.abs(F.col("le_est") / F.col("n_batch") - 0.5)
+                # median (no non-NULL values) is vacuously ok — there
+                # is no sketch to rank-check.
+                F.abs(
+                    (F.col("lt_est") + F.col("le_est"))
+                    / (2 * F.col("n_batch"))
+                    - 0.5
+                )
                 <= F.lit(eps) + 0.5 / F.col("n_batch")
             )
             .alias("rank_ok"),

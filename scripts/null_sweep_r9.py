@@ -165,6 +165,41 @@ def _temporal_extremes(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.concat([pdf, *rows], ignore_index=True)
 
 
+def _clone_storm_events(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Scenario I (r10): MAXIMAL DUPLICATION. Every event collapses
+    to row 0's (user_id, event_type, value, props) — event_id and ts
+    stay unique so keys and ordering survive. One giant group
+    everywhere: per-user windows become a single partition, every
+    value-ranked output is ALL ties (any nondeterministic tie-break
+    diverges engines), COUNT(DISTINCT) arms read 1, and sessionize
+    sees one unbroken session."""
+    pdf = pdf.copy()
+    r0 = pdf.iloc[0]
+    for c in ["user_id", "event_type", "value", "props"]:
+        pdf[c] = r0[c]
+    return pdf
+
+
+def _clone_storm_documents(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Every document becomes the same text/lang — the max-replica
+    corpus: dedup pair joins face C(n,2) identical-similarity pairs,
+    replica collapse must still yield the full-pairwise answer, TF-IDF
+    sees df == N (idf 0), and every quality/langid score ties."""
+    pdf = pdf.copy()
+    r0 = pdf.iloc[0]
+    for c in ["text", "lang"]:
+        pdf[c] = r0[c]
+    return pdf
+
+
+def _clone_storm_embeddings(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Every vector becomes row 0's — all pairwise cosines are exactly
+    1, centroids equal the vector, PCA's Gram is rank-1."""
+    pdf = pdf.copy()
+    pdf["embedding"] = [list(pdf.iloc[0]["embedding"])] * len(pdf)
+    return pdf
+
+
 SCENARIOS = {
     "A": {"events": _multi_null_events, "documents": _multi_null_documents},
     "B": {"events": _null_only_group},
@@ -174,6 +209,11 @@ SCENARIOS = {
     "F": {"events": _duplicate_timestamps},
     "G": {"events": _negative_values},
     "H": {"events": _temporal_extremes},
+    "I": {
+        "events": _clone_storm_events,
+        "documents": _clone_storm_documents,
+        "embeddings": _clone_storm_embeddings,
+    },
 }
 
 # Documented engine boundaries, per scenario: the comparison is
