@@ -20,22 +20,26 @@ from pyspark.sql import DataFrame, SparkSession
 # for every key whose oracle text or code changed.
 #
 # ROUND-10 WINDOW (the r9 verdict's item 1, executed; selection comes
-# from scripts/record_age.py instead of archaeology): 9 re-verify
+# from scripts/record_age.py instead of archaeology): 18 re-verify
 # slots lead — every key whose code changed AFTER its latest official
 # driver record:
 # - r9 edits whose record predates them: agg_hll_sketch (r4 record),
 #   agg_mode (r6), stream_anomaly (r7), stream_dedup (r4), plus
 #   ts_resample_gapfill (r7) and stream_rollup_upsert (r8) edited via
 #   the shared _hourly_grid/_rollup_upsert_fn helpers;
-# - r10 edits: drift_ks_test (shard boundaries collected once and
-#   embedded as literals — r10 advice), dedup_cluster (exact-replica
-#   collapse in candidate generation), stream_custom_state (shared
-#   transition core across both state-API paths).
-# The remaining 41 slots re-verify the keys with the OLDEST official
-# records — all 23 r2 keys and the 18 alphabetically-first r3
-# non-TPC-H keys (record_age.py; the r3 TPC-H block rotates in r11).
-# After this round every key's latest record postdates its last code
-# change and no key's record is older than r3.
+# - r10 edits: drift_ks_test (boundary literals — r10 advice),
+#   dedup_cluster (exact-replica collapse), stream_custom_state
+#   (shared transition core), the row-local shingle/winnowing
+#   rewrites (dedup_ngram_jaccard/containment/repeated_substrings),
+#   the graph checkpoint/fused-pass rewrites (pagerank/triangle/
+#   degree_stats), the funnel/quantile pre-sink splits for the chaos
+#   tests (stream_quantile also got midrank tie counting), and
+#   embed_centroid_outliers' zero-variance guard (clone-storm sweep).
+# The remaining 32 slots re-verify the keys with the OLDEST official
+# records — all 23 r2 keys and the 9 alphabetically-first r3
+# non-TPC-H keys (record_age.py; the displaced r3 keys and the r3
+# TPC-H block rotate in r11). After this round every key's latest
+# record postdates its last code change.
 _ROWS_ONLY = {
     "pack_sequences_ffd",
     "embed_pq",
@@ -47,7 +51,7 @@ _ROWS_ONLY = {
     "profile_table_approx",
 }
 _WINDOW = [
-    # changed-after-record re-verifies (17): the r9 edits flagged by
+    # changed-after-record re-verifies (18): the r9 edits flagged by
     # the r9 verdict + every key edited in r10 after the r9 snapshot
     # (replica collapse + row-local shingles/winnowing in dedup,
     # localCheckpoint/fused-pass graph rewrites, the funnel/quantile
@@ -69,7 +73,8 @@ _WINDOW = [
     "graph_degree_stats",
     "stream_funnel",
     "stream_quantile",
-    # oldest-record staleness re-verifies (41): all 23 r2 keys ...
+    "embed_centroid_outliers",
+    # oldest-record staleness re-verifies (32): all 23 r2 keys ...
     "agg_groupby",
     "cast_decimal",
     "date_funcs",
@@ -93,7 +98,7 @@ _WINDOW = [
     "sql_passthrough",
     "str_funcs",
     "str_regex",
-    # ... and the 18 alphabetically-first r3 non-TPC-H keys
+    # ... and the 9 alphabetically-first r3 non-TPC-H keys
     "arr_basic",
     "arr_explode",
     "arr_higher_order",
@@ -103,9 +108,8 @@ _WINDOW = [
     "text_redact",
     "text_stats",
     "text_tfidf",
-    "text_token_count",
     # (win_distribution..win_sessionize and the r3 TPC-H block rotate
-    # in r11 — displaced by the 8 extra r10 changed-key slots)
+    # in r11 — displaced by the 9 extra r10 changed-key slots)
 ]
 
 _MODULES = [

@@ -35,7 +35,7 @@ from data_webhooks_spark.oracle import compare_frames, duck_connect
 
 # the changed-after-record head of the window: every key here has a
 # "(N)" count in registry.py's rotation comment — keep in sync
-_N_CHANGED = 17
+_N_CHANGED = 18
 
 
 def _gated_keys() -> list[str]:

@@ -50,16 +50,16 @@ def test_oracle_not_vacuous(key, duck):
 
 def test_driver_window_is_the_round10_rotation():
     """The external driver's correctness gate reads the FIRST 50 keys
-    of queries(); round 10 leads with 17 re-verify slots — every key
+    of queries(); round 10 leads with 18 re-verify slots — every key
     whose code changed AFTER its latest official driver record (the
     six r9 edits the r9 verdict flagged as record-stale, plus the
     eleven r10 edits: drift_ks_test boundary literals, dedup_cluster
     replica collapse, stream_custom_state shared-core refactor, the
     row-local shingle/winnowing rewrites across the dedup family, the
     graph checkpoint/fused-pass rewrites, and the funnel/quantile
-    shared-core refactors) — then fills the remaining 33 slots with
+    shared-core refactors) — then fills the remaining 32 slots with
     the keys holding the OLDEST records per scripts/record_age.py
-    (all 23 r2 keys + 10 r3 keys; the displaced r3 window keys and
+    (all 23 r2 keys + 9 r3 keys; the displaced r3 window keys and
     the r3 TPC-H block rotate in r11). The rotation must not drop or
     duplicate any key, every window key outside the declared
     rows-only set must be SQL-oracled, and the changed keys must lead
@@ -84,10 +84,10 @@ def test_driver_window_is_the_round10_rotation():
         "dedup_ngram_jaccard", "dedup_containment",
         "dedup_repeated_substrings", "graph_pagerank",
         "graph_triangle_count", "graph_degree_stats",
-        "stream_funnel", "stream_quantile",
+        "stream_funnel", "stream_quantile", "embed_centroid_outliers",
     }
-    assert len(changed_after_record) == 17
-    assert set(first50[:17]) == changed_after_record
+    assert len(changed_after_record) == 18
+    assert set(first50[:18]) == changed_after_record
 
 
 PORTABLE_ORACLES = frozenset({
