@@ -1161,10 +1161,12 @@ def embed_centroid_outliers(spark, sf_dir):
     ) / (F.col("n") - 1)
     # Degenerate-variance guard (r10 clone-storm sweep I): a label
     # whose members all share one alignment has var == 0, and a
-    # 1-member label divides by (n-1) == 0 — ANSI Spark THROWS
-    # DIVIDE_BY_ZERO where DuckDB's float 0/0 yields NaN and the
-    # zq < -2 filter silently drops the row. Mirror that: zq is NULL
-    # (filtered out) unless the z-score is actually defined. A
+    # 1-member label makes (n-1) == 0. Both divisions here are DOUBLE
+    # division (IEEE: 0/0 -> NaN, x/0 -> Inf — no engine error even
+    # under ANSI, which only throws for integral/decimal divide), and
+    # NaN/Inf comparison semantics differ subtly across engines. The
+    # guard makes the drop EXPLICIT and engine-conf-independent: zq is
+    # NULL (filtered out) unless the z-score is actually defined. A
     # zero-variance group has no outliers by definition.
     z = dots.join(F.broadcast(s), "label").select(
         "vec_id",

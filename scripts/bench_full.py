@@ -45,21 +45,30 @@ def main() -> None:
     spark = get_spark("dws-bench-full")
     qs, osql = registry.queries(), registry.oracle_sql()
     t_start = time.time()
-    # Stamp the session so cross-round ratio comparisons are honest:
-    # a matrix mixing hosts/load levels (the r9 problem) is flagged by
-    # sessions > 1 in _meta.
     meta = results.setdefault("_meta", {"sessions": []})
-    meta["sessions"].append(
-        {
-            "host": os.uname().nodename,
-            "cpus": os.cpu_count(),
-            "load1_at_start": round(os.getloadavg()[0], 2),
-            "started_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-            "sf_dir": sf_dir,
-            "runs": RUNS,
-        }
-    )
+    # Stale keys (renamed/retired since the matrix was started) would
+    # otherwise silently block the overall/median summary forever
+    # (len(done) could never equal len(osql)) — prune them loudly.
+    stale = [k for k in results if k != "_meta" and k not in osql]
+    for k in stale:
+        print(f"WARNING: pruning stale BENCH.json key {k!r} (not in oracle_sql())")
+        del results[k]
     pending = [k for k in sorted(osql) if k not in results]
+    # Stamp the session so cross-round ratio comparisons are honest: a
+    # matrix mixing hosts/load levels (the r9 problem) is flagged by
+    # sessions > 1 in _meta. Only invocations that MEASURE something
+    # append a session — a no-op resume stamps nothing (r10 advice).
+    if pending:
+        meta["sessions"].append(
+            {
+                "host": os.uname().nodename,
+                "cpus": os.cpu_count(),
+                "load1_at_start": round(os.getloadavg()[0], 2),
+                "started_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                "sf_dir": sf_dir,
+                "runs": RUNS,
+            }
+        )
     for k in pending:
         if time.time() - t_start > DEADLINE_S:
             print(f"deadline reached; {len([x for x in pending if x not in results])} keys left")
@@ -87,6 +96,11 @@ def main() -> None:
         print(k, results[k], flush=True)
     done = [k for k in results if k != "_meta"]
     ratios = [results[k]["ratio"] for k in done if results[k].get("ratio")]
+    if stale and not pending:
+        with open(OUT, "w") as f:  # persist the prune even on a no-op run
+            json.dump(results, f, indent=1, sort_keys=True)
+    if len(done) != len(osql):
+        print(f"summary not stamped: {len(osql) - len(done)} keys still pending")
     if len(done) == len(osql):
         tot_s = sum(results[k]["spark_s"] for k in done)
         tot_d = sum(results[k]["duckdb_s"] for k in done)
