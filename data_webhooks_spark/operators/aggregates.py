@@ -21,6 +21,7 @@ from ..norms import (
     qnt,
 )
 from ..regutil import registrar
+from .prefix_sum import discrete_quantile_edges, discrete_quantile_edges_sql
 
 QUERIES: dict = {}
 ORACLE: dict = {}
@@ -905,21 +906,13 @@ _EQD_BINS = 10
 @op(
     "agg_histogram_equidepth",
     sql=f"""
-    WITH edges AS (
-        -- edges are qnt-quantized (identical IEEE expression on both
-        -- engines) BEFORE binning: Spark percentile and DuckDB
-        -- quantile_cont interpolate with different formulas, and a
-        -- 1-ULP edge difference both shifts the label and can flip
-        -- every row EQUAL to that edge across bins (r9 sweep F)
-        SELECT list_transform(list(q),
-                              q -> FLOOR(q * 1e6 + 0.5) / 1e6) AS qs
-        FROM (
-            SELECT unnest(quantile_cont(value,
-                [{", ".join(str(x / _EQD_BINS) for x in range(1, _EQD_BINS))}]))
-                AS q
-            FROM events
-        )
-    ),
+    WITH
+    -- DISCRETE rank-selected decile edges (pv/cum/nn/edges): each
+    -- edge is the ceil(k*n/10)-th smallest actual value — integer
+    -- rank arithmetic, no interpolation, so both engines select the
+    -- identical double by construction (closes the r10 edge-straddle
+    -- residual; rule in operators/prefix_sum.py)
+    {discrete_quantile_edges_sql("SELECT value FROM events", "value", _EQD_BINS)},
     binned AS (
         SELECT len(list_filter(e.qs, q -> q <= v.value)) AS bin
         FROM events v, edges e
@@ -940,37 +933,27 @@ def agg_histogram_equidepth(spark, sf_dir):
     monitors actually store, because it adapts resolution to the
     distribution's mass).
 
-    Same two-phase shape as drift_psi: one exact-percentile aggregate
-    (9 doubles) broadcast into one binning scan, aggregated map-side
-    BEFORE the 10-row bin spine joins in (never shuffle raw rows keyed
-    by 10 bin values), then each bin is labeled with its lower edge.
-    Counts are exact on both engines; the edges are qnt-quantized
-    (the shared FLOOR float expression) BEFORE binning because Spark
-    percentile and DuckDB quantile_cont interpolate with different
-    formulas — a 1-ULP edge difference shifts the label and can flip
-    rows equal to the edge across bins (r9 sweep F, surfaced by
-    duplicate values changing an interpolation position).
+    Same two-phase shape as drift_psi: one edge aggregate (9 doubles)
+    broadcast into one binning scan, aggregated map-side BEFORE the
+    10-row bin spine joins in (never shuffle raw rows keyed by 10 bin
+    values), then each bin is labeled with its lower edge.
 
-    Residual risk (accepted, r10 advice): quantization narrows but
-    does not eliminate the divergence — when the two engines'
-    interpolated edges straddle a 1e-6 rounding half-boundary, the
-    quantized edges still differ by one quantum and rows equal to
-    that edge still flip bins. A fully robust form would compute the
-    edges on ONE engine and inject them as literals into BOTH binning
-    queries (the drift_ks_test shard-boundary pattern); kept as-is
-    here because the oracle must stay self-contained SQL and the
-    fixture has never straddled a half-boundary."""
+    The edges are DISCRETE rank-selected data values
+    (prefix_sum.discrete_quantile_edges — the ceil(k*n/10)-th
+    smallest value by pure BIGINT rank arithmetic over a sharded
+    exact cumsum), NOT interpolated percentiles. Through r10 the op
+    used Spark percentile / DuckDB quantile_cont with a shared
+    quantization of the edges, which narrowed but could not close the
+    straddle: when the two engines' interpolated edges differed by
+    1 ULP across a 1e-6 rounding half-boundary, the quantized edges
+    still differed by one quantum and rows equal to the edge flipped
+    bins (r9 sweep F; r10 "what's wrong" #3). Rank selection has no
+    interpolation arithmetic to diverge — both engines pick the same
+    element of the data — and as a bonus removes F.percentile's
+    all-values-in-one-aggregation-buffer exact implementation from
+    the plan (the sharded cumsum is bounded-memory at any scale)."""
     t = Tables(spark, sf_dir)
-    edges = t.events.agg(
-        F.percentile(
-            "value",
-            F.array(*[F.lit(x / _EQD_BINS) for x in range(1, _EQD_BINS)]),
-        ).alias("qs_raw")
-    ).select(
-        F.transform(
-            "qs_raw", lambda q: F.floor(q * 1e6 + F.lit(0.5)) / 1e6
-        ).alias("qs")
-    )
+    edges = discrete_quantile_edges(t.events.select("value"), "value", _EQD_BINS)
     hist = (
         t.events.select("value")
         .crossJoin(F.broadcast(edges))

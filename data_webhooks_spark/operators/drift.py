@@ -19,12 +19,16 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..io import Tables
 from ..norms import qnt
 from ..regutil import registrar
+from .prefix_sum import (
+    discrete_quantile_edges,
+    discrete_quantile_edges_sql,
+    sharded_cumsum,
+)
 
 QUERIES: dict = {}
 ORACLE: dict = {}
@@ -126,54 +130,15 @@ def drift_ks_test(spark, sf_dir):
         F.sum(F.when(F.col("event_type") == _KS_A, 1).otherwise(0)).alias("da"),
         F.sum(F.when(F.col("event_type") == _KS_B, 1).otherwise(0)).alias("db"),
     )
-    qsplits = [i / _KS_SHARDS for i in range(1, _KS_SHARDS)]
-    # Shard boundaries are computed ONCE and embedded as literals (one
-    # tiny extra driver job over the reduced distinct-value table).
-    # percentile_approx sketches are merge-order-sensitive once
-    # compression triggers, and the `part` subplan feeds THREE
-    # independent branches (local cumsums, shard totals, offsets) — an
-    # uncached re-evaluation could hand each branch different
-    # boundaries and misalign pid across the prefix-sum joins (r10
-    # advice, medium). Literal boundaries are immutable by
-    # construction; the when/otherwise sum also keeps pid NON-NULL for
-    # NULL values (they land in shard 0, matching the old NULLS-FIRST
-    # window order) instead of NULL-pid rows silently dropping out of
-    # the pid equi-joins (r10 advice, low).
-    brow = per_v.agg(
-        F.percentile_approx("value", qsplits, 10_000).alias("bs")
-    ).first()
-    bnds = [b for b in ((brow["bs"] if brow else None) or []) if b is not None]
-    pid = F.lit(0)
-    for b in bnds:
-        pid = pid + F.when(F.lit(b) < F.col("value"), 1).otherwise(0)
-    part = per_v.withColumn("pid", pid)
-    w_local = (
-        Window.partitionBy("pid")
-        .orderBy("value")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    local = part.select(
-        "pid",
+    # Shard-boundary literals, NULL-safe pid, and the two-pass
+    # reconstruction all live in the shared helper now (extracted in
+    # r11 so the equi-depth/PSI discrete edges reuse it; behavior and
+    # plan shape identical to the inline r10 form).
+    cum = sharded_cumsum(per_v, "value", ["da", "db"], _KS_SHARDS)
+    gaps = cum.select(
         "value",
-        F.sum("da").over(w_local).alias("lca"),
-        F.sum("db").over(w_local).alias("lcb"),
-    )
-    tots = part.groupBy("pid").agg(
-        F.sum("da").alias("sa"), F.sum("db").alias("sb")
-    )
-    offs = (
-        tots.alias("a")
-        .join(tots.alias("b"), F.col("b.pid") < F.col("a.pid"), "left")
-        .groupBy(F.col("a.pid").alias("pid"))
-        .agg(
-            F.coalesce(F.sum("b.sa"), F.lit(0)).alias("off_a"),
-            F.coalesce(F.sum("b.sb"), F.lit(0)).alias("off_b"),
-        )
-    )
-    gaps = local.join(F.broadcast(offs), "pid").select(
-        "value",
-        (F.col("off_a") + F.col("lca")).alias("ca"),
-        (F.col("off_b") + F.col("lcb")).alias("cb"),
+        F.col("cum_da").alias("ca"),
+        F.col("cum_db").alias("cb"),
     )
     return (
         gaps.crossJoin(n)  # 1-row scalar attach
@@ -209,17 +174,12 @@ _PSI_BINS = 10
     cur AS (
         SELECT value FROM events WHERE event_type = '{_KS_A}'
     ),
-    edges AS (
-        -- qnt-quantized before binning: a 1-ULP difference between
-        -- Spark percentile and DuckDB quantile_cont interpolation can
-        -- flip rows equal to an edge across bins (the
-        -- agg_histogram_equidepth r9 sweep-F lesson)
-        SELECT list_transform(
-                   quantile_cont(value,
-                       [x / {_PSI_BINS}.0 FOR x IN range(1, {_PSI_BINS})]),
-                   q -> FLOOR(q * 1e6 + 0.5) / 1e6) AS qs
-        FROM base
-    ),
+    -- DISCRETE rank-selected decile edges (pv/cum/nn/edges): each
+    -- edge is the ceil(k*n/10)-th smallest actual baseline value —
+    -- integer rank arithmetic, no interpolation, so both engines
+    -- select the identical double by construction (closes the r10
+    -- edge-straddle residual; rule in prefix_sum.py)
+    {discrete_quantile_edges_sql("SELECT value FROM base", "value", _PSI_BINS)},
     binned AS (
         SELECT 'base' AS side,
                len(list_filter(e.qs, q -> q <= b.value)) AS bin
@@ -253,8 +213,14 @@ def drift_psi(spark, sf_dir):
     """Population Stability Index between a baseline and a current
     value distribution (the scorecard-monitoring standard: PSI < 0.1
     stable, > 0.25 shifted): decile bin edges come from the BASELINE
-    side's exact percentiles, both sides histogram into those bins,
-    PSI = sum (p_cur - p_base) * ln(p_cur / p_base).
+    side's exact DISCRETE quantiles (prefix_sum.py rank rule — each
+    edge is the ceil(k*n/10)-th smallest actual baseline value, so
+    both engines select bit-identical doubles with no interpolation
+    and no rounding budget; this closed the r10 edge-straddle
+    residual, where 1-ULP interpolation differences could survive
+    quantization and flip edge-equal rows across bins), both sides
+    histogram into those bins, PSI = sum (p_cur - p_base) *
+    ln(p_cur / p_base).
 
     The bin edges are an aggregate (9 doubles) broadcast into ONE
     combined histogram pass over both sides (a single events scan with
@@ -267,23 +233,13 @@ def drift_psi(spark, sf_dir):
     spine join happens on the 10-row result (same-session ×100 A/B:
     3.2 s → 1.35 s; the op now times ~1.1× its drift_ks_test sibling
     instead of 4.3×). After that the PSI arithmetic touches 10 rows.
-    Deterministic: exact percentiles, and the heavy-tailed fixture
-    keeps every decile bin populated on both sides (no ln(0) arm at
-    any fixture scale — asserted by the oracle's equality itself)."""
+    Deterministic: discrete rank-selected edges, and the heavy-tailed
+    fixture keeps every decile bin populated on both sides (no ln(0)
+    arm at any fixture scale — asserted by the oracle's equality
+    itself)."""
     t = Tables(spark, sf_dir)
     base = t.events.filter(F.col("event_type") == _KS_B).select("value")
-    # edges qnt-quantized before binning (the agg_histogram_equidepth
-    # sweep-F lesson): identical FLOOR float expression on both engines
-    edges = base.agg(
-        F.percentile(
-            "value",
-            F.array(*[F.lit(x / _PSI_BINS) for x in range(1, _PSI_BINS)]),
-        ).alias("qs_raw")
-    ).select(
-        F.transform(
-            "qs_raw", lambda q: F.floor(q * 1e6 + F.lit(0.5)) / 1e6
-        ).alias("qs")
-    )
+    edges = discrete_quantile_edges(base, "value", _PSI_BINS)
 
     src = t.events.filter(F.col("event_type").isin(_KS_A, _KS_B)).select(
         "event_type", "value"

@@ -1161,12 +1161,15 @@ def embed_centroid_outliers(spark, sf_dir):
     ) / (F.col("n") - 1)
     # Degenerate-variance guard (r10 clone-storm sweep I): a label
     # whose members all share one alignment has var == 0, and a
-    # 1-member label makes (n-1) == 0. Both divisions here are DOUBLE
-    # division (IEEE: 0/0 -> NaN, x/0 -> Inf — no engine error even
-    # under ANSI, which only throws for integral/decimal divide), and
-    # NaN/Inf comparison semantics differ subtly across engines. The
-    # guard makes the drop EXPLICIT and engine-conf-independent: zq is
-    # NULL (filtered out) unless the z-score is actually defined. A
+    # 1-member label makes (n-1) == 0. MEASURED engine behavior
+    # (re-verified r11 on Spark 4.1: `SELECT CAST(1.0 AS DOUBLE) /
+    # CAST(0.0 AS DOUBLE)` raises SparkArithmeticException): ANSI
+    # Spark throws DIVIDE_BY_ZERO for DOUBLE division too — Divide
+    # checks the divisor before the IEEE op for every numeric type,
+    # not just integral/decimal — where DuckDB's float 0/0 yields NaN
+    # and the zq < -2 filter silently drops the row. The guard makes
+    # that drop explicit and engine-conf-independent: zq is NULL
+    # (filtered out) unless the z-score is actually defined. A
     # zero-variance group has no outliers by definition.
     z = dots.join(F.broadcast(s), "label").select(
         "vec_id",

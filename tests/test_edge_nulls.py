@@ -484,8 +484,10 @@ def test_degenerate_text_parity(spark, tmp_path, key):
         # edges differed by 1 ULP between engines (Spark percentile
         # vs DuckDB quantile_cont interpolate differently), which
         # shifts the bin label and can flip rows equal to the edge —
-        # edges are now qnt-quantized before binning on both sides
-        # (drift_psi got the same fix). The window/asof keys pass by
+        # r10 qnt-quantized the edges; r11 removed interpolation
+        # entirely (discrete rank-selected edges, prefix_sum.py;
+        # drift_psi got the same fix, straddle-by-construction parity
+        # in test_r11_edges.py). The window/asof keys pass by
         # (ts, event_id) tiebreak design and are pinned as invariant.
         "agg_histogram_equidepth",
         "drift_psi",
