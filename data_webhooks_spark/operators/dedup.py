@@ -59,6 +59,59 @@ def _shingled(docs):
     return words.select("doc_id", F.explode(tri).alias("shingle")).distinct()
 
 
+# Stop-shingle document-frequency cap (r10 verdict "what's wrong" #2):
+# a shingle shared by f documents generates O(f²) candidate rows at
+# ONE key of the inverted-index self-join — the r10 replica collapse
+# kills identical-TEXT cliques, but boilerplate (headers, licenses,
+# navigation chrome) shares shingles across f DISTINCT texts, and a
+# 100 TB web corpus makes f enormous where the fixture's Zipf tail
+# hides it. Broder's resemblance estimation drops super-common
+# shingles by design: they carry ~no Jaccard signal (present in
+# everything ⇒ discriminate nothing) while dominating join cost. The
+# cap bounds every posting bucket at C(cap,2) ≈ 2k candidate rows.
+# 64 is far above the fixture's max df (7 at sf0.01, 25 at sf0.1 —
+# measured r11), so ×1 results are bit-identical to the uncapped r10
+# records; the boilerplate-storm sweep (scenario J) exercises the
+# binding case with the oracle mirroring the same cap.
+_DF_CAP = 64
+
+
+def _df_capped(shingled):
+    """Drop (doc_id, shingle) rows whose shingle appears in more than
+    _DF_CAP documents of the GIVEN corpus (documents for the pairwise
+    ops, unique-text representatives for dedup_cluster — the oracle
+    mirrors whichever universe the caller uses). The hot set is tiny
+    by construction (≤ total_postings/cap shingles, concentrated
+    boilerplate in practice), so the left-anti join broadcasts under
+    AQE; no hint, the corpus-scale-OOM rationale of the sizes joins."""
+    hot = (
+        shingled.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > _DF_CAP)
+        .select("shingle")
+    )
+    return shingled.join(hot, "shingle", "left_anti")
+
+
+def _df_cap_sql(sh_cte: str) -> str:
+    """The DuckDB twin: hot/shc CTE fragment over an existing
+    per-document distinct-shingle CTE named `sh_cte`. NOT EXISTS, not
+    ANTI JOIN, to stay plain ANSI."""
+    return f"""
+    hot AS (
+        SELECT shingle FROM {sh_cte}
+        GROUP BY shingle HAVING COUNT(*) > {_DF_CAP}
+    ),
+    shc AS (
+        SELECT s.doc_id, s.shingle FROM {sh_cte} s
+        WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.shingle = s.shingle)
+    )
+    """
+
+
+_DF_CAP_SQL_FRAGMENT = _df_cap_sql("sh")
+
+
 @op(
     "dedup_content_hash",
     sql="""
@@ -82,7 +135,7 @@ def dedup_content_hash(spark, sf_dir):
 
 @op(
     "dedup_ngram_jaccard",
-    sql="""
+    sql=f"""
     WITH pos_words AS (
         SELECT doc_id,
                unnest(string_split(text, ' ')) AS word,
@@ -97,10 +150,11 @@ def dedup_content_hash(spark, sf_dir):
         QUALIFY lead(word, 2) OVER w IS NOT NULL
     ),
     sh AS (SELECT DISTINCT doc_id, shingle FROM shingled),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    {_DF_CAP_SQL_FRAGMENT},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
     pairs AS (
         SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     )
     SELECT p.d1, p.d2, CAST(p.inter AS BIGINT) AS n_shared,
@@ -115,10 +169,13 @@ def dedup_content_hash(spark, sf_dir):
 def dedup_ngram_jaccard(spark, sf_dir):
     """Top word-trigram-Jaccard pairs via a shingle inverted index:
     candidates come from shingle collisions (equi-join), so cost scales
-    with collisions, not n². Jaccard is an exact integer ratio —
-    bit-identical across engines."""
+    with collisions, not n². Jaccard is an exact integer ratio over the
+    DF-CAPPED shingle universe (stop-shingles with document frequency
+    > _DF_CAP are dropped from sizes AND intersections on both engines
+    — see _df_capped; at the fixture the cap never binds, so values
+    equal the uncapped form) — bit-identical across engines."""
     t = Tables(spark, sf_dir)
-    shingled = _shingled(t.documents)
+    shingled = _df_capped(_shingled(t.documents))
     sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = shingled.alias("a")
     b = shingled.alias("b")
@@ -361,12 +418,28 @@ def dedup_simhash(spark, sf_dir):
     ).filter(F.col("hamming") <= 12)
 
 
-_CLUSTER_PAIRS_SQL = """
+# Rep-level candidate SQL, mirroring _cluster_candidates exactly:
+# identical texts collapse to their min-doc_id representative BEFORE
+# shingling (so the df cap counts UNIQUE TEXTS, exactly like the Spark
+# side's rep-built index — df over raw documents would diverge the
+# moment replicas inflate a shingle's count past the cap), the shingle
+# index and the >= 0.6 Jaccard pairs are rep-level, and `members`
+# re-attaches every eligible doc to its rep for the final labeling.
+_CLUSTER_PAIRS_SQL = f"""
+    eligible AS (
+        SELECT doc_id, text FROM documents
+        WHERE text IS NOT NULL
+          AND len(string_split(text, ' ')) >= 3
+    ),
+    grp AS (SELECT text, MIN(doc_id) AS rep FROM eligible GROUP BY text),
+    members AS (
+        SELECT e.doc_id, g.rep FROM eligible e JOIN grp g ON e.text = g.text
+    ),
     pos_words AS (
-        SELECT doc_id,
+        SELECT rep AS doc_id,
                unnest(string_split(text, ' ')) AS word,
                CAST(generate_subscripts(string_split(text, ' '), 1) AS INT) AS pos
-        FROM documents
+        FROM grp
     ),
     shingled AS (
         SELECT doc_id,
@@ -376,10 +449,11 @@ _CLUSTER_PAIRS_SQL = """
         QUALIFY lead(word, 2) OVER w IS NOT NULL
     ),
     sh AS (SELECT DISTINCT doc_id, shingle FROM shingled),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    {_DF_CAP_SQL_FRAGMENT},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
     rawpairs AS (
         SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     ),
     pairs AS (
@@ -499,7 +573,14 @@ def _cluster_candidates(documents):
         members.filter(F.col("doc_id") == F.col("rep")).select("doc_id"),
         "doc_id",
     )
-    shingled = _shingled(rep_docs)
+    # df cap over REPRESENTATIVES = document frequency over UNIQUE
+    # TEXTS (the replica collapse already removed identical-text
+    # postings, so a boilerplate shingle's count here is the number of
+    # distinct texts carrying it — the oracle computes the same
+    # rep-level df; capping over raw docs would diverge the moment
+    # replicas push a shingle past the cap that its unique texts
+    # don't reach)
+    shingled = _df_capped(_shingled(rep_docs))
     sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = shingled.alias("a"), shingled.alias("b")
     rawpairs = (
@@ -541,12 +622,18 @@ def _cluster_candidates(documents):
         SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
     ),
     comp AS (
-        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+        SELECT src AS rep, LEAST(src, MIN(dst)) AS cluster_id
         FROM reach GROUP BY src
     ),
     assigned AS (
-        SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
-        FROM documents d LEFT JOIN comp c USING (doc_id)
+        -- member docs inherit their rep's component min (rep = the
+        -- group's min doc_id, so the component-min over reps IS the
+        -- min over all members); isolated reps label their group by
+        -- the rep itself; non-eligible docs are singleton clusters
+        SELECT d.doc_id, COALESCE(c.cluster_id, m.rep, d.doc_id) AS cluster_id
+        FROM documents d
+        LEFT JOIN members m USING (doc_id)
+        LEFT JOIN comp c ON c.rep = m.rep
     )
     SELECT doc_id, cluster_id,
            CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
@@ -845,7 +932,7 @@ def dedup_repeated_substrings(spark, sf_dir):
 
 @op(
     "dedup_containment",
-    sql="""
+    sql=f"""
     WITH pos_words AS (
         SELECT doc_id,
                unnest(string_split(text, ' ')) AS word,
@@ -862,12 +949,13 @@ def dedup_repeated_substrings(spark, sf_dir):
         QUALIFY lead(word, 2) OVER w IS NOT NULL
     ),
     sh AS (SELECT DISTINCT doc_id, shingle FROM shingled),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    {_DF_CAP_SQL_FRAGMENT},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
     pairs AS (
         SELECT a.doc_id AS d_contained, b.doc_id AS d_container,
                COUNT(*) AS inter
-        FROM sh a JOIN sh b ON a.shingle = b.shingle
-                           AND a.doc_id <> b.doc_id
+        FROM shc a JOIN shc b ON a.shingle = b.shingle
+                             AND a.doc_id <> b.doc_id
         GROUP BY 1, 2
     )
     SELECT p.d_contained, p.d_container,
@@ -890,12 +978,14 @@ def dedup_containment(spark, sf_dir):
     containment distinction).
 
     Same inverted-index candidate generation as dedup_ngram_jaccard —
-    shingle equi-join, cost scales with collisions, never n² — with
+    shingle equi-join over the DF-CAPPED shingle universe (stop-
+    shingles with df > _DF_CAP dropped on both engines; never binds
+    at the fixture), cost scales with collisions, never n² — with
     both directed containments falling out of one grouped join (the
     pair (A,B) and (B,A) carry different denominators). Both ratios
     are exact integer divisions, bit-identical across engines."""
     t = Tables(spark, sf_dir)
-    shingled = _shingled(t.documents)
+    shingled = _df_capped(_shingled(t.documents))
     sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = shingled.alias("a"), shingled.alias("b")
     pairs = (

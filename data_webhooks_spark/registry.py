@@ -16,30 +16,30 @@ from pyspark.sql import DataFrame, SparkSession
 # key order is an explicit per-round rotation: rounds 1-2 validated the
 # scalar/relational/agg families, round 3 the windows/tpch/text/
 # semistructured block, round 4 the joins/scans/UDFs/sampling block,
-# rounds 5-7 each rotated in that round's additions plus re-verifies
-# for every key whose oracle text or code changed.
+# rounds 5-10 each rotated in that round's additions plus (hand-
+# curated) re-verifies for keys whose code changed.
 #
-# ROUND-10 WINDOW (the r9 verdict's item 1, executed; selection comes
-# from scripts/record_age.py instead of archaeology): 18 re-verify
-# slots lead — every key whose code changed AFTER its latest official
-# driver record:
-# - r9 edits whose record predates them: agg_hll_sketch (r4 record),
-#   agg_mode (r6), stream_anomaly (r7), stream_dedup (r4), plus
-#   ts_resample_gapfill (r7) and stream_rollup_upsert (r8) edited via
-#   the shared _hourly_grid/_rollup_upsert_fn helpers;
-# - r10 edits: drift_ks_test (boundary literals — r10 advice),
-#   dedup_cluster (exact-replica collapse), stream_custom_state
-#   (shared transition core), the row-local shingle/winnowing
-#   rewrites (dedup_ngram_jaccard/containment/repeated_substrings),
-#   the graph checkpoint/fused-pass rewrites (pagerank/triangle/
-#   degree_stats), the funnel/quantile pre-sink splits for the chaos
-#   tests (stream_quantile also got midrank tie counting), and
-#   embed_centroid_outliers' zero-variance guard (clone-storm sweep).
-# The remaining 32 slots re-verify the keys with the OLDEST official
-# records — all 23 r2 keys and the 9 alphabetically-first r3
-# non-TPC-H keys (record_age.py; the displaced r3 keys and the r3
-# TPC-H block rotate in r11). After this round every key's latest
-# record postdates its last code change.
+# ROUND-11 WINDOW — AUTOMATED (r10 verdict item 2): the head is the
+# exact output of `python scripts/window_select.py --propose`, which
+# flags every key whose implementing function — or any module-level
+# name in its TRANSITIVE dependency closure, followed across package-
+# local imports and decorator expressions — changed after the snapshot
+# commit of its latest driver CORRECTNESS record. The automation
+# surfaced a 33-key HISTORICAL BACKLOG the r5-r10 hand-curated heads
+# missed, almost all via shared helpers outside the operator modules:
+# streaming/core.py's replay_dir (r7 cache-fingerprint change) left 17
+# r4/r5-recorded streaming keys stale, sources/derived.py the same for
+# 6 scan keys, layout.py path helpers for 4 layout keys, plus
+# tpch_q18's r5 single-fact-pass rewrite, joins.py's _click_struct_type
+# and friends. Those 33 + the 11 keys edited in r10-after-snapshot/r11
+# (dedup df-cap trio, drift discrete-edge pair + equidepth, graph _pin
+# pair, embed_centroid_outliers comment, stream_stateful _ss_* split —
+# the r10 verdict's one missed key) = 44 head slots; the remaining 6
+# go to the OLDEST records (r3 cohort; the rest of the r3 block
+# rotates in r12 — displaced by the backlog burn-down, which the
+# verdict ranks above staleness). tests/test_window_selection.py
+# asserts flagged ⊆ window, so a missed key now fails pytest
+# structurally instead of relying on curation.
 _ROWS_ONLY = {
     "pack_sequences_ffd",
     "embed_pq",
@@ -51,65 +51,67 @@ _ROWS_ONLY = {
     "profile_table_approx",
 }
 _WINDOW = [
-    # changed-after-record re-verifies (18): the r9 edits flagged by
-    # the r9 verdict + every key edited in r10 after the r9 snapshot
-    # (replica collapse + row-local shingles/winnowing in dedup,
-    # localCheckpoint/fused-pass graph rewrites, the funnel/quantile
-    # shared-core refactors for the kill/resume chaos tests)
-    "agg_hll_sketch",
-    "agg_mode",
-    "stream_anomaly",
-    "stream_dedup",
-    "ts_resample_gapfill",
-    "stream_rollup_upsert",
-    "drift_ks_test",
+    # changed-after-record re-verifies (44) — `window_select.py`
+    # output, reasons inline per block:
+    # r11 edits (df-cap trio, discrete-edge pair + equidepth, _pin
+    # pair, guard-comment) + r10's missed stream_stateful:
+    "agg_histogram_equidepth",
     "dedup_cluster",
-    "stream_custom_state",
-    "dedup_ngram_jaccard",
     "dedup_containment",
-    "dedup_repeated_substrings",
+    "dedup_ngram_jaccard",
+    "drift_ks_test",
+    "drift_psi",
+    "embed_centroid_outliers",
     "graph_pagerank",
     "graph_triangle_count",
-    "graph_degree_stats",
-    "stream_funnel",
-    "stream_quantile",
-    "embed_centroid_outliers",
-    # oldest-record staleness re-verifies (32): all 23 r2 keys ...
-    "agg_groupby",
-    "cast_decimal",
-    "date_funcs",
-    "filter_compound",
-    "filter_like",
-    "filter_null_safe_eq",
-    "hash_funcs",
-    "join_left_outer",
-    "join_left_semi",
-    "join_right_outer",
-    "limit",
-    "null_funcs",
-    "project",
-    "set_except",
-    "set_except_all",
-    "set_intersect",
-    "set_intersect_all",
-    "set_union_all",
-    "set_union_distinct",
-    "sort_multi",
-    "sql_passthrough",
-    "str_funcs",
-    "str_regex",
-    # ... and the 9 alphabetically-first r3 non-TPC-H keys
-    "arr_basic",
-    "arr_explode",
-    "arr_higher_order",
-    "json_get",
-    "pipeline_text_prep",
-    "text_normalize",
-    "text_redact",
-    "text_stats",
-    "text_tfidf",
-    # (win_distribution..win_sessionize and the r3 TPC-H block rotate
-    # in r11 — displaced by the 9 extra r10 changed-key slots)
+    "stream_stateful",
+    # historical backlog, streaming/core.py replay_dir (changed r7)
+    # after these keys' r4/r5 records:
+    "join_stream_static",
+    "join_stream_stream",
+    "join_stream_stream_outer",
+    "sink_memory",
+    "sink_parquet",
+    "source_file_stream",
+    "stream_late_drops",
+    "stream_output_modes",
+    "stream_session_agg",
+    "stream_sliding_agg",
+    "stream_topk",
+    "stream_triggers",
+    "stream_tumbling_agg",
+    "stream_watermark",
+    # historical backlog, sources/derived.py ensure_derived:
+    "scan_binaryfile",
+    "scan_csv",
+    "scan_json",
+    "scan_json_corrupt",
+    "scan_python_datasource",
+    "scan_text",
+    # historical backlog, layout.py path helpers:
+    "compact_files",
+    "scan_parquet_bloom",
+    "scan_snapshot_manifest",
+    "zorder_layout",
+    # historical backlog, same-module edits after the record:
+    "agg_bitmap_distinct",
+    "dim_scd2",
+    "join_asof",
+    "sample_per_group",
+    "scan_parquet_evolve",
+    "tpch_q18",
+    "ts_anomaly_stl",
+    "ts_stl_decompose",
+    "win_distribution",
+    "win_ranking",
+    # oldest-record staleness tail (6 slots; the rest of the r3
+    # cohort rotates in r12, displaced by the backlog burn-down):
+    "text_token_count",
+    "topn_per_group",
+    "tpch_q1",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
 ]
 
 _MODULES = [

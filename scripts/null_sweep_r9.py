@@ -200,6 +200,46 @@ def _clone_storm_embeddings(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf
 
 
+_BOILER = (
+    "all rights reserved this document is provided as is without any "
+    "warranty of any kind express or implied subject to the terms of "
+    "service and the privacy policy please contact support for help"
+)
+
+
+def _boilerplate_documents(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Scenario J (r11): BOILERPLATE STORM. Every document keeps a
+    DISTINCT body but gains the same long header/footer — so replica
+    collapse cannot help (texts differ) and every boilerplate trigram
+    has document frequency == n_docs. The table is tiled 3x (with a
+    unique suffix token so texts stay distinct) so n_docs > the
+    stop-shingle cap (_DF_CAP = 64) even at sf0.001: an UNCAPPED
+    inverted index would emit C(n,2) candidate rows at every hot
+    shingle; the capped one drops the boilerplate shingles from the
+    (mirrored) Jaccard universe on both engines."""
+    out = []
+    base_id = pdf["doc_id"].max() + 1
+    for copy in range(3):
+        c = pdf.copy()
+        if copy:
+            c["doc_id"] = range(
+                base_id + (copy - 1) * len(pdf),
+                base_id + copy * len(pdf),
+            )
+        mask = c["text"].notna()
+        c.loc[mask, "text"] = (
+            _BOILER
+            + " "
+            + c.loc[mask, "text"]
+            + " "
+            + _BOILER
+            + " uniq"
+            + c.loc[mask, "doc_id"].astype(str)
+        )
+        out.append(c)
+    return pd.concat(out, ignore_index=True)
+
+
 SCENARIOS = {
     "A": {"events": _multi_null_events, "documents": _multi_null_documents},
     "B": {"events": _null_only_group},
@@ -214,6 +254,7 @@ SCENARIOS = {
         "documents": _clone_storm_documents,
         "embeddings": _clone_storm_embeddings,
     },
+    "J": {"documents": _boilerplate_documents},
 }
 
 # Documented engine boundaries, per scenario: the comparison is

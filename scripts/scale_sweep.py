@@ -168,6 +168,14 @@ KEYS = [
     "dq_reconciliation",
     "embed_pair_mining",
     "pipeline_dedup_prep",
+    # r11: the last uncovered event-analytics composites (user-keyed
+    # windows — the most shuffle-heavy remaining class; amplification
+    # keeps the user universe fixed so per-user histories DEEPEN with
+    # the factor, the adversarial direction for window frames)
+    "event_paths",
+    "pipeline_events_prep",
+    "retention_cohort",
+    "win_sessionize",
 ]
 MAX_FACTOR = {
     "dedup_embedding": 10,

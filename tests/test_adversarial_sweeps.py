@@ -1,18 +1,19 @@
-"""Permanent adversarial-input sweeps (r9 verdict item 5): the eight
+"""Permanent adversarial-input sweeps (r9 verdict item 5): the ten
 scenario mutations from scripts/null_sweep_r9.py — multi-NULL rows,
 NULL-only groups, multibyte text, NULL-only langs, degenerate texts,
-duplicate timestamps, negative values, temporal extremes — promoted
-from an out-of-band script into the suite, so a future operator edit
-that regresses any scenario fails `pytest tests/`.
+duplicate timestamps, negative values, temporal extremes, the clone
+storm, and the r11 boilerplate storm — promoted from an out-of-band
+script into the suite, so a future operator edit that regresses any
+scenario fails `pytest tests/`.
 
-BUDGET GATE: the full matrix (8 scenarios x 279 oracled keys) is an
+BUDGET GATE: the full matrix (10 scenarios x 279 oracled keys) is an
 out-of-band discovery run (python scripts/null_sweep_r9.py). In the
-suite each scenario runs over the CHANGED-KEY set — the leading
-changed-after-record block of the current driver window
-(registry._WINDOW, the keys whose code moved since their last
-official record) — exactly the set the r9 verdict prescribed when
-runtime is a concern. Set SPARK_GRAFT_SWEEP_KEYS=k1,k2 to override,
-or SPARK_GRAFT_SWEEP_ALL=1 for the full matrix (slow).
+suite each scenario runs over the keys edited in the CURRENT round
+(scripts/window_select.changed_since_last_snapshot — computed from
+git, not curated; the sweep gate's job is catching regressions in
+fresh edits, while the full flagged backlog is already covered by
+prior full-matrix runs). Set SPARK_GRAFT_SWEEP_KEYS=k1,k2 to
+override, or SPARK_GRAFT_SWEEP_ALL=1 for the full matrix (slow).
 """
 
 from __future__ import annotations
@@ -33,10 +34,6 @@ from scripts.null_sweep_r9 import (
 from data_webhooks_spark import registry
 from data_webhooks_spark.oracle import compare_frames, duck_connect
 
-# the changed-after-record head of the window: every key here has a
-# "(N)" count in registry.py's rotation comment — keep in sync
-_N_CHANGED = 18
-
 
 def _gated_keys() -> list[str]:
     osql = registry.oracle_sql()
@@ -45,9 +42,14 @@ def _gated_keys() -> list[str]:
     env = os.environ.get("SPARK_GRAFT_SWEEP_KEYS")
     if env:
         return [k for k in env.split(",") if k in osql]
-    from data_webhooks_spark.registry import _WINDOW
+    from scripts.window_select import changed_since_last_snapshot
 
-    return [k for k in _WINDOW[:_N_CHANGED] if k in osql]
+    keys = [k for k in sorted(changed_since_last_snapshot()) if k in osql]
+    if not keys:  # fresh snapshot, nothing edited yet: smoke the head
+        from data_webhooks_spark.registry import _WINDOW
+
+        keys = [k for k in _WINDOW[:10] if k in osql]
+    return keys
 
 
 @pytest.fixture(scope="module", params=sorted(SCENARIOS))

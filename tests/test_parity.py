@@ -48,23 +48,16 @@ def test_oracle_not_vacuous(key, duck):
     )
 
 
-def test_driver_window_is_the_round10_rotation():
+def test_driver_window_is_the_round11_rotation():
     """The external driver's correctness gate reads the FIRST 50 keys
-    of queries(); round 10 leads with 18 re-verify slots — every key
-    whose code changed AFTER its latest official driver record (the
-    six r9 edits the r9 verdict flagged as record-stale, plus the
-    eleven r10 edits: drift_ks_test boundary literals, dedup_cluster
-    replica collapse, stream_custom_state shared-core refactor, the
-    row-local shingle/winnowing rewrites across the dedup family, the
-    graph checkpoint/fused-pass rewrites, and the funnel/quantile
-    shared-core refactors) — then fills the remaining 32 slots with
-    the keys holding the OLDEST records per scripts/record_age.py
-    (all 23 r2 keys + 9 r3 keys; the displaced r3 window keys and
-    the r3 TPC-H block rotate in r11). The rotation must not drop or
-    duplicate any key, every window key outside the declared
-    rows-only set must be SQL-oracled, and the changed keys must lead
-    the window (the driver records in order; if the window were ever
-    trimmed, the changed keys survive first)."""
+    of queries(). Since r11 the window HEAD is computed, not curated:
+    scripts/window_select.py flags every key whose implementing
+    closure changed after its latest CORRECTNESS snapshot, and
+    tests/test_window_selection.py pins flagged ⊆ window, head-first
+    ordering, and registry↔proposal agreement. This test keeps the
+    structural invariants: 50 unique keys, queries() leads with
+    exactly _WINDOW, every non-rows-only window key SQL-oracled, and
+    the rows-only set is precisely the unoracled remainder."""
     from data_webhooks_spark.registry import _ROWS_ONLY, _WINDOW
 
     qs, osql = registry.queries(), registry.oracle_sql()
@@ -75,19 +68,6 @@ def test_driver_window_is_the_round10_rotation():
     assert all(k in osql for k in first50 if k not in _ROWS_ONLY)
     assert _ROWS_ONLY == set(qs) - set(osql)
     assert len(set(qs)) == len(qs)
-    changed_after_record = {
-        # r9 edits whose official record predates them
-        "agg_hll_sketch", "agg_mode", "stream_anomaly", "stream_dedup",
-        "ts_resample_gapfill", "stream_rollup_upsert",
-        # r10 edits
-        "drift_ks_test", "dedup_cluster", "stream_custom_state",
-        "dedup_ngram_jaccard", "dedup_containment",
-        "dedup_repeated_substrings", "graph_pagerank",
-        "graph_triangle_count", "graph_degree_stats",
-        "stream_funnel", "stream_quantile", "embed_centroid_outliers",
-    }
-    assert len(changed_after_record) == 18
-    assert set(first50[:18]) == changed_after_record
 
 
 PORTABLE_ORACLES = frozenset({
