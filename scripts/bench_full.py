@@ -82,6 +82,10 @@ def main() -> None:
         s_times = []
         qs[k](spark, sf_dir).toPandas()  # warmup
         for _ in range(RUNS):
+            # drop persisted relations between runs (see
+            # scale_sweep.py: _pin'd subtrees are plan-keyed and would
+            # be silently reused, measuring only post-cache stages)
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             qs[k](spark, sf_dir).toPandas()
             s_times.append(time.perf_counter() - t0)

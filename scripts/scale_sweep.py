@@ -70,6 +70,7 @@ KEYS = [
     "pack_sequences",
     "vocab_coverage",
     "agg_histogram",
+    "agg_histogram_equidepth",  # r11 discrete-edge rewrite cost row
     "ts_interpolate_linear",
     "win_pattern_match",
     "sample_weighted",
@@ -337,9 +338,16 @@ def main() -> None:
         for k in keys:
             if factor > MAX_FACTOR.get(k, 10**9):
                 continue
-            qs[k](spark, sf_dir).toPandas()  # warm
+            qs[k](spark, sf_dir).toPandas()  # warm (JIT/page cache)
             best = float("inf")
             for _ in range(2):
+                # drop persisted relations between runs: the graph
+                # ops' _pin (persist + count) is keyed by logical plan
+                # and would be REUSED across invocations, silently
+                # measuring only the post-materialization stages
+                # (r11: pagerank ×100 read 2.3 s — a cache artifact,
+                # not the operator)
+                spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 qs[k](spark, sf_dir).toPandas()
                 best = min(best, time.perf_counter() - t0)
