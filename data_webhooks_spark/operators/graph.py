@@ -65,12 +65,35 @@ def _pin(df):
     >280 s persisted vs 3.4 s checkpointed) — lineage TRUNCATION is
     the point there, and their docstrings pin that trade. The graph
     ops' lineage is a flat unrolled plan over a persisted base, where
-    analysis cost is linear and persist loses nothing."""
+    analysis cost is linear and persist loses nothing.
+
+    Lifecycle: every pin is tracked in _LIVE_PINS, and each graph op
+    calls _fresh_pins() on entry to unpersist the PREVIOUS
+    invocation's pins — so a long driver session running all 287 keys
+    holds at most one op's pins resident instead of accumulating
+    edge-list caches until GC (the aggregates.py r3 leak class).
+    Unpersisting within an op would be wrong (deg's contrib joins
+    still read edges), and unpersisting a prior result is safe by
+    construction: persist kept the lineage, so a re-collect merely
+    recomputes."""
     from pyspark import StorageLevel
 
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     df.count()
+    _LIVE_PINS.append(df)
     return df
+
+
+_LIVE_PINS: list = []
+
+
+def _fresh_pins():
+    """Release pins from prior graph-op invocations (see _pin)."""
+    while _LIVE_PINS:
+        try:
+            _LIVE_PINS.pop().unpersist()
+        except Exception:  # session already stopped — nothing to free
+            pass
 
 
 def _pagerank_oracle() -> str:
@@ -135,6 +158,7 @@ def graph_pagerank(spark, sf_dir):
     with no float rounding budget. The Python loop unrolls 3 sweeps
     declaratively; each sweep is one equi-join (edge list × rank
     table) + one groupBy on the same dst key."""
+    _fresh_pins()  # release the previous graph op's caches
     t = Tables(spark, sf_dir)
     li = t.lineitem.select("l_orderkey", "l_partkey")
     b = li.select(
@@ -243,6 +267,7 @@ def graph_triangle_count(spark, sf_dir):
     needed; the DuckDB twin runs the identical orientation. Output is
     the graph profile (nodes, undirected edges, oriented wedges,
     triangles) as one row."""
+    _fresh_pins()  # release the previous graph op's caches
     t = Tables(spark, sf_dir)
     li = t.lineitem.select("l_orderkey", "l_partkey")
     b = li.select(
@@ -377,6 +402,7 @@ def graph_degree_stats(spark, sf_dir):
     degree — each collapses cardinality by orders of magnitude before
     the next step, and the window pass touches only the final
     ~hundreds of rows."""
+    _fresh_pins()  # no pins of its own; frees a predecessor's
     t = Tables(spark, sf_dir)
     li = t.lineitem.select("l_orderkey", "l_partkey")
     b = li.select(

@@ -25,16 +25,20 @@ from pyspark.sql import DataFrame, SparkSession
 # name in its TRANSITIVE dependency closure, followed across package-
 # local imports and decorator expressions — changed after the snapshot
 # commit of its latest driver CORRECTNESS record. The automation
-# surfaced a 33-key HISTORICAL BACKLOG the r5-r10 hand-curated heads
+# surfaced a 34-key HISTORICAL BACKLOG the r5-r10 hand-curated heads
 # missed, almost all via shared helpers outside the operator modules:
-# streaming/core.py's replay_dir (r7 cache-fingerprint change) left 17
+# streaming/core.py's replay_dir (r7 cache-fingerprint change) left 14
 # r4/r5-recorded streaming keys stale, sources/derived.py the same for
-# 6 scan keys, layout.py path helpers for 4 layout keys, plus
-# tpch_q18's r5 single-fact-pass rewrite, joins.py's _click_struct_type
-# and friends. Those 33 + the 11 keys edited in r10-after-snapshot/r11
-# (dedup df-cap trio, drift discrete-edge pair + equidepth, graph _pin
-# pair, embed_centroid_outliers comment, stream_stateful _ss_* split —
-# the r10 verdict's one missed key) = 44 head slots; the remaining 6
+# 6 scan keys, layout.py path helpers for 4 layout keys, plus 10
+# same-module edits (tpch_q18's r5 single-fact-pass rewrite, joins.py's
+# _click_struct_type, win_distribution/win_ranking, dim_scd2,
+# sample_per_group, agg_bitmap_distinct, scan_parquet_evolve, and the
+# _hourly_grid-coupled ts_*_stl pair). Those 34 + the 11 keys edited in
+# r10-after-snapshot/r11 (dedup df-cap trio, drift discrete-edge pair
+# + equidepth, the graph _pin/_fresh_pins trio — degree_stats flagged
+# by the ratchet itself mid-round — embed_centroid_outliers comment,
+# stream_stateful _ss_* split: the r10 verdict's one missed key)
+# = 45 head slots; the remaining 5
 # go to the OLDEST records (r3 cohort; the rest of the r3 block
 # rotates in r12 — displaced by the backlog burn-down, which the
 # verdict ranks above staleness). tests/test_window_selection.py
@@ -51,7 +55,7 @@ _ROWS_ONLY = {
     "profile_table_approx",
 }
 _WINDOW = [
-    # changed-after-record re-verifies (44) — `window_select.py`
+    # changed-after-record re-verifies (45) — `window_select.py`
     # output, reasons inline per block:
     # r11 edits (df-cap trio, discrete-edge pair + equidepth, _pin
     # pair, guard-comment) + r10's missed stream_stateful:
@@ -62,6 +66,7 @@ _WINDOW = [
     "drift_ks_test",
     "drift_psi",
     "embed_centroid_outliers",
+    "graph_degree_stats",
     "graph_pagerank",
     "graph_triangle_count",
     "stream_stateful",
@@ -104,14 +109,13 @@ _WINDOW = [
     "ts_stl_decompose",
     "win_distribution",
     "win_ranking",
-    # oldest-record staleness tail (6 slots; the rest of the r3
+    # oldest-record staleness tail (5 slots; the rest of the r3
     # cohort rotates in r12, displaced by the backlog burn-down):
     "text_token_count",
     "topn_per_group",
     "tpch_q1",
     "tpch_q10",
     "tpch_q11",
-    "tpch_q12",
 ]
 
 _MODULES = [

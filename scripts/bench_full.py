@@ -50,9 +50,13 @@ def main() -> None:
     # otherwise silently block the overall/median summary forever
     # (len(done) could never equal len(osql)) — prune them loudly.
     stale = [k for k in results if k != "_meta" and k not in osql]
-    for k in stale:
-        print(f"WARNING: pruning stale BENCH.json key {k!r} (not in oracle_sql())")
-        del results[k]
+    if stale:
+        for k in stale:
+            print(f"WARNING: pruning stale BENCH.json key {k!r} (not in oracle_sql())")
+            del results[k]
+        with open(OUT, "w") as f:  # persist immediately — a crash or
+            json.dump(results, f, indent=1, sort_keys=True)  # deadline
+            # before the first key completes must not resurrect them
     pending = [k for k in sorted(osql) if k not in results]
     # Stamp the session so cross-round ratio comparisons are honest: a
     # matrix mixing hosts/load levels (the r9 problem) is flagged by
@@ -100,9 +104,6 @@ def main() -> None:
         print(k, results[k], flush=True)
     done = [k for k in results if k != "_meta"]
     ratios = [results[k]["ratio"] for k in done if results[k].get("ratio")]
-    if stale and not pending:
-        with open(OUT, "w") as f:  # persist the prune even on a no-op run
-            json.dump(results, f, indent=1, sort_keys=True)
     if len(done) != len(osql):
         print(f"summary not stamped: {len(osql) - len(done)} keys still pending")
     if len(done) == len(osql):

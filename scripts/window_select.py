@@ -81,6 +81,24 @@ def _snapshot_commit(rnd: int) -> str | None:
     return out or None
 
 
+def _assign_names(tgt: ast.expr) -> list[str]:
+    """Bound names of an assignment target, including tuple/list
+    unpacking (`_D_NUM, _D_DEN = 85, 100` binds both) and starred
+    elements — a plain-Name-only walk left every tuple-assigned
+    module constant OUT of the closure (r11 review finding: editing
+    `_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS = ...` flagged nothing)."""
+    if isinstance(tgt, ast.Name):
+        return [tgt.id]
+    if isinstance(tgt, (ast.Tuple, ast.List)):
+        out = []
+        for elt in tgt.elts:
+            out.extend(_assign_names(elt))
+        return out
+    if isinstance(tgt, ast.Starred):
+        return _assign_names(tgt.value)
+    return []
+
+
 def _top_level_spans(tree: ast.Module) -> dict[str, tuple[int, int]]:
     spans: dict[str, tuple[int, int]] = {}
     for node in tree.body:
@@ -92,8 +110,8 @@ def _top_level_spans(tree: ast.Module) -> dict[str, tuple[int, int]]:
         elif isinstance(node, (ast.Assign, ast.AnnAssign)):
             tgts = node.targets if isinstance(node, ast.Assign) else [node.target]
             for tgt in tgts:
-                if isinstance(tgt, ast.Name):
-                    spans[tgt.id] = (node.lineno, node.end_lineno or node.lineno)
+                for name in _assign_names(tgt):
+                    spans[name] = (node.lineno, node.end_lineno or node.lineno)
     return spans
 
 
@@ -121,8 +139,8 @@ def _module_info(relpath: str):
                 n.id for n in ast.walk(node) if isinstance(n, ast.Name)
             }
             for tgt in tgts:
-                if isinstance(tgt, ast.Name):
-                    refs[tgt.id] = names
+                for name in _assign_names(tgt):
+                    refs[name] = names
         elif isinstance(node, ast.ImportFrom):
             if node.level:
                 base = pkg_dir
@@ -303,8 +321,13 @@ def propose_window(size: int = WINDOW_SIZE) -> list[str]:
             f"{size}-slot window: {sorted(flagged)}"
         )
     records = load_records()
+    live = set(_key_functions())  # a renamed/retired key lingers in
+    # old CORRECTNESS files forever; proposing it would fail the
+    # registry's window-keys-registered check with a confusing error
     tail = sorted(
-        (r, k) for k, (r, _) in records.items() if k not in flagged
+        (r, k)
+        for k, (r, _) in records.items()
+        if k not in flagged and k in live
     )
     return list(flagged) + [k for _, k in tail[: size - len(flagged)]]
 

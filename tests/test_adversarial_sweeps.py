@@ -10,10 +10,14 @@ BUDGET GATE: the full matrix (10 scenarios x 279 oracled keys) is an
 out-of-band discovery run (python scripts/null_sweep_r9.py). In the
 suite each scenario runs over the keys edited in the CURRENT round
 (scripts/window_select.changed_since_last_snapshot — computed from
-git, not curated; the sweep gate's job is catching regressions in
-fresh edits, while the full flagged backlog is already covered by
-prior full-matrix runs). Set SPARK_GRAFT_SWEEP_KEYS=k1,k2 to
-override, or SPARK_GRAFT_SWEEP_ALL=1 for the full matrix (slow).
+git, not curated): the sweep gate's job is catching regressions in
+fresh edits, while unedited keys are covered by the recorded
+full-matrix discovery runs — scenarios A–H over all keys in r9,
+scenario I (clone storm) full-matrix in r10, scenario J (boilerplate
+storm) full-matrix in r11, each 0 findings after fixes. A NEW
+scenario must get its own full-matrix run before relying on this
+gate. Set SPARK_GRAFT_SWEEP_KEYS=k1,k2 to override, or
+SPARK_GRAFT_SWEEP_ALL=1 for the full matrix (slow).
 """
 
 from __future__ import annotations

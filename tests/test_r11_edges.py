@@ -23,9 +23,9 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
-import pyarrow.parquet as pq
 import pytest
+
+from scripts.null_sweep_r9 import _clone
 
 from data_webhooks_spark import registry
 from data_webhooks_spark.oracle import compare_frames, duck_connect
@@ -33,27 +33,6 @@ from data_webhooks_spark.operators.prefix_sum import (
     discrete_quantile_edges,
     sharded_cumsum,
 )
-from data_webhooks_spark.schemas import TABLE_NAMES
-
-BASE = "/root/testdata/sf0.001"
-
-
-def _clone(tmp_path, mutate):
-    import os
-
-    for t in TABLE_NAMES:
-        src = f"{BASE}/{t}.parquet"
-        dst = f"{tmp_path}/{t}.parquet"
-        if t not in mutate:
-            os.symlink(src, dst)
-            continue
-        orig = pq.read_table(src)
-        pdf = mutate[t](orig.to_pandas())
-        pq.write_table(
-            pa.Table.from_pandas(pdf, schema=orig.schema, preserve_index=False),
-            dst,
-        )
-    return str(tmp_path)
 
 
 def test_discrete_edges_match_numpy_type1(spark):
@@ -130,7 +109,7 @@ def test_half_boundary_straddle_parity(spark, tmp_path, key):
         out["value"] = vals  # interleaved across event types
         return out
 
-    sf = _clone(tmp_path, {"events": storm})
+    sf = _clone(str(tmp_path), {"events": storm})
     qs, osql = registry.queries(), registry.oracle_sql()
     sp = qs[key](spark, sf).toPandas()
     con = duck_connect(sf)

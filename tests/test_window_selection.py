@@ -6,7 +6,7 @@ flagged set from CORRECTNESS snapshots × git diffs × the registry's
 key→function dependency closure, and this test fails `pytest tests/`
 whenever a flagged key is missing from registry._WINDOW.
 
-The selector's first run also surfaced a 33-key historical backlog the
+The selector's first run also surfaced a 34-key historical backlog the
 r5–r10 hand rotations missed (shared helpers OUTSIDE the operator
 modules: streaming/core.py, sources/derived.py, layout path helpers,
 plus same-module rewrites like tpch_q18's single-fact-pass) — exactly
@@ -50,12 +50,39 @@ def test_changed_keys_lead_the_window():
     assert set(_WINDOW[: len(flagged)]) == set(flagged)
 
 
-def test_window_matches_proposal_shape():
+def test_proposal_is_window_sized_and_live():
+    """The proposal machinery itself stays sound: 50 unique keys, all
+    registered. Deliberately NOT asserting proposal == _WINDOW — the
+    moment the driver lands CORRECTNESS_r11.json every head key gets a
+    fresh record, flagged_keys() empties, and the proposal legitimately
+    becomes the pure staleness tail; equating them would turn the
+    driver's own artifact commit into a red suite. The binding
+    contracts are flagged ⊆ window (above) and changed-keys-lead."""
+    from scripts.window_select import _key_functions
+
     win = propose_window(WINDOW_SIZE)
     assert len(win) == WINDOW_SIZE
-    assert set(win) == set(_WINDOW), (
-        "registry._WINDOW drifted from window_select --propose; "
-        "regenerate after any operator edit"
+    assert len(set(win)) == WINDOW_SIZE
+    live = set(_key_functions())
+    assert set(win) <= live
+
+
+def test_tuple_assigned_constants_are_in_closure():
+    """r11 review finding: `_A, _B = x, y` module constants must bind
+    spans/refs like plain assignments — an edit to a tuple-assigned
+    constant baked into an oracle f-string (e.g. _GOPHER_MIN_WORDS)
+    previously flagged nothing."""
+    from scripts.window_select import _closure, _key_functions, _module_info
+
+    rel, name = _key_functions()["quality_gopher_rules"]
+    spans, refs, _ = _module_info(rel)
+    assert "_GOPHER_MIN_WORDS" in spans
+    assert ("data_webhooks_spark/operators/text.py", "_GOPHER_MIN_WORDS") in _closure(
+        rel, name
+    )
+    rel_g, name_g = _key_functions()["graph_pagerank"]
+    assert ("data_webhooks_spark/operators/graph.py", "_D_NUM") in _closure(
+        rel_g, name_g
     )
 
 
