@@ -83,7 +83,18 @@ def _df_capped(shingled):
     mirrors whichever universe the caller uses). The hot set is tiny
     by construction (≤ total_postings/cap shingles, concentrated
     boilerplate in practice), so the left-anti join broadcasts under
-    AQE; no hint, the corpus-scale-OOM rationale of the sizes joins."""
+    AQE; no hint, the corpus-scale-OOM rationale of the sizes joins.
+
+    Negative result (r11, pinned so it is not re-tried): with lists
+    bounded at the cap, pair generation via posting lists —
+    groupBy(shingle).collect_list(doc_id) + an in-row nested
+    transform emitting the C(|list|,2) pairs, the classic MapReduce
+    inverted-index form — produced byte-identical pairs but measured
+    4.82 s vs 3.30 s for the capped hash self-join at sf0.1
+    (clearCache'd best-of-3): the array materialization + explode
+    cost more than the second probe of a hash join, and both forms
+    pay the same (d1, d2) aggregation shuffle. The self-join keeps
+    whole-stage codegen; keep it."""
     hot = (
         shingled.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
