@@ -314,7 +314,12 @@ def dedup_minhash(spark, sf_dir):
             [rows[d].tolist() if n_sh[d] > 0 else None for d in range(len(docs))]
         )
 
-    sig = t.documents.select(
+    # NULL text has no shingles, hence no signature — filter BEFORE
+    # the UDF (plan-level, pushed to the scan): the batch kernel
+    # splits every row and crashed on None (r11 rows-only sweep,
+    # scenarios A/D), where the intended semantics is the same drop
+    # the <3-word docs already get via the sig NULL filter.
+    sig = t.documents.filter(F.col("text").isNotNull()).select(
         "doc_id", minhash_sig(F.col("text")).alias("sig")
     ).filter(F.col("sig").isNotNull())
     sig = sig.persist()
@@ -388,7 +393,12 @@ def dedup_simhash(spark, sf_dir):
     def simhash64(texts: pd.Series) -> pd.Series:
         return pd.Series(simhash64_batch(texts), dtype="int64")
 
-    sh = t.documents.select("doc_id", simhash64("text").alias("simhash"))
+    # NULL text has NO fingerprint (the r9 sweep-D lesson, applied to
+    # the kernel input too): simhash64_batch splits every row and
+    # crashed on None (r11 rows-only sweep, scenarios A/D).
+    sh = t.documents.filter(F.col("text").isNotNull()).select(
+        "doc_id", simhash64("text").alias("simhash")
+    )
     bands = sh.select(
         "doc_id",
         "simhash",

@@ -40,6 +40,23 @@ def _norm_df(t):
     )
 
 
+def _pad_centroids(cs: list, k: int) -> list:
+    """Spark ML KMeans returns FEWER than k centers when the data has
+    fewer distinct points (the clone-storm degenerate: every vector
+    identical -> 1 center), and the PQ encoders index centers[k]
+    through a fixed range(K) — an IndexError found by the r11
+    rows-only adversarial sweep. Pad by repeating the LAST center:
+    padded entries are exact duplicates, every argmin tie-break in
+    this module picks the SMALLEST code, so a padded code is never
+    emitted and behavior is bit-unchanged whenever the fit returns
+    the full k (the fixtures always do — pinned by the codes-dense
+    quality floor in tests/test_quality.py)."""
+    cs = list(cs)
+    if cs and len(cs) < k:
+        cs = cs + [cs[-1]] * (k - len(cs))
+    return cs
+
+
 def _dot(a_col: str, b_col: str):
     return F.aggregate(
         F.zip_with(F.col(a_col), F.col(b_col), lambda x, y: x * y),
@@ -453,7 +470,9 @@ def embed_pq(spark, sf_dir):
     for m in range(M):
         fv = d.select(array_to_vector(subcol(m)).alias("fv"))
         km = KMeans(k=K, seed=42 + m, featuresCol="fv", predictionCol="c")
-        centers.append([list(c) for c in km.fit(fv).clusterCenters()])
+        centers.append(
+            _pad_centroids([list(c) for c in km.fit(fv).clusterCenters()], K)
+        )
 
     def dist2(sub, cvals):
         c = F.array(*[F.lit(float(v)) for v in cvals])
@@ -540,7 +559,9 @@ def _ivfpq_codebooks(spark, sf_dir):
     model = KMeans(
         k=NCELLS, seed=42, featuresCol="fv", predictionCol="cell"
     ).fit(d)
-    coarse = [[float(v) for v in c] for c in model.clusterCenters()]
+    coarse = _pad_centroids(
+        [[float(v) for v in c] for c in model.clusterCenters()], NCELLS
+    )
     carr = F.array(*[F.array(*[F.lit(v) for v in c]) for c in coarse])
     resid = (
         model.transform(d)
@@ -560,7 +581,10 @@ def _ivfpq_codebooks(spark, sf_dir):
         )
         skm = KMeans(k=K, seed=42 + m, featuresCol="fv", predictionCol="c")
         pq.append(
-            [[float(v) for v in c] for c in skm.fit(fv).clusterCenters()]
+            _pad_centroids(
+                [[float(v) for v in c] for c in skm.fit(fv).clusterCenters()],
+                K,
+            )
         )
     resid.unpersist()
     d.unpersist()

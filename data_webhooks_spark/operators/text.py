@@ -1827,9 +1827,13 @@ def pack_sequences_ffd(spark, sf_dir):
     import pandas as pd
 
     t = Tables(spark, sf_dir)
+    # NULL text has no tokens to pack: size() is NULL there, which
+    # reaches the Arrow FFD kernel as NaN and crashed int() (r11
+    # rows-only sweep, scenarios A/D). Dropping the row mirrors
+    # pack_sequences' oracle, whose token CTE never emits such docs.
     sized = t.documents.select(
         "lang", "doc_id", F.size(_tokens()).cast("long").alias("n_tokens")
-    )
+    ).filter(F.col("n_tokens").isNotNull())
     bounds = sized.groupBy("lang").agg(
         F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
     )

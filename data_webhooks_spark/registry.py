@@ -37,11 +37,11 @@ from pyspark.sql import DataFrame, SparkSession
 # r10-after-snapshot/r11 (dedup df-cap trio, drift discrete-edge pair
 # + equidepth, the graph _pin/_fresh_pins trio — degree_stats flagged
 # by the ratchet itself mid-round — embed_centroid_outliers comment,
-# stream_stateful _ss_* split: the r10 verdict's one missed key)
-# = 45 head slots; the remaining 5
-# go to the OLDEST records (r3 cohort; the rest of the r3 block
-# rotates in r12 — displaced by the backlog burn-down, which the
-# verdict ranks above staleness). tests/test_window_selection.py
+# stream_stateful _ss_* split: the r10 verdict's one missed key) + the
+# 5 rows-only keys whose NULL-text/degenerate-KMeans crashes the r11
+# rows-only sweep found and fixed = ALL 50 slots; the r3/r4
+# staleness cohort rotates in r12 — displaced by the backlog
+# burn-down, which the verdict ranks above staleness. tests/test_window_selection.py
 # asserts flagged ⊆ window, so a missed key now fails pytest
 # structurally instead of relying on curation.
 _ROWS_ONLY = {
@@ -55,7 +55,7 @@ _ROWS_ONLY = {
     "profile_table_approx",
 }
 _WINDOW = [
-    # changed-after-record re-verifies (45) — `window_select.py`
+    # changed-after-record re-verifies (50) — `window_select.py`
     # output, reasons inline per block:
     # r11 edits (df-cap trio, discrete-edge pair + equidepth, _pin
     # pair, guard-comment) + r10's missed stream_stateful:
@@ -109,13 +109,15 @@ _WINDOW = [
     "ts_stl_decompose",
     "win_distribution",
     "win_ranking",
-    # oldest-record staleness tail (5 slots; the rest of the r3
-    # cohort rotates in r12, displaced by the backlog burn-down):
-    "text_token_count",
-    "topn_per_group",
-    "tpch_q1",
-    "tpch_q10",
-    "tpch_q11",
+    # r11 rows-only adversarial fixes (NULL-text kernels, degenerate
+    # KMeans codebooks) — rows-only records, but their code moved so
+    # they re-earn records like everyone else. The flagged set now
+    # fills all 50 slots; the r3/r4 staleness cohort rotates in r12.
+    "ann_ivf_pq",
+    "dedup_minhash",
+    "dedup_simhash",
+    "embed_pq",
+    "pack_sequences_ffd",
 ]
 
 _MODULES = [

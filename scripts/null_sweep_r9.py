@@ -364,6 +364,21 @@ def main() -> None:
                 findings[f"{sc}:{k}"] = f"ERROR {type(e).__name__}: {e}"
                 print(f"ERROR {sc} {k}: {type(e).__name__}: {e}", flush=True)
                 traceback.print_exc()
+        # Rows-only keys (no oracle => no parity to compare) must
+        # still EXECUTE on every mutated clone: the crash class the
+        # r10 clone storm exposed in oracled keys (ANSI throw where
+        # the intended behavior is a silent drop) is just as possible
+        # in the approximate/ML paths, and without this loop it was
+        # invisible (r11 gap-closure).
+        for k in sorted(set(qs) - set(osql)):
+            if k in loud or k in boundary:
+                continue
+            try:
+                qs[k](spark, sf).count()
+            except Exception as e:  # noqa: BLE001
+                findings[f"{sc}:{k}"] = f"ROWS-ONLY ERROR {type(e).__name__}: {e}"
+                print(f"ERROR {sc} {k}: {type(e).__name__}: {e}", flush=True)
+                traceback.print_exc()
     out = "/root/repo/.runtime/null_sweep_r9.json"
     with open(out, "w") as f:
         json.dump(findings, f, indent=1, sort_keys=True)

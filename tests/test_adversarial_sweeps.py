@@ -40,19 +40,24 @@ from data_webhooks_spark.oracle import compare_frames, duck_connect
 
 
 def _gated_keys() -> list[str]:
-    osql = registry.oracle_sql()
+    # rows-only keys are included: they cannot diverge (no oracle) but
+    # they CAN crash — the r11 rows-only sweep found four kernel
+    # crashes (NULL-text minhash/simhash/ffd, degenerate-KMeans PQ
+    # codebooks) that the oracled-only gate was blind to. The test
+    # body executes them instead of comparing.
+    qs = registry.queries()
     if os.environ.get("SPARK_GRAFT_SWEEP_ALL"):
-        return sorted(osql)
+        return sorted(qs)
     env = os.environ.get("SPARK_GRAFT_SWEEP_KEYS")
     if env:
-        return [k for k in env.split(",") if k in osql]
+        return [k for k in env.split(",") if k in qs]
     from scripts.window_select import changed_since_last_snapshot
 
-    keys = [k for k in sorted(changed_since_last_snapshot()) if k in osql]
+    keys = sorted(changed_since_last_snapshot())
     if not keys:  # fresh snapshot, nothing edited yet: smoke the head
         from data_webhooks_spark.registry import _WINDOW
 
-        keys = [k for k in _WINDOW[:10] if k in osql]
+        keys = list(_WINDOW[:10])
     return keys
 
 
@@ -74,6 +79,11 @@ def test_adversarial_scenarios(spark, scenario_dir, key):
     if key in EXPECT_LOUD.get(sc, set()):
         with pytest.raises(Exception):
             qs[key](spark, sf).toPandas()
+        return
+    if key not in osql:
+        # rows-only key: no parity possible — the contract is that it
+        # EXECUTES on the mutated clone (crash class, r11 sweep)
+        assert qs[key](spark, sf).count() >= 0
         return
     sp = qs[key](spark, sf).toPandas()
     con = duck_connect(sf)
