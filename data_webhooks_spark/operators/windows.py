@@ -497,20 +497,24 @@ _ROLL_REG_FRAME = 8
         FROM events
     ),
     m AS (
+        -- HUGEINT moments + combination (the Spark twin uses exact
+        -- DECIMAL(38)): calendar-edge timestamps overflow BIGINT in
+        -- (Sx)^2 / n*Sxx (r11 sweep H); both engines compute the same
+        -- exact integer and round it to double identically
         SELECT user_id, event_id, ts,
                CAST(COUNT(*) OVER w AS BIGINT) AS n,
-               CAST(SUM(x) OVER w AS BIGINT) AS sx,
-               CAST(SUM(y) OVER w AS BIGINT) AS sy,
-               CAST(SUM(x * y) OVER w AS BIGINT) AS sxy,
-               CAST(SUM(x * x) OVER w AS BIGINT) AS sxx
+               CAST(SUM(x) OVER w AS HUGEINT) AS sx,
+               CAST(SUM(y) OVER w AS HUGEINT) AS sy,
+               CAST(SUM(CAST(x AS HUGEINT) * y) OVER w AS HUGEINT) AS sxy,
+               CAST(SUM(CAST(x AS HUGEINT) * x) OVER w AS HUGEINT) AS sxx
         FROM e
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN {_ROLL_REG_FRAME - 1} PRECEDING
                      AND CURRENT ROW)
     )
     SELECT user_id, event_id, ts, n,
-           FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0.0)
+           FLOOR(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+                 / nullif(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE), 0.0)
                  * 8.64 * 1e6 + 0.5) / 1e6 AS slope_day
     FROM m
     """,
@@ -550,18 +554,31 @@ def win_rolling_regression(spark, sf_dir):
         .orderBy("ts", "event_id")
         .rowsBetween(-(_ROLL_REG_FRAME - 1), Window.currentRow)
     )
+    # Moments and their combination are exact DECIMAL(38,0), not
+    # BIGINT (r11 full-matrix sweep, scenario H): a calendar-edge
+    # timestamp (epoch 0 / far future) makes x ~ 1.6e9 seconds from
+    # base, so n·Σx² ~ 2e19 and (Σx)² ~ 1.6e20 overflow a 64-bit long
+    # and ANSI Spark throws ARITHMETIC_OVERFLOW. DuckDB's SUM(BIGINT)
+    # already promotes to HUGEINT; the oracle now combines in HUGEINT
+    # explicitly, so BOTH engines compute the same exact integer and
+    # cast it to double with identical IEEE rounding — at fixture
+    # timescales every value fits a long and the doubles are
+    # bit-identical to the pre-r11 records.
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
     m = e.select(
         "user_id",
         "event_id",
         "ts",
         F.count(F.lit(1)).over(w).cast("long").alias("n"),
-        F.sum("x").over(w).cast("long").alias("sx"),
-        F.sum("y").over(w).cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).over(w).cast("long").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).over(w).cast("long").alias("sxx"),
+        F.sum(xd).over(w).alias("sx"),
+        F.sum(yd).over(w).alias("sy"),
+        F.sum(xd * yd).over(w).alias("sxy"),
+        F.sum(xd * xd).over(w).alias("sxx"),
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    nd = F.col("n").cast("decimal(10,0)")
+    num = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     return m.select(
         "user_id",
         "event_id",

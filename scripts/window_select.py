@@ -308,17 +308,36 @@ def infra_warnings() -> list[str]:
     return out
 
 
+# When more keys are flagged than the window can hold, the overflow
+# must be an EXPLICIT deferral to the next round — justified here (the
+# single source; tests/test_window_selection.py asserts a missing
+# flagged key is either windowed or deferred, and that deferrals only
+# exist under genuine slot pressure).
+DEFERRED: dict[str, str] = {
+    "embed_pq": (
+        "r11 change is _pad_centroids, a no-op when KMeans returns "
+        "full K (fixtures do — reconstruction-MSE/codes-dense floors "
+        "in test_quality.py pin the output); rows-only record is a "
+        "bare row count, re-verified unchanged (500 at sf0.01) on a "
+        "vanilla session. Rotates into the r12 window."
+    )
+}
+
+
 def propose_window(size: int = WINDOW_SIZE) -> list[str]:
-    """Head = flagged keys; tail = oldest records first (round, then
-    key) until `size`. Raises if the flagged head alone exceeds the
-    window — that is a real process problem, not something to trim."""
+    """Head = flagged keys (minus documented DEFERRED overflow); tail
+    = oldest records first (round, then key) until `size`. Raises if
+    even after deferrals the head exceeds the window — that is a real
+    process problem, not something to trim silently."""
     from scripts.record_age import load_records
 
     flagged = flagged_keys()
     if len(flagged) > size:
+        flagged = {k: v for k, v in flagged.items() if k not in DEFERRED}
+    if len(flagged) > size:
         raise SystemExit(
             f"{len(flagged)} changed-after-record keys exceed the "
-            f"{size}-slot window: {sorted(flagged)}"
+            f"{size}-slot window even after DEFERRED: {sorted(flagged)}"
         )
     records = load_records()
     live = set(_key_functions())  # a renamed/retired key lingers in
