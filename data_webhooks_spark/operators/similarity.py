@@ -57,6 +57,16 @@ def _pad_centroids(cs: list, k: int) -> list:
     return cs
 
 
+def _first_occurrence_cells(coarse: list) -> list[int]:
+    """Indices of the DISTINCT centers in a (possibly padded) coarse
+    codebook — i.e. the cells that can actually own vectors, since
+    every argmin tie-break in this module assigns to the first
+    occurrence. Query probe rankings must be built over these only:
+    a padded duplicate would burn an nprobe slot on a cell that is
+    empty by construction (r11 ADVICE finding)."""
+    return [i for i, c in enumerate(coarse) if c not in coarse[:i]]
+
+
 def _dot(a_col: str, b_col: str):
     return F.aggregate(
         F.zip_with(F.col(a_col), F.col(b_col), lambda x, y: x * y),
@@ -713,13 +723,19 @@ def ann_ivf_pq(spark, sf_dir):
         *[f"code{m}" for m in range(M)],
     )
 
+    # Probe ranking over DISTINCT real cells only (see
+    # _first_occurrence_cells): on a full-k fit this is
+    # range(NCELLS) and the plan is unchanged; on a degenerate
+    # padded fit it keeps every nprobe slot pointed at a cell that
+    # can actually own vectors.
+    first_cells = _first_occurrence_cells(coarse)
     probe = F.array(
         *[
             F.struct(
                 _ivfpq_dist2(F.col("e"), coarse[i]).alias("d"),
                 F.lit(i).alias("cell"),
             )
-            for i in range(NCELLS)
+            for i in first_cells
         ]
     )
     q = (

@@ -41,10 +41,11 @@ from pyspark.sql import DataFrame, SparkSession
 # 5 rows-only keys whose NULL-text/degenerate-KMeans crashes the r11
 # rows-only sweep found and fixed, and win_rolling_regression (the
 # full-matrix sweep's calendar-edge BIGINT-overflow fix) = 51 flagged
-# keys against 50 slots. embed_pq is the one EXPLICIT DEFERRAL to r12
-# (ledger + justification: scripts/window_select.py DEFERRED); the
-# r3/r4 staleness cohort also rotates in r12 — displaced by the
-# backlog burn-down, which the verdict ranks above staleness.
+# keys against 50 slots; embed_pq was the one EXPLICIT r11 DEFERRAL
+# and duly heads the r12 window below, which also burns the whole
+# r3/r4 staleness cohort (the r11 verdict's top item) so that after
+# the r12 record lands, no driver record is older than r5 and the
+# DEFERRED ledger is empty.
 # tests/test_window_selection.py asserts flagged ⊆ window ∪ DEFERRED
 # with deferrals legal only under slot pressure, so a missed key now
 # fails pytest structurally instead of relying on curation.
@@ -59,76 +60,64 @@ _ROWS_ONLY = {
     "profile_table_approx",
 }
 _WINDOW = [
-    # changed-after-record re-verifies (50) — `window_select.py`
-    # output, reasons inline per block:
-    # r11 edits (df-cap trio, discrete-edge pair + equidepth, _pin
-    # pair, guard-comment) + r10's missed stream_stateful:
-    "agg_histogram_equidepth",
-    "dedup_cluster",
-    "dedup_containment",
-    "dedup_ngram_jaccard",
-    "drift_ks_test",
-    "drift_psi",
-    "embed_centroid_outliers",
-    "graph_degree_stats",
-    "graph_pagerank",
-    "graph_triangle_count",
-    "stream_stateful",
-    # r11 full-matrix sweep fix: decimal/HUGEINT regression moments
-    # (scenario-H calendar-edge overflow)
-    "win_rolling_regression",
-    # historical backlog, streaming/core.py replay_dir (changed r7)
-    # after these keys' r4/r5 records:
-    "join_stream_static",
-    "join_stream_stream",
-    "join_stream_stream_outer",
-    "sink_memory",
-    "sink_parquet",
-    "source_file_stream",
-    "stream_late_drops",
-    "stream_output_modes",
-    "stream_session_agg",
-    "stream_sliding_agg",
-    "stream_topk",
-    "stream_triggers",
-    "stream_tumbling_agg",
-    "stream_watermark",
-    # historical backlog, sources/derived.py ensure_derived:
-    "scan_binaryfile",
-    "scan_csv",
-    "scan_json",
-    "scan_json_corrupt",
-    "scan_python_datasource",
-    "scan_text",
-    # historical backlog, layout.py path helpers:
-    "compact_files",
-    "scan_parquet_bloom",
-    "scan_snapshot_manifest",
-    "zorder_layout",
-    # historical backlog, same-module edits after the record:
-    "agg_bitmap_distinct",
-    "dim_scd2",
-    "join_asof",
-    "sample_per_group",
-    "scan_parquet_evolve",
-    "tpch_q18",
-    "ts_anomaly_stl",
-    "ts_stl_decompose",
-    "win_distribution",
-    "win_ranking",
-    # r11 rows-only adversarial fixes (NULL-text kernels, degenerate
-    # KMeans codebooks) — rows-only records, but their code moved so
-    # they re-earn records like everyone else. 51 keys are flagged
-    # against 50 slots: embed_pq is the one EXPLICIT DEFERRAL to r12
-    # (tests/test_window_selection.py DEFERRED — its r11 change is the
-    # _pad_centroids no-op-at-fixture, its rows-only record is a bare
-    # row count re-verified unchanged on a vanilla session, and the
-    # quality floors pin its output; every other flagged key holds a
-    # slot). The r3/r4 staleness cohort also rotates in r12.
+    # r12 window (`window_select.py --propose` output): head = the 2
+    # changed-after-record keys (ann_ivf_pq's probe-dedup fix — the
+    # r11 ADVICE padded-centroid recall item — and embed_pq, r11's one
+    # explicit deferral, whose r6 record predates the _pad_centroids
+    # change); tail = the ENTIRE r3/r4 record-age cohort (25 r3 + 21
+    # r4 — the r11 verdict's top item: after these record, no driver
+    # record is older than r5 and the DEFERRED ledger is empty) plus
+    # the 2 oldest r5 records (contamination_ngram, join_lateral).
     "ann_ivf_pq",
-    "dedup_minhash",
-    "dedup_simhash",
-    "pack_sequences_ffd",
+    "embed_pq",
+    "text_token_count",
+    "topn_per_group",
+    "tpch_q1",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q19",
+    "tpch_q2",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q9",
+    "win_first_last",
+    "win_lag_lead",
+    "win_range_time",
+    "win_running",
+    "win_sessionize",
+    "win_sliding_rows",
+    "agg_approx_count_distinct",
+    "cogrouped_map",
+    "event_paths",
+    "funnel_conversion",
+    "grouped_map",
+    "join_bucketed",
+    "join_cross",
+    "join_interval",
+    "join_left_anti",
+    "join_self",
+    "join_skew_salted",
+    "join_theta_range",
+    "retention_cohort",
+    "sample_hash",
+    "sample_stratified",
+    "scan_orc",
+    "scan_parquet",
+    "split_train_test",
+    "udaf_pandas",
+    "udf_python",
+    "udtf_python",
+    "contamination_ngram",
+    "join_lateral",
 ]
 
 _MODULES = [

@@ -266,19 +266,36 @@ def flagged_keys() -> dict[str, str]:
     return flagged
 
 
-def changed_since_last_snapshot() -> dict[str, str]:
-    """key -> reason, for keys whose implementing closure changed
-    since the NEWEST round snapshot — i.e. edited in the CURRENT
-    round. This is the budget-gated set the in-suite adversarial
-    sweeps run over (the full flagged set includes a historical
-    backlog that older suites already exercised; the sweep gate's job
-    is catching regressions in fresh edits)."""
+def _latest_certified_round() -> int | None:
+    """Newest round whose CORRECTNESS artifact has a snapshot COMMIT.
+    Mid-round the newest artifact on disk is often still untracked
+    (the driver writes it before anyone commits); diffing must fall
+    back to the last round that certifies an actual tree — returning
+    {} here silently degraded the in-suite adversarial gate to a
+    hardcoded smoke slice (r11 ADVICE finding)."""
     from scripts.record_age import load_records
 
-    newest = max(r for r, _ in load_records().values())
-    commit = _snapshot_commit(newest)
-    if commit is None:
+    for rnd in sorted(
+        {r for r, _ in load_records().values()}, reverse=True
+    ):
+        if _snapshot_commit(rnd) is not None:
+            return rnd
+    return None
+
+
+def changed_since_last_snapshot() -> dict[str, str]:
+    """key -> reason, for keys whose implementing closure changed
+    since the newest CERTIFIED round snapshot — i.e. edited in the
+    current round (plus, mid-round before the new artifact lands, any
+    still-uncertified edits from the round in flight). This is the
+    budget-gated set the in-suite adversarial sweeps run over (the
+    full flagged set includes a historical backlog that older suites
+    already exercised; the sweep gate's job is catching regressions
+    in fresh edits)."""
+    newest = _latest_certified_round()
+    if newest is None:
         return {}
+    commit = _snapshot_commit(newest)
     out: dict[str, str] = {}
     for key, (relpath, fname) in sorted(_key_functions().items()):
         for rp, nm in sorted(_closure(relpath, fname)):
@@ -289,12 +306,10 @@ def changed_since_last_snapshot() -> dict[str, str]:
 
 
 def infra_warnings() -> list[str]:
-    from scripts.record_age import load_records
-
-    newest = max(r for r, _ in load_records().values())
-    commit = _snapshot_commit(newest)
-    if commit is None:
+    newest = _latest_certified_round()
+    if newest is None:
         return []
+    commit = _snapshot_commit(newest)
     out = []
     # registry.py is the rotation vehicle — it changes EVERY round by
     # design, carries no operator semantics (key order + module list),
@@ -314,13 +329,11 @@ def infra_warnings() -> list[str]:
 # flagged key is either windowed or deferred, and that deferrals only
 # exist under genuine slot pressure).
 DEFERRED: dict[str, str] = {
-    "embed_pq": (
-        "r11 change is _pad_centroids, a no-op when KMeans returns "
-        "full K (fixtures do — reconstruction-MSE/codes-dense floors "
-        "in test_quality.py pin the output); rows-only record is a "
-        "bare row count, re-verified unchanged (500 at sf0.01) on a "
-        "vanilla session. Rotates into the r12 window."
-    )
+    # r12: empty — embed_pq (the one r11 deferral: _pad_centroids was
+    # a fixture no-op, quality floors pinned the output) rotated into
+    # the r12 window head as promised, and the r12 head (2 keys) left
+    # 48 slots for the full r3/r4 record-age cohort, so no slot
+    # pressure exists this round.
 }
 
 

@@ -51,13 +51,37 @@ def _gated_keys() -> list[str]:
     env = os.environ.get("SPARK_GRAFT_SWEEP_KEYS")
     if env:
         return [k for k in env.split(",") if k in qs]
-    from scripts.window_select import changed_since_last_snapshot
+    from scripts.window_select import (
+        changed_since_last_snapshot,
+        flagged_keys,
+    )
 
     keys = sorted(changed_since_last_snapshot())
-    if not keys:  # fresh snapshot, nothing edited yet: smoke the head
-        from data_webhooks_spark.registry import _WINDOW
+    if not keys:
+        # Fresh snapshot, nothing edited yet. Fall back to the keys
+        # whose code moved after their own record (the window head) —
+        # NOT a hardcoded slice — and say so loudly: a silent green
+        # here previously masked the gate running in degraded mode
+        # (r11 ADVICE finding).
+        keys = sorted(flagged_keys())[:10]
+        if keys:
+            import warnings
 
-        keys = list(_WINDOW[:10])
+            warnings.warn(
+                "adversarial sweep gate: no current-round edits "
+                f"detected; degraded fallback over {len(keys)} "
+                "changed-after-record keys",
+                stacklevel=2,
+            )
+    if not keys:  # truly quiescent tree: smoke the 10 oldest records
+        from scripts.record_age import load_records
+
+        recs = load_records()
+        keys = [
+            k
+            for _, k in sorted((r, k) for k, (r, _) in recs.items())
+            if k in qs
+        ][:10]
     return keys
 
 

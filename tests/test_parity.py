@@ -48,7 +48,7 @@ def test_oracle_not_vacuous(key, duck):
     )
 
 
-def test_driver_window_is_the_round11_rotation():
+def test_driver_window_is_the_round12_rotation():
     """The external driver's correctness gate reads the FIRST 50 keys
     of queries(). Since r11 the window HEAD is computed, not curated:
     scripts/window_select.py flags every key whose implementing
