@@ -57,6 +57,20 @@ def main() -> None:
     except OSError:
         load1 = None
 
+    # Host-speed canary: sessions land on measurably different hosts
+    # (r9's idle headline was 9.6 s where r7/r8's was 8.3 s on
+    # unchanged code; r12 measured 8.55 s at load1 0.56 but 9.20 s at
+    # load1 0.09 minutes apart). load1 alone can't explain that — a
+    # fixed single-core sha256 workload, timed before Spark starts,
+    # lets any two headline numbers be compared speed-normalized.
+    import hashlib
+
+    t0 = time.perf_counter()
+    blk = b"\x5a" * 1_000_000
+    for _ in range(400):
+        blk = hashlib.sha256(blk).digest() + blk[:-32]
+    cpu_canary = round(time.perf_counter() - t0, 4)
+
     spark = get_spark("dws-bench")
     qs = registry.queries()
     keys = [k for k in HEADLINE if k in qs]
@@ -87,6 +101,7 @@ def main() -> None:
                 "queries": per_query,
                 "sf": sf,
                 "load1_at_start": load1,
+                "cpu_canary_sec": cpu_canary,
             }
         )
     )
