@@ -177,6 +177,32 @@ KEYS = [
     "pipeline_events_prep",
     "retention_cohort",
     "win_sessionize",
+    # r12: the full TPC-H suite (r11 verdict item 4 — the most
+    # join-heavy family previously sampled only by q5/q18) plus the
+    # last unswept warehouse key. Outputs are bounded: the per-entity
+    # queries group over the FIXED part/supplier dims, q10/q18 carry
+    # LIMIT 20/100, q13 returns a histogram.
+    "tpch_q1",
+    "tpch_q2",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "merge_upsert",
 ]
 MAX_FACTOR = {
     "dedup_embedding": 10,
