@@ -1038,43 +1038,67 @@ def tpch_q21(spark, sf_dir):
     """Q21 suppliers who kept orders waiting, adapted (no
     commit/receipt dates: 'late' = shipped >60 days after order
     placement on a finalized order). The original's correlated
-    EXISTS / NOT EXISTS pair is re-expressed as set joins — the
-    scalable form: EXISTS(other supplier) becomes a semi join against
-    multi-supplier orders; NOT EXISTS(other LATE supplier) becomes a
-    semi join against orders whose distinct-late-supplier count is
-    exactly 1 (the l1 row itself is late, so sole-late == no other
-    late). Every intermediate is key-grouped — no correlated per-row
-    subquery execution anywhere."""
+    EXISTS / NOT EXISTS pair both reduce to PER-ORDER SET
+    CARDINALITIES, so they come out of ONE window pass over the
+    single lineitem ⋈ orders join: EXISTS(other supplier) is
+    size(collect_set(supplier)) > 1 and NOT EXISTS(other LATE
+    supplier) is size(collect_set(supplier WHERE late)) == 1 (the l1
+    row itself is late, so sole-late == no other late). An order
+    holds ≤7 suppliers, so the per-row set state is constant. The
+    r12 rewrite replaces the previous set-join form, which
+    materialized the fact-fact join TWICE (late + sole_late) plus a
+    third full-lineitem distinct-count — three fact shuffles; the
+    window reuses the join's own l_orderkey hash partitioning (no
+    additional exchange), leaving exactly one lineitem shuffle.
+    Measured ×100 (60 M lines, clearCache-honest): 18.9 s → 8.6 s
+    (ratio vs DuckDB 10.0 → 3.3); ×10 3.34 → 1.91 s."""
+    from pyspark.sql import Window
+
     t = Tables(spark, sf_dir)
-    late = (
-        t.lineitem.join(
-            t.orders.filter(F.col("o_orderstatus") == "F"),
+    j = (
+        t.lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            t.orders.filter(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .filter(
-            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        .withColumn(
+            "is_late",
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
         )
-        .select("l_orderkey", "l_suppkey")
     )
-    multi = (
-        t.lineitem.groupBy("l_orderkey")
-        .agg(F.count_distinct("l_suppkey").alias("nsup"))
-        .filter(F.col("nsup") > 1)
-        .select("l_orderkey")
-    )
-    sole_late = (
-        late.distinct()
-        .groupBy("l_orderkey")
-        .count()
-        .filter(F.col("count") == 1)
-        .select("l_orderkey")
+    w = Window.partitionBy("l_orderkey")
+    flagged = j.select(
+        "l_suppkey",
+        "is_late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("nsup"),
+        # collect_set drops NULLs, so the WHEN filters to late rows
+        F.size(
+            F.collect_set(
+                F.when(F.col("is_late"), F.col("l_suppkey"))
+            ).over(w)
+        ).alias("nlate"),
     )
     return (
-        late.join(multi, "l_orderkey", "left_semi")
-        .join(sole_late, "l_orderkey", "left_semi")
-        .join(t.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(t.nation, F.col("n_nationkey") == F.col("s_nationkey"))
-        .filter(F.col("n_name") == "NATION_1")
+        flagged.filter(
+            F.col("is_late") & (F.col("nsup") > 1) & (F.col("nlate") == 1)
+        )
+        .join(
+            F.broadcast(
+                t.supplier.select("s_suppkey", "s_name", "s_nationkey")
+            ),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .join(
+            F.broadcast(
+                t.nation.filter(F.col("n_name") == "NATION_1").select(
+                    "n_nationkey"
+                )
+            ),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")

@@ -60,16 +60,19 @@ _ROWS_ONLY = {
     "profile_table_approx",
 }
 _WINDOW = [
-    # r12 window (`window_select.py --propose` output): head = the 2
-    # changed-after-record keys (ann_ivf_pq's probe-dedup fix — the
-    # r11 ADVICE padded-centroid recall item — and embed_pq, r11's one
-    # explicit deferral, whose r6 record predates the _pad_centroids
-    # change); tail = the ENTIRE r3/r4 record-age cohort (25 r3 + 21
-    # r4 — the r11 verdict's top item: after these record, no driver
-    # record is older than r5 and the DEFERRED ledger is empty) plus
-    # the 2 oldest r5 records (contamination_ngram, join_lateral).
+    # r12 window (`window_select.py --propose` output): head = the 3
+    # changed-after-record keys (ann_ivf_pq probe-dedup fix — the r11
+    # ADVICE padded-centroid recall item; embed_pq, r11's one explicit
+    # deferral, whose r6 record predates the _pad_centroids change;
+    # tpch_q21's single-pass window rewrite — one fact shuffle instead
+    # of three, x100 18.9 -> 8.6 s); tail = the ENTIRE r3/r4
+    # record-age cohort (25 r3 + 21 r4 — the r11 verdict's top item:
+    # after these record, no driver record is older than r5 and the
+    # DEFERRED ledger is empty) plus the 2 oldest r5 records
+    # (contamination_ngram, join_lateral).
     "ann_ivf_pq",
     "embed_pq",
+    "tpch_q21",
     "text_token_count",
     "topn_per_group",
     "tpch_q1",
@@ -82,7 +85,6 @@ _WINDOW = [
     "tpch_q19",
     "tpch_q2",
     "tpch_q20",
-    "tpch_q21",
     "tpch_q22",
     "tpch_q3",
     "tpch_q4",

@@ -503,3 +503,22 @@ def test_registry_output_dtypes(spark, sf_dir, qs):
         "non-scalar output columns (driver's pandas sort canon cannot "
         f"order these — scalarize like agg_collect/multimodal_col): {bad}"
     )
+
+
+def test_tpch_q21_single_fact_shuffle_window(spark, sf_dir, qs):
+    """r12 rewrite: both EXISTS cardinalities come from one window
+    over the single lineitem ⋈ orders join, and the window must reuse
+    that join's l_orderkey partitioning — exactly ONE l_orderkey hash
+    exchange in the whole plan (previous set-join form shuffled the
+    fact three times: late ×2 + the full-lineitem distinct count).
+    The supplier/nation attach must broadcast."""
+    plan = plan_of(qs["tpch_q21"](spark, sf_dir))
+    key_exchanges = [
+        l
+        for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "orderkey" in l
+    ]
+    assert len(key_exchanges) <= 1, key_exchanges
+    assert plan.count("Window") >= 1
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # supplier + nation
