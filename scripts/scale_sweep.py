@@ -203,6 +203,155 @@ KEYS = [
     "tpch_q21",
     "tpch_q22",
     "merge_upsert",
+    # r12 basics batch: the remaining sweepable non-streaming keys —
+    # relational/scalar/set/window/join/text/udf/agg families. Keys
+    # reading DERIVED single-file or pre-bucketed inputs stay out
+    # (scan_*/layout/join_bucketed — the amplified dirs cannot
+    # regenerate their twins, same exclusion as scan_json_corrupt).
+    # Row-level-output keys carry a ×10 MAX_FACTOR cap: their ×100
+    # toPandas is millions of rows and measures driver result
+    # transfer, not the operator (the warehouse_snapshot_diff /
+    # cdc_apply_log cap class).
+    "agg_global",
+    "agg_having",
+    "agg_grouping_sets",
+    "agg_rollup",
+    "agg_pivot",
+    "agg_mode",
+    "agg_conditional",
+    "agg_collect",
+    "agg_string",
+    "agg_count_distinct",
+    "agg_approx_count_distinct",
+    "agg_bitmap_distinct",
+    "agg_hll_sketch",
+    "agg_kll_quantile",
+    "agg_theta_overlap",
+    "agg_salted_exact",
+    "agg_stats",
+    "agg_percentile",
+    "unpivot",
+    "dq_checks",
+    "dq_observe",
+    "project",
+    "filter_simple",
+    "filter_compound",
+    "filter_like",
+    "filter_null_safe_eq",
+    "filter_exists_correlated",
+    "filter_not_in_vs_not_exists",
+    "case_when",
+    "sql_passthrough",
+    "str_funcs",
+    "str_regex",
+    "date_funcs",
+    "math_funcs",
+    "ts_funcs",
+    "null_funcs",
+    "cast_decimal",
+    "hash_funcs",
+    "arr_basic",
+    "arr_explode",
+    "arr_higher_order",
+    "json_get",
+    "json_parse",
+    "map_funcs",
+    "sort_multi",
+    "limit",
+    "topk",
+    "set_union_all",
+    "set_union_distinct",
+    "set_intersect",
+    "set_intersect_all",
+    "set_except",
+    "set_except_all",
+    "win_lag_lead",
+    "win_running",
+    "win_first_last",
+    "win_range_time",
+    "win_sliding_rows",
+    "win_distribution",
+    "join_inner_equi",
+    "join_left_outer",
+    "join_right_outer",
+    "join_full_outer",
+    "join_left_semi",
+    "join_left_anti",
+    "join_cross",
+    "join_lateral",
+    "join_asof_forward",
+    "text_stats",
+    "text_tokenize",
+    "text_token_count",
+    "text_normalize",
+    "text_langid",
+    "text_quality",
+    "text_sentiment",
+    "text_fingerprint",
+    "text_redact",
+    "text_ngram_freq",
+    "text_bigram_logprob",
+    "pipeline_text_prep",
+    "quality_gopher_rules",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "sample_per_group",
+    "sample_mixture_target",
+    "udf_python",
+    "udf_pandas_scalar",
+    "udaf_pandas",
+    "udtf_python",
+    "grouped_map",
+    "cogrouped_map",
+    "map_in_pandas",
+    "multimodal_col",
+    "multimodal_resize",
+    "multimodal_frames",
+    "multimodal_features",
+    "sim_cosine_brute",
+    "knn_join",
+    "embed_quantize_int8",
+    "embed_pq",
+    "ts_moving_median",
+    "ts_period_delta",
+]
+
+# r12 basics batch ×10 caps, by artifact class (see KEYS comment):
+# (a) row-level outputs — ×100 toPandas measures result transfer;
+# (b) agg_percentile — the documented per-group value->count buffer
+#     grows with distinct values (the docstring's own 100 TB caveat);
+# (c) dedup banding on amplified EXACT replicas — candidate pairs are
+#     O(replicas²) without dedup_cluster's replica collapse (the
+#     multimodal_phash artifact class);
+# (d) udf_python — the deliberate row-at-a-time escape-hatch demo.
+_R12_X10_CAPS = [
+    "project", "filter_simple", "filter_compound", "filter_like",
+    "filter_null_safe_eq", "filter_exists_correlated",
+    "filter_not_in_vs_not_exists", "case_when", "sql_passthrough",
+    "str_funcs", "str_regex", "date_funcs", "math_funcs", "ts_funcs",
+    "null_funcs", "cast_decimal", "hash_funcs", "arr_basic",
+    "arr_explode", "arr_higher_order", "json_get", "json_parse",
+    "map_funcs", "sort_multi", "win_lag_lead", "win_running",
+    "win_first_last", "win_range_time", "win_sliding_rows",
+    "win_distribution", "join_inner_equi", "join_left_outer",
+    "join_right_outer", "join_full_outer", "join_left_semi",
+    "join_left_anti", "join_lateral", "join_asof_forward",
+    "text_stats", "text_tokenize", "text_token_count",
+    "text_normalize", "text_langid", "text_quality", "text_sentiment",
+    "text_fingerprint", "text_redact", "text_ngram_freq",
+    "text_bigram_logprob", "pipeline_text_prep", "quality_gopher_rules",
+    "dedup_exact", "dedup_minhash", "dedup_simhash",
+    "dedup_ngram_jaccard", "dedup_containment", "sample_per_group",
+    "sample_mixture_target", "udf_python", "udf_pandas_scalar",
+    "udaf_pandas", "udtf_python", "grouped_map", "cogrouped_map",
+    "map_in_pandas", "multimodal_col", "multimodal_resize",
+    "multimodal_frames", "multimodal_features", "agg_percentile",
+    "agg_string", "unpivot", "embed_pq", "set_union_all",
+    "set_union_distinct", "set_intersect", "set_intersect_all",
+    "set_except", "set_except_all",
 ]
 MAX_FACTOR = {
     "dedup_embedding": 10,
@@ -235,6 +384,7 @@ MAX_FACTOR = {
     # same fixed-part-universe densification artifact as
     # graph_triangle_count: x100 edge count is ~quadratic in the factor.
     "graph_degree_stats": 10,
+    **{k: 10 for k in _R12_X10_CAPS},
 }
 # Keys whose DuckDB oracle is skipped at amplified factors:
 # dedup_embedding's oracle is an O(n^2) nested-loop self-join (400M

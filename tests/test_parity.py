@@ -18,19 +18,18 @@ ROWS_ONLY_KEYS = sorted(set(QUERIES) - set(ORACLE))
 
 
 @pytest.mark.parametrize("key", SQL_KEYS)
-def test_sql_parity(key, spark, duck, sf_dir):
-    sp = QUERIES[key](spark, sf_dir).toPandas()
+def test_sql_parity(key, spark_result, duck):
+    sp = spark_result(key)
     du = duck.execute(ORACLE[key]).df()
     problems = compare_frames(sp, du)
     assert not problems, f"{key}: " + "; ".join(problems)
 
 
 @pytest.mark.parametrize("key", ROWS_ONLY_KEYS)
-def test_rows_only_runs(key, spark, sf_dir):
-    df = QUERIES[key](spark, sf_dir)
-    n = df.count()
-    assert n >= 0
-    assert len(df.columns) > 0
+def test_rows_only_runs(key, spark_result):
+    res = spark_result(key)
+    assert len(res) >= 0
+    assert len(res.columns) > 0
 
 
 @pytest.mark.parametrize("key", SQL_KEYS)
@@ -125,7 +124,9 @@ PORTABLE_ORACLES = frozenset({
 })
 
 
-def test_three_way_agreement_sparksql_vs_dataframe(spark, sf_dir, duck):
+def test_three_way_agreement_sparksql_vs_dataframe(
+    spark, sf_dir, duck, spark_result
+):
     """SURVEY §3.2: every oracle string that is engine-portable ANSI
     must ALSO run through spark.sql over the same views and agree with
     the DataFrame-API result — DataFrame plan ≡ Spark SQL ≡ DuckDB.
@@ -147,7 +148,7 @@ def test_three_way_agreement_sparksql_vs_dataframe(spark, sf_dir, duck):
             via_sql = spark.sql(sql).toPandas()
         except Exception:
             continue  # DuckDB-dialect oracle; not portable
-        via_df = qs[k](spark, sf_dir).toPandas()
+        via_df = spark_result(k)
         probs = compare_frames(via_df, via_sql)
         ran.append(k)
         if probs:

@@ -268,12 +268,15 @@ def test_event_paths_single_window_exchange(spark, sf_dir, qs):
 
 
 def test_tpch_q21_no_cartesian_and_semi_joins(spark, sf_dir, qs):
-    """The correlated EXISTS / NOT EXISTS pair must plan as key-grouped
-    set joins — a CartesianProduct or per-row correlated execution here
-    is the shape that dies at 100 TB."""
+    """The correlated EXISTS / NOT EXISTS pair must never plan as a
+    CartesianProduct or per-row correlated execution — the shape that
+    dies at 100 TB. Since the r12 single-pass rewrite the existence
+    logic is per-order set cardinalities from ONE window (see
+    test_tpch_q21_single_fact_shuffle_window for the full plan pin);
+    this guard keeps the anti-pattern class extinct."""
     plan = plan_of(qs["tpch_q21"](spark, sf_dir))
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
-    assert "LeftSemi" in plan
+    assert "Window" in plan
 
 
 def test_tpch_q2_window_min_and_broadcast_dims(spark, sf_dir, qs):
@@ -459,15 +462,15 @@ NESTED_LOOP_OK = {
 }
 
 
-def test_registry_wide_plan_lint(spark, sf_dir, qs):
+def test_registry_wide_plan_lint(qs, built_df):
     """Sweep EVERY key's physical plan for the three operators that
     kill 100 TB jobs: row-at-a-time Python eval, cartesian products,
     and nested-loop joins. Only the pinned allowlists may contain
     them; a new key hitting this must either fix its plan or add an
     explicit bounded-side justification above."""
     bad = []
-    for key, fn in sorted(qs.items()):
-        plan = plan_of(fn(spark, sf_dir))
+    for key in sorted(qs):
+        plan = plan_of(built_df(key))
         if "BatchEvalPython" in plan and key not in ROW_PYTHON_OK:
             bad.append((key, "BatchEvalPython"))
         if "CartesianProduct" in plan:
@@ -477,7 +480,7 @@ def test_registry_wide_plan_lint(spark, sf_dir, qs):
     assert not bad, bad
 
 
-def test_registry_output_dtypes(spark, sf_dir, qs):
+def test_registry_output_dtypes(qs, built_df):
     """Driver-canon compatibility lint (the r5 lesson): the external
     driver canonicalizes results with a pandas sort over every output
     column, which cannot hash/sort ndarray, bytes, or dict cells —
@@ -491,10 +494,10 @@ def test_registry_output_dtypes(spark, sf_dir, qs):
     from pyspark.sql.types import ArrayType, BinaryType, MapType
 
     bad = []
-    for key, fn in sorted(qs.items()):
+    for key in sorted(qs):
         offenders = [
             f"{f.name}:{f.dataType.simpleString()}"
-            for f in fn(spark, sf_dir).schema.fields
+            for f in built_df(key).schema.fields
             if isinstance(f.dataType, (ArrayType, MapType, BinaryType))
         ]
         if offenders:
