@@ -378,11 +378,31 @@ def dedup_simhash(spark, sf_dir):
     """64-bit SimHash (Charikar 2002; near-dup application as in Manku
     et al., WWW 2007) fingerprints + 4x16-bit band bucketing; candidate
     pairs from band collisions, verified by exact Hamming distance
-    (F.bit_count on XOR). All candidate generation is equi-join shaped —
-    scales like a hash join, not a cross join. The fingerprint UDF is
-    the fully vectorized numpy bit-matrix kernel in simhash_impl.py
-    (factorize -> md5 digest matrix -> unpackbits -> signed sum ->
-    packbits); no per-word/per-bit Python loop."""
+    (F.bit_count on XOR). The fingerprint UDF is the fully vectorized
+    numpy bit-matrix kernel in simhash_impl.py (factorize -> md5 digest
+    matrix -> unpackbits -> signed sum -> packbits); no per-word/
+    per-bit Python loop.
+
+    Candidate generation runs at DISTINCT-FINGERPRINT granularity
+    (r12): hamming(h1, h2) depends only on the value pair, and
+    duplicated corpora collapse many docs onto one fingerprint (the
+    amplified ×10 corpus: 50k docs -> 3,866 values, with one 16-bit
+    band bucket holding 16,390 docs). The previous doc-level band
+    self-join compared every doc pair inside such a bucket —
+    O(bucket²) work dominated by pairs that FAIL the hamming test —
+    and recomputed the same hamming distance once per doc pair. Now:
+    (1) band-join the distinct values (bounded, skew-free), hamming-
+    filter ONCE per value pair; (2) same-value doc cliques join on
+    fingerprint equality (hamming 0 by construction); (3) expand
+    surviving value pairs to doc pairs with two hash joins. Work is
+    O(distinct-value candidates) + O(true output pairs); the output
+    itself is inherently quadratic in duplicate-clique sizes — the
+    all-pairs CONTRACT, not the plan (dedup_cluster is the
+    cluster-level scale path). Measured ×10 by count() — the honest
+    operator cost, since collecting 182 M pairs (4.4 GB) to one
+    driver measures transfer: ~50 s -> 11.6 s, with the pair set
+    proven identical brute-force in
+    tests/test_r12_fixes.py::test_simhash_value_level_rewrite_matches_bruteforce."""
     from pyspark.sql.functions import pandas_udf
 
     from .simhash_impl import simhash64_batch
@@ -399,8 +419,8 @@ def dedup_simhash(spark, sf_dir):
     sh = t.documents.filter(F.col("text").isNotNull()).select(
         "doc_id", simhash64("text").alias("simhash")
     )
-    bands = sh.select(
-        "doc_id",
+    vals = sh.select("simhash").distinct()
+    vbands = vals.select(
         "simhash",
         F.explode(
             F.array(
@@ -415,28 +435,52 @@ def dedup_simhash(spark, sf_dir):
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "simhash", "bk.band", "bk.key")
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select("simhash", "bk.band", "bk.key")
+    va, vb = vbands.alias("va"), vbands.alias("vb")
+    # distinct value pairs sharing a band, hamming-checked ONCE each
+    vpairs = (
+        va.join(
+            vb,
+            (F.col("va.band") == F.col("vb.band"))
+            & (F.col("va.key") == F.col("vb.key"))
+            & (F.col("va.simhash") < F.col("vb.simhash")),
         )
         .select(
-            F.col("a.doc_id").alias("d1"),
-            F.col("b.doc_id").alias("d2"),
-            F.col("a.simhash").alias("h1"),
-            F.col("b.simhash").alias("h2"),
+            F.col("va.simhash").alias("h1"),
+            F.col("vb.simhash").alias("h2"),
         )
         .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+        )
+        .filter(F.col("hamming") <= 12)
     )
-    return cand.select(
-        "d1",
-        "d2",
-        F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).alias("hamming"),
-    ).filter(F.col("hamming") <= 12)
+    s1 = sh.select(F.col("doc_id").alias("da"), F.col("simhash").alias("h1"))
+    s2 = sh.select(F.col("doc_id").alias("db"), F.col("simhash").alias("h2"))
+    cross_val = (
+        vpairs.join(s1, "h1")
+        .join(s2, "h2")
+        .select(
+            F.least("da", "db").alias("d1"),
+            F.greatest("da", "db").alias("d2"),
+            "hamming",
+        )
+    )
+    # same-fingerprint cliques: every band collides, hamming is 0
+    same_val = (
+        sh.alias("x")
+        .join(
+            sh.alias("y"),
+            (F.col("x.simhash") == F.col("y.simhash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("d1"),
+            F.col("y.doc_id").alias("d2"),
+            F.lit(0).alias("hamming"),
+        )
+    )
+    return cross_val.unionAll(same_val)
 
 
 # Rep-level candidate SQL, mirroring _cluster_candidates exactly:

@@ -60,17 +60,19 @@ _ROWS_ONLY = {
     "profile_table_approx",
 }
 _WINDOW = [
-    # r12 window (`window_select.py --propose` output): head = the 3
+    # r12 window (`window_select.py --propose` output): head = the 4
     # changed-after-record keys (ann_ivf_pq probe-dedup fix — the r11
     # ADVICE padded-centroid recall item; embed_pq, r11's one explicit
     # deferral, whose r6 record predates the _pad_centroids change;
     # tpch_q21's single-pass window rewrite — one fact shuffle instead
-    # of three, x100 18.9 -> 8.6 s); tail = the ENTIRE r3/r4
-    # record-age cohort (25 r3 + 21 r4 — the r11 verdict's top item:
-    # after these record, no driver record is older than r5 and the
-    # DEFERRED ledger is empty) plus the 2 oldest r5 records
-    # (contamination_ngram, join_lateral).
+    # of three; dedup_simhash's value-level candidate generation — the
+    # r12 sweep's O(bucket²) finding, pair set pinned brute-force);
+    # tail = the ENTIRE r3/r4 record-age cohort (the r11 verdict's top
+    # item: after these record, no driver record is older than r5 and
+    # the DEFERRED ledger is empty) plus the oldest r5 record
+    # (contamination_ngram).
     "ann_ivf_pq",
+    "dedup_simhash",
     "embed_pq",
     "tpch_q21",
     "text_token_count",
@@ -119,7 +121,6 @@ _WINDOW = [
     "udf_python",
     "udtf_python",
     "contamination_ngram",
-    "join_lateral",
 ]
 
 _MODULES = [

@@ -385,6 +385,13 @@ MAX_FACTOR = {
     # graph_triangle_count: x100 edge count is ~quadratic in the factor.
     "graph_degree_stats": 10,
     **{k: 10 for k in _R12_X10_CAPS},
+    # the all-pairs CONTRACT makes the output O(duplicate-clique²):
+    # 182 M pairs / 4.4 GB at ×10 on the replica-amplified corpus, so
+    # the toPandas measures driver transfer (105 of 117 s), not the
+    # operator — compute is 11.6 s by count(), recorded in SCALE.md
+    # after the r12 value-level rewrite. dedup_cluster is the
+    # decision-level scale path and sweeps to ×100.
+    "dedup_simhash": 1,
 }
 # Keys whose DuckDB oracle is skipped at amplified factors:
 # dedup_embedding's oracle is an O(n^2) nested-loop self-join (400M
@@ -495,6 +502,16 @@ def main() -> None:
     only = os.environ.get("SPARK_GRAFT_SWEEP_KEYS")
     keys = [k for k in KEYS if k in set(only.split(","))] if only else KEYS
     factors = [int(a) for a in sys.argv[1:]] or [1, 10, 100]
+    # Amplified row-level outputs (full-width lineitem projections at
+    # ×10 are ~1 GiB as Arrow batches) exceed the default 1g
+    # maxResultSize mid-collect; the sweep session raises it BEFORE
+    # the JVM starts via submit args — measurement-harness capacity,
+    # not an operator tuning (the driver's own runs never collect
+    # amplified results, so session.py stays untouched).
+    os.environ.setdefault(
+        "PYSPARK_SUBMIT_ARGS",
+        "--conf spark.driver.maxResultSize=8g pyspark-shell",
+    )
     spark = get_spark("dws-scale-sweep")
     qs = registry.queries()
     osql = registry.oracle_sql()
@@ -509,12 +526,20 @@ def main() -> None:
     for factor in factors:
         sf_dir = BASE if factor == 1 else amplify(spark, factor)
         lineitem_rows = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
-        per, duck, ratio = {}, {}, {}
+        per, duck, ratio, errs = {}, {}, {}, {}
         con = duck_connect_multi(sf_dir)
         for k in keys:
             if factor > MAX_FACTOR.get(k, 10**9):
                 continue
-            qs[k](spark, sf_dir).toPandas()  # warm (JIT/page cache)
+            try:
+                qs[k](spark, sf_dir).toPandas()  # warm (JIT/page cache)
+            except Exception as e:  # noqa: BLE001 — record, keep sweeping
+                # a single key's failure (e.g. an amplified result
+                # outgrowing driver capacity) must not lose the whole
+                # factor's measurements (r12: a maxResultSize abort at
+                # ×10 did exactly that before this guard)
+                errs[k] = repr(e)[:200]
+                continue
             best = float("inf")
             for _ in range(2):
                 # drop persisted relations between runs: the graph
@@ -533,7 +558,14 @@ def main() -> None:
                 and k not in ORACLE_SKIP
                 and factor <= ORACLE_MAX_FACTOR.get(k, 10**9)
             ):
-                con.execute(osql[k]).df()  # warm (page cache + plan)
+                try:
+                    con.execute(osql[k]).df()  # warm (page cache + plan)
+                except Exception as e:  # noqa: BLE001 — oracle-side
+                    # capacity failures on amplified inputs are a
+                    # documented class (ORACLE_SKIP); an undocumented
+                    # one is recorded, not fatal
+                    errs[f"{k}__oracle"] = repr(e)[:200]
+                    continue
                 dbest = float("inf")
                 for _ in range(2):
                     t0 = time.perf_counter()
@@ -547,6 +579,8 @@ def main() -> None:
         slot.setdefault("queries", {}).update(per)
         slot.setdefault("duckdb", {}).update(duck)
         slot.setdefault("ratio_spark_over_duckdb", {}).update(ratio)
+        if errs:
+            slot.setdefault("errors", {}).update(errs)
         slot["total_s"] = round(sum(slot["queries"].values()), 3)
         slot["duck_total_s"] = round(sum(slot["duckdb"].values()), 3)
         print(json.dumps({f"x{factor}": results[f"x{factor}"]}), flush=True)
