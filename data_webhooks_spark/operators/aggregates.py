@@ -682,15 +682,21 @@ def agg_kll_quantile(spark, sf_dir):
             ).alias("rank_ok"),
         )
     )
+    # Empty-corpus edge (r12 scenario-K finding): SUM over zero
+    # per-flag rows is NULL on both engines, but the oracle's __all__
+    # row uses COUNT(*) (0) and a constant TRUE — mirror that here:
+    # n_rows coalesces to 0 and a zero-population sketch median is
+    # VACUOUSLY rank-ok (there is no rank to be wrong about).
+    # Non-empty inputs never take either branch.
     merged = counted.agg(
         F.sum("n").alias("n"), F.sum("le_gest").alias("le_gest")
     ).select(
         F.lit("__all__").alias("l_returnflag"),
         F.lit(None).cast("double").alias("exact_p50"),
-        F.col("n").alias("n_rows"),
-        (F.abs(F.col("le_gest") / F.col("n") - 0.5) <= F.lit(eps)).alias(
-            "rank_ok"
-        ),
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_rows"),
+        F.when(F.coalesce(F.col("n"), F.lit(0)) == 0, F.lit(True))
+        .otherwise(F.abs(F.col("le_gest") / F.col("n") - 0.5) <= F.lit(eps))
+        .alias("rank_ok"),
     )
     return per.unionByName(merged).orderBy("l_returnflag")
 

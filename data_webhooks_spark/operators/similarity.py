@@ -57,6 +57,19 @@ def _pad_centroids(cs: list, k: int) -> list:
     return cs
 
 
+def _empty_embeddings_guard(spark, t, schema: str):
+    """Empty-corpus early return (r12 scenario-K finding: every fact
+    table empty crashed the three KMeans-backed keys — Spark ML
+    raises on zero input rows). Empty input must yield an EMPTY
+    result of the documented schema, never an exception. The probe is
+    take(1) (first-non-empty-partition cost, not a count), and it is
+    a no-op on every fixture (all non-empty), so existing records and
+    plans are byte-unchanged."""
+    if t.embeddings.take(1):
+        return None
+    return spark.createDataFrame([], schema)
+
+
 def _first_occurrence_cells(coarse: list) -> list[int]:
     """Indices of the DISTINCT centers in a (possibly padded) coarse
     codebook — i.e. the cells that can actually own vectors, since
@@ -317,6 +330,11 @@ def ann_ivf(spark, sf_dir):
 
     NPROBE = 3
     t = Tables(spark, sf_dir)
+    empty = _empty_embeddings_guard(
+        spark, t, "q_id bigint, n_id bigint, cos_sim double"
+    )
+    if empty is not None:
+        return empty
     d = _norm_df(t).withColumn("fv", array_to_vector(F.col("e")))
     km = KMeans(k=8, seed=42, featuresCol="fv", predictionCol="cell")
     model = km.fit(d)
@@ -469,6 +487,13 @@ def embed_pq(spark, sf_dir):
 
     M, K, SUB = 4, 16, 16  # 4 subspaces x 16 dims, 16 centroids each
     t = Tables(spark, sf_dir)
+    empty = _empty_embeddings_guard(
+        spark,
+        t,
+        "vec_id bigint, label int, codes_csv string, recon_mse double",
+    )
+    if empty is not None:
+        return empty
     d = t.embeddings.select(
         "vec_id", "label", F.col("embedding").alias("e")
     )
@@ -713,8 +738,16 @@ def ann_ivf_pq(spark, sf_dir):
     probe depth, x100 search cost 4.59 -> 4.98 s)."""
     NPROBE, R = 3, 96
     NCELLS, M, K, SUB = _IVFPQ_NCELLS, _IVFPQ_M, _IVFPQ_K, _IVFPQ_SUB
-    coarse, pq, codes_path = _ivfpq_index(spark, sf_dir)
     t = Tables(spark, sf_dir)
+    empty = _empty_embeddings_guard(
+        spark,
+        t,
+        "q_id bigint, n_id bigint, approx_d2 double, "
+        "exact_d2 double, rank bigint",
+    )
+    if empty is not None:
+        return empty
+    coarse, pq, codes_path = _ivfpq_index(spark, sf_dir)
     d = _norm_df(t)
     carr = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in coarse])
     codes = spark.read.parquet(codes_path).select(

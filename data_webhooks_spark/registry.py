@@ -60,17 +60,20 @@ _ROWS_ONLY = {
     "profile_table_approx",
 }
 _WINDOW = [
-    # r12 window (`window_select.py --propose` output): head = the 4
-    # changed-after-record keys (ann_ivf_pq probe-dedup fix — the r11
-    # ADVICE padded-centroid recall item; embed_pq, r11's one explicit
-    # deferral, whose r6 record predates the _pad_centroids change;
-    # tpch_q21's single-pass window rewrite — one fact shuffle instead
-    # of three; dedup_simhash's value-level candidate generation — the
-    # r12 sweep's O(bucket²) finding, pair set pinned brute-force);
-    # tail = the ENTIRE r3/r4 record-age cohort (the r11 verdict's top
-    # item: after these record, no driver record is older than r5 and
-    # the DEFERRED ledger is empty) plus the oldest r5 record
-    # (contamination_ngram).
+    # r12 window (`window_select.py --propose` output): head = 5 of
+    # the 6 changed-after-record keys — agg_kll_quantile (empty-corpus
+    # __all__ row, scenario-K finding), ann_ivf_pq (probe-dedup, r11
+    # ADVICE), dedup_simhash (value-level candidate generation, the
+    # r12 sweep's O(bucket²) finding, pair set pinned brute-force),
+    # embed_pq (r11's explicit deferral, honored), tpch_q21
+    # (single-pass window rewrite). The 6th (ann_ivf — the scenario-K
+    # take(1) guard, a fixture no-op) is the r12 DEFERRAL under
+    # genuine slot pressure (6 flagged + the full 46-key r3/r4 cohort
+    # = 51 > 50; ledger: scripts/window_select.py DEFERRED, legality
+    # machine-checked by tests/test_window_selection.py). Tail = the
+    # ENTIRE r3/r4 record-age cohort + contamination_ngram (r5), so
+    # after this window records, no driver record is older than r5.
+    "agg_kll_quantile",
     "ann_ivf_pq",
     "dedup_simhash",
     "embed_pq",
@@ -120,7 +123,6 @@ _WINDOW = [
     "udaf_pandas",
     "udf_python",
     "udtf_python",
-    "contamination_ngram",
 ]
 
 _MODULES = [

@@ -240,6 +240,21 @@ def _boilerplate_documents(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.concat(out, ignore_index=True)
 
 
+def _empty_table(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Scenario K (r12): EMPTY FACTS. Every fact table (events,
+    documents, embeddings, lineitem, orders) has ZERO rows while the
+    dims stay populated — the "no data arrived in this partition/day"
+    case every production pipeline eventually hits. The crash classes
+    this targets: ML fits on empty input (KMeans requires rows),
+    numpy kernels on empty batches (reduceat/factorize edge), empty
+    streaming replays (zero-file availableNow runs, memory sinks that
+    never see a batch), and ANSI aggregates over zero groups. The
+    CONTRACT under test: empty input yields an empty (or
+    dims-only-derived) result with the oracle agreeing — never an
+    exception."""
+    return pdf.iloc[0:0]
+
+
 SCENARIOS = {
     "A": {"events": _multi_null_events, "documents": _multi_null_documents},
     "B": {"events": _null_only_group},
@@ -255,6 +270,13 @@ SCENARIOS = {
         "embeddings": _clone_storm_embeddings,
     },
     "J": {"documents": _boilerplate_documents},
+    "K": {
+        "events": _empty_table,
+        "documents": _empty_table,
+        "embeddings": _empty_table,
+        "lineitem": _empty_table,
+        "orders": _empty_table,
+    },
 }
 
 # Documented engine boundaries, per scenario: the comparison is

@@ -329,24 +329,38 @@ def infra_warnings() -> list[str]:
 # flagged key is either windowed or deferred, and that deferrals only
 # exist under genuine slot pressure).
 DEFERRED: dict[str, str] = {
-    # r12: empty — embed_pq (the one r11 deferral: _pad_centroids was
-    # a fixture no-op, quality floors pinned the output) rotated into
-    # the r12 window head as promised, and the r12 head (2 keys) left
-    # 48 slots for the full r3/r4 record-age cohort, so no slot
-    # pressure exists this round.
+    # embed_pq (the one r11 deferral) rotated into the r12 head as
+    # promised. r12's own pressure: 6 changed-after-record keys
+    # (ann_ivf_pq, dedup_simhash, embed_pq, tpch_q21, agg_kll_quantile,
+    # ann_ivf) + the full 46-key r3/r4 record-age cohort = 51 > 50.
+    "ann_ivf": (
+        "r12 change is _empty_embeddings_guard, a take(1) early-return "
+        "that is a no-op on every non-empty input (all fixtures are) — "
+        "scenario-K swept clean, recall floor in test_quality.py pins "
+        "the output, and the rows-only record is a bare row count. "
+        "Deferring the GUARD's record re-earn beats deferring an r3/r4 "
+        "cohort key (the round's no-record-older-than-r5 promise) or "
+        "the agg_kll_quantile PARITY fix. Rotates into the r13 window."
+    )
 }
 
 
 def propose_window(size: int = WINDOW_SIZE) -> list[str]:
-    """Head = flagged keys (minus documented DEFERRED overflow); tail
-    = oldest records first (round, then key) until `size`. Raises if
-    even after deferrals the head exceeds the window — that is a real
-    process problem, not something to trim silently."""
+    """Head = flagged keys minus documented DEFERRED entries; tail =
+    oldest records first (round, then key) until `size`. A DEFERRED
+    key is excluded unconditionally — the ledger entry IS the
+    decision, and tests/test_window_selection.py enforces its
+    legitimacy (a deferral is only legal when the freed slot goes to
+    a strictly OLDER record, i.e. genuine slot pressure — not just
+    flagged-count overflow, which r12 showed is the narrower case:
+    6 flagged + the 46-key r3/r4 staleness cohort exceeded 50 while
+    flagged alone did not). Raises if even after deferrals the head
+    exceeds the window — that is a real process problem, not
+    something to trim silently."""
     from scripts.record_age import load_records
 
     flagged = flagged_keys()
-    if len(flagged) > size:
-        flagged = {k: v for k, v in flagged.items() if k not in DEFERRED}
+    flagged = {k: v for k, v in flagged.items() if k not in DEFERRED}
     if len(flagged) > size:
         raise SystemExit(
             f"{len(flagged)} changed-after-record keys exceed the "

@@ -1,10 +1,10 @@
-"""Permanent adversarial-input sweeps (r9 verdict item 5): the ten
+"""Permanent adversarial-input sweeps (r9 verdict item 5): the eleven
 scenario mutations from scripts/null_sweep_r9.py — multi-NULL rows,
 NULL-only groups, multibyte text, NULL-only langs, degenerate texts,
 duplicate timestamps, negative values, temporal extremes, the clone
-storm, and the r11 boilerplate storm — promoted from an out-of-band
-script into the suite, so a future operator edit that regresses any
-scenario fails `pytest tests/`.
+storm, the r11 boilerplate storm, and the r12 empty-facts scenario —
+promoted from an out-of-band script into the suite, so a future
+operator edit that regresses any scenario fails `pytest tests/`.
 
 BUDGET GATE: the full matrix (10 scenarios x 279 oracled keys) is an
 out-of-band discovery run (python scripts/null_sweep_r9.py). In the
@@ -14,7 +14,9 @@ git, not curated): the sweep gate's job is catching regressions in
 fresh edits, while unedited keys are covered by the recorded
 full-matrix discovery runs — scenarios A–H over all keys in r9,
 scenario I (clone storm) full-matrix in r10, scenario J (boilerplate
-storm) full-matrix in r11, each 0 findings after fixes. A NEW
+storm) full-matrix in r11, scenario K (empty facts) full-matrix in
+r12 (4 findings — three KMeans-on-empty crashes and the kll __all__
+row — all fixed, re-run 0 findings), each 0 findings after fixes. A NEW
 scenario must get its own full-matrix run before relying on this
 gate. Set SPARK_GRAFT_SWEEP_KEYS=k1,k2 to override, or
 SPARK_GRAFT_SWEEP_ALL=1 for the full matrix (slow).
