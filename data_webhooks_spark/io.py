@@ -27,6 +27,16 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+def duck_parquet_src(path: str) -> str:
+    """DuckDB ``read_parquet`` target for one fixture table. The
+    driver's fixtures are single files; the scale sweep's amplified
+    tables are DIRECTORIES of part files (multi-split, like any real
+    table). Spark reads both transparently; DuckDB needs a glob for
+    the directory form — route every DuckDB derivation/oracle site
+    through here so both layouts work."""
+    return path if os.path.isfile(path) else f"{path}/*.parquet"
+
+
 def source_fingerprint(*paths: str) -> str:
     """Identity of derivation inputs for marker-file caches: realpath +
     size + mtime per source. Derived artifacts (replay chunks, JSONL

@@ -20,6 +20,7 @@ import duckdb
 import numpy as np
 import pandas as pd
 
+from .io import duck_parquet_src
 from .schemas import TABLE_NAMES
 
 
@@ -29,7 +30,8 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{duck_parquet_src(f'{sf_dir}/{t}.parquet')}')"
         )
     return con
 

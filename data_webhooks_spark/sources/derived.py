@@ -24,10 +24,10 @@ DERIVED_DIR = f"{RUNTIME_DIR}/derived"
 
 _EVENTS_SELECT = (
     "SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props "
-    "FROM read_parquet('{sf_dir}/events.parquet') ORDER BY event_id"
+    "FROM read_parquet('{events_src}') ORDER BY event_id"
 )
 _CUSTOMER_SELECT = (
-    "SELECT * FROM read_parquet('{sf_dir}/customer.parquet') ORDER BY c_custkey"
+    "SELECT * FROM read_parquet('{customer_src}') ORDER BY c_custkey"
 )
 
 EVENTS_JSON_COLUMNS = (
@@ -61,7 +61,12 @@ def ensure_derived(sf_dir: str) -> str:
     out = f"{DERIVED_DIR}/{sfname}"
     # cache keyed on the SOURCE fingerprints, not the dir basename —
     # see io.source_fingerprint for why
-    from ..io import cached_derivation, commit_derivation, source_fingerprint
+    from ..io import (
+        cached_derivation,
+        commit_derivation,
+        duck_parquet_src,
+        source_fingerprint,
+    )
 
     fingerprint = source_fingerprint(
         f"{sf_dir}/events.parquet",
@@ -73,11 +78,11 @@ def ensure_derived(sf_dir: str) -> str:
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     con.execute(
-        f"COPY ({_EVENTS_SELECT.format(sf_dir=sf_dir)}) "
+        f"COPY ({_EVENTS_SELECT.format(events_src=duck_parquet_src(f'{sf_dir}/events.parquet'))}) "
         f"TO '{out}/events.jsonl' (FORMAT JSON)"
     )
     con.execute(
-        f"COPY ({_CUSTOMER_SELECT.format(sf_dir=sf_dir)}) "
+        f"COPY ({_CUSTOMER_SELECT.format(customer_src=duck_parquet_src(f'{sf_dir}/customer.parquet'))}) "
         f"TO '{out}/customer.csv' (FORMAT CSV, HEADER)"
     )
     # documents as raw TAB-separated lines for spark.read.text, written
@@ -86,7 +91,7 @@ def ensure_derived(sf_dir: str) -> str:
     # also splits on bare \r), so fail loudly if a regenerated fixture
     # ever violates that instead of silently corrupting scan_text.
     docs = con.execute(
-        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') "
+        f"SELECT doc_id, text FROM read_parquet('{duck_parquet_src(f'{sf_dir}/documents.parquet')}') "
         "ORDER BY doc_id"
     ).fetchall()
     with open(f"{out}/documents.tsv", "w", encoding="utf-8") as f:
@@ -124,13 +129,13 @@ def ensure_derived(sf_dir: str) -> str:
     os.makedirs(evolve_dir, exist_ok=True)
     con.execute(
         f"COPY (SELECT event_id, user_id, value "
-        f"FROM read_parquet('{sf_dir}/events.parquet') "
+        f"FROM read_parquet('{duck_parquet_src(f'{sf_dir}/events.parquet')}') "
         f"WHERE event_id % 2 = 0 ORDER BY event_id) "
         f"TO '{evolve_dir}/v1.parquet' (FORMAT PARQUET)"
     )
     con.execute(
         f"COPY (SELECT event_id, user_id, value, event_type "
-        f"FROM read_parquet('{sf_dir}/events.parquet') "
+        f"FROM read_parquet('{duck_parquet_src(f'{sf_dir}/events.parquet')}') "
         f"WHERE event_id % 2 = 1 ORDER BY event_id) "
         f"TO '{evolve_dir}/v2.parquet' (FORMAT PARQUET)"
     )

@@ -24,7 +24,12 @@ import duckdb
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..io import cached_derivation, commit_derivation, source_fingerprint
+from ..io import (
+    cached_derivation,
+    commit_derivation,
+    duck_parquet_src,
+    source_fingerprint,
+)
 
 RUNTIME_DIR = "/root/repo/.runtime"
 
@@ -65,7 +70,7 @@ def replay_dir(sf_dir: str, late: bool = False, late_by: int = 1) -> str:
         SELECT *, {late_expr} AS final_chunk FROM (
             SELECT event_id, ts, user_id, event_type, value, props,
                    ntile({N_CHUNKS}) OVER (ORDER BY ts, event_id) AS chunk
-            FROM read_parquet('{sf_dir}/events.parquet')
+            FROM read_parquet('{duck_parquet_src(f'{sf_dir}/events.parquet')}')
         )
         """
     )

@@ -18,6 +18,7 @@ import duckdb
 
 from pyspark.sql import functions as F
 
+from ..io import duck_parquet_src
 from ..regutil import registrar
 from ..session import tune
 from ..sources.webhook import WebhookDataSource, free_port, post_events
@@ -40,7 +41,7 @@ def _bodies(sf_dir: str) -> list[str]:
     rows = con.execute(
         f"""
         SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
-        FROM read_parquet('{sf_dir}/events.parquet')
+        FROM read_parquet('{duck_parquet_src(f'{sf_dir}/events.parquet')}')
         ORDER BY event_id LIMIT {N_POST}
         """
     ).fetchall()

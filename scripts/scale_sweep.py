@@ -317,6 +317,84 @@ KEYS = [
     "embed_pq",
     "ts_moving_median",
     "ts_period_delta",
+    # r12 wave 3 — the previously "unsweepable" families, unlocked by
+    # io.duck_parquet_src (DuckDB derivations now glob directory-
+    # parquet, so amplified dirs CAN regenerate the derived twins):
+    # (a) the remaining batch joins + sampling/splits,
+    "join_interval",
+    "join_self",
+    "join_skew_salted",
+    "join_theta_range",
+    "join_bucketed",
+    "sample_hash",
+    "sample_stratified",
+    "split_train_test",
+    # (b) the derived-layout keys (fingerprint-cached Spark-side
+    # derivations; the timed runs measure the steady-state reads the
+    # layouts exist to serve),
+    "sink_partitioned_parquet",
+    "compact_files",
+    "zorder_layout",
+    "scan_snapshot_manifest",
+    # (c) format-ingest scans over regenerated twins (row-level
+    # outputs -> x10 cap; oracles pinned to the driver's fixed sf0.01
+    # paths go Spark-only at amplified factors),
+    "scan_json",
+    "scan_csv",
+    "scan_text",
+    "scan_orc",
+    "scan_json_corrupt",
+    "scan_csv_corrupt",
+    "scan_parquet_evolve",
+    "scan_python_datasource",
+    "scan_parquet_metadata",
+    # (d) the file-replay streaming suite: each key is a full
+    # deterministic replay (derivation re-chunks the amplified
+    # events), so the sweep measures end-to-end micro-batch cost as
+    # input grows. Excluded: scan_parquet/scan_xml/scan_binaryfile
+    # (fixed-size inputs at every factor: nation/supplier are COPY
+    # dims, blobs cap at BLOB_DOCS), source_rate (wall-clock-paced by
+    # design), source_webhook/sink_webhook (fixed-N HTTP harness —
+    # scripts/stream_throughput.py measures those).
+    "source_file_stream",
+    "stream_tumbling_agg",
+    "stream_sliding_agg",
+    "stream_session_agg",
+    "stream_watermark",
+    "stream_dedup",
+    "stream_stateful",
+    "stream_output_modes",
+    "stream_triggers",
+    "sink_parquet",
+    "sink_memory",
+    "sink_foreach_batch",
+    "join_stream_static",
+    "join_stream_stream",
+    "stream_funnel",
+    "stream_rollup_upsert",
+    "stream_quantile",
+    "stream_topk",
+    "join_stream_stream_outer",
+    "stream_late_drops",
+    "stream_anomaly",
+    "stream_custom_state",
+    "stream_cdc_apply",
+    "stream_hll_distinct",
+]
+
+# r12 wave 3: streaming keys run 1 warm + 2 timed FULL replays per
+# factor; ×10 keeps that affordable across the 24-key suite while
+# still growing the data past the fixed per-micro-batch overhead.
+# Three state-shape representatives (windowed agg, arbitrary state,
+# sketch merge) run to ×100 to show per-batch cost amortizing.
+_R12_STREAM_X10 = [
+    "source_file_stream", "stream_sliding_agg", "stream_session_agg",
+    "stream_watermark", "stream_dedup", "stream_output_modes",
+    "stream_triggers", "sink_parquet", "sink_memory",
+    "sink_foreach_batch", "join_stream_static", "join_stream_stream",
+    "stream_funnel", "stream_rollup_upsert", "stream_quantile",
+    "stream_topk", "join_stream_stream_outer", "stream_late_drops",
+    "stream_anomaly", "stream_custom_state", "stream_cdc_apply",
 ]
 
 # r12 basics batch ×10 caps, by artifact class (see KEYS comment):
@@ -385,6 +463,22 @@ MAX_FACTOR = {
     # graph_triangle_count: x100 edge count is ~quadratic in the factor.
     "graph_degree_stats": 10,
     **{k: 10 for k in _R12_X10_CAPS},
+    **{k: 10 for k in _R12_STREAM_X10},
+    # wave-3 row-level / derivation-bound caps: format-scan outputs
+    # are the full ingested table (the toPandas-transfer class), and
+    # scan_python_datasource parses every JSONL line in Python by
+    # design (the range-ownership demo, not a throughput path).
+    "scan_json": 10,
+    "scan_csv": 10,
+    "scan_text": 10,
+    "scan_orc": 10,
+    "scan_json_corrupt": 10,
+    "scan_csv_corrupt": 10,
+    "scan_parquet_evolve": 10,
+    "scan_python_datasource": 10,
+    # join_self's output is one row per customer with >=2 orders —
+    # 1.5M rows at x100 (the warehouse_snapshot_diff transfer class).
+    "join_self": 10,
     # the all-pairs CONTRACT makes the output O(duplicate-clique²):
     # 182 M pairs / 4.4 GB at ×10 on the replica-amplified corpus, so
     # the toPandas measures driver transfer (105 of 117 s), not the
@@ -401,6 +495,16 @@ ORACLE_SKIP = {
     "dedup_embedding",
     "graph_pagerank",
     "graph_triangle_count",
+    # wave-3 scan keys whose ORACLE reads the driver's FIXED sf0.01
+    # derived paths (ORACLE_EVENTS_JSONL etc.) — correct for the
+    # driver's parity gate, but a constant-size baseline at amplified
+    # factors; Spark-only rows there. (The other scan oracles read
+    # the per-dir table views and sweep normally.)
+    "scan_json",
+    "scan_csv",
+    "scan_python_datasource",
+    "scan_parquet_evolve",
+    "scan_parquet_metadata",
     # see ORACLE_MAX_FACTOR for per-factor caps
     # the nearest-asof oracle is a per-purchase rank over ALL the
     # user's clicks — per-user-quadratic, and amplified histories are
