@@ -60,23 +60,61 @@ _ROWS_ONLY = {
     "profile_table_approx",
 }
 _WINDOW = [
-    # r12 window (`window_select.py --propose` output): head = 5 of
-    # the 6 changed-after-record keys — agg_kll_quantile (empty-corpus
-    # __all__ row, scenario-K finding), ann_ivf_pq (probe-dedup, r11
-    # ADVICE), dedup_simhash (value-level candidate generation, the
-    # r12 sweep's O(bucket²) finding, pair set pinned brute-force),
-    # embed_pq (r11's explicit deferral, honored), tpch_q21
-    # (single-pass window rewrite). The 6th (ann_ivf — the scenario-K
-    # take(1) guard, a fixture no-op) is the r12 DEFERRAL under
-    # genuine slot pressure (6 flagged + the full 46-key r3/r4 cohort
-    # = 51 > 50; ledger: scripts/window_select.py DEFERRED, legality
-    # machine-checked by tests/test_window_selection.py). Tail = the
-    # ENTIRE r3/r4 record-age cohort + contamination_ngram (r5), so
-    # after this window records, no driver record is older than r5.
+    # r12 window, REV 2 (`window_select.py --propose` after the wave-3
+    # sweep unlock): the directory-parquet glob (io.duck_parquet_src)
+    # edited the DuckDB derivation sites — replay_dir (all 24
+    # file-replay streaming keys), derived.py's twin templates (the 8
+    # format-ingest scans), webhook_query._bodies — so 31 keys joined
+    # the changed-after-record head alongside the 8 earlier r12 flags
+    # (agg_kll_quantile, ann_ivf_pq, dedup_simhash, embed_pq, tpch_q21
+    # + the streaming trio re-flagged by replay_dir). Head = all 39
+    # flagged; tail = the 11 oldest records (r3 cohort head). The
+    # infra warnings (io.py/oracle.py) are covered: duck_parquet_src's
+    # only callers ARE the flagged derivation sites, and oracle.py is
+    # the test-harness twin, not driver surface. Consequence, same
+    # structural call the r11 verdict endorsed (changed-after-record
+    # beats merely-old): 35 of the r3/r4 age-tail keys displaced to
+    # r13 — the no-record-older-than-r5 promise lands one round late.
+    # DEFERRED ledger: ann_ivf stays the one legal deferral
+    # (fixture no-op take(1) guard; slot pressure 40 flagged > 39
+    # slots before the tail would fit, legality machine-checked).
     "agg_kll_quantile",
     "ann_ivf_pq",
     "dedup_simhash",
     "embed_pq",
+    "join_stream_static",
+    "join_stream_stream",
+    "join_stream_stream_outer",
+    "scan_binaryfile",
+    "scan_csv",
+    "scan_csv_corrupt",
+    "scan_json",
+    "scan_json_corrupt",
+    "scan_parquet_evolve",
+    "scan_python_datasource",
+    "scan_text",
+    "sink_foreach_batch",
+    "sink_memory",
+    "sink_parquet",
+    "source_file_stream",
+    "source_webhook",
+    "stream_anomaly",
+    "stream_cdc_apply",
+    "stream_custom_state",
+    "stream_dedup",
+    "stream_funnel",
+    "stream_hll_distinct",
+    "stream_late_drops",
+    "stream_output_modes",
+    "stream_quantile",
+    "stream_rollup_upsert",
+    "stream_session_agg",
+    "stream_sliding_agg",
+    "stream_stateful",
+    "stream_topk",
+    "stream_triggers",
+    "stream_tumbling_agg",
+    "stream_watermark",
     "tpch_q21",
     "text_token_count",
     "topn_per_group",
@@ -90,39 +128,6 @@ _WINDOW = [
     "tpch_q19",
     "tpch_q2",
     "tpch_q20",
-    "tpch_q22",
-    "tpch_q3",
-    "tpch_q4",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q9",
-    "win_first_last",
-    "win_lag_lead",
-    "win_range_time",
-    "win_running",
-    "win_sessionize",
-    "win_sliding_rows",
-    "agg_approx_count_distinct",
-    "cogrouped_map",
-    "event_paths",
-    "funnel_conversion",
-    "grouped_map",
-    "join_bucketed",
-    "join_cross",
-    "join_interval",
-    "join_left_anti",
-    "join_self",
-    "join_skew_salted",
-    "join_theta_range",
-    "retention_cohort",
-    "sample_hash",
-    "sample_stratified",
-    "scan_orc",
-    "scan_parquet",
-    "split_train_test",
-    "udaf_pandas",
-    "udf_python",
-    "udtf_python",
 ]
 
 _MODULES = [

@@ -330,9 +330,13 @@ def infra_warnings() -> list[str]:
 # exist under genuine slot pressure).
 DEFERRED: dict[str, str] = {
     # embed_pq (the one r11 deferral) rotated into the r12 head as
-    # promised. r12's own pressure: 6 changed-after-record keys
-    # (ann_ivf_pq, dedup_simhash, embed_pq, tpch_q21, agg_kll_quantile,
-    # ann_ivf) + the full 46-key r3/r4 record-age cohort = 51 > 50.
+    # promised. r12's pressure GREW mid-round: the wave-3 sweep unlock
+    # (io.duck_parquet_src editing the DuckDB derivation sites)
+    # flagged all 24 file-replay streaming keys + 8 format-scan keys +
+    # source_webhook on top of the 6 earlier flags = 40
+    # changed-after-record keys; the REV 2 window holds 39 of them +
+    # the 11 oldest r3 records, displacing 35 r3/r4 cohort keys to r13
+    # (changed-after-record beats merely-old — the r11-endorsed call).
     "ann_ivf": (
         "r12 change is _empty_embeddings_guard, a take(1) early-return "
         "that is a no-op on every non-empty input (all fixtures are) — "
