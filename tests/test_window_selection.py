@@ -154,6 +154,146 @@ def test_infra_changes_are_deliberate():
     assert not unwaived, unwaived
 
 
+def _ws_repo(tmp_path, helper_src: str, ops_src: str) -> str:
+    """Build a minimal git repo shaped like the package (a helper
+    module + an operator module importing it), commit it, and return
+    the commit hash. The selector under test is pointed at it by
+    patching scripts.window_select.ROOT."""
+    import subprocess
+
+    pkg = tmp_path / "data_webhooks_spark"
+    pkg.mkdir()
+    (pkg / "helper.py").write_text(helper_src)
+    (pkg / "ops.py").write_text(ops_src)
+    subprocess.run(["git", "init", "-q"], cwd=tmp_path, check=True)
+    subprocess.run(["git", "add", "-A"], cwd=tmp_path, check=True)
+    subprocess.run(
+        [
+            "git",
+            "-c",
+            "user.email=t@t",
+            "-c",
+            "user.name=t",
+            "commit",
+            "-qm",
+            "snapshot",
+        ],
+        cwd=tmp_path,
+        check=True,
+    )
+    return subprocess.run(
+        ["git", "rev-parse", "HEAD"],
+        cwd=tmp_path,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout.strip()
+
+
+_HELPER_V0 = '''\
+_CONST = 7
+
+def shared_helper(x):
+    return x + 1
+
+def untouched(x):
+    return x
+'''
+
+_OPS_V0 = '''\
+from data_webhooks_spark.helper import _CONST, shared_helper, untouched
+
+def deco(sql):
+    def wrap(fn):
+        fn.sql = sql
+        return fn
+    return wrap
+
+def op_own_body(spark):
+    return 1
+
+def op_via_helper(spark):
+    return shared_helper(2)
+
+# a module-level comment between definitions
+
+@deco(f"SELECT {_CONST}")
+def op_via_deco_const(spark):
+    return 3
+
+def op_untouched(spark):
+    return untouched(4)
+'''
+
+
+def test_synthetic_touches_flag_exactly_the_dependent_keys(
+    tmp_path, monkeypatch
+):
+    """The r11 verdict's prescribed property test, end-to-end on a real
+    git repo: edit (a) an operator's own body, (b) a shared helper in
+    ANOTHER module, (c) a constant consumed only through a decorator
+    expression — each must flag exactly its dependents — and (d) a
+    top-level comment edit between definitions must flag nothing.
+    (A comment INSIDE a function's span is deliberately conservative:
+    the line-span granularity flags it, which is the safe direction.)"""
+    import scripts.window_select as ws
+
+    commit = _ws_repo(tmp_path, _HELPER_V0, _OPS_V0)
+
+    def _reset_caches():
+        for fn in (ws._module_info, ws._changed_names, ws._closure):
+            fn.cache_clear()
+
+    monkeypatch.setattr(ws, "ROOT", str(tmp_path))
+    _reset_caches()
+
+    ops = {
+        "op_own_body",
+        "op_via_helper",
+        "op_via_deco_const",
+        "op_untouched",
+    }
+
+    def flagged_ops() -> set[str]:
+        _reset_caches()
+        out = set()
+        for name in ops:
+            for rp, nm in ws._closure("data_webhooks_spark/ops.py", name):
+                if nm in ws._changed_names(rp, commit):
+                    out.add(name)
+                    break
+        return out
+
+    # (0) pristine worktree: nothing flagged
+    assert flagged_ops() == set()
+
+    # (a) edit an operator's own body
+    ops_path = tmp_path / "data_webhooks_spark" / "ops.py"
+    ops_path.write_text(_OPS_V0.replace("return 1", "return 10"))
+    assert flagged_ops() == {"op_own_body"}
+
+    # (b) edit the shared helper in the OTHER module — only its
+    # importer is flagged, not the sibling using a different helper
+    ops_path.write_text(_OPS_V0)
+    helper_path = tmp_path / "data_webhooks_spark" / "helper.py"
+    helper_path.write_text(_HELPER_V0.replace("return x + 1", "return x + 2"))
+    assert flagged_ops() == {"op_via_helper"}
+
+    # (c) edit the constant consumed only via a decorator f-string
+    helper_path.write_text(_HELPER_V0.replace("_CONST = 7", "_CONST = 8"))
+    assert flagged_ops() == {"op_via_deco_const"}
+
+    # (d) negative: a top-level comment edit between definitions
+    helper_path.write_text(_HELPER_V0)
+    ops_path.write_text(
+        _OPS_V0.replace(
+            "# a module-level comment between definitions",
+            "# a reworded module-level comment between definitions",
+        )
+    )
+    assert flagged_ops() == set()
+
+
 def test_selector_sees_the_registry():
     """Sanity: the machinery resolves every key to a real function
     with a parseable module (an import/AST regression would otherwise
