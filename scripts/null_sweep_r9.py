@@ -255,6 +255,33 @@ def _empty_table(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf.iloc[0:0]
 
 
+def _single_user_events(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Scenario L (r12): SINGLE-KEY FIREHOSE. Every event belongs to
+    ONE user but keeps its own ts/type/value/props — the 100 TB skew
+    shape (one tenant/bot dominating the stream) that scenario I's
+    clone storm does NOT cover: there every grouped value ties; here
+    ONE giant per-user partition carries a fully DIVERSE history, so
+    sessionization walks real gaps, funnels see real step mixes,
+    per-user Pandas-UDF groups receive the whole table as one Arrow
+    group, and the salted-join fallback actually engages its skew
+    path. Both engines see identical bytes, so parity must hold."""
+    pdf = pdf.copy()
+    uid = pdf["user_id"].dropna().iloc[0]
+    pdf["user_id"] = uid
+    return pdf
+
+
+def _single_lang_documents(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Documents twin of scenario L: one language owns the whole
+    corpus (mono-lingual crawl shard) while texts stay diverse —
+    per-lang stratification, mixture weights, and language-keyed
+    shuffles all collapse onto one key."""
+    pdf = pdf.copy()
+    lang = pdf["lang"].dropna().iloc[0]
+    pdf["lang"] = lang
+    return pdf
+
+
 SCENARIOS = {
     "A": {"events": _multi_null_events, "documents": _multi_null_documents},
     "B": {"events": _null_only_group},
@@ -270,6 +297,10 @@ SCENARIOS = {
         "embeddings": _clone_storm_embeddings,
     },
     "J": {"documents": _boilerplate_documents},
+    "L": {
+        "events": _single_user_events,
+        "documents": _single_lang_documents,
+    },
     "K": {
         "events": _empty_table,
         "documents": _empty_table,
