@@ -282,6 +282,22 @@ def _single_lang_documents(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf
 
 
+def _hot_orderkey_lineitem(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Scenario M (r12): HOT FACT KEY. Half of all lineitem rows are
+    re-pointed at ONE existing orderkey (the hot-partition shape a
+    popular order/product/tenant produces at 100 TB) while the other
+    half keeps its diversity, so every TPC-H join sees one giant
+    probe-side group next to normal ones — the AQE-skew-join shape —
+    and grouped aggregates see one dominant group. Referential
+    integrity holds (the hot key is taken FROM the data), both
+    engines see identical bytes, so parity must hold."""
+    pdf = pdf.copy()
+    hot = pdf["l_orderkey"].iloc[0]
+    half = pdf.index[: len(pdf) // 2]
+    pdf.loc[half, "l_orderkey"] = hot
+    return pdf
+
+
 SCENARIOS = {
     "A": {"events": _multi_null_events, "documents": _multi_null_documents},
     "B": {"events": _null_only_group},
@@ -301,6 +317,7 @@ SCENARIOS = {
         "events": _single_user_events,
         "documents": _single_lang_documents,
     },
+    "M": {"lineitem": _hot_orderkey_lineitem},
     "K": {
         "events": _empty_table,
         "documents": _empty_table,
