@@ -392,10 +392,16 @@ _R12_STREAM_X10 = [
     "stream_watermark", "stream_dedup", "stream_output_modes",
     "stream_triggers", "sink_parquet", "sink_memory",
     "sink_foreach_batch", "join_stream_static", "join_stream_stream",
-    "stream_funnel", "stream_rollup_upsert", "stream_quantile",
+    "stream_quantile",
     "stream_topk", "join_stream_stream_outer", "stream_late_drops",
-    "stream_anomaly", "stream_custom_state", "stream_cdc_apply",
+    "stream_anomaly", "stream_cdc_apply",
 ]
+# r12 continuation: the three keys with the LARGEST fixture-scale
+# ratios (stream_funnel 122×, stream_rollup_upsert 442×,
+# stream_custom_state 86× — all dominated by per-micro-batch
+# machinery) graduate to ×100 so the amortization claim is a
+# measured number, not a narrative: if per-batch cost amortizes, the
+# ×10→×100 growth must stay far below 10×.
 
 # r12 basics batch ×10 caps, by artifact class (see KEYS comment):
 # (a) row-level outputs — ×100 toPandas measures result transfer;
