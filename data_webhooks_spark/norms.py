@@ -41,17 +41,46 @@ def _c(col: str | Column) -> Column:
 # ---------- Spark side ----------
 
 
+"""Non-finite input policy (r12, found by adversarial scenario N):
+a NaN/±Infinity reaching a quantization seam is treated as MISSING
+(NULL) on BOTH engines. Without the guard the engines fail
+asymmetrically and dangerously: Spark's FLOOR(double)→BIGINT
+silently saturates (NaN→0 — a NaN money value becomes 0.00 in a sum
+with no error; ±inf→±2^63-1 — whose very first sum step throws
+ANSI ARITHMETIC_OVERFLOW, killing a 100 TB job on one corrupt row),
+while DuckDB's double-typed FLOOR propagates NaN/inf into the BIGINT
+cast and raises ConversionException. NULL-as-missing degrades one
+corrupt row to the long-established NULL semantics (swept by
+scenarios A/B) and leaves surfacing garbage to dq_checks, where a
+data-quality decision belongs. The predicate is the single IEEE
+comparison ``abs(x) <= DBL_MAX`` — false for NaN (all NaN compares
+are false) and for ±inf — chosen over isnan/isinf pairs because it
+is one codegen-friendly expression that parses identically in Spark
+SQL and DuckDB (the three-way portability check)."""
+
+_DBL_MAX = 1.7976931348623157e308
+
+
+def _finite(c: Column) -> Column:
+    return F.abs(c) <= F.lit(_DBL_MAX)
+
+
+def _o_finite(expr: str) -> str:
+    return f"ABS({expr}) <= 1.7976931348623157e308"
+
+
 def _scaled_units(c: Column, scale: int) -> Column:
     """``CAST(x AS DECIMAL(28,scale))`` re-expressed as BIGINT units.
 
     ``round-half-away(x * 10^scale)`` computed with FLOOR on the
     double (BIGINT result, sign-branched so negatives round away from
     zero exactly like a decimal cast). Requires |x|*10^scale < 2^53,
-    which holds for every money/value column by orders of magnitude."""
+    which holds for every money/value column by orders of magnitude.
+    Non-finite x yields NULL (policy above)."""
     m = F.lit(float(10**scale))
-    return F.when(c >= 0, F.floor(c * m + F.lit(0.5))).otherwise(
-        -F.floor(-c * m + F.lit(0.5))
-    )
+    return F.when(
+        _finite(c) & (c >= 0), F.floor(c * m + F.lit(0.5))
+    ).when(_finite(c), -F.floor(-c * m + F.lit(0.5)))
 
 
 def dec_sum(col: str | Column, alias: str, scale: int = MONEY_SCALE) -> Column:
@@ -75,11 +104,16 @@ def dec_sum(col: str | Column, alias: str, scale: int = MONEY_SCALE) -> Column:
 
 
 def dec_avg(col: str | Column, alias: str, scale: int = MONEY_SCALE) -> Column:
-    """Deterministic average: exact unit sum -> double, / count."""
+    """Deterministic average: exact unit sum -> double, / count.
+
+    The count is over the FINITE values (the non-finite-as-missing
+    policy applies to both numerator and denominator, like NULLs)."""
     c = _c(col)
     m = 10**scale
     return (
-        F.sum(_scaled_units(c, scale)).cast("double") / F.lit(m) / F.count(c)
+        F.sum(_scaled_units(c, scale)).cast("double")
+        / F.lit(m)
+        / F.count(F.when(_finite(c), c))
     ).alias(alias)
 
 
@@ -100,10 +134,43 @@ def qnt(col: Column, alias: str, digits: int = 6) -> Column:
     BigDecimal per value (measured ~0.17s per 600k rows per column),
     while this form stays in whole-stage codegen at full speed. Use for
     per-row rounding on large outputs; pair with o_qnt so both engines
-    run the identical float expression. Requires |x|*10^d < 2^53 and
-    finite x (Spark FLOOR returns BIGINT)."""
+    run the identical float expression. Requires |x|*10^d < 2^53;
+    non-finite x yields NULL (Spark FLOOR returns BIGINT and would
+    otherwise silently saturate — see the policy note above)."""
     scale = F.lit(float(10**digits))
-    return (F.floor(col * scale + F.lit(0.5)) / scale).alias(alias)
+    return F.when(
+        _finite(col), F.floor(col * scale + F.lit(0.5)) / scale
+    ).alias(alias)
+
+
+def dec_cast(col: str | Column, prec: int = 28, scale: int = 4) -> Column:
+    """Finite-guarded ``CAST(x AS DECIMAL(prec,scale))`` — the direct
+    decimal-cast sites (window running sums) share the non-finite->
+    NULL policy; an unguarded cast crashes DuckDB outright and Spark
+    under ANSI (one corrupt row kills a 100 TB window query)."""
+    c = _c(col)
+    return F.when(_finite(c), c.cast(f"decimal({prec},{scale})"))
+
+
+def o_dec_cast(expr: str, prec: int = 28, scale: int = 4) -> str:
+    """DuckDB twin of dec_cast."""
+    return (
+        f"CASE WHEN {_o_finite(expr)}"
+        f" THEN CAST(({expr}) AS DECIMAL({prec},{scale})) END"
+    )
+
+
+def finite_or_null(col: str | Column) -> Column:
+    """Pass a double through unchanged, non-finite -> NULL: the
+    operator-local ingestion guard for paths doing their own exact
+    integer/decimal arithmetic on a measure column."""
+    c = _c(col)
+    return F.when(_finite(c), c)
+
+
+def o_finite_or_null(expr: str) -> str:
+    """DuckDB twin of finite_or_null."""
+    return f"CASE WHEN {_o_finite(expr)} THEN ({expr}) END"
 
 
 def as_long(col: Column, alias: str) -> Column:
@@ -115,12 +182,14 @@ def as_long(col: Column, alias: str) -> Column:
 
 
 def _o_units(expr: str, scale: int) -> str:
-    """DuckDB twin of _scaled_units: identical sign-branched FLOOR."""
+    """DuckDB twin of _scaled_units: identical sign-branched FLOOR,
+    with the identical finite guard (non-finite -> NULL)."""
     m = float(10**scale)
     return (
-        f"CASE WHEN ({expr}) >= 0"
+        f"CASE WHEN {_o_finite(expr)} AND ({expr}) >= 0"
         f" THEN CAST(FLOOR(({expr}) * {m} + 0.5) AS BIGINT)"
-        f" ELSE -CAST(FLOOR(-({expr}) * {m} + 0.5) AS BIGINT) END"
+        f" WHEN {_o_finite(expr)}"
+        f" THEN -CAST(FLOOR(-({expr}) * {m} + 0.5) AS BIGINT) END"
     )
 
 
@@ -133,7 +202,8 @@ def o_dec_avg(expr: str, alias: str, scale: int = MONEY_SCALE) -> str:
     m = 10**scale
     return (
         f"CAST(SUM({_o_units(expr, scale)}) AS DOUBLE) / {m}"
-        f" / COUNT({expr}) AS {alias}"
+        f" / COUNT(CASE WHEN {_o_finite(expr)} THEN ({expr}) END)"
+        f" AS {alias}"
     )
 
 
@@ -152,6 +222,12 @@ def o_qnt(expr: str, alias: str, digits: int = 6) -> str:
     Spark SQL type exponent literals as DOUBLE, whereas `1000000.0`
     types as DECIMAL(8,1) under spark.sql, turning the final division
     DECIMAL and breaking the three-way parity check on dtype (the
-    r6 ts_period_delta lesson)."""
+    r6 ts_period_delta lesson). Non-finite -> NULL, mirroring qnt()
+    (DuckDB's double-typed FLOOR would otherwise PROPAGATE NaN/inf
+    where Spark's BIGINT FLOOR saturates — the silent-divergence
+    class scenario N exposed)."""
     scale = f"1e{digits}"
-    return f"FLOOR(({expr}) * {scale} + 0.5) / {scale} AS {alias}"
+    return (
+        f"CASE WHEN {_o_finite(expr)}"
+        f" THEN FLOOR(({expr}) * {scale} + 0.5) / {scale} END AS {alias}"
+    )

@@ -865,6 +865,7 @@ _HIST_W, _HIST_BINS = 25.0, 20  # bins over [0, 500); fixture max 490
                    AS bin
         FROM events
         WHERE value IS NOT NULL
+          AND ABS(value) <= 1.7976931348623157e308
     )
     SELECT event_type, bin, COUNT(*) AS n,
            FLOOR({_HIST_W} * bin * 1e6 + 0.5) / 1e6 AS bin_lo
@@ -884,13 +885,19 @@ def agg_histogram(spark, sf_dir):
     arithmetic is the identical double expression on both engines.
     NULL values are excluded explicitly on both sides — without the
     filter, LEAST/F.least skip the NULL bin expression and would
-    silently count null rows in the overflow bin."""
+    silently count null rows in the overflow bin. Non-finite values
+    are excluded by the same filter (the engine-wide policy): Spark's
+    BIGINT FLOOR would silently bin NaN at 0 and -inf at LONG_MIN
+    while DuckDB's INT64 cast raises — scenario N."""
     t = Tables(spark, sf_dir)
     bin_ = F.least(
         F.floor(F.col("value") / _HIST_W), F.lit(_HIST_BINS - 1)
     ).cast("long")
     return (
-        t.events.filter(F.col("value").isNotNull())
+        t.events.filter(
+            F.col("value").isNotNull()
+            & (F.abs(F.col("value")) <= F.lit(1.7976931348623157e308))
+        )
         .select(
             "event_type",
             bin_.alias("bin"),

@@ -23,7 +23,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..io import Tables
-from ..norms import qnt
+from ..norms import finite_or_null, o_finite_or_null, qnt
 from ..regutil import registrar
 
 QUERIES: dict = {}
@@ -371,9 +371,10 @@ def win_pattern_match(spark, sf_dir):
                date_diff('day', DATE '1970-01-01',
                          CAST(MAX(ts) AS DATE)) AS recency,
                COUNT(*) AS frequency,
-               CAST(SUM(CASE WHEN value >= 0
+               CAST(SUM(CASE WHEN ABS(value) <= 1.7976931348623157e308 AND value >= 0
                     THEN CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
-                    ELSE -CAST(FLOOR(-value * 100.0 + 0.5) AS BIGINT) END)
+                    WHEN ABS(value) <= 1.7976931348623157e308
+                    THEN -CAST(FLOOR(-value * 100.0 + 0.5) AS BIGINT) END)
                  AS BIGINT) AS monetary
         FROM events GROUP BY user_id
     ),
@@ -425,9 +426,10 @@ def analytics_rfm(spark, sf_dir):
     both levels (per-user and per-cell). Cost: one user-keyed shuffle
     + a 1-row edge aggregate + an aggregate-sized segment groupBy."""
     t = Tables(spark, sf_dir)
-    units = F.when(
-        F.col("value") >= 0, F.floor(F.col("value") * 100.0 + F.lit(0.5))
-    ).otherwise(-F.floor(-F.col("value") * 100.0 + F.lit(0.5)))
+    v = finite_or_null("value")
+    units = F.when(v >= 0, F.floor(v * 100.0 + F.lit(0.5))).when(
+        v < 0, -F.floor(-v * 100.0 + F.lit(0.5))
+    )
     pu = t.events.groupBy("user_id").agg(
         F.datediff(
             F.max("ts").cast("date"), F.lit("1970-01-01").cast("date")
@@ -509,9 +511,10 @@ _W_DF = (
     sql=f"""
     WITH u AS (
         SELECT event_type,
-               CASE WHEN value >= 0
+               CASE WHEN ABS(value) <= 1.7976931348623157e308 AND value >= 0
                     THEN CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
-                    ELSE -CAST(FLOOR(-value * 100.0 + 0.5) AS BIGINT)
+                    WHEN ABS(value) <= 1.7976931348623157e308
+                    THEN -CAST(FLOOR(-value * 100.0 + 0.5) AS BIGINT)
                END AS ub
         FROM events WHERE event_type IN ('view', 'purchase')
     ),
@@ -558,9 +561,10 @@ def ab_ttest_welch(spark, sf_dir):
     At 100 TB the same six-integer partial aggregates even support
     sequential testing — partials per day merge by addition."""
     t = Tables(spark, sf_dir)
-    units = F.when(
-        F.col("value") >= 0, F.floor(F.col("value") * 100.0 + F.lit(0.5))
-    ).otherwise(-F.floor(-F.col("value") * 100.0 + F.lit(0.5)))
+    v = finite_or_null("value")
+    units = F.when(v >= 0, F.floor(v * 100.0 + F.lit(0.5))).when(
+        v < 0, -F.floor(-v * 100.0 + F.lit(0.5))
+    )
     is1 = F.col("event_type") == "view"
     is2 = F.col("event_type") == "purchase"
     m = (
@@ -606,9 +610,10 @@ def ab_ttest_welch(spark, sf_dir):
     sql="""
     WITH p AS (
         SELECT event_id AS pid, user_id, ts AS pts,
-               CASE WHEN value >= 0
+               CASE WHEN ABS(value) <= 1.7976931348623157e308 AND value >= 0
                     THEN CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
-                    ELSE -CAST(FLOOR(-value * 100.0 + 0.5) AS BIGINT)
+                    WHEN ABS(value) <= 1.7976931348623157e308
+                    THEN -CAST(FLOOR(-value * 100.0 + 0.5) AS BIGINT)
                END AS pu
         FROM events WHERE event_type = 'purchase'
     ),
@@ -658,9 +663,10 @@ def event_attribution(spark, sf_dir):
     keys with partial aggregation; a user's 7-day touch history
     bounds the fan-out."""
     t = Tables(spark, sf_dir)
-    units = F.when(
-        F.col("value") >= 0, F.floor(F.col("value") * 100.0 + F.lit(0.5))
-    ).otherwise(-F.floor(-F.col("value") * 100.0 + F.lit(0.5)))
+    v = finite_or_null("value")
+    units = F.when(v >= 0, F.floor(v * 100.0 + F.lit(0.5))).when(
+        v < 0, -F.floor(-v * 100.0 + F.lit(0.5))
+    )
     p = t.events.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("pid"),
         F.col("user_id").alias("puid"),
@@ -1122,7 +1128,7 @@ _PARETO_SHARDS = 8
     sql="""
     WITH rev AS (
         SELECT user_id,
-               CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+               CAST(SUM(CAST(FLOOR((CASE WHEN ABS(value) <= 1.7976931348623157e308 THEN value END) * 100.0 + 0.5) AS BIGINT))
                     AS BIGINT) AS rev_c
         FROM events WHERE event_type = 'purchase' GROUP BY user_id
     ),
@@ -1178,7 +1184,7 @@ def analytics_pareto(spark, sf_dir):
         .groupBy("user_id")
         .agg(
             F.sum(
-                F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+                F.floor(finite_or_null("value") * 100.0 + 0.5).cast("long")
             ).cast("long").alias("rev_c")
         )
     )
@@ -1342,7 +1348,7 @@ def analytics_dau_mau(spark, sf_dir):
                    AS age_week,
                CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active,
                CAST(SUM(CASE WHEN e.event_type = 'purchase'
-                             THEN CAST(FLOOR(e.value * 100.0 + 0.5)
+                             THEN CAST(FLOOR((CASE WHEN ABS(e.value) <= 1.7976931348623157e308 THEN e.value END) * 100.0 + 0.5)
                                        AS BIGINT)
                              ELSE 0 END) AS BIGINT) AS rev_units
         FROM events e JOIN firsts f USING (user_id)
@@ -1388,7 +1394,7 @@ def analytics_ltv_cohort(spark, sf_dir):
     )
     cents = F.when(
         F.col("event_type") == "purchase",
-        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long"),
+        F.floor(finite_or_null("value") * 100.0 + F.lit(0.5)).cast("long"),
     ).otherwise(F.lit(0))
     cells = (
         t.events.join(firsts, "user_id")

@@ -30,7 +30,7 @@ from ..io import (
     commit_derivation,
     source_fingerprint,
 )
-from ..norms import dec_sum, o_dec_sum
+from ..norms import dec_sum, finite_or_null, o_dec_sum
 from ..regutil import registrar
 
 QUERIES: dict = {}
@@ -411,9 +411,10 @@ def bloom_events_path(spark, sf_dir: str) -> str:
     "scan_parquet_bloom",
     sql="""
     SELECT event_type, COUNT(*) AS n,
-           CAST(SUM(CASE WHEN value >= 0
+           CAST(SUM(CASE WHEN ABS(value) <= 1.7976931348623157e308 AND value >= 0
                 THEN CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
-                ELSE -CAST(FLOOR(-value * 100.0 + 0.5) AS BIGINT) END)
+                WHEN ABS(value) <= 1.7976931348623157e308
+                THEN -CAST(FLOOR(-value * 100.0 + 0.5) AS BIGINT) END)
              AS DOUBLE) / 100 AS sum_value
     FROM events
     WHERE user_id IN (7, 42, 77)
@@ -436,9 +437,10 @@ def scan_parquet_bloom(spark, sf_dir):
     oracle runs the same predicate on the ORIGINAL fixture file."""
     path = bloom_events_path(spark, sf_dir)
     ev = spark.read.parquet(path)
-    units = F.when(
-        F.col("value") >= 0, F.floor(F.col("value") * 100.0 + F.lit(0.5))
-    ).otherwise(-F.floor(-F.col("value") * 100.0 + F.lit(0.5)))
+    v = finite_or_null("value")
+    units = F.when(v >= 0, F.floor(v * 100.0 + F.lit(0.5))).when(
+        v < 0, -F.floor(-v * 100.0 + F.lit(0.5))
+    )
     return (
         ev.filter(F.col("user_id").isin(7, 42, 77))
         .groupBy("event_type")
@@ -524,9 +526,10 @@ def sink_snapshot_commit(spark, sf_dir):
     "scan_partition_pruned_dynamic",
     sql="""
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CASE WHEN value >= 0
+           CAST(SUM(CASE WHEN ABS(value) <= 1.7976931348623157e308 AND value >= 0
                          THEN CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
-                         ELSE -CAST(FLOOR(-value * 100.0 + 0.5) AS BIGINT)
+                         WHEN ABS(value) <= 1.7976931348623157e308
+                         THEN -CAST(FLOOR(-value * 100.0 + 0.5) AS BIGINT)
                     END) AS DOUBLE) / 100 AS sum_value
     FROM events
     WHERE isodow(CAST(ts AS DATE)) IN (6, 7)
@@ -569,12 +572,10 @@ def scan_partition_pruned_dynamic(spark, sf_dir):
         .filter(F.col("dow").isin(0, 6))
         .select("event_date")
     )
+    v = finite_or_null("value")
     cents = F.when(
-        F.col("value") >= 0,
-        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long"),
-    ).otherwise(
-        -F.floor(-F.col("value") * 100.0 + F.lit(0.5)).cast("long")
-    )
+        v >= 0, F.floor(v * 100.0 + F.lit(0.5)).cast("long")
+    ).when(v < 0, -F.floor(-v * 100.0 + F.lit(0.5)).cast("long"))
     return (
         fact.join(F.broadcast(dim), "event_date")
         .groupBy("event_type")

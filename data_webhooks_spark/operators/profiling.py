@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..io import Tables
-from ..norms import o_qnt, qnt
+from ..norms import finite_or_null, o_qnt, qnt
 from ..regutil import registrar
 
 QUERIES: dict = {}
@@ -392,7 +392,9 @@ def _pattern_case_sql(val: str) -> str:
         SELECT 'event_id', CAST(event_id AS VARCHAR) FROM events
         UNION ALL SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
         UNION ALL SELECT 'event_type', event_type FROM events
-        UNION ALL SELECT 'value', CAST(value AS VARCHAR) FROM events
+        UNION ALL SELECT 'value',
+            CASE WHEN ABS(value) <= 1.7976931348623157e308
+                 THEN CAST(value AS VARCHAR) END FROM events
         UNION ALL SELECT 'props', props FROM events
     ),
     cls AS (
@@ -425,7 +427,11 @@ def profile_string_patterns(spark, sf_dir):
     RE2 agree. DOUBLE->VARCHAR rendering differs across engines for
     scientific notation, but every events.value is a plain 2-decimal
     double that both engines print as [0-9]+.[0-9]+ -> float_like;
-    the CLASSIFICATION (not the string) is compared.
+    the CLASSIFICATION (not the string) is compared. Non-finite
+    doubles render engine-differently ('Infinity' vs 'inf' — DuckDB's
+    would even classify alpha_lower), so they stringify to NULL on
+    both sides (the engine-wide non-finite-as-missing policy) and
+    land in the same class as NULL.
 
     Scale: the unpivot is Spark's stack() — one scan, the Expand
     feeds a map-combinable (col, class) count, so shuffle volume is
@@ -444,7 +450,8 @@ def profile_string_patterns(spark, sf_dir):
             " 'event_id', CAST(event_id AS STRING),"
             " 'user_id', CAST(user_id AS STRING),"
             " 'event_type', event_type,"
-            " 'value', CAST(value AS STRING),"
+            " 'value', CASE WHEN ABS(value) <= 1.7976931348623157e308"
+            " THEN CAST(value AS STRING) END,"
             " 'props', props) AS (col_name, v)"
         )
     )
@@ -670,9 +677,10 @@ def dq_referential(spark, sf_dir):
     WITH ev AS (
         SELECT date_trunc('day', ts) AS day,
                CAST(COUNT(*) AS BIGINT) AS ev_n,
-               CAST(SUM(CASE WHEN value >= 0
+               CAST(SUM(CASE WHEN ABS(value) <= 1.7976931348623157e308 AND value >= 0
                     THEN CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
-                    ELSE -CAST(FLOOR(-value * 100.0 + 0.5) AS BIGINT)
+                    WHEN ABS(value) <= 1.7976931348623157e308
+                    THEN -CAST(FLOOR(-value * 100.0 + 0.5) AS BIGINT)
                     END) AS BIGINT) AS ev_cents
         FROM events WHERE event_type = 'purchase'
         GROUP BY 1
@@ -724,9 +732,12 @@ def dq_reconciliation(spark, sf_dir):
             F.count(F.lit(1)).cast("long").alias("ev_n"),
             F.sum(
                 F.when(
-                    F.col("value") >= 0,
+                    finite_or_null("value") >= 0,
                     F.floor(F.col("value") * 100.0 + 0.5),
-                ).otherwise(-F.floor(-F.col("value") * 100.0 + 0.5))
+                ).when(
+                    finite_or_null("value") < 0,
+                    -F.floor(-F.col("value") * 100.0 + 0.5),
+                )
             )
             .cast("long")
             .alias("ev_cents"),
@@ -776,9 +787,10 @@ def dq_reconciliation(spark, sf_dir):
            CAST(COUNT(*) FILTER (WHERE value < 0) AS BIGINT) AS n_negative,
            CAST(COUNT(*) FILTER (WHERE props IS NULL OR props = '')
                 AS BIGINT) AS n_empty_props,
-           COALESCE(CAST(SUM(CASE WHEN value >= 0
+           COALESCE(CAST(SUM(CASE WHEN ABS(value) <= 1.7976931348623157e308 AND value >= 0
                 THEN CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
-                ELSE -CAST(FLOOR(-value * 100.0 + 0.5) AS BIGINT) END)
+                WHEN ABS(value) <= 1.7976931348623157e308
+                THEN -CAST(FLOOR(-value * 100.0 + 0.5) AS BIGINT) END)
              AS DOUBLE) / 100, 0.0) AS value_total
     FROM events WHERE event_type = 'purchase'
     """,
@@ -821,9 +833,12 @@ def dq_observe(spark, sf_dir):
         (
             F.sum(
                 F.when(
-                    F.col("value") >= 0,
+                    finite_or_null("value") >= 0,
                     F.floor(F.col("value") * 100.0 + 0.5),
-                ).otherwise(-F.floor(-F.col("value") * 100.0 + 0.5))
+                ).when(
+                    finite_or_null("value") < 0,
+                    -F.floor(-F.col("value") * 100.0 + 0.5),
+                )
             ).cast("double")
             / 100
         ).alias("value_total"),

@@ -25,7 +25,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..io import Tables
-from ..norms import qnt
+from ..norms import finite_or_null, qnt
 from ..regutil import registrar
 
 QUERIES: dict = {}
@@ -172,9 +172,10 @@ def sample_per_group(spark, sf_dir):
     )
     SELECT event_type,
            COUNT(*) AS n_kept,
-           CAST(SUM(CASE WHEN value >= 0
+           CAST(SUM(CASE WHEN ABS(value) <= 1.7976931348623157e308 AND value >= 0
                 THEN CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
-                ELSE -CAST(FLOOR(-value * 100.0 + 0.5) AS BIGINT) END)
+                WHEN ABS(value) <= 1.7976931348623157e308
+                THEN -CAST(FLOOR(-value * 100.0 + 0.5) AS BIGINT) END)
              AS DOUBLE) / 100 AS kept_value
     FROM b
     WHERE bucket < value * 20
@@ -196,9 +197,10 @@ def sample_weighted(spark, sf_dir):
     kept = t.events.filter(
         hash_bucket(F.col("event_id")) < F.col("value") * 20
     )
-    units = F.when(
-        F.col("value") >= 0, F.floor(F.col("value") * 100.0 + F.lit(0.5))
-    ).otherwise(-F.floor(-F.col("value") * 100.0 + F.lit(0.5)))
+    v = finite_or_null("value")
+    units = F.when(v >= 0, F.floor(v * 100.0 + F.lit(0.5))).when(
+        v < 0, -F.floor(-v * 100.0 + F.lit(0.5))
+    )
     return kept.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_kept"),
         (F.sum(units).cast("double") / 100).alias("kept_value"),

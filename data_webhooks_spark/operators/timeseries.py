@@ -31,7 +31,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..io import Tables
-from ..norms import dec_sum, o_dec_sum, o_qnt, qnt
+from ..norms import dec_sum, finite_or_null, o_dec_sum, o_qnt, qnt
 from ..regutil import registrar
 
 QUERIES: dict = {}
@@ -966,7 +966,7 @@ def ts_downsample_m4(spark, sf_dir):
     WITH daily AS (
         SELECT event_type, date_trunc('day', ts) AS day,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT))
+               CAST(SUM(CAST(FLOOR((CASE WHEN ABS(value) <= 1.7976931348623157e308 THEN value END) * 10000.0 + 0.5) AS BIGINT))
                     AS BIGINT) AS sv_units
         FROM events GROUP BY 1, 2
     )
@@ -1008,7 +1008,7 @@ def ts_period_delta(spark, sf_dir):
         "event_type", F.date_trunc("day", "ts").alias("day")
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.floor(F.col("value") * 10000.0 + F.lit(0.5)).cast("long"))
+        F.sum(F.floor(finite_or_null("value") * 10000.0 + F.lit(0.5)).cast("long"))
         .cast("long")
         .alias("sv_units"),
     )

@@ -104,9 +104,12 @@ def udaf_pandas(spark, sf_dir):
     "grouped_map",
     sql="""
     SELECT event_id, user_id,
-           round((value - avg(value) OVER (PARTITION BY user_id))
-                 / stddev_samp(value) OVER (PARTITION BY user_id), 6) AS z
-    FROM events
+           round((fv - avg(fv) OVER (PARTITION BY user_id))
+                 / stddev_samp(fv) OVER (PARTITION BY user_id), 6) AS z
+    FROM (SELECT event_id, user_id,
+                 CASE WHEN ABS(value) <= 1.7976931348623157e308
+                      THEN value END AS fv
+          FROM events)
     """,
 )
 def grouped_map(spark, sf_dir):
@@ -124,6 +127,11 @@ def grouped_map(spark, sf_dir):
     t = Tables(spark, sf_dir)
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        # non-finite -> NaN (pandas missing): mean/std skip it and the
+        # corrupt row's own z is NULL — the engine-wide policy; DuckDB's
+        # STDDEV_SAMP would otherwise raise outright on an inf input
+        fv = pdf["value"].where(pdf["value"].abs() <= 1.7976931348623157e308)
+        pdf = pdf.assign(value=fv)
         g = pdf.groupby("user_id")["value"]
         z = (pdf["value"] - g.transform("mean")) / g.transform("std")
         return pd.DataFrame(

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DecimalType
 
 from ..io import Tables
-from ..norms import qnt
+from ..norms import dec_cast, finite_or_null, o_dec_cast, o_finite_or_null, qnt
 from ..regutil import registrar
 
 QUERIES: dict = {}
@@ -106,9 +106,9 @@ def win_lag_lead(spark, sf_dir):
 
 @op(
     "win_running",
-    sql="""
+    sql=f"""
     SELECT event_id, user_id,
-           CAST(SUM(CAST(value AS DECIMAL(28,4))) OVER
+           CAST(SUM({o_dec_cast("value")}) OVER
                 (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
            COUNT(*) OVER
@@ -128,16 +128,16 @@ def win_running(spark, sf_dir):
     return t.events.select(
         "event_id",
         "user_id",
-        F.sum(F.col("value").cast(_DEC)).over(w).cast("double").alias("running_value"),
+        F.sum(dec_cast("value")).over(w).cast("double").alias("running_value"),
         F.count(F.lit(1)).over(w).alias("n_so_far"),
     )
 
 
 @op(
     "win_sliding_rows",
-    sql="""
+    sql=f"""
     SELECT event_id, user_id,
-           CAST(SUM(CAST(value AS DECIMAL(28,4))) OVER w AS DOUBLE)
+           CAST(SUM({o_dec_cast("value")}) OVER w AS DOUBLE)
              / COUNT(*) OVER w AS moving_avg_5
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -156,7 +156,7 @@ def win_sliding_rows(spark, sf_dir):
         "event_id",
         "user_id",
         (
-            F.sum(F.col("value").cast(_DEC)).over(w).cast("double")
+            F.sum(dec_cast("value")).over(w).cast("double")
             / F.count(F.lit(1)).over(w)
         ).alias("moving_avg_5"),
     )
@@ -164,9 +164,9 @@ def win_sliding_rows(spark, sf_dir):
 
 @op(
     "win_range_time",
-    sql="""
+    sql=f"""
     SELECT event_id, user_id,
-           CAST(SUM(CAST(value AS DECIMAL(28,4))) OVER w AS DOUBLE) AS trailing_1h_value,
+           CAST(SUM({o_dec_cast("value")}) OVER w AS DOUBLE) AS trailing_1h_value,
            COUNT(*) OVER w AS trailing_1h_n
     FROM (SELECT *, CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS epoch_s FROM events)
     WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
@@ -190,7 +190,7 @@ def win_range_time(spark, sf_dir):
         .select(
             "event_id",
             "user_id",
-            F.sum(F.col("value").cast(_DEC)).over(w).cast("double").alias("trailing_1h_value"),
+            F.sum(dec_cast("value")).over(w).cast("double").alias("trailing_1h_value"),
             F.count(F.lit(1)).over(w).alias("trailing_1h_n"),
         )
     )
@@ -493,7 +493,7 @@ _ROLL_REG_FRAME = 8
     WITH e AS (
         SELECT user_id, event_id, ts,
                epoch_us(ts) // 1000000 - {_ROLL_REG_BASE_S} AS x,
-               CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT) AS y
+               CAST(FLOOR({o_finite_or_null('value')} * 10000.0 + 0.5) AS BIGINT) AS y
         FROM events
     ),
     m AS (
@@ -541,7 +541,7 @@ def win_rolling_regression(spark, sf_dir):
         "event_id",
         "ts",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
-        F.floor(F.col("value") * 10000.0 + 0.5).cast("long").alias("y"),
+        F.floor(finite_or_null("value") * 10000.0 + 0.5).cast("long").alias("y"),
     ).select(
         "user_id",
         "event_id",

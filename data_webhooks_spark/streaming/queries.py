@@ -954,9 +954,10 @@ def _funnel_finalize(all_updates: DataFrame) -> DataFrame:
     SELECT date_trunc('day', ts) AS window_start,
            event_type,
            COUNT(*) AS n,
-           CAST(SUM(CASE WHEN value >= 0
+           CAST(SUM(CASE WHEN ABS(value) <= 1.7976931348623157e308 AND value >= 0
                 THEN CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
-                ELSE -CAST(FLOOR(-value * 100.0 + 0.5) AS BIGINT) END)
+                WHEN ABS(value) <= 1.7976931348623157e308
+                THEN -CAST(FLOOR(-value * 100.0 + 0.5) AS BIGINT) END)
              AS DOUBLE) / 100 AS total_value
     FROM events
     GROUP BY window_start, event_type
@@ -1366,14 +1367,20 @@ def stream_late_drops(spark, sf_dir):
 @op(
     "stream_anomaly",
     sql=f"""
-    WITH med AS (
+    WITH fe AS (
+        -- non-finite values are MISSING engine-wide: excluded from the
+        -- robust stats AND from alerting (their z is unrepresentable)
+        SELECT * FROM events
+        WHERE ABS(value) <= 1.7976931348623157e308
+    ),
+    med AS (
         SELECT event_type, quantile_cont(value, 0.5) AS med
-        FROM events GROUP BY event_type
+        FROM fe GROUP BY event_type
     ),
     dev AS (
         SELECT e.event_type, e.event_id, e.value, m.med,
                abs(e.value - m.med) AS adev
-        FROM events e JOIN med m ON e.event_type = m.event_type
+        FROM fe e JOIN med m ON e.event_type = m.event_type
     ),
     mad AS (
         SELECT event_type, quantile_cont(adev, 0.5) AS mad
@@ -1402,10 +1409,13 @@ def stream_anomaly(spark, sf_dir):
     rate."""
     tune(spark)
     t = Tables(spark, sf_dir)
-    med = t.events.groupBy("event_type").agg(
+    fe = t.events.filter(
+        F.abs(F.col("value")) <= F.lit(1.7976931348623157e308)
+    )
+    med = fe.groupBy("event_type").agg(
         F.percentile("value", F.lit(0.5)).alias("med")
     )
-    dev = t.events.join(F.broadcast(med), "event_type").withColumn(
+    dev = fe.join(F.broadcast(med), "event_type").withColumn(
         "adev", F.abs(F.col("value") - F.col("med"))
     )
     stats = (
@@ -1416,7 +1426,8 @@ def stream_anomaly(spark, sf_dir):
     cut = F.lit(3.0 * 1.4826)
     s = read_replay_stream(spark, sf_dir, files_per_trigger=2)
     flagged = (
-        s.join(F.broadcast(stats), "event_type")
+        s.filter(F.abs(F.col("value")) <= F.lit(1.7976931348623157e308))
+        .join(F.broadcast(stats), "event_type")
         .filter(F.abs(F.col("value") - F.col("med")) > cut * F.col("mad"))
         .select(
             "event_id",

@@ -298,6 +298,26 @@ def _hot_orderkey_lineitem(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf
 
 
+def _nonfinite_values(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Scenario N (r12): NaN / +Infinity / -Infinity injected into
+    events.value (corrupt-telemetry shape — a sensor or serializer
+    emitting non-finite doubles). Distinct from NULL: found that
+    Spark's FLOOR(double)->BIGINT silently SATURATES non-finite input
+    (NaN money -> 0.00 in a sum with no error; one inf row kills a
+    100 TB job via ANSI sum overflow) while DuckDB's double FLOOR
+    propagates and its INT64/DECIMAL casts raise — 28 findings on
+    first run, fixed by the finite-guarded quantization policy in
+    norms.py plus ~16 operator-local seams (non-finite == missing,
+    engine-wide)."""
+    rows = []
+    for off, v in enumerate([float("nan"), float("inf"), float("-inf")]):
+        extra = pdf.iloc[[off]].copy()
+        extra["event_id"] = pdf["event_id"].max() + 1 + off
+        extra["value"] = v
+        rows.append(extra)
+    return pd.concat([pdf, *rows], ignore_index=True)
+
+
 SCENARIOS = {
     "A": {"events": _multi_null_events, "documents": _multi_null_documents},
     "B": {"events": _null_only_group},
@@ -318,6 +338,7 @@ SCENARIOS = {
         "documents": _single_lang_documents,
     },
     "M": {"lineitem": _hot_orderkey_lineitem},
+    "N": {"events": _nonfinite_values},
     "K": {
         "events": _empty_table,
         "documents": _empty_table,

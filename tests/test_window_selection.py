@@ -47,6 +47,19 @@ INFRA_WAIVED: dict[str, str] = {
         "test-harness-only module; dir-glob no-op for single-file "
         "fixtures, pinned by tests/test_r12_fixes.py"
     ),
+    # scenario-N non-finite hardening: norms.py gained the finite
+    # guard (_finite/_o_finite/finite_or_null/dec_cast twins) inside
+    # the quantization seams — a fixture NO-OP by construction (every
+    # fixture double is finite; 24-key vanilla-session parity
+    # spot-check green in-session, full suite green on the tree).
+    # Every operator whose own module-local seam changed IS flagged
+    # and heads the REV 3 window; the remaining keys transit only the
+    # shared helpers and are re-certified by the staleness rotation,
+    # per the documented infra policy.
+    "data_webhooks_spark/norms.py": (
+        "finite-guard additions inside existing helpers; fixture "
+        "no-op; all module-locally-edited keys flagged and windowed"
+    ),
 }
 
 # When MORE keys are flagged than the 50-slot window can hold (r11:
