@@ -319,6 +319,15 @@ def dedup_minhash(spark, sf_dir):
     # splits every row and crashed on None (r11 rows-only sweep,
     # scenarios A/D), where the intended semantics is the same drop
     # the <3-word docs already get via the sig NULL filter.
+    #
+    # asNondeterministic: the sig-IsNotNull filter below references the
+    # UDF's output column, and the optimizer's filter pushdown then
+    # evaluates the UDF twice — once under the pushed filter, once in
+    # the surviving projection (two ArrowEvalPython nodes over the same
+    # minhash_sig(text), r12 plan audit). Marking it non-deterministic
+    # forbids the duplication, halving the signature pass; the kernel
+    # itself is a fixed seeded hash family, so results are unchanged.
+    minhash_sig = minhash_sig.asNondeterministic()
     sig = t.documents.filter(F.col("text").isNotNull()).select(
         "doc_id", minhash_sig(F.col("text")).alias("sig")
     ).filter(F.col("sig").isNotNull())
@@ -416,9 +425,17 @@ def dedup_simhash(spark, sf_dir):
     # NULL text has NO fingerprint (the r9 sweep-D lesson, applied to
     # the kernel input too): simhash64_batch splits every row and
     # crashed on None (r11 rows-only sweep, scenarios A/D).
+    #
+    # persist: sh feeds FIVE plan branches (vals' distinct, the
+    # same-value self-join's two sides, and the two doc-expansion
+    # probes) and each branch re-ran the fingerprint UDF — 12
+    # ArrowEvalPython nodes over the identical simhash64(text) in the
+    # r12 plan audit. Pinning the slim (doc_id, simhash) frame runs
+    # the Python pass once; same discipline as dedup_minhash's sig
+    # pin, recomputed fresh per invocation (never across runs).
     sh = t.documents.filter(F.col("text").isNotNull()).select(
         "doc_id", simhash64("text").alias("simhash")
-    )
+    ).persist()
     vals = sh.select("simhash").distinct()
     vbands = vals.select(
         "simhash",
@@ -838,6 +855,14 @@ def dedup_embedding(spark, sf_dir):
             }
         )
 
+    # NOT persisted — negative result (r12, pinned so it is not
+    # re-tried): both tile-join sides read `packed`, so the groupBy
+    # shuffle + pack UDF run twice (two FlatMapGroupsInPandas nodes).
+    # Pinning the frame to run the pack once measured 1.6 s -> 12.0 s
+    # at sf0.1: encoding the array<array<double>> block cells into the
+    # columnar cache costs ~7x more than the duplicated pack pass.
+    # The duplication is B block-build tasks, embarrassingly parallel,
+    # so it also scales fine.
     packed = blocked.groupBy("blk").applyInPandas(
         pack, "blk long, ids array<long>, vecs array<array<double>>"
     )
