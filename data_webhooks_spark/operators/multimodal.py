@@ -611,21 +611,28 @@ def pipeline_media_prep(spark, sf_dir):
     terms = " + ".join(
         tt.replace("{div}", "div") for tt in _phash_terms(_hx_byte_spark)
     )
-    meta = t.documents.select(
+    # ONE row-local projection for metadata AND fingerprint (r12,
+    # guide §2.4): meta and h were separate frames over the same
+    # documents scan, and their doc_id equi-join was the plan's only
+    # SortMergeJoin — a full corpus shuffle to re-pair columns that
+    # never left the row. Fusing them removes that exchange outright;
+    # the near-dup band probe below still derives its slim
+    # (doc_id, ph) side from this same projection.
+    base = t.documents.select(
         "doc_id",
         # octet_length (BYTES): n_bytes is payload size, and the
         # oracle's strlen counts bytes — length() counted chars and
         # diverged on multibyte text (r9 sweep C)
         F.octet_length("text").cast("long").alias("n_bytes"),
+        F.octet_length("text").cast("long").alias("n"),
         F.expr(
             "CAST(conv(substring(md5(text), 1, 8), 16, 10) AS BIGINT)"
         ).alias("checksum"),
-    )
-    h = t.documents.select(
-        "doc_id",
-        F.octet_length("text").cast("long").alias("n"),
         F.hex(F.encode("text", "utf-8")).alias("hx"),
-    ).select("doc_id", F.expr(terms).alias("ph"))
+    ).select(
+        "doc_id", "n_bytes", "checksum", F.expr(terms).alias("ph")
+    )
+    h = base.select("doc_id", "ph")
     bands = h.select(
         "doc_id",
         "ph",
@@ -659,8 +666,7 @@ def pipeline_media_prep(spark, sf_dir):
         .withColumn("is_dup", F.lit(True))
     )
     return (
-        meta.join(h, "doc_id")
-        .join(dup, "doc_id", "left")
+        base.join(dup, "doc_id", "left")
         .select(
             "doc_id",
             "n_bytes",

@@ -1363,25 +1363,65 @@ def embed_pca_power(spark, sf_dir):
     self-join for a mapInPandas X_part.T @ X_part block kernel (the
     dedup_embedding precedent)."""
     t = Tables(spark, sf_dir)
-    ex = t.embeddings.select(
-        "vec_id",
-        F.posexplode(
-            F.transform(F.col("embedding"), lambda x: x.cast("double"))
-        ).alias("dim0", "x"),
-    ).select(
-        "vec_id",
-        (F.col("dim0") + 1).alias("dim"),
-        F.floor(F.col("x") * F.lit(1e4) + F.lit(0.5)).cast("long").alias("xu"),
-    )
-    b = ex.select(
-        F.col("vec_id").alias("bvid"),
-        F.col("dim").alias("j"),
-        F.col("xu").alias("xj"),
-    )
+    # Gram build rewritten (r12, guide §4.2 "heavy lifting in native
+    # code"): the previous form posexploded every vector (12.8M rows
+    # at sf0.1) and self-joined on vec_id — ~104M (i, j) product rows
+    # through a shuffle — to aggregate the 64x64 upper triangle. The
+    # per-partition matmul kernel below computes the identical integer
+    # partial Gram per TASK (Xu^T @ Xu over the batch's quantized
+    # rows) and ships only ~d² rows per task to one final groupBy sum.
+    # Exactness: xu = floor(x_double * 1e4 + 0.5) reproduces the plan
+    # quantization bit-for-bit (float->double widening is exact, the
+    # kernel works in float64 like Spark's DOUBLE); per-batch products
+    # run through BLAS float64 ONLY when |max_xu|² * batch_rows < 2^53
+    # (every partial sum then exactly representable), else the int64
+    # matmul fallback; cross-batch/task accumulation is int64 — the
+    # same BIGINT sum, associative and order-free. Measured 2.35 s ->
+    # see OPTIMIZATION_r12.md; at 100 TB the win is structural: no
+    # exploded shuffle at all, partial rows are |tasks|*d² no matter
+    # the corpus.
+    import numpy as np
+    import pandas as pd
+
+    def gram_partials(batches):
+        acc = np.zeros((0, 0), dtype=np.int64)
+        for pdf in batches:
+            vecs = [v for v in pdf["embedding"] if v is not None and len(v)]
+            if not vecs:
+                continue
+            dmax = max(len(v) for v in vecs)
+            X = np.zeros((len(vecs), dmax), dtype=np.float64)
+            for r, v in enumerate(vecs):
+                X[r, : len(v)] = np.asarray(v, dtype=np.float64)
+            if not np.isfinite(X).all():
+                # the exploded form's ANSI cast-to-BIGINT threw here;
+                # keep the same loud failure instead of silent garbage
+                raise ValueError(
+                    "embed_pca_power: non-finite embedding component"
+                )
+            Xu = np.floor(X * 1e4 + 0.5)
+            peak = np.abs(Xu).max()
+            if peak * peak * len(vecs) < 2**53:
+                gb = (Xu.T @ Xu).astype(np.int64)  # exact: sums < 2^53
+            else:
+                gb = Xu.astype(np.int64).T @ Xu.astype(np.int64)
+            if gb.shape[0] > acc.shape[0]:
+                grown = np.zeros(gb.shape, dtype=np.int64)
+                grown[: acc.shape[0], : acc.shape[0]] = acc
+                acc = grown
+            acc[: gb.shape[0], : gb.shape[0]] += gb
+        d = acc.shape[0]
+        if d:
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame(
+                {"i": iu + 1, "j": ju + 1, "p": acc[iu, ju]}
+            )
+
     gup = (
-        ex.join(b, (ex["vec_id"] == b["bvid"]) & (ex["dim"] <= b["j"]))
-        .groupBy(ex["dim"].alias("i"), "j")
-        .agg(F.sum(ex["xu"] * b["xj"]).cast("long").alias("guv"))
+        t.embeddings.select("embedding")
+        .mapInPandas(gram_partials, "i int, j int, p long")
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("guv"))
     )
     gscale = gup.agg(F.expr("MAX(ABS(guv)) div 1000000 + 1").alias("g"))
     gd_up = gup.crossJoin(F.broadcast(gscale)).select(
