@@ -73,6 +73,15 @@ def funnel_conversion(spark, sf_dir):
     trivially)."""
     e = Tables(spark, sf_dir).events.select("user_id", "event_type", "ts")
 
+    # NOT persisted — negative result (r12, pinned): v and c each feed
+    # two consumers, so Catalyst scans events 6x per run, and pinning
+    # the slim stage aggregates looked like the textbook fix — but
+    # measured 0.8-1.1 s -> 1.2-1.8 s at sf0.1 (3 consistent A/Bs):
+    # cache materialization turns the freely-pipelined branches into
+    # blocking jobs and costs more than the redundant scans of a
+    # pruned 3-column fact. At cluster scale the trade flips only if
+    # the fact scan dominates; revisit with real 100 TB numbers, not
+    # here.
     v = (
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")
