@@ -60,25 +60,27 @@ _ROWS_ONLY = {
     "profile_table_approx",
 }
 _WINDOW = [
-    # r12 window, REV 3 (`window_select.py --propose` after the
-    # scenario-N non-finite hardening): the NaN/Infinity sweep found
-    # that Spark's FLOOR(double)->BIGINT silently saturates non-finite
-    # values (NaN money -> 0.00 with no error; one inf row kills the
-    # job via ANSI sum overflow) while DuckDB's double FLOOR
-    # propagates them — fixed with the finite-guarded quantization
-    # policy in norms.py (infra, waived with justification in
-    # tests/test_window_selection.py) plus ~15 operator-local seams
-    # (windows running sums, welch/rfm/attribution/pareto/ltv units,
-    # period_delta, sample_weighted, dq pair, layout pair, rollup
-    # twin, stream_anomaly, grouped_map, profile_string_patterns).
-    # Every fixture output is unchanged (24-key vanilla-session parity
-    # spot-check green in-session); the edits still flag the keys, so
-    # the head re-earns their records: 56 flagged > 50 slots. Head =
-    # 49 flagged; tail = text_token_count (the oldest r3 record, the
-    # staleness slot that makes the 7 deferrals legal). DEFERRED (see
-    # window_select.py): ann_ivf (unchanged r12 rationale) + the six
-    # r11-recorded replay-glob streaming keys whose r12 edits are
-    # single-file no-ops pinned by the dir-layout parity tests.
+    # r12 window, REV 4 (`window_select.py --propose` after the
+    # r12 OPTIMIZATION session's edits on top of REV 3). REV 3
+    # history: the scenario-N non-finite hardening (NaN/Infinity
+    # quantization policy in norms.py — infra, waived with
+    # justification in tests/test_window_selection.py — plus ~15
+    # operator-local seams). REV 4 adds the optimization edits:
+    # dedup_minhash (UDF de-duplication), dedup_simhash (fingerprint
+    # pin), dedup_embedding + funnel_conversion (pinned negative
+    # results), embed_pca_power (Gram matmul kernel),
+    # pipeline_media_prep (fused projections), and the
+    # core.checkpoint_dir tmpfs move that transits every streaming
+    # key. Every fixture output is A/B row-identical against the
+    # pre-round tree (OPTIMIZATION_r12.md); the edits still flag the
+    # keys, so the head re-earns their records: 56 flagged > 50
+    # slots. Head = 49 flagged; tail = text_token_count (the oldest
+    # r3 record, the staleness slot that makes the 14 deferrals
+    # legal). DEFERRED (see window_select.py): ann_ivf (unchanged
+    # rationale), six replay-glob streaming keys (r11-fresh, now
+    # also covering the checkpoint placement), and seven r11-fresh
+    # streaming keys whose only in-round change is the
+    # result-invariant checkpoint placement.
     "ab_ttest_welch",
     "agg_histogram",
     "agg_kll_quantile",
@@ -86,15 +88,17 @@ _WINDOW = [
     "analytics_pareto",
     "analytics_rfm",
     "ann_ivf_pq",
+    "dedup_embedding",
+    "dedup_minhash",
     "dedup_simhash",
     "dq_observe",
     "dq_reconciliation",
+    "embed_pca_power",
     "embed_pq",
     "event_attribution",
+    "funnel_conversion",
     "grouped_map",
-    "join_stream_static",
-    "join_stream_stream",
-    "join_stream_stream_outer",
+    "pipeline_media_prep",
     "profile_string_patterns",
     "sample_weighted",
     "scan_binaryfile",
@@ -108,7 +112,8 @@ _WINDOW = [
     "scan_python_datasource",
     "scan_text",
     "sink_foreach_batch",
-    "source_file_stream",
+    "sink_webhook",
+    "source_rate",
     "source_webhook",
     "stream_anomaly",
     "stream_cdc_apply",
@@ -116,11 +121,8 @@ _WINDOW = [
     "stream_dedup",
     "stream_funnel",
     "stream_hll_distinct",
-    "stream_late_drops",
     "stream_quantile",
     "stream_rollup_upsert",
-    "stream_session_agg",
-    "stream_stateful",
     "stream_tumbling_agg",
     "tpch_q21",
     "ts_period_delta",
