@@ -501,11 +501,16 @@ def multimodal_phash(spark, sf_dir):
     terms = " + ".join(
         tt.replace("{div}", "div") for tt in _phash_terms(_hx_byte_spark)
     )
+    # persist: the band self-join's two sides each recomputed the
+    # 56-term dHash expression over hex(text) — the plan's dominant
+    # per-row cost — doubling the fingerprint pass. The pinned frame
+    # is flat (doc_id, ph BIGINT): none of the nested-array cache
+    # penalty that made the dedup_embedding pin a negative result.
     h = t.documents.select(
         "doc_id",
         F.octet_length("text").cast("long").alias("n"),
         F.hex(F.encode("text", "utf-8")).alias("hx"),
-    ).select("doc_id", F.expr(terms).alias("ph"))
+    ).select("doc_id", F.expr(terms).alias("ph")).persist()
     bands = h.select(
         "doc_id",
         "ph",
