@@ -636,7 +636,7 @@ def pipeline_media_prep(spark, sf_dir):
         F.hex(F.encode("text", "utf-8")).alias("hx"),
     ).select(
         "doc_id", "n_bytes", "checksum", F.expr(terms).alias("ph")
-    )
+    ).persist()
     h = base.select("doc_id", "ph")
     bands = h.select(
         "doc_id",
