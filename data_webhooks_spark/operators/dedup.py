@@ -186,7 +186,9 @@ def dedup_ngram_jaccard(spark, sf_dir):
     — see _df_capped; at the fixture the cap never binds, so values
     equal the uncapped form) — bit-identical across engines."""
     t = Tables(spark, sf_dir)
-    shingled = _df_capped(_shingled(t.documents))
+    # persist experiment (r12): shingled feeds sizes + both self-join
+    # sides; the frame is flat (doc_id, shingle string).
+    shingled = _df_capped(_shingled(t.documents)).persist()
     sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = shingled.alias("a")
     b = shingled.alias("b")
@@ -662,6 +664,12 @@ def _cluster_candidates(documents):
     # rep-level df; capping over raw docs would diverge the moment
     # replicas push a shingle past the cap that its unique texts
     # don't reach)
+    # NOT persisted — negative result (r12, pinned): the same
+    # 3-consumer pin that wins in dedup_ngram_jaccard/_containment
+    # measured 5.3-6.6 s -> 6.7-8.2 s here (3 consistent A/Bs): the
+    # rep-collapsed shingle set is small and the downstream star
+    # contraction dominates; blocking on the cache materialization
+    # costs more than the duplicate candidate build.
     shingled = _df_capped(_shingled(rep_docs))
     sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = shingled.alias("a"), shingled.alias("b")
@@ -1075,7 +1083,8 @@ def dedup_containment(spark, sf_dir):
     pair (A,B) and (B,A) carry different denominators). Both ratios
     are exact integer divisions, bit-identical across engines."""
     t = Tables(spark, sf_dir)
-    shingled = _df_capped(_shingled(t.documents))
+    # persist (r12): same 3-consumer pin as dedup_ngram_jaccard.
+    shingled = _df_capped(_shingled(t.documents)).persist()
     sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = shingled.alias("a"), shingled.alias("b")
     pairs = (
