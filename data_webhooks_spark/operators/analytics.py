@@ -930,6 +930,13 @@ def event_cooccurrence(spark, sf_dir):
     tiny marginals broadcast back. All counts exact BIGINTs; support
     and lift are single fixed double expressions, quantized."""
     t = Tables(spark, sf_dir)
+    # NOT persisted (r12, measured): u feeds 4 consumers, but pinning
+    # it read 1.0-1.1 s -> 1.5-1.6 s at sf0.1 — the same
+    # cache-materialization-beats-recompute negative result as
+    # funnel_conversion. The pins that DO pay here all share one
+    # trait: the duplicated subtree contains an expensive per-row
+    # kernel (a Python UDF or the 56-term dHash), not a plain
+    # scan+distinct.
     u = t.events.select("user_id", "event_type").distinct()
     k = u.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     tot = u.agg(F.countDistinct("user_id").cast("double").alias("nu"))

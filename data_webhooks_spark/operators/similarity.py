@@ -1438,21 +1438,24 @@ def embed_pca_power(spark, sf_dir):
     v = spark.range(1, 65).select(
         F.col("id").alias("dim"), F.lit(125000).cast("long").alias("vu")
     )
-    for _ in range(_PCA_SWEEPS):
+    for it in range(_PCA_SWEEPS):
         y = (
             g.join(F.broadcast(v), g["j"] == v["dim"])
             .groupBy(F.col("i").alias("ydim"))
             .agg(F.sum(F.col("gd") * F.col("vu")).cast("long").alias("y"))
         )
         m = y.agg(F.expr("MAX(ABS(y)) div 1000000 + 1").alias("d"))
-        v = (
-            y.crossJoin(F.broadcast(m))
-            .select(
-                F.col("ydim").alias("dim"),
-                F.expr("CAST(y div d AS BIGINT)").alias("vu"),
-            )
-            .localCheckpoint(eager=True)
+        v = y.crossJoin(F.broadcast(m)).select(
+            F.col("ydim").alias("dim"),
+            F.expr("CAST(y div d AS BIGINT)").alias("vu"),
         )
+        # checkpoint every SECOND sweep (r12): the eager per-sweep cut
+        # paid one blocking job per iteration (~8 round-trips on a
+        # 64-row table); a 2-sweep lineage is far below the ~7-sweep
+        # Catalyst stack limit that motivated the cut, and the final
+        # sweep's result is returned lazily like every other operator.
+        if it % 2 == 1 and it != _PCA_SWEEPS - 1:
+            v = v.localCheckpoint(eager=True)
     return v.select("dim", F.col("vu").alias("loading_u"))
 
 

@@ -60,27 +60,29 @@ _ROWS_ONLY = {
     "profile_table_approx",
 }
 _WINDOW = [
-    # r12 window, REV 4 (`window_select.py --propose` after the
-    # r12 OPTIMIZATION session's edits on top of REV 3). REV 3
-    # history: the scenario-N non-finite hardening (NaN/Infinity
-    # quantization policy in norms.py — infra, waived with
-    # justification in tests/test_window_selection.py — plus ~15
-    # operator-local seams). REV 4 adds the optimization edits:
-    # dedup_minhash (UDF de-duplication), dedup_simhash (fingerprint
-    # pin), dedup_embedding + funnel_conversion (pinned negative
-    # results), embed_pca_power (Gram matmul kernel),
-    # pipeline_media_prep (fused projections), and the
-    # core.checkpoint_dir tmpfs move that transits every streaming
-    # key. Every fixture output is A/B row-identical against the
-    # pre-round tree (OPTIMIZATION_r12.md); the edits still flag the
-    # keys, so the head re-earns their records: 56 flagged > 50
+    # r12 window, REV 5 (`window_select.py --propose` after the full
+    # r12 OPTIMIZATION session on top of REV 3). REV 3 history: the
+    # scenario-N non-finite hardening (NaN/Infinity quantization
+    # policy in norms.py — infra, waived with justification in
+    # tests/test_window_selection.py — plus ~15 operator-local
+    # seams). REV 4-5 add the optimization edits: dedup_minhash (UDF
+    # de-duplication), dedup_simhash/multimodal_phash/
+    # dedup_ngram_jaccard/dedup_containment (expensive-kernel frame
+    # pins), dedup_embedding + funnel_conversion + event_cooccurrence
+    # + dedup_cluster (pinned negative results), embed_pca_power
+    # (Gram matmul kernel + sweep cadence), pipeline_media_prep
+    # (fused projections + base pin), and the core.checkpoint_dir
+    # tmpfs move that transits every streaming key. Every fixture
+    # output is A/B row-identical against the pre-round tree
+    # (OPTIMIZATION_r12.md); the edits still flag the keys, so the
+    # head re-earns their records: 69 flagged (incl. ledger) > 50
     # slots. Head = 49 flagged; tail = text_token_count (the oldest
-    # r3 record, the staleness slot that makes the 14 deferrals
+    # r3 record, the staleness slot that keeps the 19 deferrals
     # legal). DEFERRED (see window_select.py): ann_ivf (unchanged
-    # rationale), six replay-glob streaming keys (r11-fresh, now
-    # also covering the checkpoint placement), and seven r11-fresh
-    # streaming keys whose only in-round change is the
-    # result-invariant checkpoint placement.
+    # rationale), six replay-glob + seven checkpoint-placement
+    # streaming keys (all r11-fresh), three r11-fresh scan keys
+    # (single-file-no-op glob), and the two comment-only
+    # negative-result keys.
     "ab_ttest_welch",
     "agg_histogram",
     "agg_kll_quantile",
@@ -88,8 +90,10 @@ _WINDOW = [
     "analytics_pareto",
     "analytics_rfm",
     "ann_ivf_pq",
+    "dedup_containment",
     "dedup_embedding",
     "dedup_minhash",
+    "dedup_ngram_jaccard",
     "dedup_simhash",
     "dq_observe",
     "dq_reconciliation",
@@ -98,19 +102,17 @@ _WINDOW = [
     "event_attribution",
     "funnel_conversion",
     "grouped_map",
+    "multimodal_phash",
     "pipeline_media_prep",
     "profile_string_patterns",
     "sample_weighted",
     "scan_binaryfile",
-    "scan_csv",
     "scan_csv_corrupt",
-    "scan_json",
     "scan_json_corrupt",
     "scan_parquet_bloom",
     "scan_parquet_evolve",
     "scan_partition_pruned_dynamic",
     "scan_python_datasource",
-    "scan_text",
     "sink_foreach_batch",
     "sink_webhook",
     "source_rate",

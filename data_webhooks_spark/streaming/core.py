@@ -106,8 +106,23 @@ def read_replay_stream(
     )
 
 
+# Replay checkpoints are ephemeral BY DESIGN: every run_to_table gets a
+# fresh uuid dir and no query ever resumes from it (kill/resume tests
+# manage their own persistent checkpoints explicitly). The
+# HDFSBackedStateStore's per-batch delta/commit files are the dominant
+# streaming fixed cost at fixture scale, so put the throwaway state on
+# tmpfs when the host has one (measured 1.51 s -> 1.26 s on
+# stream_tumbling_agg at sf0.1). A real deployment needs durable
+# checkpoints for exactly-once recovery — point SPARK_GRAFT_CKPT_BASE
+# at shared storage there; the fallback keeps hosts without /dev/shm
+# working unchanged.
+_CKPT_BASE = os.environ.get("SPARK_GRAFT_CKPT_BASE") or (
+    "/dev/shm/dws-ckpt" if os.path.isdir("/dev/shm") else f"{RUNTIME_DIR}/ckpt"
+)
+
+
 def checkpoint_dir() -> str:
-    return f"{RUNTIME_DIR}/ckpt/{uuid.uuid4().hex}"
+    return f"{_CKPT_BASE}/{uuid.uuid4().hex}"
 
 
 # Stateful streaming operators create one state-store instance per

@@ -365,7 +365,27 @@ _CKPT_TMPFS_DEFER = (
     "is r11-fresh; freed slot funds the staleness tail. Rotates "
     "into the r13 window."
 )
+_SCAN_GLOB_DEFER = (
+    "flag is io.duck_parquet_src (r12 dir-glob) transiting the "
+    "format-twin derivation site — a single-file no-op pinned by the "
+    "dir-layout parity tests (tests/test_r12_fixes.py); record is "
+    "r11-fresh for this exact derivation path; freed slot funds the "
+    "staleness tail. Rotates into the r13 window."
+)
+_COMMENT_ONLY_DEFER = (
+    "flag is a comment-only edit (r12-opt pinned negative result "
+    "inside the function body — the closure hashes source text, "
+    "correctly); code path byte-identical, re-proven this session by "
+    "the pre-round-tree A/B row parity and a driver-recipe oracle "
+    "MATCH; freed slot funds keys whose code actually changed. "
+    "Rotates into the r13 window."
+)
 DEFERRED: dict[str, str] = {
+    "event_cooccurrence": _COMMENT_ONLY_DEFER,
+    "dedup_cluster": _COMMENT_ONLY_DEFER,
+    "scan_csv": _SCAN_GLOB_DEFER,
+    "scan_json": _SCAN_GLOB_DEFER,
+    "scan_text": _SCAN_GLOB_DEFER,
     "join_stream_static": _CKPT_TMPFS_DEFER,
     "join_stream_stream": _CKPT_TMPFS_DEFER,
     "join_stream_stream_outer": _CKPT_TMPFS_DEFER,
