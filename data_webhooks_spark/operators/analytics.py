@@ -1537,6 +1537,13 @@ def basket_lift(spark, sf_dir):
     # Collapse identical baskets: every downstream count is weighted
     # by the pattern multiplicity, so the expensive explode runs on
     # |patterns| rows, not |orders|.
+    # NEGATIVE RESULT (r12, measured, do not re-try): persisting pats
+    # (it feeds nb, ic and pairs, so the lineitem⋈part scan + basket
+    # shuffles run 3x) read WORSE in 3 of 4 interleaved sf0.1 noop
+    # A/Bs — 1.96→2.20, 2.12→3.00, 1.92→2.73 s (one inversion
+    # 2.58→2.04). Cache materialization of the array<string> pattern
+    # column serializes the freely-pipelined branches, same class as
+    # the funnel_conversion negative below.
     pats = baskets.groupBy("its").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )

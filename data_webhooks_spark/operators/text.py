@@ -736,6 +736,13 @@ def contamination_ngram(spark, sf_dir):
     t = Tables(spark, sf_dir)
     sh = _spark_ngrams(t).distinct()
     src = t.documents.select("doc_id", "source")
+    # NEGATIVE RESULT (r12, measured, do not re-try): persisting sh_src
+    # (it feeds bench AND target, so the tokenize/explode/distinct
+    # shingle chain runs 3x — census: 7 exchanges, 4 SMJs) read WORSE
+    # in 3/3 interleaved sf0.1 noop A/Bs: 1.34→1.62, 1.49→1.68,
+    # 1.40→1.73 s. The shingle frame is data-sized (|docs|·|ngrams|
+    # rows), so materializing it costs more than re-running the
+    # pipelined chain; the branches run concurrently unpinned.
     sh_src = sh.join(src, "doc_id")
     bench = (
         sh_src.filter(F.col("source") == "src0").select("ngram").distinct()

@@ -1137,6 +1137,14 @@ def ts_stl_decompose(spark, sf_dir):
         .orderBy("hour")
         .rowsBetween(-12, 12)
     )
+    # NEGATIVE RESULT (r12, measured, do not re-try): persisting w
+    # (it feeds seas, glob and the final join, and ts_anomaly_stl
+    # branches the result three more ways — census: 9 exchanges here,
+    # 36 there) read WORSE in 3 of 4 interleaved sf0.1 noop A/Bs:
+    # 1.13→1.46, 1.12→1.25, 1.04→1.37 s (one tie 1.00→0.97); the
+    # downstream ts_anomaly_stl A/B was mixed, net negative. The dense
+    # grid is aggregate-sized but the rollup feeding it is cheap at any
+    # sf; materialization blocks the pipelined branches.
     w = dense.select(
         "event_type",
         "hour",
