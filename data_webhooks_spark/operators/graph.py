@@ -416,14 +416,19 @@ def graph_degree_stats(spark, sf_dir):
             F.greatest(li["l_partkey"], b["pk2"]).alias("v"),
         )
         .distinct()
-        # NOT checkpointed: the unionAll reads `und` twice, but a
-        # measured A/B showed the checkpoint's materialization exactly
-        # cancels the saved recompute here (2.76 s either way) — the
-        # two degree groupBys dominate, not the edge build.
+        # NOT checkpointed: since the explode rewrite below, `und` has
+        # exactly one consumer, so there is nothing to deduplicate.
+        # (Historical: under the old two-branch unionAll a checkpoint
+        # A/B measured 2.76 s either way — materialization cancelled
+        # the saved recompute.)
     )
+    # One scan, not two: the unionAll form ran the whole edge build
+    # (scan -> broadcast self-join -> distinct Exchange) once PER
+    # BRANCH — the r12 plan showed zero exchange reuse between them.
+    # explode(array(u, v)) emits the identical node multiset from a
+    # single pass; the degree counts are unchanged.
     deg = (
-        und.select(F.col("u").alias("node"))
-        .unionAll(und.select(F.col("v").alias("node")))
+        und.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
     )

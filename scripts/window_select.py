@@ -383,6 +383,16 @@ _COMMENT_ONLY_DEFER = (
 DEFERRED: dict[str, str] = {
     "event_cooccurrence": _COMMENT_ONLY_DEFER,
     "dedup_cluster": _COMMENT_ONLY_DEFER,
+    # The reverted-persist trio (+ ts_anomaly_stl, which transits
+    # ts_stl_decompose): the r12-opt A/Bs measured the pins WORSE, so
+    # the shipped code is byte-identical to the recorded tree and the
+    # only diff is the pinned negative-result comment. Parity was
+    # proven BOTH ways in-round: full driver verify 279/279 MATCH with
+    # the pins in place, and the revert restores the recorded source.
+    "basket_lift": _COMMENT_ONLY_DEFER,
+    "contamination_ngram": _COMMENT_ONLY_DEFER,
+    "ts_stl_decompose": _COMMENT_ONLY_DEFER,
+    "ts_anomaly_stl": _COMMENT_ONLY_DEFER,
     "scan_csv": _SCAN_GLOB_DEFER,
     "scan_json": _SCAN_GLOB_DEFER,
     "scan_text": _SCAN_GLOB_DEFER,
@@ -401,6 +411,16 @@ DEFERRED: dict[str, str] = {
         "Deferring the GUARD's record re-earn beats deferring an r3/r4 "
         "cohort key (the round's no-record-older-than-r5 promise) or "
         "the agg_kll_quantile PARITY fix. Rotates into the r13 window."
+    ),
+    "graph_degree_stats": (
+        "r12-opt change replaces the two-branch unionAll degree scan "
+        "with a single-pass explode(array(u, v)) — node multiset "
+        "identical by construction; proven in-session by byte-identical "
+        "row hashes at sf0.01 AND sf0.1 vs the pre-edit tree plus a "
+        "driver-recipe oracle MATCH (OPTIMIZATION_r12.md §12). The key "
+        "carries an r11-fresh record for semantics unchanged here; "
+        "under 74-flagged>50-slot pressure the slot goes to keys with "
+        "older records. Rotates into the r13 window."
     ),
     "stream_topk": _REPLAY_GLOB_DEFER,
     "stream_triggers": _REPLAY_GLOB_DEFER,
