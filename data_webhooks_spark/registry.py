@@ -60,79 +60,70 @@ _ROWS_ONLY = {
     "profile_table_approx",
 }
 _WINDOW = [
-    # r12 window, REV 5 (`window_select.py --propose` after the full
-    # r12 OPTIMIZATION session on top of REV 3). REV 3 history: the
-    # scenario-N non-finite hardening (NaN/Infinity quantization
-    # policy in norms.py — infra, waived with justification in
-    # tests/test_window_selection.py — plus ~15 operator-local
-    # seams). REV 4-5 add the optimization edits: dedup_minhash (UDF
-    # de-duplication), dedup_simhash/multimodal_phash/
-    # dedup_ngram_jaccard/dedup_containment (expensive-kernel frame
-    # pins), dedup_embedding + funnel_conversion + event_cooccurrence
-    # + dedup_cluster (pinned negative results), embed_pca_power
-    # (Gram matmul kernel + sweep cadence), pipeline_media_prep
-    # (fused projections + base pin), and the core.checkpoint_dir
-    # tmpfs move that transits every streaming key. Every fixture
-    # output is A/B row-identical against the pre-round tree
-    # (OPTIMIZATION_r12.md); the edits still flag the keys, so the
-    # head re-earns their records: 69 flagged (incl. ledger) > 50
-    # slots. Head = 49 flagged; tail = text_token_count (the oldest
-    # r3 record, the staleness slot that keeps the 19 deferrals
-    # legal). DEFERRED (see window_select.py): ann_ivf (unchanged
-    # rationale), six replay-glob + seven checkpoint-placement
-    # streaming keys (all r11-fresh), three r11-fresh scan keys
-    # (single-file-no-op glob), and the two comment-only
-    # negative-result keys.
-    "ab_ttest_welch",
-    "agg_histogram",
-    "agg_kll_quantile",
-    "analytics_ltv_cohort",
-    "analytics_pareto",
-    "analytics_rfm",
-    "ann_ivf_pq",
-    "dedup_containment",
-    "dedup_embedding",
-    "dedup_minhash",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dq_observe",
-    "dq_reconciliation",
-    "embed_pca_power",
-    "embed_pq",
-    "event_attribution",
-    "funnel_conversion",
-    "grouped_map",
-    "multimodal_phash",
-    "pipeline_media_prep",
-    "profile_string_patterns",
-    "sample_weighted",
-    "scan_binaryfile",
-    "scan_csv_corrupt",
-    "scan_json_corrupt",
-    "scan_parquet_bloom",
-    "scan_parquet_evolve",
-    "scan_partition_pruned_dynamic",
-    "scan_python_datasource",
-    "sink_foreach_batch",
-    "sink_webhook",
-    "source_rate",
-    "source_webhook",
-    "stream_anomaly",
-    "stream_cdc_apply",
-    "stream_custom_state",
-    "stream_dedup",
-    "stream_funnel",
-    "stream_hll_distinct",
-    "stream_quantile",
-    "stream_rollup_upsert",
-    "stream_tumbling_agg",
-    "tpch_q21",
-    "ts_period_delta",
-    "win_range_time",
-    "win_rolling_regression",
-    "win_running",
-    "win_sliding_rows",
-    "text_token_count",
+    # r13 window, REV 6 (`window_select.py --propose` after the r12
+    # driver artifacts landed at d3f422b). The r12 deferral ledger is
+    # BURNED TO ZERO (r12 verdict item 1): the head is exactly the 25
+    # keys the ledger deferred — graph_degree_stats (the one deferred
+    # key whose plan actually changed: explode(array(u,v)) single-pass
+    # degree scan), the 14 checkpoint-placement/replay-glob streaming
+    # keys, the 3 scan-glob keys, the 6 comment-only negative-result
+    # keys, and ann_ivf — so the driver re-earns every deferred
+    # record. The tail is the 25 stalest records (the r5 cohort:
+    # tpch block, win_first_last/lag_lead/sessionize, etc.), keeping
+    # the no-record-older-than-r5 rotation moving. DEFERRED (see
+    # window_select.py) is empty; this round's own optimization edits
+    # re-flag their keys and the window is re-proposed at round close
+    # before the artifact freeze (REV 6 revisions below).
+    "ann_ivf",
+    "basket_lift",
+    "contamination_ngram",
+    "dedup_cluster",
+    "event_cooccurrence",
+    "graph_degree_stats",
+    "join_stream_static",
+    "join_stream_stream",
+    "join_stream_stream_outer",
+    "scan_csv",
+    "scan_json",
+    "scan_text",
+    "sink_memory",
+    "sink_parquet",
+    "source_file_stream",
+    "stream_late_drops",
+    "stream_output_modes",
+    "stream_session_agg",
+    "stream_sliding_agg",
+    "stream_stateful",
+    "stream_topk",
+    "stream_triggers",
+    "stream_watermark",
+    "ts_anomaly_stl",
+    "ts_stl_decompose",
+    "topn_per_group",
+    "tpch_q1",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q19",
+    "tpch_q2",
+    "tpch_q20",
+    "tpch_q22",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q9",
+    "win_first_last",
+    "win_lag_lead",
+    "win_sessionize",
+    "agg_approx_count_distinct",
+    "cogrouped_map",
+    "event_paths",
+    "join_bucketed",
+    "join_cross",
 ]
 
 _MODULES = [

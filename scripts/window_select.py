@@ -328,108 +328,22 @@ def infra_warnings() -> list[str]:
 # single source; tests/test_window_selection.py asserts a missing
 # flagged key is either windowed or deferred, and that deferrals only
 # exist under genuine slot pressure).
-# REV 3 pressure: the scenario-N non-finite hardening edited ~15
-# operator-local quantization seams on top of the REV 2 flags = 56
-# changed-after-record keys against 50 slots. The six streaming
-# deferrals below share one shape: their flag is core.replay_dir (the
-# r12 dir-parquet glob), their records are the FRESHEST in the flagged
-# set (all r11, recorded for this exact replay path), the glob is a
-# no-op for the driver's single-file fixture layout (pinned by the two
-# dir-layout parity tests in tests/test_r12_fixes.py), and none of
-# them transits a value-quantization seam the scenario-N fix touched
-# beyond the norms helpers every key shares. The slot they free funds
-# text_token_count — the oldest record in the whole ledger (r3).
-_REPLAY_GLOB_DEFER = (
-    "flag is core.replay_dir (r12 dir-glob), a single-file no-op "
-    "pinned by the dir-layout parity tests, plus core.checkpoint_dir "
-    "(r12-opt tmpfs placement of the ephemeral per-run checkpoint — "
-    "result-invariant by construction, re-proven by the full "
-    "streaming-semantics family in-suite); record is r11-fresh for "
-    "this exact replay path; freed slot funds the r3 staleness tail. "
-    "Rotates into the r13 window."
-)
-# Optimization-round pressure (REV 4): the r12-opt session's edits
-# (dedup UDF dedup, pca Gram kernel, media-prep fusion, and the
-# checkpoint_dir tmpfs move that transits EVERY streaming key) push
-# the flagged set to 56 against 50 slots. The seven extra streaming
-# deferrals below mirror the replay-glob shape exactly: freshest
-# records in the flagged set (all r11), the only in-round change on
-# their path is checkpoint PLACEMENT (availableNow replay output is
-# checkpoint-location-invariant; complete-mode/append semantics
-# re-proven by tests/test_streaming_semantics.py on the changed
-# tree), and the freed slots fund the staleness tail.
-_CKPT_TMPFS_DEFER = (
-    "flag is core.checkpoint_dir (r12-opt tmpfs placement of the "
-    "ephemeral per-run checkpoint), result-invariant and re-proven "
-    "by the streaming-semantics family on the changed tree; record "
-    "is r11-fresh; freed slot funds the staleness tail. Rotates "
-    "into the r13 window."
-)
-_SCAN_GLOB_DEFER = (
-    "flag is io.duck_parquet_src (r12 dir-glob) transiting the "
-    "format-twin derivation site — a single-file no-op pinned by the "
-    "dir-layout parity tests (tests/test_r12_fixes.py); record is "
-    "r11-fresh for this exact derivation path; freed slot funds the "
-    "staleness tail. Rotates into the r13 window."
-)
-_COMMENT_ONLY_DEFER = (
-    "flag is a comment-only edit (r12-opt pinned negative result "
-    "inside the function body — the closure hashes source text, "
-    "correctly); code path byte-identical, re-proven this session by "
-    "the pre-round-tree A/B row parity and a driver-recipe oracle "
-    "MATCH; freed slot funds keys whose code actually changed. "
-    "Rotates into the r13 window."
-)
-DEFERRED: dict[str, str] = {
-    "event_cooccurrence": _COMMENT_ONLY_DEFER,
-    "dedup_cluster": _COMMENT_ONLY_DEFER,
-    # The reverted-persist trio (+ ts_anomaly_stl, which transits
-    # ts_stl_decompose): the r12-opt A/Bs measured the pins WORSE, so
-    # the shipped code is byte-identical to the recorded tree and the
-    # only diff is the pinned negative-result comment. Parity was
-    # proven BOTH ways in-round: full driver verify 279/279 MATCH with
-    # the pins in place, and the revert restores the recorded source.
-    "basket_lift": _COMMENT_ONLY_DEFER,
-    "contamination_ngram": _COMMENT_ONLY_DEFER,
-    "ts_stl_decompose": _COMMENT_ONLY_DEFER,
-    "ts_anomaly_stl": _COMMENT_ONLY_DEFER,
-    "scan_csv": _SCAN_GLOB_DEFER,
-    "scan_json": _SCAN_GLOB_DEFER,
-    "scan_text": _SCAN_GLOB_DEFER,
-    "join_stream_static": _CKPT_TMPFS_DEFER,
-    "join_stream_stream": _CKPT_TMPFS_DEFER,
-    "join_stream_stream_outer": _CKPT_TMPFS_DEFER,
-    "source_file_stream": _CKPT_TMPFS_DEFER,
-    "stream_late_drops": _CKPT_TMPFS_DEFER,
-    "stream_session_agg": _CKPT_TMPFS_DEFER,
-    "stream_stateful": _CKPT_TMPFS_DEFER,
-    "ann_ivf": (
-        "r12 change is _empty_embeddings_guard, a take(1) early-return "
-        "that is a no-op on every non-empty input (all fixtures are) — "
-        "scenario-K swept clean, recall floor in test_quality.py pins "
-        "the output, and the rows-only record is a bare row count. "
-        "Deferring the GUARD's record re-earn beats deferring an r3/r4 "
-        "cohort key (the round's no-record-older-than-r5 promise) or "
-        "the agg_kll_quantile PARITY fix. Rotates into the r13 window."
-    ),
-    "graph_degree_stats": (
-        "r12-opt change replaces the two-branch unionAll degree scan "
-        "with a single-pass explode(array(u, v)) — node multiset "
-        "identical by construction; proven in-session by byte-identical "
-        "row hashes at sf0.01 AND sf0.1 vs the pre-edit tree plus a "
-        "driver-recipe oracle MATCH (OPTIMIZATION_r12.md §12). The key "
-        "carries an r11-fresh record for semantics unchanged here; "
-        "under 74-flagged>50-slot pressure the slot goes to keys with "
-        "older records. Rotates into the r13 window."
-    ),
-    "stream_topk": _REPLAY_GLOB_DEFER,
-    "stream_triggers": _REPLAY_GLOB_DEFER,
-    "sink_memory": _REPLAY_GLOB_DEFER,
-    "sink_parquet": _REPLAY_GLOB_DEFER,
-    "stream_sliding_agg": _REPLAY_GLOB_DEFER,
-    "stream_watermark": _REPLAY_GLOB_DEFER,
-    "stream_output_modes": _REPLAY_GLOB_DEFER,
-}
+#
+# r13: the ledger is EMPTY — burned to zero per the r12 verdict's top
+# item. The 25 r12 deferrals (graph_degree_stats' explode rewrite, the
+# 14 checkpoint-placement/replay-glob streaming keys, 3 scan-glob
+# keys, 6 comment-only negative-result pins, ann_ivf's guard) all head
+# the r13 window (registry REV 6) so the driver re-earns their
+# records. The r12 entries' full justifications live in git history
+# (this file at d3f422b). Bookkeeping note, r12 ADVICE low: the r12
+# entries cited "74-flagged>50-slot" where registry REV 5 said 69 —
+# the 74 count included the 5 already-deferred replay-glob keys the
+# selector re-flags each run; and funnel_conversion (comment-only in
+# r12) held a REV 5 window slot while its comment-only peers were
+# deferred because its record was r5-stale (slot pressure ranks by
+# record age, and it was flagged before the REV 5 freeze). Both were
+# presentation inconsistencies, not selection errors.
+DEFERRED: dict[str, str] = {}
 
 
 def propose_window(size: int = WINDOW_SIZE) -> list[str]:
