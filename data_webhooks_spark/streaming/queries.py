@@ -19,6 +19,7 @@ not survive 100 TB; the watermarked append variants are the scale path.
 from __future__ import annotations
 
 import os
+import shutil
 import time
 import uuid
 from decimal import Decimal
@@ -34,6 +35,8 @@ from ..session import tune
 from .core import (
     N_CHUNKS,
     RUNTIME_DIR,
+    STREAM_PY_STATE_PARTITIONS,
+    STREAM_STATE_PARTITIONS,
     checkpoint_dir,
     read_replay_stream,
     run_to_table,
@@ -292,8 +295,15 @@ def stream_stateful(spark, sf_dir):
     qnt float expression (floor(x*1e4+0.5)/1e4) on both sides —
     Python's round() is banker's and DuckDB's is not."""
     tune(spark)
+    # python-stateful: 16 state partitions, not the JVM-stateful 4 —
+    # the per-batch cost is per-group python work, which parallelizes
+    # across workers (A/B table in core.py at the constant definition)
     return _ss_finalize(
-        run_to_table(_ss_update_stream(spark, sf_dir), "update")
+        run_to_table(
+            _ss_update_stream(spark, sf_dir),
+            "update",
+            state_partitions=STREAM_PY_STATE_PARTITIONS,
+        )
     )
 
 
@@ -913,8 +923,11 @@ def _funnel_updates(
     timeouts fire mid-stream and a settled user returns — see
     tests/test_streaming_semantics.py::
     test_funnel_query_level_settle_then_return."""
+    # python-stateful: 16 state partitions (see core.py A/B table)
     return run_to_table(
-        _funnel_update_stream(spark, sf_dir, late, files_per_trigger), "update"
+        _funnel_update_stream(spark, sf_dir, late, files_per_trigger),
+        "update",
+        state_partitions=STREAM_PY_STATE_PARTITIONS,
     )
 
 
@@ -990,15 +1003,35 @@ def stream_rollup_upsert(spark, sf_dir):
     aggregation keeps state bounded by the watermark."""
     tune(spark)
     out = f"{RUNTIME_DIR}/rollup/{uuid.uuid4().hex[:12]}"
+    # the serving read below is lazy, so the store must outlive this
+    # function — remove it at process exit instead of leaking one
+    # ~120-dir tree per invocation (r13, same leak class as the r12
+    # checkpoint advice)
+    import atexit
+
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
     agg = _rollup_agg(read_replay_stream(spark, sf_dir, files_per_trigger=2))
-    q = (
-        agg.writeStream.foreachBatch(_rollup_upsert_fn(out))
-        .outputMode("update")
-        .option("checkpointLocation", checkpoint_dir())
-        .trigger(availableNow=True)
-        .start()
+    # Narrow state partitions like run_to_table does (r13): this
+    # own-sink query previously ran at the session's 32 shuffle
+    # partitions — 32 state-store instances per micro-batch for a
+    # ~120-group aggregate, pure commit overhead at fixture scale.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    ckpt = checkpoint_dir()
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
     )
-    q.awaitTermination()
+    try:
+        q = (
+            agg.writeStream.foreachBatch(_rollup_upsert_fn(out))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(ckpt, ignore_errors=True)
     # explicit schema + ensured dir: an all-empty stream never writes
     # a batch, and the serving read must return an empty rollup, not
     # PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA (empty-input sweep)
@@ -1576,8 +1609,13 @@ def stream_custom_state(spark, sf_dir):
     both adapters over identical batches with fake state objects and
     requires identical updates AND identical stored state."""
     tune(spark)
+    # python-stateful: 16 state partitions (see core.py A/B table)
     return _cs_finalize(
-        run_to_table(_cs_update_stream(spark, sf_dir), "update")
+        run_to_table(
+            _cs_update_stream(spark, sf_dir),
+            "update",
+            state_partitions=STREAM_PY_STATE_PARTITIONS,
+        )
     )
 
 

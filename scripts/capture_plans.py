@@ -32,7 +32,7 @@ HEADLINE = [
 def main() -> None:
     tag = sys.argv[1] if len(sys.argv) > 1 else "before"
     keys = sys.argv[2:] or HEADLINE
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r13"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("plan-capture")
     qs = registry.queries()
