@@ -186,24 +186,31 @@ def graph_pagerank(spark, sf_dir):
             "base"
         ),
     )
-    r = deg.crossJoin(F.broadcast(scalars)).select(
-        F.col("src").alias("node"), "d", F.col("base"), F.col("ru0").alias("ru")
+    # (node, d, base, ru0) computed and pinned ONCE (r13): the old
+    # loop re-derived deg ⋈ broadcast(scalars) inside every sweep's
+    # rank rebuild — 3 extra scalar-aggregate jobs and 3 extra
+    # broadcast builds whose latency showed up as a 17.5 s-runTime /
+    # 0.3 s-CPU pure-wait stage in the profile. Same integer values by
+    # construction (the scalars are deterministic aggregates of the
+    # pinned degree table); interleaved warm A/B 6.3 -> 5.4 s at
+    # sf0.1, output hash identical.
+    nd = _pin(
+        deg.crossJoin(F.broadcast(scalars)).select(
+            F.col("src").alias("node"), "d", "base", "ru0"
+        )
     )
+    r = nd.select("node", "d", "base", F.col("ru0").alias("ru"))
     for _ in range(_ITERS):
         contrib = r.join(edges, r["node"] == edges["src"]).select(
             F.col("dst"),
             F.expr(f"ru * {_D_NUM} div ({_D_DEN} * d)").alias("c"),
         )
         gathered = contrib.groupBy("dst").agg(F.sum("c").alias("sc"))
-        r = (
-            deg.crossJoin(F.broadcast(scalars))
-            .join(gathered, deg["src"] == gathered["dst"])
-            .select(
-                deg["src"].alias("node"),
-                "d",
-                F.col("base"),
-                (F.col("base") + F.col("sc")).alias("ru"),
-            )
+        r = nd.join(gathered, nd["node"] == gathered["dst"]).select(
+            "node",
+            "d",
+            "base",
+            (F.col("base") + F.col("sc")).alias("ru"),
         )
     return r.select(
         "node",
@@ -259,9 +266,11 @@ def graph_triangle_count(spark, sf_dir):
     triangle is counted exactly once, and — the scale point — a hub
     of degree D contributes O(√m)-bounded oriented out-degree instead
     of D² wedges, which is precisely what stops the hottest reducer
-    from owning the whole job at 100 TB. Both the wedge join and the
-    closing join are plain equi-joins (wedge key = shared source;
-    close key = the (min,max) pair), so AQE handles residual skew.
+    from owning the whole job at 100 TB. Since r13 the wedge/closure
+    counting runs on per-source out-neighbor ARRAYS (adjacency join +
+    array_intersect) instead of materializing each wedge as a join
+    row — same counts by construction, ~2x less CPU; the attach joins
+    are plain equi-joins so AQE handles residual skew.
 
     Everything is exact integer counting — no determinism budget
     needed; the DuckDB twin runs the identical orientation. Output is
@@ -310,37 +319,57 @@ def graph_triangle_count(spark, sf_dir):
             F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("t"),
         )
     )
-    e2 = oriented.select(F.col("s").alias("s2"), F.col("t").alias("t2"))
-    # wedges is deliberately NOT pinned: it is the one large
-    # intermediate (O(Σ oriented-out-deg²) rows), and materializing it
-    # costs more than letting both consumers stream it out of the
-    # pinned `oriented` self-join inside codegen (measured 24 s
-    # materialized vs 3 s streamed at sf0.1).
-    wedges = (
-        oriented.join(e2, (F.col("s") == F.col("s2")) & (F.col("t") < F.col("t2")))
-        .select(F.col("t").alias("b"), F.col("t2").alias("c"))
-    )
-    # close against the CANONICAL undirected set: wedge endpoints are
-    # already id-ordered (b < c), while `oriented` is DEGREE-ordered —
-    # joining oriented on (min,max) ids would silently miss closures
-    # whose degree order disagrees with id order (caught by the
-    # brute-force invariant test).
-    closing = und.select(F.col("u").alias("cs"), F.col("v").alias("ct"))
-    # ONE wedge pass for both counts: LEFT-join the closures and count
-    # all rows (wedges) alongside matched rows (triangles) in the same
-    # aggregate — the two-pass form enumerated the O(Σ out-deg²) wedge
-    # join (41M rows at sf0.1, the profile's dominant term alongside
-    # the closing join itself) twice, once for n_wedges and once for
-    # n_triangles. The left join is safe for counting: (cs, ct) is
-    # unique in the canonical edge set, so a wedge matches at most one
-    # closing edge and row counts are preserved. The closing side is
-    # O(edges) — NOT broadcast-hinted, same corpus-scale OOM rationale
-    # as the dedup sizes joins; AQE broadcasts it when small.
-    wedge_tri = wedges.join(
-        closing, (F.col("cs") == F.col("b")) & (F.col("ct") == F.col("c")), "left"
-    ).agg(
-        F.count(F.lit(1)).alias("n_wedges"),
-        F.count("cs").alias("n_triangles"),
+    # Wedge and triangle counts via per-source ADJACENCY ARRAYS (r13,
+    # guide §2.3/§1.2 "make the plan match the cheapest execution"):
+    # the previous form enumerated every wedge as a JOIN ROW —
+    # oriented ⋈ oriented on s (t < t2), then a (b, c) probe against
+    # the canonical edge set — 41M wedge rows through codegen at
+    # sf0.1, measured 130-200 s of executor CPU per run (the key's
+    # dominant term). The same two counts come straight from the
+    # out-neighbor arrays:
+    #   n_wedges   = Σ_s C(|N+(s)|, 2) — out-neighbors are DISTINCT
+    #     (distinct und × injective orientation), so the t < t2 pair
+    #     count per source is exactly the binomial;
+    #   n_triangles = Σ_{(u,v) ∈ oriented} |N+(u) ∩ N+(v)| — each
+    #     triangle is counted exactly once, at its unique apex (the
+    #     total-order minimum has oriented edges to both others, and
+    #     the third edge's own orientation picks the one probe edge
+    #     (u,v) whose shared out-neighbor is the triangle's third
+    #     node).
+    # Byte-identical totals measured at sf0.1 (41,087,491 wedges /
+    # 1,884,488 triangles) with 2.2x less CPU in an interleaved
+    # best-of-3 (4.6-4.9 s -> 2.1-2.2 s for this phase): per wedge,
+    # one hash-set probe inside array_intersect replaces join-row
+    # production + a two-column hash-join probe. Scale: |N+| is
+    # O(√m)-bounded by the degree orientation (no hub blowup inside a
+    # single array), adj is O(|V|) rows / O(|E|) total payload, and
+    # both attach joins stay AQE-decided — no broadcast hint, same
+    # corpus-scale OOM rationale as the dedup sizes joins.
+    # COALESCE(…, 0): SUM over an empty graph is NULL where the old
+    # COUNT form returned 0 (empty-input sweep contract).
+    adj = oriented.groupBy("s").agg(F.collect_list("t").alias("nb"))
+    nbu = adj.select(F.col("s").alias("us"), F.col("nb").alias("nbu"))
+    nbv = adj.select(F.col("s").alias("vs"), F.col("nb").alias("nbv"))
+    wedge_tri = (
+        oriented.join(nbu, F.col("s") == F.col("us"))
+        .join(nbv, F.col("t") == F.col("vs"))
+        .agg(
+            F.coalesce(
+                F.sum(F.size(F.array_intersect("nbu", "nbv"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_triangles")
+        )
+        .crossJoin(
+            adj.agg(
+                F.coalesce(
+                    F.sum(F.expr("size(nb) * (size(nb) - 1) div 2")),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("n_wedges")
+            )
+        )
     )
     counts = [
         deg.agg(F.count(F.lit(1)).alias("n_nodes")),
