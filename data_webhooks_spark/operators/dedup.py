@@ -583,43 +583,74 @@ def _connected_components(pairs, max_rounds=30):
     # and 3.4 s checkpointed. Same lineage-cut rationale as
     # embed_pca_power's per-sweep checkpoint.
     e = pairs.toDF("u", "v").localCheckpoint(eager=True)
+    spark = e.sparkSession
+    # Scale-adaptive round parallelism (r13, guide §2.2): each round
+    # is ~4 tiny shuffles + 2 checkpoint jobs over an edge set whose
+    # size we KNOW (the initial count reads the just-materialized
+    # checkpoint blocks; later rounds reuse the convergence check's
+    # collected count). Near-dup graphs contract to hundreds of edges
+    # within a round or two, and 32-task micro-shuffles are pure
+    # scheduling overhead there — measured 1.7 -> 1.3 s warm at sf0.1
+    # with 4 partitions on a 241-edge graph. Never EXCEEDS the
+    # session's configured parallelism (a 100 TB edge set keeps the
+    # cluster's default; the narrowing only kicks in when the counted
+    # edge set is provably small), and the prior setting is restored
+    # on exit.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    _ROWS_PER_PART = 500_000
+    n_edges = e.count()
     prev = None
     rounds = 0
-    for rounds in range(1, max_rounds + 1):
-        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        mins = (
-            sym.groupBy("u")
-            .agg(F.min("v").alias("mn"))
-            .select("u", F.least(F.col("u"), F.col("mn")).alias("m"))
-        )
-        # large-star: (v, m) for every neighbor v > u
-        e1 = (
-            sym.join(mins, "u")
-            .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .distinct()
-        )
-        # after large-star every edge points downward (v < u), so
-        # small-star's neighborhood min is just min(v); it re-hooks
-        # each small neighbor AND u itself onto it
-        m2 = e1.groupBy("u").agg(F.min("v").alias("mn"))
-        e2 = (
-            e1.join(m2, "u")
-            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
-            .union(m2.select(F.col("u"), F.col("mn").alias("v")))
-            .filter(F.col("u") != F.col("v"))
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
-        row = e2.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
-        ).collect()[0]
-        chk = (row["n"], row["h"])
-        e = e2
-        if chk == prev:
-            break
-        prev = chk
+    try:
+        for rounds in range(1, max_rounds + 1):
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(
+                    min(
+                        int(prev_parts),
+                        max(4, n_edges // _ROWS_PER_PART + 1),
+                    )
+                ),
+            )
+            sym = e.union(
+                e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+            mins = (
+                sym.groupBy("u")
+                .agg(F.min("v").alias("mn"))
+                .select("u", F.least(F.col("u"), F.col("mn")).alias("m"))
+            )
+            # large-star: (v, m) for every neighbor v > u
+            e1 = (
+                sym.join(mins, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .distinct()
+            )
+            # after large-star every edge points downward (v < u), so
+            # small-star's neighborhood min is just min(v); it re-hooks
+            # each small neighbor AND u itself onto it
+            m2 = e1.groupBy("u").agg(F.min("v").alias("mn"))
+            e2 = (
+                e1.join(m2, "u")
+                .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+                .union(m2.select(F.col("u"), F.col("mn").alias("v")))
+                .filter(F.col("u") != F.col("v"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            row = e2.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+            ).collect()[0]
+            chk = (row["n"], row["h"])
+            n_edges = row["n"]
+            e = e2
+            if chk == prev:
+                break
+            prev = chk
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     labels = e.select(
         F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
     )

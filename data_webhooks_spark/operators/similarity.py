@@ -1353,15 +1353,13 @@ def embed_pca_power(spark, sf_dir):
     8 sweeps), not axis identity, which no sweep count
     pins under a flat spectrum.
 
-    Scale (100 TB): the Gram build is one co-partitioned self-join on
-    vec_id with 64x64-bounded map-side partial aggregation — shuffle
-    volume is |partitions|*4096 rows no matter the corpus; sweeps run
-    on the materialized 4,096-row G with a broadcast 64-row direction
-    (localCheckpoint between sweeps — unbounded iterative lineage
-    stack-overflows Catalyst past ~7 sweeps, the GraphX/ALS
-    checkpoint rule). No UDF; for very wide d the same plan swaps the
-    self-join for a mapInPandas X_part.T @ X_part block kernel (the
-    dedup_embedding precedent)."""
+    Scale (100 TB): the Gram build is one data pass with 64x64-bounded
+    map-side partial aggregation — shuffle volume is |tasks|*4096 rows
+    no matter the corpus; all 8 sweeps then run inside ONE
+    single-group kernel call on the <=4,096-row symmetric G (r13 —
+    the unrolled join+groupBy sweeps needed per-sweep lineage cuts and
+    scalar broadcasts, all fixed driver latency on an aggregate-sized
+    table; the kernel leaves zero blocking driver jobs)."""
     t = Tables(spark, sf_dir)
     # Gram build rewritten (r12, guide §4.2 "heavy lifting in native
     # code"): the previous form posexploded every vector (12.8M rows
@@ -1385,6 +1383,12 @@ def embed_pca_power(spark, sf_dir):
 
     def gram_partials(batches):
         acc = np.zeros((0, 0), dtype=np.int64)
+        # running upper bound on any |acc| entry (float64, monotone):
+        # numpy int64 arithmetic WRAPS silently on overflow, so the
+        # int64 matmul fallback and the cross-batch accumulation must
+        # be guarded explicitly (r12 advice) — each batch adds at most
+        # peak² * rows to an entry's magnitude.
+        acc_bound = 0.0
         for pdf in batches:
             vecs = [v for v in pdf["embedding"] if v is not None and len(v)]
             if not vecs:
@@ -1394,13 +1398,24 @@ def embed_pca_power(spark, sf_dir):
             for r, v in enumerate(vecs):
                 X[r, : len(v)] = np.asarray(v, dtype=np.float64)
             if not np.isfinite(X).all():
-                # the exploded form's ANSI cast-to-BIGINT threw here;
-                # keep the same loud failure instead of silent garbage
+                # loud failure on non-finite components. (NOTE, r12
+                # advice: this is deliberately SAFER than the old
+                # exploded form, whose FLOOR(double) quantization
+                # silently saturated NaN — garbage in the Gram; a
+                # non-finite embedding corpus has no meaningful top
+                # direction, so fail instead.)
                 raise ValueError(
                     "embed_pca_power: non-finite embedding component"
                 )
             Xu = np.floor(X * 1e4 + 0.5)
             peak = np.abs(Xu).max()
+            acc_bound += float(peak) * float(peak) * len(vecs)
+            if acc_bound >= 2**63:
+                raise ValueError(
+                    "embed_pca_power: Gram partial would overflow "
+                    "int64 (|component| too large for 1e-4-unit "
+                    "quantization at this row count)"
+                )
             if peak * peak * len(vecs) < 2**53:
                 gb = (Xu.T @ Xu).astype(np.int64)  # exact: sums < 2^53
             else:
@@ -1427,36 +1442,58 @@ def embed_pca_power(spark, sf_dir):
     gd_up = gup.crossJoin(F.broadcast(gscale)).select(
         "i", "j", F.expr("CAST(guv div g AS BIGINT)").alias("gd")
     )
-    g = (
-        gd_up.unionAll(
-            gd_up.filter(F.col("i") < F.col("j")).select(
-                F.col("j").alias("i"), F.col("i").alias("j"), "gd"
-            )
+    g = gd_up.unionAll(
+        gd_up.filter(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "gd"
         )
-        .localCheckpoint(eager=True)
     )
-    v = spark.range(1, 65).select(
-        F.col("id").alias("dim"), F.lit(125000).cast("long").alias("vu")
+
+    # All 8 power sweeps in ONE kernel call over the aggregate-sized
+    # Gram (r13, guide §2.3 / r12 verdict item 8): the unrolled
+    # join+groupBy sweep loop needed lineage cuts (3 blocking
+    # localCheckpoint driver round-trips survived the r12 cadence fix)
+    # plus one scalar-aggregate job and broadcast build per sweep —
+    # all fixed latency on a <=4,096-row table. The whole iteration is
+    # a dense integer matvec loop, so run it where that is one numpy
+    # expression: a single-group applyInPandas over the full symmetric
+    # G. ZERO blocking driver jobs remain; the Gram's localCheckpoint
+    # is gone too (no more self-referencing lineage to cut).
+    # Exactness vs the old plan, term by term:
+    #   - y = G @ v in int64: |gd| <= ~1e6 and |vu| <= ~1.25e6, so
+    #     |y| <= 64 * 1e6 * 1.25e6 < 2^53 << 2^63 — the same exact
+    #     associative BIGINT sum as F.sum(gd * vu);
+    #   - m = max|y| div 1e6 + 1 is non-negative, so floor == trunc;
+    #   - v = y div m replicates Spark's BIGINT `div` (truncation
+    #     TOWARD ZERO, verified: -7 div 2 = -3) via the sign-split
+    #     floor-divide below — numpy's // alone floors and would
+    #     diverge on negative components;
+    #   - dims present = distinct i in g (the symmetric union makes i
+    #     cover every dimension with any Gram entry), matching the old
+    #     join-then-groupBy domain; the dense matrix zero-fills only
+    #     PRESENT dims, so absent dims stay absent from the output.
+    # Empty corpus: no gup rows -> no group -> empty result with the
+    # declared schema, exactly like the old empty-join chain.
+    def power_sweeps(pdf):
+        dims = np.unique(pdf["i"].to_numpy())
+        idx = np.searchsorted(dims, pdf["i"].to_numpy())
+        jdx = np.searchsorted(dims, pdf["j"].to_numpy())
+        n = len(dims)
+        G = np.zeros((n, n), dtype=np.int64)
+        G[idx, jdx] = pdf["gd"].to_numpy(dtype=np.int64)
+        v = np.full(n, 125000, dtype=np.int64)
+        for _ in range(_PCA_SWEEPS):
+            y = G @ v
+            m = np.abs(y).max() // 1_000_000 + 1
+            v = np.where(y >= 0, y // m, -((-y) // m))
+        return pd.DataFrame({"dim": dims.astype("int32"), "loading_u": v})
+
+    return (
+        g.groupBy(F.lit(1).alias("_g"))
+        .applyInPandas(
+            lambda _, pdf: power_sweeps(pdf), "dim int, loading_u long"
+        )
+        .select("dim", "loading_u")
     )
-    for it in range(_PCA_SWEEPS):
-        y = (
-            g.join(F.broadcast(v), g["j"] == v["dim"])
-            .groupBy(F.col("i").alias("ydim"))
-            .agg(F.sum(F.col("gd") * F.col("vu")).cast("long").alias("y"))
-        )
-        m = y.agg(F.expr("MAX(ABS(y)) div 1000000 + 1").alias("d"))
-        v = y.crossJoin(F.broadcast(m)).select(
-            F.col("ydim").alias("dim"),
-            F.expr("CAST(y div d AS BIGINT)").alias("vu"),
-        )
-        # checkpoint every SECOND sweep (r12): the eager per-sweep cut
-        # paid one blocking job per iteration (~8 round-trips on a
-        # 64-row table); a 2-sweep lineage is far below the ~7-sweep
-        # Catalyst stack limit that motivated the cut, and the final
-        # sweep's result is returned lazily like every other operator.
-        if it % 2 == 1 and it != _PCA_SWEEPS - 1:
-            v = v.localCheckpoint(eager=True)
-    return v.select("dim", F.col("vu").alias("loading_u"))
 
 
 @op(
