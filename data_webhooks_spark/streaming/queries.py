@@ -1767,16 +1767,37 @@ def stream_cdc_apply(spark, sf_dir):
     tune(spark)
     root = f"{RUNTIME_DIR}/cdcstate/{uuid.uuid4().hex[:12]}"
     os.makedirs(root, exist_ok=True)
+    import atexit
+
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
     merge_batch = _cdc_merge_batch(spark, root)
 
-    s = read_replay_stream(spark, sf_dir, files_per_trigger=1)
-    q = (
-        s.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", checkpoint_dir())
-        .trigger(availableNow=True)
-        .start()
+    # 2 files per trigger = 2 micro-batches (r13, the _ss_update_stream
+    # rationale): the versioned-store merge must survive a batch
+    # boundary — the point of the operator — but each foreachBatch
+    # costs fixed store read+write overhead, and the merge is
+    # ASSOCIATIVE by contract (identical final state regardless of
+    # chunking, see docstring), so chunk-per-batch replay buys nothing.
+    # Partitions narrowed like run_to_table: the per-batch partial and
+    # the store join are user-count-bounded, and 32-task micro-shuffles
+    # on them are scheduling overhead at fixture scale.
+    s = read_replay_stream(spark, sf_dir, files_per_trigger=2)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    ckpt = checkpoint_dir()
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
     )
-    q.awaitTermination()
+    try:
+        q = (
+            s.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return _cdc_read_state(spark, root)
 
 
@@ -1927,16 +1948,32 @@ def stream_hll_distinct(spark, sf_dir):
     tune(spark)
     root = f"{RUNTIME_DIR}/hllstate/{uuid.uuid4().hex[:12]}"
     os.makedirs(root, exist_ok=True)
+    import atexit
+
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
     merge_batch = _hll_merge_batch(spark, root)
 
-    s = read_replay_stream(spark, sf_dir, files_per_trigger=1)
-    q = (
-        s.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", checkpoint_dir())
-        .trigger(availableNow=True)
-        .start()
+    # 2 micro-batches + narrowed partitions (r13, the stream_cdc_apply
+    # rationale): HLL union takes the per-bucket max, so the merged
+    # sketch — and therefore every estimate — is identical under any
+    # chunking; the versioned store still crosses a batch boundary.
+    s = read_replay_stream(spark, sf_dir, files_per_trigger=2)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    ckpt = checkpoint_dir()
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
     )
-    q.awaitTermination()
+    try:
+        q = (
+            s.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(ckpt, ignore_errors=True)
     versions = sorted(int(p[1:]) for p in os.listdir(root) if p.startswith("v"))
     st = spark.read.parquet(f"{root}/v{versions[-1]}")
     t = Tables(spark, sf_dir)
