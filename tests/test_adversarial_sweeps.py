@@ -40,6 +40,13 @@ from scripts.null_sweep_r9 import (
 from data_webhooks_spark import registry
 from data_webhooks_spark.oracle import compare_frames, duck_connect
 
+# Builder tier (r12 verdict item 2): the scenario x edited-key matrix
+# scales with the round's edit breadth (~600 tests / ~25 min in r13)
+# and blew the driver's pytest budget. The default run skips it; the
+# round-close full-suite run (`pytest -m ""`) and the out-of-band
+# full-matrix discovery runs keep the coverage. See pytest.ini.
+pytestmark = pytest.mark.slowtier
+
 
 def _gated_keys() -> list[str]:
     # rows-only keys are included: they cannot diverge (no oracle) but

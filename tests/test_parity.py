@@ -124,6 +124,9 @@ PORTABLE_ORACLES = frozenset({
 })
 
 
+@pytest.mark.slowtier  # registry-wide sweep, ~2 min alone; per-key
+# oracle parity (test_sql_parity) stays in the default tier, so no
+# operator loses its result assertion — see pytest.ini (r12 item 2).
 def test_three_way_agreement_sparksql_vs_dataframe(
     spark, sf_dir, duck, spark_result
 ):
