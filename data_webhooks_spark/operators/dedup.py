@@ -25,6 +25,57 @@ ORACLE: dict = {}
 op = registrar(QUERIES, ORACLE)
 
 
+# Pin lifecycle (r12 ADVICE): the r12 persist() pins in this module
+# (shingle frames, minhash sig, simhash fingerprint) were never
+# unpersisted, so a long driver session running many keys accumulated
+# data-sized MEMORY_AND_DISK blocks — the same leak class graph.py's
+# _LIVE_PINS tracker was built to prevent. Same discipline here: each
+# pinning op releases the PREVIOUS invocation's pins on entry, so at
+# most one op's pins stay resident. persist stays LAZY (no eager
+# count) — plans, timings and results are byte-unchanged; only the
+# residency window shrinks. Unpersisting a prior result is safe by
+# construction: persist kept the lineage, so a re-collect recomputes.
+_LIVE_PINS: list = []
+
+
+def _pin(df):
+    """persist + track for release at the next pinning op's entry.
+    Keeps persist()'s default storage level — the level the r12 pin
+    measurements were taken at; only the lifecycle is new."""
+    df = df.persist()
+    _LIVE_PINS.append(df)
+    return df
+
+
+def _fresh_pins():
+    """Release pins from prior invocations of this module's ops."""
+    while _LIVE_PINS:
+        try:
+            _LIVE_PINS.pop().unpersist()
+        except Exception:  # session already stopped — nothing to free
+            pass
+
+
+def _spread(df):
+    """Engage the session's full parallelism for a per-row-heavy
+    kernel stage (r13, guide §2.2/§2.4): documents.parquet is a single
+    ~600 KB split at every test SF, so everything upstream of the
+    first Exchange — including multi-second fingerprint/winnowing
+    kernels — otherwise executes as ONE task regardless of core count
+    (the r12 scaling block's 1.1–1.5× at 4× cores is exactly this).
+    Scale-adaptive, not a local[32] constant: the target is the
+    session's defaultParallelism and the repartition fires ONLY when
+    the scan yields fewer splits than that — at real corpus scale the
+    scan has more splits and this is a no-op. Hash-partitioning on
+    doc_id keeps row placement deterministic (round-robin would need
+    its retry-safety sort); the exchanged payload is the sub-MB raw
+    text, paid once before the kernel amortizes it."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, "doc_id")
+    return df
+
+
 def _shingled(docs):
     """Distinct (doc_id, word-trigram shingle) pairs, built ROW
     -LOCALLY: trigrams come from one array `transform` over the split
@@ -186,9 +237,10 @@ def dedup_ngram_jaccard(spark, sf_dir):
     — see _df_capped; at the fixture the cap never binds, so values
     equal the uncapped form) — bit-identical across engines."""
     t = Tables(spark, sf_dir)
+    _fresh_pins()  # release the previous dedup op's pins
     # persist experiment (r12): shingled feeds sizes + both self-join
     # sides; the frame is flat (doc_id, shingle string).
-    shingled = _df_capped(_shingled(t.documents)).persist()
+    shingled = _pin(_df_capped(_shingled(t.documents)))
     sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = shingled.alias("a")
     b = shingled.alias("b")
@@ -330,10 +382,13 @@ def dedup_minhash(spark, sf_dir):
     # forbids the duplication, halving the signature pass; the kernel
     # itself is a fixed seeded hash family, so results are unchanged.
     minhash_sig = minhash_sig.asNondeterministic()
-    sig = t.documents.filter(F.col("text").isNotNull()).select(
+    _fresh_pins()  # release the previous dedup op's pins
+    # _spread (r13): the Arrow signature kernel inherited the single
+    # documents split and fingerprinted the whole corpus on one core.
+    sig = _spread(t.documents.filter(F.col("text").isNotNull())).select(
         "doc_id", minhash_sig(F.col("text")).alias("sig")
     ).filter(F.col("sig").isNotNull())
-    sig = sig.persist()
+    sig = _pin(sig)
     # Slim band rows (doc_id, band, key) only — carrying the 64-long
     # signature through the 32x band explode would inflate the join
     # shuffle 32x; signatures are re-attached afterwards from the
@@ -435,9 +490,14 @@ def dedup_simhash(spark, sf_dir):
     # r12 plan audit. Pinning the slim (doc_id, simhash) frame runs
     # the Python pass once; same discipline as dedup_minhash's sig
     # pin, recomputed fresh per invocation (never across runs).
-    sh = t.documents.filter(F.col("text").isNotNull()).select(
-        "doc_id", simhash64("text").alias("simhash")
-    ).persist()
+    _fresh_pins()  # release the previous dedup op's pins
+    # _spread (r13): same single-split fix as dedup_minhash — the
+    # fingerprint kernel ran as one task before the pin.
+    sh = _pin(
+        _spread(t.documents.filter(F.col("text").isNotNull())).select(
+            "doc_id", simhash64("text").alias("simhash")
+        )
+    )
     vals = sh.select("simhash").distinct()
     vbands = vals.select(
         "simhash",
@@ -1030,7 +1090,11 @@ def dedup_repeated_substrings(spark, sf_dir):
     # guard: Spark's sequence(1, n) DESCENDS when n < 1, so a document
     # shorter than the gram length would build garbage positions;
     # DuckDB's range(1, n<=1) is empty — the filter reproduces that.
-    base = t.documents.filter(F.length("text") >= _RS_K).select(
+    # _spread (r13): the md5 transform + winnowing filter below are
+    # the whole cost of this key (integer/string-exact, so row
+    # placement cannot change the result), and they ran as ONE task
+    # on the single-split documents scan.
+    base = _spread(t.documents.filter(F.length("text") >= _RS_K)).select(
         "doc_id",
         "text",
         F.transform(
@@ -1041,10 +1105,22 @@ def dedup_repeated_substrings(spark, sf_dir):
     W = _RS_W - 1
     lo = lambda p: F.greatest(p - W, F.lit(1))  # noqa: E731
     hi = lambda p: F.least(p + W, F.size(F.col("hs")))  # noqa: E731
+    # Short-circuit winnowing predicate (r13, guide §4.2-adjacent: the
+    # HOF path is interpreted, so per-element work is the constant):
+    # `h[p] == array_min(window)` scanned all 2w-1 = 15 hashes AND
+    # allocated the slice per position. The equivalent `NOT exists(
+    # window, x -> x < h[p])` is the same predicate (p is selected iff
+    # no strictly-smaller hash is in its window; ties still select,
+    # h[p] itself never compares < h[p]) but ArrayExists EXITS on the
+    # first smaller hash — a random non-selected position stops after
+    # ~2 comparisons instead of 15. Selection set is identical by
+    # construction; proven row-identical + oracle MATCH at both SFs.
     sel_pos = F.filter(
         F.sequence(F.lit(1), F.size(F.col("hs"))),
-        lambda p: F.element_at(F.col("hs"), p)
-        == F.array_min(F.slice(F.col("hs"), lo(p), hi(p) - lo(p) + 1)),
+        lambda p: ~F.exists(
+            F.slice(F.col("hs"), lo(p), hi(p) - lo(p) + 1),
+            lambda x: x < F.element_at(F.col("hs"), p),
+        ),
     )
     sel = base.select("doc_id", "text", F.explode(sel_pos).alias("p")).select(
         "doc_id", F.col("text").substr(F.col("p"), F.lit(_RS_K)).alias("gram")
@@ -1114,8 +1190,9 @@ def dedup_containment(spark, sf_dir):
     pair (A,B) and (B,A) carry different denominators). Both ratios
     are exact integer divisions, bit-identical across engines."""
     t = Tables(spark, sf_dir)
+    _fresh_pins()  # release the previous dedup op's pins
     # persist (r12): same 3-consumer pin as dedup_ngram_jaccard.
-    shingled = _df_capped(_shingled(t.documents)).persist()
+    shingled = _pin(_df_capped(_shingled(t.documents)))
     sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = shingled.alias("a"), shingled.alias("b")
     pairs = (
