@@ -37,6 +37,14 @@ HEADLINE = [
     "sim_cosine_brute",   # brute-force cosine top-k
     "text_tfidf",         # explode + join tf-idf
     "stream_tumbling_agg",  # availableNow streaming replay
+    # r13 additions (r12 verdict item 9, additions-only): the keys the
+    # optimization rounds actually moved sit outside the original 10,
+    # so driver benches under-reported both progress and regressions.
+    # The original 10 keep their slots and methodology unchanged.
+    "graph_triangle_count",  # adjacency-array wedge/closure count
+    "dedup_cluster",         # star-contraction connected components
+    "stream_funnel",         # applyInPandasWithState funnel replay
+    "pipeline_media_prep",   # fused metadata+dHash media pipeline
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
