@@ -60,70 +60,75 @@ _ROWS_ONLY = {
     "profile_table_approx",
 }
 _WINDOW = [
-    # r13 window, REV 6 (`window_select.py --propose` after the r12
-    # driver artifacts landed at d3f422b). The r12 deferral ledger is
-    # BURNED TO ZERO (r12 verdict item 1): the head is exactly the 25
-    # keys the ledger deferred — graph_degree_stats (the one deferred
-    # key whose plan actually changed: explode(array(u,v)) single-pass
-    # degree scan), the 14 checkpoint-placement/replay-glob streaming
-    # keys, the 3 scan-glob keys, the 6 comment-only negative-result
-    # keys, and ann_ivf — so the driver re-earns every deferred
-    # record. The tail is the 25 stalest records (the r5 cohort:
-    # tpch block, win_first_last/lag_lead/sessionize, etc.), keeping
-    # the no-record-older-than-r5 rotation moving. DEFERRED (see
-    # window_select.py) is empty; this round's own optimization edits
-    # re-flag their keys and the window is re-proposed at round close
-    # before the artifact freeze (REV 6 revisions below).
+    # r13 window, REV 7 (`window_select.py --propose` at round close,
+    # after every r13 optimization edit landed). Head = the 48 keys
+    # whose code moved after their latest driver record: the full REV 6
+    # deferral-burn cohort (graph_degree_stats, the checkpoint/replay
+    # streaming keys, the scan-glob keys, the comment-only keys,
+    # ann_ivf — all of whose closures ALSO transited this round's
+    # streaming-core checkpoint/state-partition work) plus this round's
+    # own operator edits: graph_triangle_count/graph_pagerank (adjacency
+    # rewrite / pinned per-node frame), dedup_cluster (scale-adaptive
+    # contraction shuffles), embed_pca_power (single-kernel sweeps),
+    # stream_cdc_apply/stream_hll_distinct (2-batch replay),
+    # stream_funnel/stream_stateful/stream_custom_state/
+    # stream_rollup_upsert (state partitions), and the _pin/_spread
+    # dedup+multimodal family (dedup_minhash/simhash/ngram_jaccard/
+    # containment/repeated_substrings, multimodal_phash,
+    # pipeline_media_prep). Tail = the 2 stalest records
+    # (topn_per_group, tpch_q1), keeping the staleness rotation moving.
+    # DEFERRED stays EMPTY — nothing edited this round is outside this
+    # window.
     "ann_ivf",
     "basket_lift",
     "contamination_ngram",
     "dedup_cluster",
+    "dedup_containment",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_repeated_substrings",
+    "dedup_simhash",
+    "embed_pca_power",
     "event_cooccurrence",
     "graph_degree_stats",
+    "graph_pagerank",
+    "graph_triangle_count",
     "join_stream_static",
     "join_stream_stream",
     "join_stream_stream_outer",
+    "multimodal_phash",
+    "pipeline_media_prep",
     "scan_csv",
     "scan_json",
     "scan_text",
+    "sink_foreach_batch",
     "sink_memory",
     "sink_parquet",
+    "sink_webhook",
     "source_file_stream",
+    "source_rate",
+    "source_webhook",
+    "stream_anomaly",
+    "stream_cdc_apply",
+    "stream_custom_state",
+    "stream_dedup",
+    "stream_funnel",
+    "stream_hll_distinct",
     "stream_late_drops",
     "stream_output_modes",
+    "stream_quantile",
+    "stream_rollup_upsert",
     "stream_session_agg",
     "stream_sliding_agg",
     "stream_stateful",
     "stream_topk",
     "stream_triggers",
+    "stream_tumbling_agg",
     "stream_watermark",
     "ts_anomaly_stl",
     "ts_stl_decompose",
     "topn_per_group",
     "tpch_q1",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q19",
-    "tpch_q2",
-    "tpch_q20",
-    "tpch_q22",
-    "tpch_q3",
-    "tpch_q4",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q9",
-    "win_first_last",
-    "win_lag_lead",
-    "win_sessionize",
-    "agg_approx_count_distinct",
-    "cogrouped_map",
-    "event_paths",
-    "join_bucketed",
-    "join_cross",
 ]
 
 _MODULES = [
