@@ -383,9 +383,15 @@ def dedup_minhash(spark, sf_dir):
     # itself is a fixed seeded hash family, so results are unchanged.
     minhash_sig = minhash_sig.asNondeterministic()
     _fresh_pins()  # release the previous dedup op's pins
-    # _spread (r13): the Arrow signature kernel inherited the single
-    # documents split and fingerprinted the whole corpus on one core.
-    sig = _spread(t.documents.filter(F.col("text").isNotNull())).select(
+    # _spread NEGATIVE RESULT (r13): spreading the single documents
+    # split before this Arrow kernel measured SLOWER (interleaved
+    # best-of-3 noop at sf0.1: 1.5-1.9 s -> 2.2-2.7 s) — the seeded
+    # hash family's per-task init plus 32x Arrow batch/python-worker
+    # fixed cost exceeds what the ~0.3 s fingerprint pass saves, the
+    # guide's §4.3 init-amortization trade inverted. The Catalyst-
+    # expression kernels (repeated_substrings, phash, media_prep) keep
+    # _spread, where the same repartition measured 1.2-2.9x FASTER.
+    sig = t.documents.filter(F.col("text").isNotNull()).select(
         "doc_id", minhash_sig(F.col("text")).alias("sig")
     ).filter(F.col("sig").isNotNull())
     sig = _pin(sig)
@@ -491,10 +497,14 @@ def dedup_simhash(spark, sf_dir):
     # the Python pass once; same discipline as dedup_minhash's sig
     # pin, recomputed fresh per invocation (never across runs).
     _fresh_pins()  # release the previous dedup op's pins
-    # _spread (r13): same single-split fix as dedup_minhash — the
-    # fingerprint kernel ran as one task before the pin.
+    # _spread NEGATIVE RESULT (r13): same inversion as dedup_minhash —
+    # spreading the split before this Arrow kernel measured 1.3-2.4 s
+    # -> 1.9-2.5 s (interleaved best-of-3 noop, sf0.1); per-task
+    # python/Arrow fixed cost exceeds the parallelism gain at this
+    # row count. Kept single-split; the pin already runs the kernel
+    # only once.
     sh = _pin(
-        _spread(t.documents.filter(F.col("text").isNotNull())).select(
+        t.documents.filter(F.col("text").isNotNull()).select(
             "doc_id", simhash64("text").alias("simhash")
         )
     )
