@@ -40,6 +40,23 @@ def _norm_df(t):
     )
 
 
+def _spread_vecs(df):
+    """Engage the session's full parallelism for a per-row-heavy
+    kernel over the embeddings table (r13, guide §2.2/§2.4; the
+    dedup.py _spread pattern): embeddings.parquet is a single ~800 KB
+    split at every test SF, so a flop-dense evaluation stage
+    downstream of the scan otherwise executes as ONE task.
+    Scale-adaptive — fires only when the scan yields fewer splits than
+    defaultParallelism (no-op on a many-split corpus); deterministic
+    hash placement on vec_id. Used ONLY by evaluation ops whose math
+    is row-local + integer-exact ranking (never by the KMeans-backed
+    index builders, whose fits are partition-layout-sensitive)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, "vec_id")
+    return df
+
+
 def _pad_centroids(cs: list, k: int) -> list:
     """Spark ML KMeans returns FEWER than k centers when the data has
     fewer distinct points (the clone-storm degenerate: every vector
@@ -1046,10 +1063,18 @@ def embed_matryoshka_eval(spark, sf_dir):
     the brute per-dim rank is the measurement instrument (exact by
     design, like sim_cosine_brute as recall oracle); the production
     serving path for truncated vectors is ann_ivf/ann_ivf_pq over the
-    sliced column. Query side broadcasts; corpus side never
-    re-shuffles."""
+    sliced column. Query side broadcasts; corpus side shuffles only
+    the one-time _spread_vecs split lift (a no-op at corpus scale)."""
     t = Tables(spark, sf_dir)
-    d = _norm_df(t)
+    # _spread_vecs (r13): the per-pair truncated dot products in the
+    # broadcast join stage — 80 x |corpus| x 4 prefix dims of flops —
+    # inherited the single embeddings split and ran as ONE task. All
+    # downstream math is row-local doubles + integer hit counts with
+    # deterministic (rounded cosine, vec_id) ranking, so placement
+    # cannot move the result. Interleaved best-of-3 noop A/B at sf0.1:
+    # 2.44-2.54 s -> 1.86-1.88 s (1.33x; both sides under identical
+    # concurrent load), rows bit-identical at sf0.01/sf0.1.
+    d = _spread_vecs(_norm_df(t))
 
     def pdot(a, b, dim):
         return F.aggregate(

@@ -61,7 +61,7 @@ _ROWS_ONLY = {
 }
 _WINDOW = [
     # r13 window, REV 7 (`window_select.py --propose` at round close,
-    # after every r13 optimization edit landed). Head = the 48 keys
+    # after every r13 optimization edit landed). Head = the 49 keys
     # whose code moved after their latest driver record: the full REV 6
     # deferral-burn cohort (graph_degree_stats, the checkpoint/replay
     # streaming keys, the scan-glob keys, the comment-only keys,
@@ -75,10 +75,10 @@ _WINDOW = [
     # stream_rollup_upsert (state partitions), and the _pin/_spread
     # dedup+multimodal family (dedup_minhash/simhash/ngram_jaccard/
     # containment/repeated_substrings, multimodal_phash,
-    # pipeline_media_prep). Tail = the 2 stalest records
-    # (topn_per_group, tpch_q1), keeping the staleness rotation moving.
-    # DEFERRED stays EMPTY — nothing edited this round is outside this
-    # window.
+    # pipeline_media_prep) and embed_matryoshka_eval's _spread_vecs.
+    # Tail = the stalest record (topn_per_group), keeping the
+    # staleness rotation moving. DEFERRED stays EMPTY — nothing edited
+    # this round is outside this window.
     "ann_ivf",
     "basket_lift",
     "contamination_ngram",
@@ -88,6 +88,7 @@ _WINDOW = [
     "dedup_ngram_jaccard",
     "dedup_repeated_substrings",
     "dedup_simhash",
+    "embed_matryoshka_eval",
     "embed_pca_power",
     "event_cooccurrence",
     "graph_degree_stats",
@@ -128,7 +129,6 @@ _WINDOW = [
     "ts_anomaly_stl",
     "ts_stl_decompose",
     "topn_per_group",
-    "tpch_q1",
 ]
 
 _MODULES = [
