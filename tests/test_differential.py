@@ -28,6 +28,14 @@ from data_webhooks_spark.io import Tables
 from data_webhooks_spark.norms import dec_sum, o_dec_sum
 from data_webhooks_spark.oracle import compare_frames
 
+# Builder tier (r12 verdict item 2, same rationale as the adversarial
+# matrix): this sweeps a generated-query SPACE — breadth fuzzing, not
+# any single operator's contract (each key keeps its pinned parity
+# test in the default tier). ~2 min of Hypothesis-driven Spark jobs
+# the driver's budgeted default run doesn't need to repeat; the
+# round-close full run (`pytest -m ""`) keeps the coverage.
+pytestmark = pytest.mark.slowtier
+
 # ---- query-space grammar ---------------------------------------------------
 
 NUM_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
